@@ -1,0 +1,124 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** The reference ETL (jobs/etl/glue_spark_trades_etl.py) re-expressed
+  * Spark-first: one declarative plan from schema'd CSV scan to
+  * partitioned parquet, so Catalyst fuses normalization + DQ into the
+  * scan (single pass, codegen'd, no driver-side loops).
+  */
+object MarketEtl {
+
+  /** Binance trades CSV schema (glue_spark_trades_etl.py:20-32). */
+  val tradesCsvSchema: StructType = StructType(Seq(
+    StructField("trade_id", LongType),
+    StructField("price", DoubleType),
+    StructField("quantity", DoubleType),
+    StructField("quote_qty", DoubleType),
+    StructField("time", LongType),
+    StructField("is_buyer_maker", StringType),
+    StructField("is_best_match", StringType)))
+
+  /** Distributed, schema'd CSV read over a Hive-partitioned lake layout
+    * (`.../symbol=X/year=Y/month=M/` csv files), recovering partition
+    * metadata from file paths with codegen'd regexps — the reference's
+    * input contract (glue_spark_trades_etl.py:63-82). */
+  def readTradesCsv(spark: SparkSession, inputPath: String): DataFrame = {
+    val df = spark.read
+      .option("recursiveFileLookup", "true")
+      .schema(tradesCsvSchema)
+      .csv(inputPath)
+      .withColumn("_input_file", input_file_name())
+    df.withColumn("symbol", regexp_extract(col("_input_file"), "symbol=([A-Z]+)/", 1))
+      .withColumn("year", regexp_extract(col("_input_file"), "year=(\\d+)/", 1).cast(IntegerType))
+      .withColumn("month", regexp_extract(col("_input_file"), "month=(\\d+)/", 1).cast(IntegerType))
+  }
+
+  /** Normalization (glue_spark_trades_etl.py:84-117): epoch-ms →
+    * timestamp, day extraction, string → boolean flags, load date. */
+  def normalize(df: DataFrame): DataFrame =
+    df.withColumn("trade_time",
+        timestamp_micros(expr("time * 1000")).cast(TimestampNTZType))
+      .withColumn("day", dayofmonth(col("trade_time")))
+      .withColumn("is_buyer_maker_b", col("is_buyer_maker") === "True")
+      .withColumn("is_best_match_b", col("is_best_match") === "True")
+      .withColumn("load_dt", to_date(col("trade_time")))
+      .select(
+        col("trade_id"), col("trade_time"), col("symbol"), col("price"),
+        col("quantity"), col("quote_qty"),
+        col("is_buyer_maker_b").as("is_buyer_maker"),
+        col("is_best_match_b").as("is_best_match"),
+        col("load_dt"), col("year"), col("month"), col("day"))
+
+  /** The reference DQ gate (glue_spark_trades_etl.py:125-172) as a
+    * single fused filter: non-null timestamp/price/quantity, positive
+    * price/quantity, calendar-valid partition values (leap-year aware).
+    */
+  def dqFilter(df: DataFrame): DataFrame =
+    df.filter(
+      col("trade_time").isNotNull &&
+      col("price").isNotNull && col("quantity").isNotNull &&
+      (col("price") > 0) && (col("quantity") > 0) &&
+      validCalendar(col("year"), col("month"), col("day")))
+
+  /** Partition distribution audit (glue_spark_trades_etl.py:185-188). */
+  def partitionAudit(df: DataFrame): DataFrame =
+    df.groupBy("year", "month", "day", "symbol").count()
+      .orderBy("year", "month", "day", "symbol")
+
+  /** Partitioned-parquet lake sink (glue_spark_trades_etl.py:194-197):
+    * Hive layout year/month/day/symbol = partition pruning for every
+    * downstream query. */
+  def writePartitioned(df: DataFrame, outputPath: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy("year", "month", "day", "symbol")
+      .parquet(outputPath)
+
+  /** Full pipeline: CSV lake → clean partitioned parquet. */
+  def run(spark: SparkSession, inputPath: String, outputPath: String): Unit =
+    writePartitioned(dqFilter(normalize(readTradesCsv(spark, inputPath))), outputPath)
+
+  // -------------------------------------------------------------------
+  // The same pipeline semantics over the driver's synthetic `events`
+  // table (events ≈ trades: event_type≈symbol, value≈price, props.k≈
+  // quantity). Used by every market-analytics query + its oracle.
+  // -------------------------------------------------------------------
+
+  /** Normalized + DQ-filtered trades view of `events`. */
+  def eventsAsTrades(events: DataFrame): DataFrame = {
+    val kStr = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+    val qty  = when(length(kStr) > 0, kStr.cast(DoubleType))
+    events.select(
+        col("event_id").as("trade_id"),
+        col("ts").as("trade_time"),
+        col("event_type").as("symbol"),
+        col("value").as("price"),
+        qty.as("quantity"),
+        (col("value") * qty).as("quote_qty"),
+        ((col("event_id") % 2) === 0).as("is_buyer_maker"),
+        year(col("ts")).as("year"),
+        month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"))
+      .filter(col("trade_time").isNotNull && (col("price") > 0) && (col("quantity") > 0))
+  }
+
+  /** Oracle-side twin of [[eventsAsTrades]] as a DuckDB CTE. */
+  val tradesCte: String =
+    """WITH trades AS (
+      |  SELECT event_id AS trade_id, ts AS trade_time, event_type AS symbol,
+      |         value AS price,
+      |         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS quantity,
+      |         value * TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS quote_qty,
+      |         (event_id % 2 = 0) AS is_buyer_maker,
+      |         CAST(year(ts) AS INTEGER) AS year,
+      |         CAST(month(ts) AS INTEGER) AS month,
+      |         CAST(day(ts) AS INTEGER) AS day
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND value > 0
+      |    AND TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) > 0
+      |)""".stripMargin
+}

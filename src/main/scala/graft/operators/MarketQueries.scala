@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Op, Tables}
+import graft.etl.MarketEtl
+import graft.functions._
+
+/** The reference's 9 Athena analytics patterns
+  * (sql/athena_sample_queries.sql) re-expressed as declarative Spark
+  * plans over the `events`-as-trades view, plus the ETL pipeline
+  * surface itself as verifiable queries.
+  *
+  * Scale notes: every query is a single scan → (optional window/join)
+  * → partial+final aggregation; no collect, no re-scan subqueries. The
+  * whale query (reference uses APPROX_PERCENTILE + self-join = two
+  * scans) is a window over one shuffle instead.
+  */
+object MarketQueries {
+
+  private def trades(s: SparkSession, dir: String): DataFrame =
+    MarketEtl.eventsAsTrades(Tables.events(s, dir))
+
+  private val cte = MarketEtl.tradesCte
+
+  // --- ETL surface -----------------------------------------------------
+
+  /** Full normalize+DQ pipeline output (reference ETL on events). */
+  private def etlNormalize(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir)
+      .withColumn("load_dt", to_date(col("trade_time")))
+      .filter(validCalendar(col("year"), col("month"), col("day")))
+      .orderBy("trade_id")
+
+  private val etlNormalizeSql =
+    s"""$cte
+       |SELECT trade_id, trade_time, symbol, price, quantity, quote_qty,
+       |       is_buyer_maker, year, month, day,
+       |       CAST(trade_time AS DATE) AS load_dt
+       |FROM trades
+       |WHERE ${validCalendarSql("year", "month", "day")}
+       |ORDER BY trade_id""".stripMargin
+
+  private def etlPartitionAudit(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir).groupBy("year", "month", "day", "symbol")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("year", "month", "day", "symbol")
+
+  private val etlPartitionAuditSql =
+    s"""$cte
+       |SELECT year, month, day, symbol, COUNT(*) AS n
+       |FROM trades GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin
+
+  // --- Q1: partition-pruned counts + volume (athena_sample_queries.sql:9-21)
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir).groupBy("year", "month", "symbol")
+      .agg(
+        count(lit(1)).as("trade_count"),
+        dsum(col("quote_qty")).as("total_volume"),
+        min("price").as("low_price"),
+        max("price").as("high_price"))
+      .orderBy("year", "month", "symbol")
+
+  private val q1Sql =
+    s"""$cte
+       |SELECT year, month, symbol, COUNT(*) AS trade_count,
+       |       ${dsumSql("quote_qty")} AS total_volume,
+       |       MIN(price) AS low_price, MAX(price) AS high_price
+       |FROM trades GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
+
+  // --- Q2: minute VWAP bars (athena_sample_queries.sql:32-45)
+
+  private def q2(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir).filter(col("symbol") === "purchase")
+      .groupBy(date_trunc("minute", col("trade_time")).as("minute"))
+      .agg(
+        count(lit(1)).as("num_trades"),
+        dsum(col("quantity")).as("total_volume"),
+        dsum(col("quote_qty")).as("pv"),
+        min("price").as("low"),
+        max("price").as("high"))
+      .withColumn("vwap", ratio(col("pv"), col("total_volume")))
+      .drop("pv")
+      .orderBy("minute")
+
+  private val q2Sql =
+    s"""$cte
+       |SELECT minute, num_trades, total_volume,
+       |       ${ratioSql("pv", "total_volume")} AS vwap, low, high
+       |FROM (
+       |  SELECT date_trunc('minute', trade_time) AS minute,
+       |         COUNT(*) AS num_trades,
+       |         ${dsumSql("quantity")} AS total_volume,
+       |         ${dsumSql("quote_qty")} AS pv,
+       |         MIN(price) AS low, MAX(price) AS high
+       |  FROM trades WHERE symbol = 'purchase' GROUP BY 1)
+       |ORDER BY minute""".stripMargin
+
+  // --- Q3: order-flow maker/taker breakdown (athena_sample_queries.sql:56-70)
+
+  private def q3(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir)
+      .withColumn("order_type",
+        when(col("is_buyer_maker"), "Sell (Market Sell)")
+          .otherwise("Buy (Market Buy)"))
+      .groupBy("symbol", "order_type")
+      .agg(
+        count(lit(1)).as("trade_count"),
+        dsum(col("quantity")).as("total_quantity"),
+        dsum(col("quote_qty")).as("total_value"),
+        count(lit(1)).cast(DoubleType).as("cnt_d"))
+      .withColumn("avg_trade_size", ratio(col("total_quantity"), col("cnt_d")))
+      .drop("cnt_d")
+      .orderBy("symbol", "order_type")
+
+  private val q3Sql =
+    s"""$cte
+       |SELECT symbol, order_type, trade_count, total_quantity, total_value,
+       |       ${ratioSql("total_quantity", "cnt_d")} AS avg_trade_size
+       |FROM (
+       |  SELECT symbol,
+       |         CASE WHEN is_buyer_maker THEN 'Sell (Market Sell)'
+       |              ELSE 'Buy (Market Buy)' END AS order_type,
+       |         COUNT(*) AS trade_count,
+       |         ${dsumSql("quantity")} AS total_quantity,
+       |         ${dsumSql("quote_qty")} AS total_value,
+       |         CAST(COUNT(*) AS DOUBLE) AS cnt_d
+       |  FROM trades GROUP BY 1,2)
+       |ORDER BY symbol, order_type""".stripMargin
+
+  // --- Q4: hourly volume heatmap (athena_sample_queries.sql:80-90)
+
+  private def q4(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir)
+      .groupBy(col("symbol"), hour(col("trade_time")).as("hour_utc"))
+      .agg(
+        count(lit(1)).as("trade_count"),
+        dsum(col("quote_qty")).as("volume"),
+        dsum(col("price")).as("psum"),
+        count(lit(1)).cast(DoubleType).as("cnt_d"))
+      .withColumn("avg_price", ratio(col("psum"), col("cnt_d")))
+      .drop("psum", "cnt_d")
+      .orderBy("symbol", "hour_utc")
+
+  private val q4Sql =
+    s"""$cte
+       |SELECT symbol, hour_utc, trade_count, volume,
+       |       ${ratioSql("psum", "cnt_d")} AS avg_price
+       |FROM (
+       |  SELECT symbol, CAST(hour(trade_time) AS INTEGER) AS hour_utc,
+       |         COUNT(*) AS trade_count,
+       |         ${dsumSql("quote_qty")} AS volume,
+       |         ${dsumSql("price")} AS psum,
+       |         CAST(COUNT(*) AS DOUBLE) AS cnt_d
+       |  FROM trades GROUP BY 1,2)
+       |ORDER BY symbol, hour_utc""".stripMargin
+
+  // --- Q5: whale detection (athena_sample_queries.sql:100-121).
+  // Reference: APPROX_PERCENTILE CTE + re-join (two scans). Here: one
+  // percent_rank window = one shuffle, deterministic rank arithmetic.
+
+  private def q5(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("quote_qty")
+    trades(s, dir)
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= 0.99)
+      .select("symbol", "trade_id", "trade_time", "price", "quantity",
+        "quote_qty", "is_buyer_maker")
+      .orderBy(col("quote_qty").desc, col("trade_id"))
+      .limit(100)
+  }
+
+  private val q5Sql =
+    s"""$cte
+       |SELECT symbol, trade_id, trade_time, price, quantity, quote_qty,
+       |       is_buyer_maker
+       |FROM (
+       |  SELECT *, percent_rank() OVER (PARTITION BY symbol ORDER BY quote_qty) AS pr
+       |  FROM trades)
+       |WHERE pr >= 0.99
+       |ORDER BY quote_qty DESC, trade_id LIMIT 100""".stripMargin
+
+  // --- Q6: multi-symbol minute-VWAP correlation prep
+  // (athena_sample_queries.sql:131-152): CTE + chained FULL OUTER JOINs.
+
+  private def minuteVwap(t: DataFrame, sym: String, alias: String): DataFrame =
+    t.filter(col("symbol") === sym)
+      .groupBy(date_trunc("minute", col("trade_time")).as("minute"))
+      .agg(dsum(col("quote_qty")).as("pv"), dsum(col("quantity")).as("q"))
+      .select(col("minute"), ratio(col("pv"), col("q")).as(s"${alias}_vwap"))
+
+  private def q6(s: SparkSession, dir: String): DataFrame = {
+    val t = trades(s, dir)
+    minuteVwap(t, "click", "click")
+      .join(minuteVwap(t, "purchase", "purchase"), Seq("minute"), "full_outer")
+      .join(minuteVwap(t, "view", "view"), Seq("minute"), "full_outer")
+      .orderBy("minute")
+  }
+
+  private val q6Sql = {
+    def mv(sym: String, alias: String) =
+      s"""SELECT minute, ${ratioSql("pv", "q")} AS ${alias}_vwap FROM (
+         |  SELECT date_trunc('minute', trade_time) AS minute,
+         |         ${dsumSql("quote_qty")} AS pv, ${dsumSql("quantity")} AS q
+         |  FROM trades WHERE symbol = '$sym' GROUP BY 1)""".stripMargin
+    s"""$cte
+       |SELECT minute, click_vwap, purchase_vwap, view_vwap
+       |FROM (${mv("click", "click")}) c
+       |FULL OUTER JOIN (${mv("purchase", "purchase")}) p USING (minute)
+       |FULL OUTER JOIN (${mv("view", "view")}) v USING (minute)
+       |ORDER BY minute""".stripMargin
+  }
+
+  // --- Q7: data-quality audit (athena_sample_queries.sql:162-178) —
+  // runs on the *unfiltered* normalized feed so the invalid counts can
+  // be non-zero.
+
+  private def q7(s: SparkSession, dir: String): DataFrame = {
+    val kStr = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+    val qty  = when(length(kStr) > 0, kStr.cast(DoubleType))
+    Tables.events(s, dir)
+      .select(
+        col("event_id").as("trade_id"), col("event_type").as("symbol"),
+        col("value").as("price"), qty.as("quantity"),
+        year(col("ts")).as("year"), month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"))
+      .groupBy("year", "month", "day", "symbol")
+      .agg(
+        count(lit(1)).as("row_count"),
+        countDistinct(col("trade_id")).as("unique_trades"),
+        (count(lit(1)) - countDistinct(col("trade_id"))).as("duplicate_count"),
+        min("price").as("min_price"),
+        max("price").as("max_price"),
+        sum(when(col("price") <= 0, 1L).otherwise(0L)).as("invalid_price_count"),
+        sum(when(col("quantity") <= 0, 1L).otherwise(0L)).as("invalid_qty_count"))
+      .orderBy("year", "month", "day", "symbol")
+  }
+
+  private val q7Sql =
+    """SELECT CAST(year(ts) AS INTEGER) AS year,
+      |       CAST(month(ts) AS INTEGER) AS month,
+      |       CAST(day(ts) AS INTEGER) AS day,
+      |       event_type AS symbol,
+      |       COUNT(*) AS row_count,
+      |       COUNT(DISTINCT event_id) AS unique_trades,
+      |       COUNT(*) - COUNT(DISTINCT event_id) AS duplicate_count,
+      |       MIN(value) AS min_price,
+      |       MAX(value) AS max_price,
+      |       CAST(SUM(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_price_count,
+      |       CAST(SUM(CASE WHEN TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_qty_count
+      |FROM events
+      |GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin
+
+  // --- Q8: partition-pruning probe (athena_sample_queries.sql:189-193)
+
+  private def q8(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir)
+      .filter(col("year") === 2024 && col("month") === 1 && col("symbol") === "click")
+      .agg(count(lit(1)).as("trade_count"))
+
+  private val q8Sql =
+    s"""$cte
+       |SELECT COUNT(*) AS trade_count FROM trades
+       |WHERE year = 2024 AND month = 1 AND symbol = 'click'""".stripMargin
+
+  // --- Q9: daily summary + sell-pressure pct (athena_sample_queries.sql:209-223, 330-342)
+
+  private def q9(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir)
+      .groupBy("year", "month", "day", "symbol")
+      .agg(
+        count(lit(1)).as("trades"),
+        dsum(col("quote_qty")).as("volume"),
+        min("price").as("low"),
+        max("price").as("high"),
+        dsum(col("quote_qty")).as("pv"),
+        dsum(col("quantity")).as("q"),
+        dsum(when(col("is_buyer_maker"), col("quote_qty")).otherwise(0.0)).as("sell_pv"))
+      .withColumn("vwap", ratio(col("pv"), col("q")))
+      .withColumn("pct_sell_pressure",
+        round(col("sell_pv") / when(col("volume") =!= 0.0, col("volume")) * 100, 6))
+      .drop("pv", "q", "sell_pv")
+      .orderBy("year", "month", "day", "symbol")
+
+  private val q9Sql =
+    s"""$cte
+       |SELECT year, month, day, symbol, trades, volume, low, high,
+       |       ${ratioSql("pv", "q")} AS vwap,
+       |       ROUND(sell_pv / NULLIF(volume, 0) * 100, 6) AS pct_sell_pressure
+       |FROM (
+       |  SELECT year, month, day, symbol, COUNT(*) AS trades,
+       |         ${dsumSql("quote_qty")} AS volume,
+       |         MIN(price) AS low, MAX(price) AS high,
+       |         ${dsumSql("quote_qty")} AS pv, ${dsumSql("quantity")} AS q,
+       |         ${dsumSql("CASE WHEN is_buyer_maker THEN quote_qty ELSE 0 END")} AS sell_pv
+       |  FROM trades GROUP BY 1,2,3,4)
+       |ORDER BY year, month, day, symbol""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
+    Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
+    Op("q1_partition_counts", q1, Some(q1Sql)),
+    Op("q2_vwap_minute", q2, Some(q2Sql)),
+    Op("q3_order_flow", q3, Some(q3Sql)),
+    Op("q4_hourly_heatmap", q4, Some(q4Sql)),
+    Op("q5_whale", q5, Some(q5Sql)),
+    Op("q6_correlation", q6, Some(q6Sql)),
+    Op("q7_dq_audit", q7, Some(q7Sql)),
+    Op("q8_pruned_count", q8, Some(q8Sql)),
+    Op("q9_daily_summary", q9, Some(q9Sql)))
+}

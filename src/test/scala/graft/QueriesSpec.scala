@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.local("4")
+}
+
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs and returns rows at sf0.001") {
+    Registry.ops.foreach { op =>
+      val n = op.fn(spark, sf).count()
+      assert(n > 0, s"${op.name} returned 0 rows")
+    }
+  }
+
+  test("every oracle belongs to a registered query") {
+    val names = Registry.ops.map(_.name).toSet
+    assert(Registry.oracleSql.keySet.subsetOf(names))
+  }
+
+  test("q1 aggregates one row per (year, month, symbol)") {
+    val rows = Registry.queries("q1_partition_counts")(spark, sf).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("trade_count")).sum > 0)
+  }
+
+  test("etl_normalize drops zero-quantity rows (DQ gate)") {
+    val total = Tables.events(spark, sf).count()
+    val clean = Registry.queries("etl_normalize")(spark, sf).count()
+    assert(clean < total)
+    assert(clean > total / 2)
+  }
+
+  test("q5 whale rows are the per-symbol top 1% by trade value") {
+    val df = Registry.queries("q5_whale")(spark, sf)
+    assert(df.count() <= 100)
+    val vals = df.select("quote_qty").collect().map(_.getDouble(0))
+    assert(vals.forall(_ > 0))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
