@@ -6,22 +6,33 @@ import org.apache.spark.sql.types._
 
 /** Shared column builders.
   *
-  * Determinism strategy (see SURVEY.md §4): double sums are cast to
-  * DECIMAL(38,10) pre-aggregation so the sum is exact and
-  * partition-order independent, then rounded in the *decimal* domain to
-  * a small scale and only then cast to double — a scale-≤4 decimal
-  * below 2^53/10^4 converts to double with a single correct rounding in
-  * both Spark and DuckDB, so the oracle sees bit-identical values.
+  * Determinism strategy (see SURVEY.md §4): double measures are cast
+  * *per row* into DECIMAL, summed exactly (associative →
+  * partition-order independent), rounded in the decimal domain, and
+  * surfaced as double. Three rules make this bit-identical between
+  * Spark and the DuckDB oracle:
+  *  - `castScale` must STRICTLY EXCEED the data's true decimal
+  *    precision (e.g. 6 for 2dp×2dp products): the per-row cast then
+  *    recovers the exact decimal value in both engines — Spark uses
+  *    exact BigDecimal rounding while DuckDB multiplies by 10^s in
+  *    floating point, and the two disagree on values that sit at a
+  *    rounding boundary, which a too-small scale guarantees.
+  *  - the final ROUND happens on the *identical* exact decimal sum, so
+  *    even ties break the same way (both engines round half away from
+  *    zero on decimals).
+  *  - the rounded scale-2 result stays below 2^53/100, so the
+  *    decimal→double conversion is a single correct rounding in both.
   */
 package object functions {
 
-  /** Exact, order-independent sum of a double column, surfaced as double. */
-  def dsum(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast(DecimalType(38, 10))), scale).cast(DoubleType)
+  /** Exact, order-independent sum of a double measure with `castScale`
+    * > data precision, reported at cents precision. */
+  def dsum(c: Column, castScale: Int = 4, outScale: Int = 2): Column =
+    round(sum(c.cast(DecimalType(38, castScale))), outScale).cast(DoubleType)
 
   /** SQL-side twin of [[dsum]] for DuckDB oracles. */
-  def dsumSql(expr: String, scale: Int = 4): String =
-    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(38,10))), $scale) AS DOUBLE)"
+  def dsumSql(expr: String, castScale: Int = 4, outScale: Int = 2): String =
+    s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(38,$castScale))), $outScale) AS DOUBLE)"
 
   /** num/den on already-deterministic doubles; null when den = 0. */
   def ratio(num: Column, den: Column): Column =

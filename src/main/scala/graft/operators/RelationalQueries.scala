@@ -1,7 +1,257 @@
 package graft.operators
 
-import graft.Op
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.{Op, Tables}
+import graft.functions._
+
+/** General relational capability over the TPC-H-ish star schema:
+  * multi-agg scans, star joins (broadcast dims), windows, semi-joins,
+  * rollups, as-of joins, skew-safe aggregation. Everything is a
+  * declarative plan — Catalyst handles pushdown/pruning/join selection;
+  * `broadcast()` hints mark the dims that must never shuffle.
+  */
 object RelationalQueries {
-  val ops: Seq[Op] = Seq()
+
+  private def ntz(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  // --- r1: TPC-H Q1-style pricing summary -----------------------------
+
+  private def r1(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 8).as("sum_charge"),
+        dsum(col("l_discount"), 4, 4).as("sum_disc"),
+        count(lit(1)).as("count_order"),
+        count(lit(1)).cast(DoubleType).as("cnt_d"))
+      .withColumn("avg_qty", ratio(col("sum_qty"), col("cnt_d")))
+      .withColumn("avg_price", ratio(col("sum_base_price"), col("cnt_d")))
+      .withColumn("avg_disc", ratio(col("sum_disc"), col("cnt_d")))
+      .drop("sum_disc", "cnt_d")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val r1Sql =
+    s"""SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+       |       sum_disc_price, sum_charge, count_order,
+       |       ${ratioSql("sum_qty", "cnt_d")} AS avg_qty,
+       |       ${ratioSql("sum_base_price", "cnt_d")} AS avg_price,
+       |       ${ratioSql("sum_disc", "cnt_d")} AS avg_disc
+       |FROM (
+       |  SELECT l_returnflag, l_linestatus,
+       |         ${dsumSql("l_quantity")} AS sum_qty,
+       |         ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |         ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+       |         ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 8)} AS sum_charge,
+       |         ${dsumSql("l_discount", 4, 4)} AS sum_disc,
+       |         COUNT(*) AS count_order,
+       |         CAST(COUNT(*) AS DOUBLE) AS cnt_d
+       |  FROM lineitem
+       |  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |  GROUP BY 1,2)
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- r2: top customers by revenue (3-way join + top-N) ---------------
+
+  private def r2(s: SparkSession, dir: String): DataFrame = {
+    val c  = Tables.customer(s, dir)
+    val o  = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val r2Sql =
+    s"""SELECT c_custkey, c_name,
+       |       ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |       COUNT(*) AS n_lineitems
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1,2
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --- r3: revenue by region (5-way star join, TPC-H Q5-style) ---------
+
+  private def r3(s: SparkSession, dir: String): DataFrame = {
+    val r  = Tables.region(s, dir)
+    val n  = Tables.nation(s, dir)
+    val c  = Tables.customer(s, dir)
+    val o  = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+              col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+    val li = Tables.lineitem(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
+  }
+
+  private val r3Sql =
+    s"""SELECT r_name, n_name,
+       |       ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY 1,2
+       |ORDER BY revenue DESC, r_name, n_name""".stripMargin
+
+  // --- r4: window functions — running totals per customer --------------
+
+  private def r4(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      // exact decimal running sum: window association order never matters
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(38, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val r4Sql =
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       CAST(row_number() OVER w AS INTEGER) AS rn,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+      |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |       lag(o_totalprice, 1) OVER w AS prev_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // --- r5: EXISTS / left-semi join + conditional agg (TPC-H Q4-style) --
+
+  private def r5(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val r5Sql =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --- r6: as-of join (market-data canonical: trade ⋈ latest quote ≤ t).
+  // Spark lacks a native as-of join; rather than a blow-up range join we
+  // compose union + sort-window: one shuffle on the key, sort within
+  // partition, carry the last quote forward — O(n log n) per key at any
+  // scale. Oracle uses DuckDB's native ASOF JOIN.
+
+  private def r6(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        col("event_id").as("trade_event"), col("value").as("trade_value"),
+        lit(null).cast(LongType).as("q_event"), lit(null).cast(DoubleType).as("q_value"))
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        lit(null).cast(LongType).as("trade_event"), lit(null).cast(DoubleType).as("trade_value"),
+        col("event_id").as("q_event"), col("value").as("q_value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("kind"), col("q_event"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    trades.unionByName(quotes)
+      .withColumn("quote_event", last(col("q_event"), ignoreNulls = true).over(w))
+      .withColumn("quote_value", last(col("q_value"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("trade_event"), col("user_id"), col("ts").as("trade_ts"),
+        col("trade_value"), col("quote_event"), col("quote_value"))
+      .orderBy("trade_event")
+  }
+
+  private val r6Sql =
+    """SELECT t.event_id AS trade_event, t.user_id, t.ts AS trade_ts,
+      |       t.value AS trade_value,
+      |       q.event_id AS quote_event, q.value AS quote_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      |  ON t.user_id = q.user_id AND q.ts <= t.ts
+      |ORDER BY trade_event""".stripMargin
+
+  // --- r7: ROLLUP multi-level aggregate --------------------------------
+
+  private def r7(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val r7Sql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |       ${dsumSql("l_extendedprice")} AS total_price
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // --- r8: skew-safe two-phase (salted) aggregation --------------------
+  // Grouping 60k+ rows into 3 statuses is the worst-case skew shape: a
+  // plain groupBy sends each hot key to one reducer. Salt the key for a
+  // partial aggregate, then combine the 16 partials per key — the heavy
+  // shuffle carries 3×16 rows instead of all rows on 3 reducers.
+  // (Semantics identical to the plain GROUP BY the oracle runs.)
+
+  private def r8(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+    val partial = joined.groupBy("o_orderstatus", "salt")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(DecimalType(38, 6))).as("rev_part"),
+        count(lit(1)).as("cnt_part"))
+    partial.groupBy("o_orderstatus")
+      .agg(
+        round(sum(col("rev_part")), 2).cast(DoubleType).as("revenue"),
+        sum(col("cnt_part")).as("n_lineitems"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val r8Sql =
+    s"""SELECT o_orderstatus,
+       |       ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |       COUNT(*) AS n_lineitems
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("r1_pricing_summary", r1, Some(r1Sql)),
+    Op("r2_top_customers", r2, Some(r2Sql)),
+    Op("r3_revenue_by_region", r3, Some(r3Sql)),
+    Op("r4_window_running", r4, Some(r4Sql)),
+    Op("r5_order_priority", r5, Some(r5Sql)),
+    Op("r6_asof_join", r6, Some(r6Sql)),
+    Op("r7_rollup", r7, Some(r7Sql)),
+    Op("r8_skew_salted_join", r8, Some(r8Sql)))
 }
