@@ -1,7 +1,200 @@
 package graft.operators
 
-import graft.Op
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.{Op, Tables}
+
+/** Deduplication operators for a large-scale training-data pipeline,
+  * over the `documents` table.
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Exact dedup is
+  * a hash groupBy; Jaccard candidates come from an inverted
+  * shingle index (join only docs sharing a shingle, blocked by
+  * `source`); MinHash/SimHash compare only within LSH band buckets.
+  * At 100 TB the blocking keys (source, band hash, bit chunk) bound
+  * every bucket, and each stage is one shuffle.
+  */
 object Dedup {
-  val ops: Seq[Op] = Seq()
+
+  // --- shared shingling ------------------------------------------------
+
+  /** 3-word shingles, deduplicated per doc. Empty for docs < 3 tokens. */
+  private def shingleCol: Column = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val idx = when(n >= 3, sequence(lit(1), n - 2))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  }
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), explode(shingleCol).as("shingle"))
+
+  // --- dedup_exact: normalized-content hash groupBy --------------------
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(lower(trim(col("text")))).as("content_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  private val dedupExactSql =
+    """SELECT md5(lower(trim(text))) AS content_hash,
+      |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
+
+  // --- dedup_ngram_jaccard: inverted-index shingle Jaccard -------------
+  // Candidates = pairs sharing ≥1 shingle within a source block (never
+  // all-pairs); exact Jaccard from |A∩B| and precomputed set sizes.
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b,
+        col("a.shingle") === col("b.shingle") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jac_raw",
+        col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")).cast(DoubleType))
+      .filter(col("jac_raw") >= 0.02)
+      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupNgramJaccardSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+      |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
+      |  WHERE i <= len(ts) - 2),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2)
+      |SELECT id_a, id_b,
+      |       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.02
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // --- dedup_minhash: MinHash signatures + LSH banding -----------------
+  // k=64 permutations h_i(x) = (a_i·x + b_i) mod p over shingle hashes;
+  // 8 bands × 8 rows. Pair generation happens only inside band buckets.
+  // Not SQL-expressible portably (hash functions differ) → rows-only
+  // oracle; MinhashSpec asserts recall against dedup_ngram_jaccard.
+
+  private val P = 2147483647L // 2^31 - 1
+  private val perms: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(1337)
+    Array.fill(64)((rnd.nextInt(Int.MaxValue - 2).toLong * 2 + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until 8).map { j =>
+      struct(lit(j).as("band_idx"),
+        hash((0 until 8).map(r => col(s"sig_${j * 8 + r}")): _*).as("band_hash"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // --- dedup_simhash: 64-bit SimHash + bit-chunk LSH -------------------
+  // Term-frequency-weighted bit votes over word hashes; candidates share
+  // one of four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk
+  // equal); output hamming distance per candidate pair.
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("wh", xxhash64(col("word")))
+    val bitVotes = (0 until 64).map { i =>
+      sum(when(shiftright(col("wh"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
+    }
+    val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val simhash = (0 until 64).map { i =>
+      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val hashed = votes.select(col("doc_id"), simhash.as("simhash"))
+    val chunks = hashed.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk_idx"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"),
+        col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk").as("chunk"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  // --- dedup_embedding: cosine near-dup pairs, label-blocked -----------
+  // (blocking key stands in for a coarse quantizer/LSH bucket at scale.)
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val v = Similarity.withNorm2(Tables.embeddings(s, dir))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Similarity.ddot(col("a.embedding"), col("b.embedding")).cast(DoubleType).as("dot"),
+        col("a.n2").as("na2"), col("b.n2").as("nb2"))
+    pairs
+      .withColumn("cos_raw", col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))))
+      .filter(col("cos_raw") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupEmbeddingSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding, ${Similarity.norm2Sql("embedding")} AS n2
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         ${Similarity.ddotSql("a.embedding", "b.embedding")} AS dot,
+       |         a.n2 AS na2, b.n2 AS nb2
+       |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim
+       |FROM p WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    Op("dedup_minhash", dedupMinhash, None),
+    Op("dedup_simhash", dedupSimhash, None),
+    Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
 }

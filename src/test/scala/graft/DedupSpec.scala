@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  lazy val jaccardPairs: Map[(Long, Long), Double] =
+    Registry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("minhash LSH recalls every strong Jaccard near-dup") {
+    val strong = jaccardPairs.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty, "test data should contain at least one near-dup pair")
+    val minhash = Registry.queries("dedup_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.subsetOf(minhash),
+      s"missed: ${strong.diff(minhash)} of $strong in ${minhash.size} candidates")
+  }
+
+  test("simhash ranks the strongest Jaccard pair among its closest") {
+    val best = jaccardPairs.maxBy(_._2)._1
+    val sim = Registry.queries("dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(sim.contains(best), s"near-dup pair $best not a simhash candidate")
+    // simhash is word-multiset based (order-insensitive), so other pairs
+    // can tie lower; the near-dup must still be far below random (E=32).
+    assert(sim(best) <= 16, s"hamming ${sim(best)} not near-dup range")
+  }
+
+  test("exact dedup keeps every distinct normalized text") {
+    val docs = Tables.documents(spark, sf).count()
+    val kept = Registry.queries("dedup_exact")(spark, sf)
+    assert(kept.count() <= docs)
+    val copies = kept.select("n_copies").collect().map(_.getLong(0)).sum
+    assert(copies == docs)
+  }
+
+  test("LSH ANN results agree with brute force on shared pairs") {
+    val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val lsh = Registry.queries("ann_lsh_topk")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // any (query, neighbor) cosine reported by LSH must equal the exact one
+    val bruteBest = brute.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    lsh.foreach { r =>
+      val q = r.getLong(0); val cos = r.getDouble(3)
+      assert(cos <= bruteBest(q) + 1e-9, s"LSH cos $cos beats exact best ${bruteBest(q)}")
+    }
+    // recall: LSH should recover at least one exact top-5 neighbor overall
+    val hits = lsh.count(r => brute.contains((r.getLong(0), r.getLong(1))))
+    assert(hits > 0, "LSH recalled none of the exact top-5 neighbors")
+  }
+}
