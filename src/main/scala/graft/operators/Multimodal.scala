@@ -1,7 +1,83 @@
 package graft.operators
 
-import graft.Op
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.{Op, Tables}
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, processed by narrow per-row transforms.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * deterministic fake: the payload is the document text's UTF-8 bytes
+  * (all test text is ASCII, so byte and char offsets agree — asserted
+  * in MultimodalSpec). Everything around the stub is real Spark
+  * plumbing: binary schema, per-row digests, fixed-stride frame
+  * sampling via a generator expression (explode of a computed index
+  * range — no UDF, no shuffle), and partition-friendly output.
+  */
 object Multimodal {
-  val ops: Seq[Op] = Seq()
+
+  private val FrameBytes = 256
+
+  /** payload as a true BinaryType column. */
+  private def payload: Column = col("text").cast(BinaryType)
+
+  // --- mm_meta: typed metadata over opaque binary ----------------------
+
+  private def mmMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("payload", payload)
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        md5(col("payload")).as("md5"),
+        // mime tag from the source system (deterministic fake routing)
+        concat(lit("application/x-graft-"), col("source")).as("mime"),
+        ceil(length(col("payload")).cast(DoubleType) / FrameBytes).cast(IntegerType).as("n_frames"))
+      .orderBy("doc_id")
+
+  // DuckDB 1.0 lacks BLOB digests; text is ASCII so the string digests
+  // equal the payload digests (same UTF-8 bytes).
+  private val mmMetaSql =
+    s"""SELECT doc_id,
+       |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       |       sha256(text) AS sha256,
+       |       md5(text) AS md5,
+       |       'application/x-graft-' || source AS mime,
+       |       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes) AS INTEGER) AS n_frames
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- mm_frame_sample: fixed-stride frame extraction ------------------
+  // One generator expression per row: explode(sequence(0, n_frames-1))
+  // then slice the binary at byte offsets. Narrow, codegen'd, and the
+  // shape a real video/audio frame sampler would take (frame index +
+  // per-frame payload digest + byte span).
+
+  private def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = ceil(length(payload).cast(DoubleType) / FrameBytes).cast(IntegerType)
+    Tables.documents(s, dir)
+      .withColumn("payload", payload)
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        length(col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes))).as("frame_bytes"),
+        md5(col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes))).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val mmFrameSampleSql =
+    s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |       CAST(octet_length(encode(substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes))) AS INTEGER) AS frame_bytes,
+       |       md5(substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes)) AS frame_md5
+       |FROM documents,
+       |     (SELECT unnest(generate_series(0, 63)) AS i) g
+       |WHERE i < ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes)
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("mm_meta", mmMeta, Some(mmMetaSql)),
+    Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)))
 }

@@ -1,7 +1,157 @@
 package graft.operators
 
-import graft.Op
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+import graft.{Op, Tables}
+import graft.functions._
+
+/** Text-quality operators for a training-data pipeline, over
+  * `documents`. All are narrow per-row transforms (no shuffle except
+  * final ordering) built from codegen'd `functions._` — at 100 TB these
+  * run at scan speed and pipeline into any downstream filter.
+  */
 object TextAnalysis {
-  val ops: Seq[Op] = Seq()
+
+  private def toks: Column = split(col("text"), " ")
+
+  // --- text_stats: length / tokens / punctuation / stopwords / quality --
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def textStats(s: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(toks)
+    val punct = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val stops = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang"), col("source"),
+        length(col("text")).as("n_chars"),
+        nTokens.as("n_tokens"),
+        punct.as("n_punct"),
+        stops.as("n_stopwords"))
+      .withColumn("punct_ratio",
+        round(col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType), 6))
+      .withColumn("stopword_ratio",
+        round(col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+      // heuristic quality score: long enough, low punct noise, has glue words
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast(DoubleType) / 50.0, lit(1.0)) * 0.5
+          + (lit(1.0) - col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType)) * 0.3
+          + least(col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType) * 5.0, lit(1.0)) * 0.2, 6))
+      .orderBy("doc_id")
+  }
+
+  private val textStatsSql =
+    """WITH base AS (
+      |  SELECT doc_id, lang, source,
+      |         length(text) AS n_chars,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+      |         len(list_filter(string_split(text, ' '),
+      |             t -> t IN ('the','a','of','and','to','in','is'))) AS n_stopwords
+      |  FROM documents)
+      |SELECT doc_id, lang, source,
+      |       CAST(n_chars AS INTEGER) AS n_chars,
+      |       CAST(n_tokens AS INTEGER) AS n_tokens,
+      |       CAST(n_punct AS INTEGER) AS n_punct,
+      |       CAST(n_stopwords AS INTEGER) AS n_stopwords,
+      |       ROUND(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+      |       ROUND(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+      |       ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+      |         + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3
+      |         + least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.2, 6) AS quality_score
+      |FROM base ORDER BY doc_id""".stripMargin
+
+  // --- text_langid: marker-word scoring, deterministic argmax ----------
+
+  private val markers = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit"))
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val scored = markers.foldLeft(Tables.documents(s, dir)) {
+      case (df, (l, ws)) =>
+        df.withColumn(s"s_$l",
+          size(filter(toks, t => t.isin(ws.map(lit): _*))))
+    }.select(col("doc_id") +: col("lang") +: markers.map { case (l, _) => col(s"s_$l") }: _*)
+    scored.withColumn("predicted_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_es") >= col("s_de"), "es")
+          .otherwise("de"))
+      .orderBy("doc_id")
+  }
+
+  private val textLangidSql = {
+    def sc(l: String, ws: Seq[String]) =
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS INTEGER) AS s_$l"
+    s"""SELECT doc_id, lang,
+       |       ${markers.map { case (l, ws) => sc(l, ws) }.mkString(",\n       ")},
+       |       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+       |            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // --- text_token_count: BPE-ish regex tokenizer ------------------------
+
+  private val tokPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  private def textTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(tokPattern), lit(0))).as("bpe_tokens"),
+        length(col("text")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast(DoubleType) / col("bpe_tokens").cast(DoubleType), 6))
+      .orderBy("doc_id")
+
+  private val textTokenCountSql =
+    s"""SELECT doc_id,
+       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       |       CAST(len(regexp_extract_all(text, '$tokPattern')) AS INTEGER) AS bpe_tokens,
+       |       CAST(length(text) AS INTEGER) AS n_chars,
+       |       ROUND(CAST(length(text) AS DOUBLE) /
+       |             CAST(len(regexp_extract_all(text, '$tokPattern')) AS DOUBLE), 6) AS chars_per_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- text_fingerprint: bag fingerprint + rolling polynomial hash -----
+  // Word ints come from md5 prefixes (portable across engines); the
+  // sequence hash is an order-sensitive polynomial mod 2^31-1.
+
+  private val P = 2147483647L
+  private val B = 1000003L
+
+  private def wordInt(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast(LongType)
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(array_join(array_sort(array_distinct(toks)), " ")).as("bag_fp"),
+        aggregate(toks, lit(0L),
+          (acc, w) => pmod(acc * B + wordInt(w), lit(P))).as("seq_fp"),
+        size(toks).as("n_tokens"))
+      .orderBy("doc_id")
+
+  private val textFingerprintSql =
+    s"""SELECT doc_id,
+       |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(text, ' '),
+       |             w -> CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT))),
+       |         (acc, x) -> (acc * $B + x) % $P) AS seq_fp,
+       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("text_stats", textStats, Some(textStatsSql)),
+    Op("text_langid", textLangid, Some(textLangidSql)),
+    Op("text_token_count", textTokenCount, Some(textTokenCountSql)),
+    Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)))
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Structured Streaming versions of the analytics surface: the
+  * reference's batch ETL feeding a live lake becomes `readStream` →
+  * transforms → `writeStream` here.
+  *
+  * Scale notes: the candle job is watermark-bounded (state per
+  * (symbol, window) only within the lateness horizon); sessionization
+  * keeps one small state object per active user with a processing-time
+  * timeout, so state size tracks *active* keys, not history.
+  */
+object StreamingJobs {
+
+  /** Event row as consumed from a stream source. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Per-minute OHLCV candles over a streaming event feed, watermarked
+    * so late data beyond 10 minutes is dropped and state is bounded. */
+  def candles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type").as("symbol"), window(col("ts"), "1 minute"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("value"), col("ts")).as("open"),
+        max_by(col("value"), col("ts")).as("close"),
+        min(col("value")).as("low"),
+        max(col("value")).as("high"),
+        dsum(col("value")).as("volume"))
+      .select(col("symbol"), col("window.start").as("minute"),
+        col("n_events"), col("open"), col("close"), col("low"), col("high"), col("volume"))
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Gap-based sessionization with explicit state: one SessionState per
+    * active user, closed (emitted) when a gap over 30 minutes arrives
+    * or the state times out. Production feeds pass
+    * `ProcessingTimeTimeout` so idle users flush; synchronous tests use
+    * `NoTimeout` (a processing-time timeout keeps re-arming batches
+    * under `processAllAvailable`). */
+  def sessionize(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st => SessionOut(userId,
+              new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end), st.n, st.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(st) if t - st.end <= GapMs =>
+                  cur = Some(st.copy(end = t, n = st.n + 1, total = st.total + e.value))
+                case Some(st) =>
+                  closed += SessionOut(userId, new java.sql.Timestamp(st.start),
+                    new java.sql.Timestamp(st.end), st.n, st.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration("1 hour")
+            closed.result().iterator
+          }
+        })
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{BatchEquivalents, StreamingJobs}
+
+/** Drives the Structured Streaming jobs synchronously (memory source →
+  * memory sink) and checks them against their oracled batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming candles match the batch window aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+
+    val source = MemoryStream[StreamingJobs.Event]
+    source.addData(rows.toSeq)
+    // watermarks require TIMESTAMP (not NTZ): stream in instant time,
+    // compare in UTC wall time below.
+    val out = StreamingJobs.candles(source.toDF())
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("candles_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("candles_out")
+      .withColumn("minute", col("minute").cast("timestamp_ntz"))
+      .select("symbol", "minute", "n_events", "open", "close", "low", "high", "volume")
+      .collect().map(_.toSeq).toSet
+    val batch = Registry.queries("s1_window_candles")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"streaming != batch: only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
+  }
+
+  test("stateful sessionization matches the batch window sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+
+    val source = MemoryStream[StreamingJobs.Event]
+    source.addData(rows.toSeq)
+    val q = StreamingJobs.sessionize(source.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Append mode emits only *closed* sessions; the final open session
+    // per user is still in state. Compare closed ones against batch.
+    val streamed = spark.table("sessions_out")
+      .select("user_id", "session_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    val batch = Registry.queries("s2_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("session_start"), r.getLong(4)))
+    // batch sessions minus each user's last session = closed sessions
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val closedBatch = batch.filter { case (u, st, _) => st != lastPerUser(u) }
+      .map { case (u, st, n) =>
+        (u, st.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, n) }.toSet
+    assert(streamed == closedBatch,
+      s"diff: only-stream=${streamed.diff(closedBatch).take(3)} only-batch=${closedBatch.diff(streamed).take(3)}")
+  }
+}
