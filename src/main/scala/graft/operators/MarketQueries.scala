@@ -160,13 +160,35 @@ object MarketQueries {
        |ORDER BY symbol, hour_utc""".stripMargin
 
   // --- Q5: whale detection (athena_sample_queries.sql:100-121).
-  // Reference: APPROX_PERCENTILE CTE + re-join (two scans). Here: one
-  // percent_rank window = one shuffle, deterministic rank arithmetic.
+  // Reference: APPROX_PERCENTILE CTE + re-join. A naive percent_rank
+  // window sorts ALL rows into one reducer per symbol — at 100 TB
+  // that's a handful of reducers sorting everything. Instead:
+  //  1. one aggregate pass: per-symbol row count + a conservative
+  //     approximate threshold (accuracy-bounded sketch at p≈0.985) +
+  //     the exact count below that threshold;
+  //  2. exact rank window over only the ~1.5% candidate tail;
+  //  3. global percent_rank reconstructed as (n_below + rank_in_tail)
+  //     — identical to ranking the full table (no tie can straddle the
+  //     threshold: candidates are exactly the rows ≥ threshold).
 
   private def q5(s: SparkSession, dir: String): DataFrame = {
+    val t = trades(s, dir)
+    val stats = t.groupBy("symbol").agg(
+      count(lit(1)).as("n_sym"),
+      percentile_approx(col("quote_qty"), lit(0.985), lit(10000)).as("t0"))
+    val withT0 = t.join(broadcast(stats), "symbol")
+    val below = withT0.filter(col("quote_qty") < col("t0"))
+      .groupBy("symbol").agg(count(lit(1)).as("n_below"))
+    val tail = withT0.filter(col("quote_qty") >= col("t0"))
+      .join(broadcast(below), Seq("symbol"), "left")
+      .withColumn("n_below", coalesce(col("n_below"), lit(0L)))
     val w = Window.partitionBy("symbol").orderBy("quote_qty")
-    trades(s, dir)
-      .withColumn("pr", percent_rank().over(w))
+    tail
+      .withColumn("pr",
+        when(col("n_sym") > 1,
+          (col("n_below") + rank().over(w) - 1).cast(DoubleType) /
+            (col("n_sym") - 1).cast(DoubleType))
+          .otherwise(lit(0.0)))
       .filter(col("pr") >= 0.99)
       .select("symbol", "trade_id", "trade_time", "price", "quantity",
         "quote_qty", "is_buyer_maker")

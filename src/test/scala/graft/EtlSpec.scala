@@ -69,6 +69,27 @@ class EtlSpec extends AnyFunSuite {
     assert(!r.getBoolean(6))
   }
 
+  test("distributed zip ingest extracts and parses archived CSVs") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zipDir = Paths.get("target/tmp/zip-lake")
+    Files.createDirectories(zipDir)
+    for (sym <- Seq("AAAUSDT", "BBBUSDT")) {
+      val zos = new ZipOutputStream(Files.newOutputStream(zipDir.resolve(s"$sym-trades.zip")))
+      zos.putNextEntry(new ZipEntry(s"$sym-trades-2024-07.csv"))
+      val rows = (1 to 100).map(i =>
+        s"$i,${100.0 + i},1.5,${(100.0 + i) * 1.5},${1721995200000L + i * 1000},True,False")
+      zos.write(rows.mkString("\n").getBytes("UTF-8"))
+      zos.closeEntry(); zos.close()
+    }
+    val df = graft.etl.ZipIngest.readZippedCsv(
+      spark, "target/tmp/zip-lake", graft.etl.MarketEtl.tradesCsvSchema)
+    assert(df.count() == 200)
+    assert(df.select("archive").distinct().count() == 2)
+    val r = df.filter(col("trade_id") === 7 && col("archive").contains("AAAUSDT")).head
+    assert(r.getAs[Double]("price") == 107.0)
+    assert(r.getAs[String]("is_buyer_maker") == "True")
+  }
+
   test("partition audit groups by lake partition columns") {
     val audit = MarketEtl.partitionAudit(
       MarketEtl.dqFilter(MarketEtl.normalize(MarketEtl.readTradesCsv(spark, base))))
