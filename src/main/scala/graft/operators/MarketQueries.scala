@@ -322,9 +322,30 @@ object MarketQueries {
        |  FROM trades GROUP BY 1,2,3,4)
        |ORDER BY year, month, day, symbol""".stripMargin
 
+  // --- etl_json_props: semi-structured payload extraction --------------
+  // from_json with an explicit schema (codegen'd, no string re-parsing
+  // downstream); bucketed distribution of the extracted field.
+
+  private def etlJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("value"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k"))
+      // integer division on both sides: `/` would be float division and
+      // double→int casts round in DuckDB but truncate in Spark
+      .groupBy(expr("k div 10").cast(IntegerType).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("k_bucket")
+
+  private val etlJsonPropsSql =
+    s"""SELECT CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10 AS INTEGER) AS k_bucket,
+       |       COUNT(*) AS n, ${dsumSql("value")} AS total_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
+    Op("etl_json_props", etlJsonProps, Some(etlJsonPropsSql)),
     Op("q1_partition_counts", q1, Some(q1Sql)),
     Op("q2_vwap_minute", q2, Some(q2Sql)),
     Op("q3_order_flow", q3, Some(q3Sql)),

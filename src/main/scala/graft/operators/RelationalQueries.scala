@@ -245,6 +245,98 @@ object RelationalQueries {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- r9: scalar "subquery" — orders above their customer's average.
+  // Expressed as agg + broadcast re-join (what Catalyst rewrites a
+  // correlated scalar subquery into anyway, but explicit and skew-free).
+
+  private def r9(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgs = o.groupBy(col("o_custkey").as("ck"))
+      .agg(dsum(col("o_totalprice")).as("spend"),
+        count(lit(1)).cast(DoubleType).as("cnt_d"))
+      .select(col("ck"), ratio(col("spend"), col("cnt_d")).as("cust_avg"))
+    o.join(broadcast(avgs), col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  private val r9Sql =
+    s"""WITH avgs AS (
+       |  SELECT o_custkey AS ck,
+       |         ${ratioSql(dsumSql("o_totalprice"), "CAST(COUNT(*) AS DOUBLE)")} AS cust_avg
+       |  FROM orders GROUP BY 1)
+       |SELECT o_orderkey, o_custkey, o_totalprice, cust_avg
+       |FROM orders JOIN avgs ON o_custkey = ck
+       |WHERE o_totalprice > cust_avg
+       |ORDER BY o_orderkey""".stripMargin
+
+  // --- r10: set operators (INTERSECT / EXCEPT) -------------------------
+
+  private def yearCust(s: SparkSession, dir: String, y: Int): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ntz(s"$y-01-01 00:00:00") &&
+              col("o_orderdate") < ntz(s"${y + 1}-01-01 00:00:00"))
+      .select(col("o_custkey")).distinct()
+
+  private def r10(s: SparkSession, dir: String): DataFrame = {
+    val a = yearCust(s, dir, 1996)
+    val b = yearCust(s, dir, 1997)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1996")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy("tag", "o_custkey")
+  }
+
+  private val r10Sql =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |             AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |        AND o_orderdate < TIMESTAMP '1998-01-01')
+      |SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'only_1996' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // --- r11: CUBE grouping sets -----------------------------------------
+
+  private def r11(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val r11Sql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |       ${dsumSql("l_quantity")} AS qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // --- r12: pivot (wide conditional aggregation) -----------------------
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def r12(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(hour(col("ts")).as("hour_utc"), col("event_type"))
+    base.groupBy("hour_utc")
+      .agg(
+        count(lit(1)).as("total"),
+        eventTypes.map(t =>
+          sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"${t}_n")): _*)
+      .orderBy("hour_utc")
+  }
+
+  private val r12Sql =
+    s"""SELECT CAST(hour(ts) AS INTEGER) AS hour_utc, COUNT(*) AS total,
+       |       ${eventTypes.map(t =>
+             s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS ${t}_n")
+             .mkString(",\n       ")}
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -253,5 +345,9 @@ object RelationalQueries {
     Op("r5_order_priority", r5, Some(r5Sql)),
     Op("r6_asof_join", r6, Some(r6Sql)),
     Op("r7_rollup", r7, Some(r7Sql)),
-    Op("r8_skew_salted_join", r8, Some(r8Sql)))
+    Op("r8_skew_salted_join", r8, Some(r8Sql)),
+    Op("r9_scalar_subquery", r9, Some(r9Sql)),
+    Op("r10_set_ops", r10, Some(r10Sql)),
+    Op("r11_cube", r11, Some(r11Sql)),
+    Op("r12_pivot", r12, Some(r12Sql)))
 }

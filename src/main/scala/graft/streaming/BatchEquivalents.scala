@@ -87,7 +87,25 @@ object BatchEquivalents {
        |       ${dsumSql("value")} AS total_value
        |FROM sessions GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
+  // --- s3_stream_dedup: event-stream deduplication ---------------------
+  // Batch shape of streaming dropDuplicatesWithinWatermark: one
+  // representative event per (user_id, event_type, minute) — the state
+  // key a streaming dedup would hold within its watermark horizon.
+
+  private def s3(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_dups"))
+      .orderBy("user_id", "event_type", "minute")
+
+  private val s3Sql =
+    """SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+      |       MIN(event_id) AS first_event, COUNT(*) AS n_dups
+      |FROM events GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("s1_window_candles", s1, Some(s1Sql)),
-    Op("s2_sessionize", s2, Some(s2Sql)))
+    Op("s2_sessionize", s2, Some(s2Sql)),
+    Op("s3_stream_dedup", s3, Some(s3Sql)))
 }

@@ -43,6 +43,15 @@ object StreamingJobs {
       .select(col("symbol"), col("window.start").as("minute"),
         col("n_events"), col("open"), col("close"), col("low"), col("high"), col("volume"))
 
+  /** Streaming dedup: one event per (user, type, minute) key within
+    * the watermark horizon — state for a key is dropped once the
+    * watermark passes it, so state size is bounded by the horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+
   private val GapMs = 30L * 60 * 1000
 
   /** Gap-based sessionization with explicit state: one SessionState per

@@ -39,6 +39,24 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming != batch: only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming dedup keeps one event per key like the batch distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+    val source = MemoryStream[StreamingJobs.Event]
+    source.addData(rows.toSeq)
+    val q = StreamingJobs.dedupStream(source.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedKeys = spark.table("dedup_out").count()
+    val batchKeys = Registry.queries("s3_stream_dedup")(spark, sf).count()
+    assert(streamedKeys == batchKeys)
+  }
+
   test("stateful sessionization matches the batch window sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
