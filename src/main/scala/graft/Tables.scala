@@ -33,4 +33,21 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
+
+  /** events restricted to a UTC instant range, with the bounds applied
+    * to the RAW nanosecond column *before* timestamp conversion — a
+    * predicate on the converted column can't reach the parquet scan
+    * (the cast blocks pushdown), whereas the long-range filter shows up
+    * in `PushedFilters` and prunes row groups / partitions. This is the
+    * path a time-sliced query must take at 100 TB. */
+  def eventsRange(spark: SparkSession, dir: String,
+      startUtc: String, endUtc: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def ns(s: String): Long =
+      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+        .getEpochSecond * 1000000000L
+    table(spark, dir, "events")
+      .filter(col("ts") >= ns(startUtc) && col("ts") < ns(endUtc))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  }
 }

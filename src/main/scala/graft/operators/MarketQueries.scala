@@ -277,11 +277,16 @@ object MarketQueries {
       |FROM events
       |GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin
 
-  // --- Q8: partition-pruning probe (athena_sample_queries.sql:189-193)
+  // --- Q8: partition-pruning probe (athena_sample_queries.sql:189-193).
+  // year=2024 ∧ month=1 is expressed as a raw-timestamp range so the
+  // predicate reaches the parquet scan (PushedFilters) — the whole
+  // point of the reference query; a filter on the *derived* year/month
+  // columns would scan everything. Equivalent output, pruned scan.
 
   private def q8(s: SparkSession, dir: String): DataFrame =
-    trades(s, dir)
-      .filter(col("year") === 2024 && col("month") === 1 && col("symbol") === "click")
+    MarketEtl.eventsAsTrades(
+        Tables.eventsRange(s, dir, "2024-01-01T00:00:00", "2024-02-01T00:00:00"))
+      .filter(col("symbol") === "click")
       .agg(count(lit(1)).as("trade_count"))
 
   private val q8Sql =

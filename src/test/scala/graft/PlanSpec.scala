@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that matter at 100 TB and are
+  * invisible to result-level checks. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    Registry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q8 pushes its time-range predicate into the parquet scan") {
+    val plan = formatted("q8_pruned_count")
+    assert(plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    assert(plan.contains("LessThan(ts,1706745600000000000)"))
+  }
+
+  test("q2 pushes the symbol filter into the parquet scan") {
+    val plan = formatted("q2_vwap_minute")
+    assert(plan.contains("EqualTo(event_type,purchase)"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("r1 prunes unread lineitem columns at the scan") {
+    val plan = formatted("r1_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only the needed columns, not all 11
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      readSchema)
+  }
+
+  test("whole-stage codegen covers the market aggregation pipeline") {
+    val df = Registry.queries("q1_partition_counts")(spark, sf)
+    df.collect() // AQE finalizes stages only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // codegen'd operators render as "*(n) Op" in the plan tree
+    assert(plan.contains("*(1)") && plan.contains("*(2)"), plan.take(1500))
+  }
+
+  test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
+    val saved = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate() // new session over the shared SparkContext
+      val r = s2.sql(
+        "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head.getDouble(0)
+      assert(r == 11.0)
+    } finally {
+      saved.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
+}
