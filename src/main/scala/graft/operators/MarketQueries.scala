@@ -347,6 +347,43 @@ object MarketQueries {
        |       COUNT(*) AS n, ${dsumSql("value")} AS total_value
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- Q10: moving average over minute VWAP bars (rolling window frame)
+  // Classic market smoothing: 5-bar trailing mean over each symbol's
+  // minute series. Window frame over pre-aggregated bars — tiny state,
+  // scales with bar count not trade count.
+
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val bars = trades(s, dir)
+      .groupBy(col("symbol"), date_trunc("minute", col("trade_time")).as("minute"))
+      .agg(dsum(col("quote_qty")).as("pv"), dsum(col("quantity")).as("q"))
+      .select(col("symbol"), col("minute"), ratio(col("pv"), col("q")).as("vwap"))
+    val w = Window.partitionBy("symbol").orderBy("minute").rowsBetween(-4, 0)
+    // decimal window sum, not AVG: DuckDB evaluates sliding frames with
+    // a segment tree whose association order differs from Spark's —
+    // double AVG would drift; exact decimal is order-free.
+    bars
+      .withColumn("ma5", round(
+        sum(col("vwap").cast(DecimalType(38, 8))).over(w).cast(DoubleType)
+          / count(lit(1)).over(w).cast(DoubleType), 6))
+      .withColumn("n_bars", count(lit(1)).over(w))
+      .orderBy("symbol", "minute")
+  }
+
+  private val q10Sql =
+    s"""$cte, bars AS (
+       |  SELECT symbol, minute, ${ratioSql("pv", "q")} AS vwap FROM (
+       |    SELECT symbol, date_trunc('minute', trade_time) AS minute,
+       |           ${dsumSql("quote_qty")} AS pv, ${dsumSql("quantity")} AS q
+       |    FROM trades GROUP BY 1,2))
+       |SELECT symbol, minute, vwap,
+       |       ROUND(CAST(SUM(CAST(vwap AS DECIMAL(38,8))) OVER w AS DOUBLE)
+       |             / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS ma5,
+       |       COUNT(*) OVER w AS n_bars
+       |FROM bars
+       |WINDOW w AS (PARTITION BY symbol ORDER BY minute
+       |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+       |ORDER BY symbol, minute""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -359,5 +396,6 @@ object MarketQueries {
     Op("q6_correlation", q6, Some(q6Sql)),
     Op("q7_dq_audit", q7, Some(q7Sql)),
     Op("q8_pruned_count", q8, Some(q8Sql)),
-    Op("q9_daily_summary", q9, Some(q9Sql)))
+    Op("q9_daily_summary", q9, Some(q9Sql)),
+    Op("q10_moving_avg", q10, Some(q10Sql)))
 }

@@ -337,6 +337,30 @@ object RelationalQueries {
              .mkString(",\n       ")}
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- r13: NOT EXISTS / left-anti join --------------------------------
+  // Customers inactive in 1997-H1: the date filter pushes into the
+  // orders scan before the anti-join.
+
+  private def r13(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ntz("1997-01-01 00:00:00") &&
+              col("o_orderdate") < ntz("1997-07-01 00:00:00"))
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  private val r13Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      |                    AND o.o_orderdate < TIMESTAMP '1997-07-01')
+      |ORDER BY c_custkey""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -349,5 +373,6 @@ object RelationalQueries {
     Op("r9_scalar_subquery", r9, Some(r9Sql)),
     Op("r10_set_ops", r10, Some(r10Sql)),
     Op("r11_cube", r11, Some(r11Sql)),
-    Op("r12_pivot", r12, Some(r12Sql)))
+    Op("r12_pivot", r12, Some(r12Sql)),
+    Op("r13_anti_join", r13, Some(r13Sql)))
 }

@@ -149,8 +149,35 @@ object TextAnalysis {
        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- text_ngram_freq: corpus-wide bigram frequencies (top 50) --------
+  // Explode-count-topN: the shuffle carries (bigram, partial count)
+  // pairs after map-side combine — corpus-scale safe.
+
+  private def textNgramFreq(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("w1", lead("word", 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(concat_ws(" ", col("word"), col("w1")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+  }
+
+  private val textNgramFreqSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bi AS (
+      |  SELECT ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] AS bigram
+      |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
+      |  WHERE i <= len(ts) - 1)
+      |SELECT bigram, COUNT(*) AS n FROM bi
+      |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_stats", textStats, Some(textStatsSql)),
+    Op("text_ngram_freq", textNgramFreq, Some(textNgramFreqSql)),
     Op("text_langid", textLangid, Some(textLangidSql)),
     Op("text_token_count", textTokenCount, Some(textTokenCountSql)),
     Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)))
