@@ -1,0 +1,67 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.dsum
+
+/** Property tests for the oracle-determinism core (SURVEY.md §4):
+  * dsum must be partition-order independent and equal the exact
+  * BigDecimal computation a correct oracle engine would produce.
+  * (Raw ScalaCheck generators with a fixed seed — the scalatestplus
+  * bridge isn't in the offline dependency cache.) */
+class DeterminismSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // money-like doubles: 2dp values in [-10^6, 10^6]
+  private val moneyGen: Gen[List[Double]] =
+    Gen.listOfN(200, Gen.chooseNum(-100000000L, 100000000L).map(_ / 100.0))
+
+  private def samples(n: Int): Seq[List[Double]] =
+    (0 until n).flatMap(i => moneyGen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def exactDsum(xs: Seq[Double], castScale: Int, outScale: Int): Double =
+    xs.map(new JBigDecimal(_).setScale(castScale, RoundingMode.HALF_UP))
+      .foldLeft(JBigDecimal.ZERO)(_.add(_))
+      .setScale(outScale, RoundingMode.HALF_UP)
+      .doubleValue()
+
+  test("dsum equals the exact BigDecimal sum regardless of partitioning") {
+    samples(8).zipWithIndex.foreach { case (xs, i) =>
+      val parts = 1 + (i % 7)
+      val got = xs.toDF("x").repartition(parts)
+        .agg(dsum(col("x")).as("s")).head.getDouble(0)
+      val want = exactDsum(xs, 4, 2)
+      assert(got == want, s"dsum=$got exact=$want parts=$parts sample=$i")
+    }
+  }
+
+  test("dsum is invariant under input permutation") {
+    val rnd = new scala.util.Random(7)
+    samples(5).foreach { xs =>
+      val a = xs.toDF("x").repartition(3).agg(dsum(col("x"))).head.getDouble(0)
+      val b = rnd.shuffle(xs).toDF("x").repartition(5)
+        .agg(dsum(col("x"))).head.getDouble(0)
+      assert(a == b)
+    }
+  }
+
+  test("plain double sum is NOT order-stable (why dsum exists)") {
+    // documents that the naive approach can differ across
+    // partitionings on adversarial data; dsum never may (above).
+    val xs = Seq.fill(1000)(0.1) ++ Seq(1e15, -1e15)
+    val sums = (1 to 6).map { p =>
+      xs.toDF("x").repartition(p).agg(sum(col("x"))).head.getDouble(0)
+    }
+    val dsums = (1 to 6).map { p =>
+      xs.toDF("x").repartition(p).agg(dsum(col("x"), 4, 1)).head.getDouble(0)
+    }
+    assert(dsums.distinct.size == 1, s"dsum unstable: $dsums")
+    info(s"plain sums across partitionings: ${sums.distinct.size} distinct value(s)")
+  }
+}
