@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity probe: replicates the sf0.1 fact tables ×N (keys
+  * offset per replica) into target/tmp and times headline queries at
+  * both scales. Near-linear ratios mean the plans hold as data grows;
+  * superlinear blowup flags a shuffle/sort that won't survive 100 TB. */
+object ScaleProbe {
+  private val Factor = 16
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+    val src = "/root/testdata/sf0.1"
+    val dst = s"target/tmp/scale$Factor"
+
+    if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
+      val reps = spark.range(Factor).withColumnRenamed("id", "rep")
+      // facts: replicate with offset keys so join/group cardinality scales
+      Tables.events(spark, src).crossJoin(reps)
+        .withColumn("event_id", col("event_id") + col("rep") * 100000000L)
+        .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
+        .drop("rep")
+        // ts back to long nanos so the probe reads it like the original
+        .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      Tables.lineitem(spark, src).crossJoin(reps)
+        .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 100000000L)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      Tables.orders(spark, src).crossJoin(reps)
+        .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 100000000L)
+        .withColumn("o_custkey", col("o_custkey") + col("rep") * 1000000L)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      // dims + llm tables: pass through unscaled
+      for (t <- Seq("customer", "supplier", "part", "nation", "region", "documents", "embeddings"))
+        Tables.table(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // customer must cover the scaled custkeys for join semantics
+      Tables.customer(spark, src).crossJoin(reps)
+        .withColumn("c_custkey", col("c_custkey") + col("rep") * 1000000L)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    }
+
+    val names = Seq("q1_partition_counts", "q5_whale", "q9_daily_summary",
+      "r1_pricing_summary", "r2_top_customers", "r6_asof_join",
+      "s1_window_candles", "s2_sessionize", "etl_normalize")
+    def time(dir: String, name: String): Double = {
+      val t0 = System.nanoTime()
+      Registry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    names.foreach(n => time(src, n))
+    println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"x$Factor"}%8s ${"ratio"}%6s")
+    names.foreach { n =>
+      val a = time(src, n)
+      val b = time(dst, n)
+      println(f"$n%-22s $a%8.2f $b%8.2f ${b / a}%6.1f")
+    }
+    spark.stop()
+  }
+}

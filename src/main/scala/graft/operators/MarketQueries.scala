@@ -176,14 +176,15 @@ object MarketQueries {
     val stats = t.groupBy("symbol").agg(
       count(lit(1)).as("n_sym"),
       percentile_approx(col("quote_qty"), lit(0.985), lit(10000)).as("t0"))
-    val withT0 = t.join(broadcast(stats), "symbol")
-    val below = withT0.filter(col("quote_qty") < col("t0"))
-      .groupBy("symbol").agg(count(lit(1)).as("n_below"))
-    val tail = withT0.filter(col("quote_qty") >= col("t0"))
-      .join(broadcast(below), Seq("symbol"), "left")
-      .withColumn("n_below", coalesce(col("n_below"), lit(0L)))
-    val w = Window.partitionBy("symbol").orderBy("quote_qty")
+    // two scans total: the sketch pass and the tail pass — the exact
+    // below-threshold count is n_sym minus the tail size, so no third
+    // scan is needed.
+    val tail = t.join(broadcast(stats), "symbol")
+      .filter(col("quote_qty") >= col("t0"))
+    val wsym = Window.partitionBy("symbol")
+    val w = wsym.orderBy("quote_qty")
     tail
+      .withColumn("n_below", col("n_sym") - count(lit(1)).over(wsym))
       .withColumn("pr",
         when(col("n_sym") > 1,
           (col("n_below") + rank().over(w) - 1).cast(DoubleType) /
