@@ -34,12 +34,23 @@ package object functions {
   def dsumSql(expr: String, castScale: Int = 4, outScale: Int = 2): String =
     s"CAST(ROUND(SUM(CAST($expr AS DECIMAL(38,$castScale))), $outScale) AS DOUBLE)"
 
+  /** Round a double to 6 places with pure IEEE arithmetic —
+    * floor(x·1e6 + 0.5)/1e6 — so both engines compute bit-identical
+    * results even at exact decimal ties. `ROUND(double, 6)` is NOT
+    * engine-portable: Spark rounds the exact binary expansion
+    * (BigDecimal HALF_UP) while DuckDB rounds x·1e6 in floating point,
+    * and quotients with power-of-two denominators (pv/32 trades) land
+    * exactly on …5 at the 7th digit where the two disagree. */
+  def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  def round6Sql(e: String): String = s"floor(($e) * 1e6 + 0.5) / 1e6"
+
   /** num/den on already-deterministic doubles; null when den = 0. */
   def ratio(num: Column, den: Column): Column =
-    round(num / when(den =!= 0.0, den), 6)
+    round6(num / when(den =!= 0.0, den))
 
   def ratioSql(num: String, den: String): String =
-    s"ROUND($num / NULLIF($den, 0), 6)"
+    round6Sql(s"$num / NULLIF($den, 0)")
 
   /** Calendar validity incl. leap years — the reference's DQ predicate
     * (glue_spark_trades_etl.py:135-171) as one codegen'd boolean. */

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Op, Tables}
+import graft.functions.{round6, round6Sql}
 
 /** Deduplication operators for a large-scale training-data pipeline,
   * over the `documents` table.
@@ -72,12 +73,12 @@ object Dedup {
       .withColumn("jac_raw",
         col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")).cast(DoubleType))
       .filter(col("jac_raw") >= 0.02)
-      .select(col("id_a"), col("id_b"), round(col("jac_raw"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), round6(col("jac_raw")).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
   private val dedupNgramJaccardSql =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, source,
@@ -91,7 +92,7 @@ object Dedup {
       |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
       |  GROUP BY 1,2)
       |SELECT id_a, id_b,
-      |       ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+      |       ${round6Sql("CAST(c AS DOUBLE) / (sa.n + sb.n - c)")} AS jaccard
       |FROM inter
       |JOIN sizes sa ON sa.doc_id = id_a
       |JOIN sizes sb ON sb.doc_id = id_b
@@ -186,7 +187,7 @@ object Dedup {
         Similarity.ddot(col("a.embedding"), col("b.embedding")).cast(DoubleType) / col("norm_prod"))
       .filter(col("cos_raw") >= 0.4)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(col("cos_raw"), 6).as("cos_sim"))
+        round6(col("cos_raw")).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
 
@@ -199,7 +200,7 @@ object Dedup {
        |         ${Similarity.ddotSql("a.embedding", "b.embedding")} AS dot,
        |         a.n2 AS na2, b.n2 AS nb2
        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim
+       |SELECT id_a, id_b, ${round6Sql("dot / (sqrt(na2) * sqrt(nb2))")} AS cos_sim
        |FROM p WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 

@@ -310,7 +310,7 @@ object MarketQueries {
         dsum(when(col("is_buyer_maker"), col("quote_qty")).otherwise(0.0)).as("sell_pv"))
       .withColumn("vwap", ratio(col("pv"), col("q")))
       .withColumn("pct_sell_pressure",
-        round(col("sell_pv") / when(col("volume") =!= 0.0, col("volume")) * 100, 6))
+        round6(col("sell_pv") / when(col("volume") =!= 0.0, col("volume")) * 100))
       .drop("pv", "q", "sell_pv")
       .orderBy("year", "month", "day", "symbol")
 
@@ -318,7 +318,7 @@ object MarketQueries {
     s"""$cte
        |SELECT year, month, day, symbol, trades, volume, low, high,
        |       ${ratioSql("pv", "q")} AS vwap,
-       |       ROUND(sell_pv / NULLIF(volume, 0) * 100, 6) AS pct_sell_pressure
+       |       ${round6Sql("sell_pv / NULLIF(volume, 0) * 100")} AS pct_sell_pressure
        |FROM (
        |  SELECT year, month, day, symbol, COUNT(*) AS trades,
        |         ${dsumSql("quote_qty")} AS volume,
@@ -363,9 +363,9 @@ object MarketQueries {
     // a segment tree whose association order differs from Spark's —
     // double AVG would drift; exact decimal is order-free.
     bars
-      .withColumn("ma5", round(
+      .withColumn("ma5", round6(
         sum(col("vwap").cast(DecimalType(38, 8))).over(w).cast(DoubleType)
-          / count(lit(1)).over(w).cast(DoubleType), 6))
+          / count(lit(1)).over(w).cast(DoubleType)))
       .withColumn("n_bars", count(lit(1)).over(w))
       .orderBy("symbol", "minute")
   }
@@ -377,8 +377,7 @@ object MarketQueries {
        |           ${dsumSql("quote_qty")} AS pv, ${dsumSql("quantity")} AS q
        |    FROM trades GROUP BY 1,2))
        |SELECT symbol, minute, vwap,
-       |       ROUND(CAST(SUM(CAST(vwap AS DECIMAL(38,8))) OVER w AS DOUBLE)
-       |             / CAST(COUNT(*) OVER w AS DOUBLE), 6) AS ma5,
+       |       ${round6Sql("CAST(SUM(CAST(vwap AS DECIMAL(38,8))) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)")} AS ma5,
        |       COUNT(*) OVER w AS n_bars
        |FROM bars
        |WINDOW w AS (PARTITION BY symbol ORDER BY minute

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Op, Tables}
+import graft.functions.{round6, round6Sql}
 
 /** Similarity search over the `embeddings` table (`Array[Float]`).
   *
@@ -56,7 +57,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos_raw"), 6).as("cos_sim"))
+        round6(col("cos_raw")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -72,7 +73,7 @@ object Similarity {
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
        |  FROM scored)
-       |SELECT query_id, neighbor_id, rank, ROUND(cos_raw, 6) AS cos_sim
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
@@ -108,7 +109,7 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos_raw"), 6).as("cos_sim"))
+        round6(col("cos_raw")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 

@@ -32,19 +32,19 @@ object TextAnalysis {
         punct.as("n_punct"),
         stops.as("n_stopwords"))
       .withColumn("punct_ratio",
-        round(col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType), 6))
+        round6(col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType)))
       .withColumn("stopword_ratio",
-        round(col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+        round6(col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType)))
       // heuristic quality score: long enough, low punct noise, has glue words
       .withColumn("quality_score",
-        round(least(col("n_tokens").cast(DoubleType) / 50.0, lit(1.0)) * 0.5
+        round6(least(col("n_tokens").cast(DoubleType) / 50.0, lit(1.0)) * 0.5
           + (lit(1.0) - col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType)) * 0.3
-          + least(col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType) * 5.0, lit(1.0)) * 0.2, 6))
+          + least(col("n_stopwords").cast(DoubleType) / col("n_tokens").cast(DoubleType) * 5.0, lit(1.0)) * 0.2))
       .orderBy("doc_id")
   }
 
   private val textStatsSql =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT doc_id, lang, source,
       |         length(text) AS n_chars,
       |         len(string_split(text, ' ')) AS n_tokens,
@@ -57,11 +57,11 @@ object TextAnalysis {
       |       CAST(n_tokens AS INTEGER) AS n_tokens,
       |       CAST(n_punct AS INTEGER) AS n_punct,
       |       CAST(n_stopwords AS INTEGER) AS n_stopwords,
-      |       ROUND(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
-      |       ROUND(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
-      |       ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
+      |       ${round6Sql("CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)")} AS punct_ratio,
+      |       ${round6Sql("CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS stopword_ratio,
+      |       ${round6Sql("""least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.5
       |         + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.3
-      |         + least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.2, 6) AS quality_score
+      |         + least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.2""")} AS quality_score
       |FROM base ORDER BY doc_id""".stripMargin
 
   // --- text_langid: marker-word scoring, deterministic argmax ----------
@@ -106,7 +106,7 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit(tokPattern), lit(0))).as("bpe_tokens"),
         length(col("text")).as("n_chars"))
       .withColumn("chars_per_token",
-        round(col("n_chars").cast(DoubleType) / col("bpe_tokens").cast(DoubleType), 6))
+        round6(col("n_chars").cast(DoubleType) / col("bpe_tokens").cast(DoubleType)))
       .orderBy("doc_id")
 
   private val textTokenCountSql =
@@ -114,8 +114,7 @@ object TextAnalysis {
        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
        |       CAST(len(regexp_extract_all(text, '$tokPattern')) AS INTEGER) AS bpe_tokens,
        |       CAST(length(text) AS INTEGER) AS n_chars,
-       |       ROUND(CAST(length(text) AS DOUBLE) /
-       |             CAST(len(regexp_extract_all(text, '$tokPattern')) AS DOUBLE), 6) AS chars_per_token
+       |       ${round6Sql(s"CAST(length(text) AS DOUBLE) / CAST(len(regexp_extract_all(text, '$tokPattern')) AS DOUBLE)")} AS chars_per_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- text_fingerprint: bag fingerprint + rolling polynomial hash -----
@@ -175,9 +174,36 @@ object TextAnalysis {
       |SELECT bigram, COUNT(*) AS n FROM bi
       |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin
 
+  // --- text_sample_per_source: deterministic stratified sampling ------
+  // Bottom-k-by-hash per stratum: consistent (re-runs pick the same
+  // docs), distributed (one window per stratum), and join-free — the
+  // standard way to subsample a 100 TB corpus reproducibly. Hash is
+  // md5 (engine-portable), tiebroken by doc_id.
+
+  private def textSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= 3)
+      .select(col("source"), col("sample_rank"), col("doc_id"), col("lang"))
+      .orderBy("source", "sample_rank")
+  }
+
+  private val textSampleSql =
+    """SELECT source, CAST(sample_rank AS INTEGER) AS sample_rank, doc_id, lang
+      |FROM (
+      |  SELECT source, doc_id, lang,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(text), doc_id) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 3
+      |ORDER BY source, sample_rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_stats", textStats, Some(textStatsSql)),
     Op("text_ngram_freq", textNgramFreq, Some(textNgramFreqSql)),
+    Op("text_sample_per_source", textSample, Some(textSampleSql)),
     Op("text_langid", textLangid, Some(textLangidSql)),
     Op("text_token_count", textTokenCount, Some(textTokenCountSql)),
     Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)))
