@@ -52,6 +52,23 @@ class EtlSpec extends AnyFunSuite {
     assert(t == "2024-07-26 12:00:00")
   }
 
+  test("catalog: external table + partition discovery + pruned SQL scan") {
+    // depends on the lake written by the round-trip test
+    writeCsvLake()
+    val out = "target/tmp/etl-out-catalog"
+    graft.etl.MarketEtl.run(spark, base, out)
+    val parts = graft.etl.Catalog.register(
+      spark, "trades_lake", new java.io.File(out).getAbsolutePath)
+    assert(parts.count() == 2) // one (y,m,d,symbol) partition per symbol
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM trades_lake WHERE symbol = 'BTCUSDT' AND year = 2024")
+    // the partition predicate must prune at planning time, not filter rows
+    val plan = viaSql.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("symbol") && plan.contains("PartitionFilters"), plan.take(1200))
+    assert(viaSql.head.getLong(0) == 2)
+  }
+
   test("DQ calendar predicate rejects impossible dates incl. leap-year") {
     import graft.functions.validCalendar
     val df = spark.range(1).select(
