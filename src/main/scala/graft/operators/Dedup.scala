@@ -204,10 +204,90 @@ object Dedup {
        |FROM p WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --- dedup_clusters: transitive near-dup groups ----------------------
+  // Connected components over the Jaccard similarity graph (j ≥ 0.03)
+  // via iterative min-label propagation — the standard Spark shape for
+  // graph fixpoints: each round is one join + aggregate, lineage is
+  // truncated with localCheckpoint, and convergence (≤ graph diameter
+  // rounds) is independent of partitioning. Canonical-doc selection
+  // across transitive duplicate groups is why this exists in training
+  // pipelines: A≈B and B≈C must collapse to one cluster even when A≉C.
+  // Oracle: DuckDB recursive CTE transitive closure.
+
+  private def jaccardPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .filter(col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")).cast(DoubleType) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir, 0.03)
+    val edges = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("id_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neighborMin = edges.join(labels, edges("id_b") === labels("doc_id"))
+        .groupBy(edges("id_a").as("nid")).agg(min("label").as("nmin"))
+      val next = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("label").as("cluster_id"), col("doc_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+       |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
+       |  WHERE i <= len(ts) - 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.03),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT LEAST(a, MIN(b)) AS cluster_id, a AS doc_id
+       |FROM reach GROUP BY a
+       |ORDER BY cluster_id, doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash", dedupMinhash, None),
     Op("dedup_simhash", dedupSimhash, None),
-    Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)))
+    Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
 }

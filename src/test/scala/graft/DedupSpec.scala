@@ -29,6 +29,21 @@ class DedupSpec extends AnyFunSuite {
     assert(sim(best) <= 16, s"hamming ${sim(best)} not near-dup range")
   }
 
+  test("cluster labels are closed under the similarity edges") {
+    val clusters = Registry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(clusters.nonEmpty)
+    // every pair at the cluster threshold must share a cluster id
+    val pairs = jaccardPairs.filter(_._2 >= 0.03).keySet
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // each cluster id is the minimum member (canonical representative)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+    }
+  }
+
   test("exact dedup keeps every distinct normalized text") {
     val docs = Tables.documents(spark, sf).count()
     val kept = Registry.queries("dedup_exact")(spark, sf)
