@@ -72,9 +72,14 @@ object MarketEtl {
 
   /** Partitioned-parquet lake sink (glue_spark_trades_etl.py:194-197):
     * Hive layout year/month/day/symbol = partition pruning for every
-    * downstream query. */
+    * downstream query. The pre-write repartition on the partition
+    * columns routes each output partition to one task → one compact
+    * file per partition dir instead of one-per-input-task small-file
+    * sprawl. (For a hot partition at 100 TB, add a bounded salt to the
+    * repartition keys to split it across N files.) */
   def writePartitioned(df: DataFrame, outputPath: String): Unit =
-    df.write.mode("overwrite")
+    df.repartition(col("year"), col("month"), col("day"), col("symbol"))
+      .write.mode("overwrite")
       .partitionBy("year", "month", "day", "symbol")
       .parquet(outputPath)
 

@@ -236,18 +236,21 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).localCheckpoint()
-    var changed = 1L
+    // labels decrease monotonically per element, so the label sum is a
+    // convergence certificate — one aggregate per round instead of a
+    // change-detection join.
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum("label")).head.getLong(0)
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (curSum < prevSum && iter < 20) {
       val neighborMin = edges.join(labels, edges("id_b") === labels("doc_id"))
         .groupBy(edges("id_a").as("nid")).agg(min("label").as("nmin"))
-      val next = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
+      labels = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      prevSum = curSum
+      curSum = labels.agg(sum("label")).head.getLong(0)
       iter += 1
     }
     labels.select(col("label").as("cluster_id"), col("doc_id"))
