@@ -361,6 +361,39 @@ object RelationalQueries {
       |                    AND o.o_orderdate < TIMESTAMP '1997-07-01')
       |ORDER BY c_custkey""".stripMargin
 
+  // --- r14: time-range join (quotes within 60 min before each trade) ----
+  // Equi-key (user) + time-range condition: Spark plans the equi part
+  // as the join key and evaluates the range as a join condition — no
+  // cross product. The streaming twin (stream-stream join with
+  // watermarks) lives in StreamingJobs and is spec-checked against
+  // this exact batch semantics.
+
+  private def r14(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val t = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("trade_event"), col("user_id"), col("ts").as("t_ts"))
+    val q = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("q_user"), col("ts").as("q_ts"), col("value").as("q_value"))
+    t.join(q,
+        col("user_id") === col("q_user") &&
+        col("q_ts") >= col("t_ts") - expr("INTERVAL 60 MINUTES") &&
+        col("q_ts") <= col("t_ts"))
+      .groupBy("trade_event", "user_id")
+      .agg(count(lit(1)).as("n_quotes"), dsum(col("q_value")).as("quote_value_sum"))
+      .orderBy("trade_event")
+  }
+
+  private val r14Sql =
+    s"""SELECT t.event_id AS trade_event, t.user_id,
+       |       COUNT(*) AS n_quotes,
+       |       ${dsumSql("q.value")} AS quote_value_sum
+       |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+       |JOIN (SELECT * FROM events WHERE event_type = 'view') q
+       |  ON t.user_id = q.user_id
+       | AND q.ts >= t.ts - INTERVAL 60 MINUTE
+       | AND q.ts <= t.ts
+       |GROUP BY 1,2 ORDER BY trade_event""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -374,5 +407,6 @@ object RelationalQueries {
     Op("r10_set_ops", r10, Some(r10Sql)),
     Op("r11_cube", r11, Some(r11Sql)),
     Op("r12_pivot", r12, Some(r12Sql)),
-    Op("r13_anti_join", r13, Some(r13Sql)))
+    Op("r13_anti_join", r13, Some(r13Sql)),
+    Op("r14_range_join", r14, Some(r14Sql)))
 }

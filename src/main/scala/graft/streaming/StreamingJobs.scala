@@ -43,6 +43,21 @@ object StreamingJobs {
       .select(col("symbol"), col("window.start").as("minute"),
         col("n_events"), col("open"), col("close"), col("low"), col("high"), col("volume"))
 
+  /** Stream-stream time-range join: each trade joined to the quotes of
+    * the same user in the trailing 60 minutes. Watermarks on BOTH sides
+    * bound the buffered state — Spark retains only quotes young enough
+    * to still match a future trade. Batch twin: r14_range_join. */
+  def streamRangeJoin(trades: DataFrame, quotes: DataFrame): DataFrame = {
+    val t = trades.withWatermark("ts", "70 minutes")
+      .select(col("event_id").as("trade_event"), col("user_id"), col("ts").as("t_ts"))
+    val q = quotes.withWatermark("ts", "70 minutes")
+      .select(col("user_id").as("q_user"), col("ts").as("q_ts"), col("value").as("q_value"))
+    t.join(q,
+      col("user_id") === col("q_user") &&
+      col("q_ts") >= col("t_ts") - expr("INTERVAL 60 MINUTES") &&
+      col("q_ts") <= col("t_ts"))
+  }
+
   /** Streaming dedup: one event per (user, type, minute) key within
     * the watermark horizon — state for a key is dropped once the
     * watermark passes it, so state size is bounded by the horizon. */

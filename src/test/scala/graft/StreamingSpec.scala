@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming != batch: only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
   }
 
+  test("stream-stream range join matches the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+    val tSrc = MemoryStream[StreamingJobs.Event]
+    val qSrc = MemoryStream[StreamingJobs.Event]
+    tSrc.addData(ev.filter(_.event_type == "purchase").toSeq)
+    qSrc.addData(ev.filter(_.event_type == "view").toSeq)
+    val q = StreamingJobs.streamRangeJoin(tSrc.toDF(), qSrc.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rjoin_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("rjoin_out")
+      .groupBy("trade_event").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Registry.queries("r14_range_join")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"only-stream=${(streamed.toSet -- batch.toSet).take(3)} only-batch=${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("streaming dedup keeps one event per key like the batch distinct") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
