@@ -113,7 +113,87 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // --- ann_ivf_topk -----------------------------------------------------
+  // IVF (inverted-file) index: k-means coarse quantizer → vectors
+  // assigned to their nearest centroid's posting list → queries probe
+  // the 2 nearest lists only. Everything is DataFrame-native: the
+  // centroid table is itself a (tiny, broadcast) DataFrame, Lloyd
+  // iterations are join+aggregate rounds, and assignment picks
+  // max_by(score) over the k candidate centroids — no driver-side
+  // vector math, no literal-array codegen blowup. Deterministic:
+  // init = the first k vectors by vec_id. Rows-only oracle; recall vs
+  // brute force asserted in SimilaritySpec.
+
+  private val IvfK = 10
+  private val IvfProbes = 2
+  private val LloydIters = 5
+
+  /** score monotone in -||x-c||²: c·x − ||c||²/2. */
+  private def centScore(emb: Column, cent: Column, cn2: Column): Column = {
+    import graft.plans.VecDotProduct.vec_dot
+    vec_dot(emb, cent) - cn2 / 2.0
+  }
+
+  private def withCentNorm(cents: DataFrame): DataFrame =
+    cents.withColumn("cn2", ddot(col("cent"), col("cent")).cast(DoubleType))
+
+  /** nearest-centroid assignment: broadcast the k-row centroid table,
+    * score every (vector, centroid) pair, keep the argmax. */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(withCentNorm(cents)))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"),
+        struct(centScore(col("embedding"), col("cent"), col("cn2")), -col("cid"))).as("list_id"))
+
+  /** k-means training as join+aggregate rounds; centroids never leave
+    * the cluster. */
+  private def trainCentroids(v: DataFrame): DataFrame = {
+    var cents = v.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cent"))
+      .localCheckpoint()
+    for (_ <- 1 to LloydIters) {
+      val assigned = assign(v, cents)
+      cents = v.join(assigned, "vec_id")
+        .select(col("list_id").as("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          e => e.getField("m").cast("float")).as("cent"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val v = withNorm2(Tables.embeddings(s, dir))
+    val cents = trainCentroids(v)
+    val indexed = v.join(broadcast(assign(v, cents)), "vec_id")
+    // each query probes its IvfProbes nearest centroid lists
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("cid"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+      .crossJoin(broadcast(withCentNorm(cents)))
+      .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("query_id"), col("q_emb"), col("qn2"), col("cid").as("probe"))
+    val scored = indexed.join(broadcast(probes),
+        col("list_id") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(ddot(col("q_emb"), col("embedding")).cast(DoubleType),
+          col("qn2"), col("n2")).as("cos_raw"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round6(col("cos_raw")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
-    Op("ann_lsh_topk", annLsh, None))
+    Op("ann_lsh_topk", annLsh, None),
+    Op("ann_ivf_topk", annIvf, None))
 }

@@ -52,6 +52,18 @@ class DedupSpec extends AnyFunSuite {
     assert(copies == docs)
   }
 
+  test("IVF ANN recalls a solid share of exact top-5 neighbors") {
+    val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Registry.queries("ann_ivf_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // 2 probes over a 10-list quantizer on 10-dim-cluster data: expect
+    // meaningful but not perfect recall
+    assert(recall >= 0.2, s"IVF recall $recall too low (${ivf.size} results)")
+  }
+
   test("LSH ANN results agree with brute force on shared pairs") {
     val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
