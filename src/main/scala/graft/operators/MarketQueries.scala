@@ -384,10 +384,60 @@ object MarketQueries {
        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
        |ORDER BY symbol, minute""".stripMargin
 
+  // --- etl_upsert_latest: SCD-1 latest-wins merge ----------------------
+  // The lake-maintenance shape of a CDC upsert: the event stream is the
+  // change feed, one row per key survives (greatest ts, event_id
+  // tiebreak). One shuffle on the key; at 100 TB this is the
+  // MERGE-into-state-table pattern without a transactional format.
+
+  private def etlUpsertLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        col("ts").as("last_ts"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  private val etlUpsertLatestSql =
+    """SELECT user_id, event_id AS last_event, ts AS last_ts,
+      |       event_type AS last_type, value AS last_value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  // --- etl_scd2_history: slowly-changing-dimension type 2 --------------
+  // Every change becomes a versioned validity interval: valid_from =
+  // the event time, valid_to = the next change (null while current).
+
+  private def etlScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts").as("valid_from"),
+        col("event_id"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .drop("event_id")
+      .orderBy("user_id", "version")
+  }
+
+  private val etlScd2Sql =
+    """SELECT user_id, event_type, value, ts AS valid_from,
+      |       lead(ts, 1) OVER w AS valid_to,
+      |       CAST(row_number() OVER w AS INTEGER) AS version
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
     Op("etl_json_props", etlJsonProps, Some(etlJsonPropsSql)),
+    Op("etl_upsert_latest", etlUpsertLatest, Some(etlUpsertLatestSql)),
+    Op("etl_scd2_history", etlScd2, Some(etlScd2Sql)),
     Op("q1_partition_counts", q1, Some(q1Sql)),
     Op("q2_vwap_minute", q2, Some(q2Sql)),
     Op("q3_order_flow", q3, Some(q3Sql)),

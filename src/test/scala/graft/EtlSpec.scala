@@ -86,6 +86,22 @@ class EtlSpec extends AnyFunSuite {
     assert(!r.getBoolean(6))
   }
 
+  test("malformed CSV rows survive the read as nulls and die at the DQ gate") {
+    val dir = Paths.get(s"$base-corrupt/symbol=XXXUSDT/year=2024/month=07")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("XXXUSDT-trades-2024-07.csv"),
+      Seq(
+        "1,100.0,1.0,100.0,1721995200000,True,True",
+        "garbage,not,a,number,row,True,True",        // malformed numerics
+        "totally broken line",                        // wrong arity
+        "2,101.0,2.0,202.0,1721995260000,False,True").mkString("\n"))
+    val raw = graft.etl.MarketEtl.readTradesCsv(spark, s"$base-corrupt")
+    assert(raw.count() == 4) // permissive read keeps all rows
+    val clean = graft.etl.MarketEtl.dqFilter(graft.etl.MarketEtl.normalize(raw))
+    assert(clean.count() == 2) // DQ drops both malformed rows
+    assert(clean.select("trade_id").collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+  }
+
   test("distributed zip ingest extracts and parses archived CSVs") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val zipDir = Paths.get("target/tmp/zip-lake")
