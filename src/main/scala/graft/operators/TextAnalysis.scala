@@ -200,10 +200,33 @@ object TextAnalysis {
       |WHERE sample_rank <= 3
       |ORDER BY source, sample_rank""".stripMargin
 
+  // --- text_heavy_hitters: bounded-memory word frequencies -------------
+  // Uses the custom SpaceSaving TypedImperativeAggregate
+  // (plans.HeavyHitters): at most `capacity` counters per partial
+  // buffer regardless of corpus size — the scale path for frequency
+  // stats over 100 TB of text. Capacity far exceeds this corpus's
+  // vocabulary, so counts are exact and the plain GROUP BY oracle
+  // applies.
+
+  private def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.HeavyHitters.register(s)
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .agg(graft.plans.HeavyHitters.heavy_hitters(col("word"), 1024).as("hh"))
+      .select(explode(col("hh")).as(Seq("word", "n")))
+      .orderBy(col("n").desc, col("word"))
+  }
+
+  private val textHeavyHittersSql =
+    """SELECT word, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY 1 ORDER BY n DESC, word""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_stats", textStats, Some(textStatsSql)),
     Op("text_ngram_freq", textNgramFreq, Some(textNgramFreqSql)),
     Op("text_sample_per_source", textSample, Some(textSampleSql)),
+    Op("text_heavy_hitters", textHeavyHitters, Some(textHeavyHittersSql)),
     Op("text_langid", textLangid, Some(textLangidSql)),
     Op("text_token_count", textTokenCount, Some(textTokenCountSql)),
     Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)))

@@ -39,6 +39,28 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming != batch: only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
   }
 
+  test("file-stream source: candles from a parquet lake directory") {
+    // stage the events file into a directory (file sources stream dirs)
+    val srcDir = java.nio.file.Paths.get("target/tmp/stream-lake")
+    java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      srcDir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.StreamingJobs.candles(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_candles_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_candles_out").count()
+    val batch = Registry.queries("s1_window_candles")(spark, sf).count()
+    assert(streamed == batch, s"$streamed != $batch")
+  }
+
   test("stream-stream range join matches the batch range join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
