@@ -432,6 +432,39 @@ object MarketQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, version""".stripMargin
 
+  // --- Q11: per-symbol price volatility --------------------------------
+  // stddev via exact decimal sums (Σx, Σx², n) — built-in stddev_samp
+  // accumulates in floating point with engine-specific algorithms
+  // (Welford vs naive) and would never hash-match; the moment form on
+  // identical exact sums is deterministic. Single scan, one aggregate.
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir)
+      .groupBy("symbol")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("price")).as("sx"),
+        dsum(col("price") * col("price"), 6).as("sxx"),
+        count(lit(1)).cast(DoubleType).as("n_d"))
+      .withColumn("mean_price", ratio(col("sx"), col("n_d")))
+      .withColumn("stddev_price",
+        round6(sqrt((col("sxx") - col("sx") * col("sx") / col("n_d")) / (col("n_d") - 1.0))))
+      .drop("sx", "sxx", "n_d")
+      .orderBy("symbol")
+
+  private val q11Sql =
+    s"""$cte
+       |SELECT symbol, n,
+       |       ${ratioSql("sx", "n_d")} AS mean_price,
+       |       ${round6Sql("sqrt((sxx - sx * sx / n_d) / (n_d - 1.0))")} AS stddev_price
+       |FROM (
+       |  SELECT symbol, COUNT(*) AS n,
+       |         ${dsumSql("price")} AS sx,
+       |         ${dsumSql("price * price", 6)} AS sxx,
+       |         CAST(COUNT(*) AS DOUBLE) AS n_d
+       |  FROM trades GROUP BY 1)
+       |ORDER BY symbol""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -447,5 +480,6 @@ object MarketQueries {
     Op("q7_dq_audit", q7, Some(q7Sql)),
     Op("q8_pruned_count", q8, Some(q8Sql)),
     Op("q9_daily_summary", q9, Some(q9Sql)),
-    Op("q10_moving_avg", q10, Some(q10Sql)))
+    Op("q10_moving_avg", q10, Some(q10Sql)),
+    Op("q11_volatility", q11, Some(q11Sql)))
 }
