@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotProduct].getName, "vec_dot"),
       exprs => VecDotProduct(exprs(0), exprs(1))))
+    // transparent heap-based per-group top-k: rewrites the
+    // Filter-over-row_number-Window shape and plans it without the
+    // full per-group sort
+    e.injectOptimizerRule(_ => TopKRewriteRule)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -1,0 +1,125 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, LessThan, LessThanOrEqual, Literal, NamedExpression, RowOrdering, SortOrder, WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame}
+import org.apache.spark.sql.catalyst.expressions.{RowNumber, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window => LogicalWindow}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Heap-based per-group top-k.
+  *
+  * Spark plans `row_number() OVER (PARTITION BY g ORDER BY o) <= k`
+  * as a full sort of every group's rows (Window operator). When only
+  * the first k rows per group survive, a bounded heap per group is
+  * O(n log k) with O(groups·k) memory — at 100 TB of pair scores that
+  * is the difference between sorting everything and streaming it.
+  *
+  * Wired the Catalyst-native way: [[TopKRewriteRule]] (an optimizer
+  * rule injected via [[GraftExtensions]]) pattern-matches the
+  * Filter-over-Window shape and swaps in the [[TopKPerGroup]] logical
+  * node; [[TopKStrategy]] plans it as [[TopKPerGroupExec]]. User code
+  * keeps writing the plain declarative window — the physical operator
+  * changes underneath.
+  */
+case class TopKPerGroup(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+/** Rewrites Filter(rank <= k, Window(row_number as rank, g, o)) into
+  * TopKPerGroup. Conservative: fires only on the exact shape where the
+  * window computes a single row_number and the filter bounds it by a
+  * literal. */
+object TopKRewriteRule extends Rule[LogicalPlan] {
+  private def asLimit(cond: Expression, rank: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) => Some(v - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        LogicalWindow(Seq(a @ Alias(WindowExpression(_: RowNumber,
+          WindowSpecDefinition(part, order, _: SpecifiedWindowFrame)), _)),
+          _, _, child, _)) =>
+      asLimit(cond, a.toAttribute) match {
+        case Some(k) if k >= 0 && order.nonEmpty =>
+          TopKPerGroup(part, order, k, a.toAttribute, child)
+        case _ => f
+      }
+  }
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(group, order, k, rankAttr, child) =>
+      TopKPerGroupExec(group, order, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(
+    group: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (group.isEmpty) ClusteredDistribution(Seq(Literal(1))) :: Nil
+    else ClusteredDistribution(group) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture only serializable expressions; build projections and
+    // orderings executor-side (generated classes don't serialize)
+    val localGroup = group
+    val localOrder = order
+    val localK = k
+    val localOutput = child.output
+    val localRank = rankAttr
+    child.execute().mapPartitions { iter =>
+      val groupProj = UnsafeProjection.create(localGroup, localOutput)
+      val ordering = RowOrdering.create(localOrder, localOutput)
+      val joiner = UnsafeProjection.create(localOutput :+ localRank, localOutput :+ localRank)
+      // bounded max-heap per group key: keeps the k smallest rows in
+      // the window order (= ranks 1..k)
+      val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      val heapOrd = ordering.asInstanceOf[Ordering[InternalRow]]
+      iter.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.getOrElseUpdate(key.copy(),
+          mutable.PriorityQueue.empty[InternalRow](heapOrd))
+        if (heap.size < localK) heap.enqueue(row.copy())
+        else if (localK > 0 && heapOrd.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.iterator.flatMap { case (_, heap) =>
+        val ranked: Seq[InternalRow] = heap.dequeueAll.reverse
+        ranked.iterator.zipWithIndex.map { pair =>
+          val withRank = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+            pair._1, InternalRow(pair._2 + 1))
+          joiner(withRank)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The transparent heap top-k rewrite: same declarative query, custom
+  * physical operator under extensions, identical results. */
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def topkQuery(s: SparkSession) = {
+    val o = Tables.orders(s, sf)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  test("extensions swap the window sort for TopKPerGroupExec, same rows") {
+    val want = topkQuery(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    val saved = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-topk-test")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val df = topkQuery(s2)
+      val plan = df.queryExecution.executedPlan.toString
+      // nodeName strips the Exec suffix in plan strings
+      assert(plan.contains("TopKPerGroup"), plan.take(1500))
+      assert(!plan.contains("Window "), "window operator should be gone:\n" + plan.take(1500))
+      // (AdaptiveSparkPlanExec hides the inner plan from `exists`; the
+      // string match above plus successful execution below prove the
+      // custom operator planned and ran — an unplanned logical node
+      // would throw at execute())
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(got == want,
+        s"only-topk=${(got -- want).take(3)} only-window=${(want -- got).take(3)}")
+    } finally {
+      saved.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
+}
