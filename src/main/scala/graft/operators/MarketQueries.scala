@@ -465,6 +465,31 @@ object MarketQueries {
        |  FROM trades GROUP BY 1)
        |ORDER BY symbol""".stripMargin
 
+  // --- Q12: running high-water mark + drawdown per symbol --------------
+  // Running max over the trade sequence (exact double comparisons —
+  // no accumulation, so engine-portable as-is) and the relative
+  // drawdown from it.
+
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("trade_time", "trade_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    trades(s, dir)
+      .select(col("symbol"), col("trade_id"), col("trade_time"), col("price"))
+      .withColumn("high_water", max(col("price")).over(w))
+      .withColumn("drawdown", round6(col("price") / col("high_water") - 1.0))
+      .orderBy("symbol", "trade_time", "trade_id")
+  }
+
+  private val q12Sql =
+    s"""$cte
+       |SELECT symbol, trade_id, trade_time, price,
+       |       MAX(price) OVER w AS high_water,
+       |       ${round6Sql("price / (MAX(price) OVER w) - 1.0")} AS drawdown
+       |FROM trades
+       |WINDOW w AS (PARTITION BY symbol ORDER BY trade_time, trade_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY symbol, trade_time, trade_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -481,5 +506,6 @@ object MarketQueries {
     Op("q8_pruned_count", q8, Some(q8Sql)),
     Op("q9_daily_summary", q9, Some(q9Sql)),
     Op("q10_moving_avg", q10, Some(q10Sql)),
-    Op("q11_volatility", q11, Some(q11Sql)))
+    Op("q11_volatility", q11, Some(q11Sql)),
+    Op("q12_drawdown", q12, Some(q12Sql)))
 }

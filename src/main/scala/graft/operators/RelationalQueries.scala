@@ -394,6 +394,22 @@ object RelationalQueries {
        | AND q.ts <= t.ts
        |GROUP BY 1,2 ORDER BY trade_event""".stripMargin
 
+  // --- r15: explicit GROUPING SETS + grouping() markers ----------------
+
+  private def r15(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private val r15Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -408,5 +424,6 @@ object RelationalQueries {
     Op("r11_cube", r11, Some(r11Sql)),
     Op("r12_pivot", r12, Some(r12Sql)),
     Op("r13_anti_join", r13, Some(r13Sql)),
-    Op("r14_range_join", r14, Some(r14Sql)))
+    Op("r14_range_join", r14, Some(r14Sql)),
+    Op("r15_grouping_sets", r15, Some(r15Sql)))
 }
