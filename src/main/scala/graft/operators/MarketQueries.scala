@@ -490,6 +490,44 @@ object MarketQueries {
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY symbol, trade_time, trade_id""".stripMargin
 
+  // --- Q13: gap-filled hourly bars (time-series densification) ---------
+  // Downstream candle consumers need a row for EVERY bucket, traded or
+  // not: generate the full per-symbol hour spine (sequence + explode —
+  // a generator, not a driver loop) and left-join the observed bars.
+
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val t = trades(s, dir)
+    val bars = t
+      .groupBy(col("symbol"), date_trunc("hour", col("trade_time")).as("hour"))
+      .agg(count(lit(1)).as("n_trades"), dsum(col("quote_qty")).as("volume"))
+    val spine = t.groupBy("symbol")
+      .agg(min(date_trunc("hour", col("trade_time"))).as("h0"),
+        max(date_trunc("hour", col("trade_time"))).as("h1"))
+      .select(col("symbol"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(bars, Seq("symbol", "hour"), "left")
+      .select(col("symbol"), col("hour"),
+        coalesce(col("n_trades"), lit(0L)).as("n_trades"),
+        coalesce(col("volume"), lit(0.0)).as("volume"))
+      .orderBy("symbol", "hour")
+  }
+
+  private val q13Sql =
+    s"""$cte, bars AS (
+       |  SELECT symbol, date_trunc('hour', trade_time) AS hour,
+       |         COUNT(*) AS n_trades, ${dsumSql("quote_qty")} AS volume
+       |  FROM trades GROUP BY 1,2),
+       |spine AS (
+       |  SELECT symbol, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+       |  FROM (SELECT symbol, MIN(date_trunc('hour', trade_time)) AS h0,
+       |               MAX(date_trunc('hour', trade_time)) AS h1
+       |        FROM trades GROUP BY 1))
+       |SELECT s.symbol, s.hour,
+       |       COALESCE(b.n_trades, 0) AS n_trades,
+       |       COALESCE(b.volume, 0.0) AS volume
+       |FROM spine s LEFT JOIN bars b ON s.symbol = b.symbol AND s.hour = b.hour
+       |ORDER BY s.symbol, s.hour""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -507,5 +545,6 @@ object MarketQueries {
     Op("q9_daily_summary", q9, Some(q9Sql)),
     Op("q10_moving_avg", q10, Some(q10Sql)),
     Op("q11_volatility", q11, Some(q11Sql)),
-    Op("q12_drawdown", q12, Some(q12Sql)))
+    Op("q12_drawdown", q12, Some(q12Sql)),
+    Op("q13_gapfill", q13, Some(q13Sql)))
 }
