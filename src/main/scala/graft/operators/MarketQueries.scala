@@ -528,6 +528,65 @@ object MarketQueries {
        |FROM spine s LEFT JOIN bars b ON s.symbol = b.symbol AND s.hour = b.hour
        |ORDER BY s.symbol, s.hour""".stripMargin
 
+  // --- Q14: in-engine correlation matrix -------------------------------
+  // The reference's Q6 prepares minute series "to export to Python/R
+  // for correlation" (athena_sample_queries.sql:154) — here the Pearson
+  // matrix is computed in-engine. Determinism: minute VWAPs truncated
+  // to 4dp with pure IEEE ops, moment sums over the then-exact 8dp
+  // products in DECIMAL, correlation assembled from identical doubles.
+  // (Built-in corr() accumulates co-moments in floating point and
+  // could never hash-match.)
+
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val bars = trades(s, dir)
+      .groupBy(col("symbol"), date_trunc("minute", col("trade_time")).as("minute"))
+      .agg(dsum(col("quote_qty")).as("pv"), dsum(col("quantity")).as("q"))
+      // 4dp series value; floor form is engine-portable at ties
+      .select(col("symbol"), col("minute"),
+        (floor(col("pv") / when(col("q") =!= 0.0, col("q")) * 1e4 + 0.5) / 1e4).as("v"))
+    val pairs = bars.as("a").join(bars.as("b"),
+        col("a.minute") === col("b.minute") && col("a.symbol") < col("b.symbol"))
+      .select(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"),
+        col("a.v").as("x"), col("b.v").as("y"))
+    pairs.groupBy("sym_a", "sym_b")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        round(sum(col("x").cast(DecimalType(38, 10))), 4).cast(DoubleType).as("sx"),
+        round(sum(col("y").cast(DecimalType(38, 10))), 4).cast(DoubleType).as("sy"),
+        round(sum((col("x") * col("y")).cast(DecimalType(38, 10))), 3).cast(DoubleType).as("sxy"),
+        round(sum((col("x") * col("x")).cast(DecimalType(38, 10))), 3).cast(DoubleType).as("sxx"),
+        round(sum((col("y") * col("y")).cast(DecimalType(38, 10))), 3).cast(DoubleType).as("syy"))
+      .withColumn("corr", round6(
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
+      .select(col("sym_a"), col("sym_b"), col("n").cast(LongType).as("n_minutes"), col("corr"))
+      .orderBy("sym_a", "sym_b")
+  }
+
+  private val q14Sql =
+    s"""$cte, bars AS (
+       |  SELECT symbol, minute, floor(pv / NULLIF(q, 0) * 1e4 + 0.5) / 1e4 AS v
+       |  FROM (
+       |    SELECT symbol, date_trunc('minute', trade_time) AS minute,
+       |           ${dsumSql("quote_qty")} AS pv, ${dsumSql("quantity")} AS q
+       |    FROM trades GROUP BY 1,2)),
+       |moments AS (
+       |  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+       |         CAST(COUNT(*) AS DOUBLE) AS n,
+       |         CAST(ROUND(SUM(CAST(a.v AS DECIMAL(38,10))), 4) AS DOUBLE) AS sx,
+       |         CAST(ROUND(SUM(CAST(b.v AS DECIMAL(38,10))), 4) AS DOUBLE) AS sy,
+       |         CAST(ROUND(SUM(CAST(a.v * b.v AS DECIMAL(38,10))), 3) AS DOUBLE) AS sxy,
+       |         CAST(ROUND(SUM(CAST(a.v * a.v AS DECIMAL(38,10))), 3) AS DOUBLE) AS sxx,
+       |         CAST(ROUND(SUM(CAST(b.v * b.v AS DECIMAL(38,10))), 3) AS DOUBLE) AS syy
+       |  FROM bars a JOIN bars b
+       |    ON a.minute = b.minute AND a.symbol < b.symbol
+       |  GROUP BY 1,2)
+       |SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n_minutes,
+       |       ${round6Sql("""(n * sxy - sx * sy) /
+       |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))""")} AS corr
+       |FROM moments ORDER BY sym_a, sym_b""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -546,5 +605,6 @@ object MarketQueries {
     Op("q10_moving_avg", q10, Some(q10Sql)),
     Op("q11_volatility", q11, Some(q11Sql)),
     Op("q12_drawdown", q12, Some(q12Sql)),
-    Op("q13_gapfill", q13, Some(q13Sql)))
+    Op("q13_gapfill", q13, Some(q13Sql)),
+    Op("q14_correlation_matrix", q14, Some(q14Sql)))
 }
