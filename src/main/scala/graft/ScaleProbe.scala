@@ -44,8 +44,10 @@ object ScaleProbe {
     }
 
     val names = Seq("q1_partition_counts", "q5_whale", "q9_daily_summary",
+      "q12_drawdown", "q13_gapfill", "q14_correlation_matrix",
       "r1_pricing_summary", "r2_top_customers", "r6_asof_join",
-      "s1_window_candles", "s2_sessionize", "etl_normalize")
+      "r14_range_join", "s1_window_candles", "s2_sessionize",
+      "etl_normalize", "etl_upsert_latest")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
