@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process stdout goes straight through instead of being
+// re-logged with "[info] " prefixes — the driver parses Bench's
+// single JSON line from stdout and the prefix broke that in round 1
+// (BENCH_r01.json: parsed=null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -64,7 +64,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // n:2 documents the min-of-two runs per query (see `timed` above)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":2,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,25 +102,39 @@ object Dedup {
   // --- dedup_minhash: MinHash signatures + LSH banding -----------------
   // k=64 permutations h_i(x) = (a_i·x + b_i) mod p over shingle hashes;
   // 8 bands × 8 rows. Pair generation happens only inside band buckets.
-  // Not SQL-expressible portably (hash functions differ) → rows-only
-  // oracle; MinhashSpec asserts recall against dedup_ngram_jaccard.
+  // The whole hash family is engine-portable — shingle base hash is an
+  // md5-prefix integer (the trick proven in text_fingerprint), the
+  // permutations and the per-band combine are plain modular integer
+  // arithmetic — so the DuckDB oracle replicates it bit-for-bit.
+  // a·h stays < 2^63: a < 2^32 (odd), h < P = 2^31-1.
 
   private val P = 2147483647L // 2^31 - 1
+  private val B = 1000003L    // band-combine base (same trick as text_fingerprint)
   private val perms: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(1337)
     Array.fill(64)((rnd.nextInt(Int.MaxValue - 2).toLong * 2 + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
+  /** Portable 32-bit string hash: integer value of the first 8 md5 hex
+    * chars (mirrors TextAnalysis.wordInt). */
+  private def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Order-sensitive polynomial combine of one band's 8 signature
+    * values, mod P after every step (stays < 2^52). */
+  private def bandHash(sigs: Seq[Column]): Column =
+    sigs.foldLeft(lit(0L).cast(LongType))((acc, s) => pmod(acc * B + s, lit(P)))
+
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+      .withColumn("h", pmod(portableHash(col("shingle")), lit(P)))
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
     }
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until 8).map { j =>
       struct(lit(j).as("band_idx"),
-        hash((0 until 8).map(r => col(s"sig_${j * 8 + r}")): _*).as("band_hash"))
+        bandHash((0 until 8).map(r => col(s"sig_${j * 8 + r}"))).as("band_hash"))
     }
     val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
@@ -133,37 +147,137 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** DuckDB twin, generated from the same permutation constants. */
+  private val dedupMinhashSql: String = {
+    val sigExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS sig_$i"
+    }.mkString(",\n         ")
+    val bandExprs = (0 until 8).map { j =>
+      val bh = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc) * $B + sig_${j * 8 + r}) % $P"
+      }
+      s"{'band_idx': $j, 'band_hash': $bh}"
+    }.mkString(",\n           ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+       |  FROM (SELECT doc_id, source, ts,
+       |          unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+       |hashed AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % $P AS h
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigExprs
+       |  FROM hashed GROUP BY doc_id),
+       |bandstructs AS (
+       |  SELECT doc_id, unnest([
+       |           $bandExprs
+       |         ]) AS b
+       |  FROM sigs),
+       |bands AS (
+       |  SELECT doc_id, CAST(b.band_idx AS INTEGER) AS band_idx,
+       |         CAST(b.band_hash AS BIGINT) AS band_hash
+       |  FROM bandstructs),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared_bands FROM pairs ORDER BY id_a, id_b""".stripMargin
+  }
+
   // --- dedup_simhash: 64-bit SimHash + bit-chunk LSH -------------------
   // Term-frequency-weighted bit votes over word hashes; candidates share
   // one of four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk
   // equal); output hamming distance per candidate pair.
+  // The 64 hash bits come from two 32-bit md5-prefix integers (lo =
+  // hex chars 1-8, hi = chars 9-16) and the fingerprint is kept as two
+  // 32-bit halves — portable to the DuckDB oracle and free of the
+  // bit-63 sign-wrap a single BIGINT fingerprint would hit.
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("wh", xxhash64(col("word")))
-    val bitVotes = (0 until 64).map { i =>
-      sum(when(shiftright(col("wh"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v_$i")
+      .withColumn("wlo", conv(substring(md5(col("word")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("whi", conv(substring(md5(col("word")), 9, 8), 16, 10).cast(LongType))
+    def votesOf(src: String) = (0 until 32).map { i =>
+      sum(when(shiftright(col(src), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v_${src}_$i")
     }
-    val votes = words.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val simhash = (0 until 64).map { i =>
-      when(col(s"v_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    val votes = words.groupBy("doc_id")
+      .agg(votesOf("wlo").head, (votesOf("wlo").tail ++ votesOf("whi")): _*)
+    def half(src: String) = (0 until 32).map { i =>
+      when(col(s"v_${src}_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val hashed = votes.select(col("doc_id"), simhash.as("simhash"))
-    val chunks = hashed.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
+    val hashed = votes.select(col("doc_id"),
+      half("wlo").as("sim_lo"), half("whi").as("sim_hi"))
+    val chunkDefs = Seq( // (chunk_idx, source half, shift)
+      (0, "sim_lo", 0), (1, "sim_lo", 16), (2, "sim_hi", 0), (3, "sim_hi", 16))
+    val chunks = hashed.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+        explode(array(chunkDefs.map { case (c, src, sh) =>
           struct(lit(c).as("chunk_idx"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))): _*)).as("ch"))
-      .select(col("doc_id"), col("simhash"),
+            shiftright(col(src), sh).bitwiseAND(0xFFFFL).as("chunk"))
+        }: _*)).as("ch"))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk").as("chunk"))
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk") === col("b.chunk") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
+         bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).as("hamming"))
       .distinct()
       .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin of the simhash pipeline (same md5-derived bits). */
+  private val dedupSimhashSql: String = {
+    def votes(src: String) = (0 until 32).map { i =>
+      s"SUM(CASE WHEN ($src >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_${src}_$i"
+    }.mkString(",\n         ")
+    def half(src: String) = (0 until 32).map { i =>
+      s"(CASE WHEN v_${src}_$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)"
+    }.mkString(" | ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |hashes AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wlo,
+       |         CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS whi
+       |  FROM words),
+       |votes AS (
+       |  SELECT doc_id,
+       |         ${votes("wlo")},
+       |         ${votes("whi")}
+       |  FROM hashes GROUP BY doc_id),
+       |hashed AS (
+       |  SELECT doc_id, ${half("wlo")} AS sim_lo, ${half("whi")} AS sim_hi
+       |  FROM votes),
+       |chunkstructs AS (
+       |  SELECT doc_id, sim_lo, sim_hi, unnest([
+       |           {'chunk_idx': 0, 'chunk': sim_lo & 65535},
+       |           {'chunk_idx': 1, 'chunk': (sim_lo >> 16) & 65535},
+       |           {'chunk_idx': 2, 'chunk': sim_hi & 65535},
+       |           {'chunk_idx': 3, 'chunk': (sim_hi >> 16) & 65535}
+       |         ]) AS ch
+       |  FROM hashed),
+       |chunks AS (
+       |  SELECT doc_id, sim_lo, sim_hi,
+       |         CAST(ch.chunk_idx AS INTEGER) AS chunk_idx,
+       |         CAST(ch.chunk AS BIGINT) AS chunk
+       |  FROM chunkstructs)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
+       |            bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
+       |FROM chunks a JOIN chunks b
+       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+       | AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // --- dedup_embedding: cosine near-dup pairs, label-blocked -----------
@@ -289,8 +403,8 @@ object Dedup {
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
-    Op("dedup_minhash", dedupMinhash, None),
-    Op("dedup_simhash", dedupSimhash, None),
+    Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
 }

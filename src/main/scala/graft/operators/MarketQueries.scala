@@ -556,10 +556,14 @@ object MarketQueries {
         round(sum((col("x") * col("y")).cast(DecimalType(38, 10))), 3).cast(DoubleType).as("sxy"),
         round(sum((col("x") * col("x")).cast(DecimalType(38, 10))), 3).cast(DoubleType).as("sxx"),
         round(sum((col("y") * col("y")).cast(DecimalType(38, 10))), 3).cast(DoubleType).as("syy"))
-      .withColumn("corr", round6(
+      // degenerate pairs (n=1, or a constant series) make the variance
+      // term ≤ 0 after the rounding steps: Spark would yield NaN where
+      // DuckDB errors on sqrt(<0) — both sides emit NULL instead
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("corr", when(col("vx") > 0 && col("vy") > 0, round6(
         (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
+          (sqrt(col("vx")) * sqrt(col("vy"))))))
       .select(col("sym_a"), col("sym_b"), col("n").cast(LongType).as("n_minutes"), col("corr"))
       .orderBy("sym_a", "sym_b")
   }
@@ -583,8 +587,10 @@ object MarketQueries {
        |    ON a.minute = b.minute AND a.symbol < b.symbol
        |  GROUP BY 1,2)
        |SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n_minutes,
-       |       ${round6Sql("""(n * sxy - sx * sy) /
-       |         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))""")} AS corr
+       |       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       |            THEN ${round6Sql("""(n * sxy - sx * sy) /
+       |              (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))""")}
+       |       END AS corr
        |FROM moments ORDER BY sym_a, sym_b""".stripMargin
 
   val ops: Seq[Op] = Seq(

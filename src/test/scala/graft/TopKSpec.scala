@@ -31,6 +31,7 @@ class TopKSpec extends AnyFunSuite {
         .master("local[4]")
         .appName("graft-topk-test")
         .withExtensions(new graft.plans.GraftExtensions)
+        .config(graft.plans.TopKPerGroup.EnabledKey, "true") // rewrite is opt-in
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
