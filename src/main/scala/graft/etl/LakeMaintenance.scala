@@ -1,0 +1,95 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake lifecycle maintenance: compaction and retention.
+  *
+  * The reference encodes lifecycle in infra (terraform lifecycle
+  * policies, README: "archive raw/ after 90 days") — here the same
+  * policies are Spark jobs over the partitioned lake itself, so any
+  * deployment has them without cloud-provider hooks.
+  *
+  * Scale notes: compaction reads only the partitions it rewrites
+  * (partition-pruned scan, dynamic partition overwrite), never the
+  * whole lake; the file census is a driver-side listing of partition
+  * directories (bounded by partition count, not data size — the same
+  * listing every query's split planning already does). Retention is a
+  * metadata-only directory delete, no data scan at all.
+  */
+object LakeMaintenance {
+
+  /** One row per leaf partition directory: path + file count + bytes.
+    * Hive-style `k=v` layout (the MarketEtl sink's contract). */
+  def partitionCensus(spark: SparkSession, lakeRoot: String): Seq[(String, Int, Long)] = {
+    val root = new Path(lakeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path): Seq[Path] = {
+      val kids = fs.listStatus(p).filter(s => !s.getPath.getName.startsWith("_"))
+      val dirs = kids.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(p)
+      else dirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    leaves(root).filter(_ != root).map { p =>
+      val files = fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      (p.toString, files.length, files.map(_.getLen).sum)
+    }
+  }
+
+  /** Rewrites every partition holding more than `maxFiles` data files
+    * into one file per partition (small-file compaction). Only the
+    * fragmented partitions are read or touched; results are
+    * byte-equivalent to the originals. Returns the number of
+    * partitions compacted. */
+  def compact(spark: SparkSession, lakeRoot: String, maxFiles: Int = 1): Int = {
+    val fragmented = partitionCensus(spark, lakeRoot).filter(_._2 > maxFiles)
+    if (fragmented.isEmpty) return 0
+    // one pruned read over just the fragmented partition dirs; base
+    // path keeps the partition columns in the schema
+    val df = spark.read
+      .option("basePath", lakeRoot)
+      .parquet(fragmented.map(_._1): _*)
+    val partCols = fragmented.head._1
+      .stripPrefix(new Path(lakeRoot).toString).split("/")
+      .filter(_.contains("=")).map(_.split("=")(0)).toSeq
+    df.repartition(partCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(lakeRoot)
+    fragmented.size
+  }
+
+  /** Age-based retention for a lake partitioned by year/month/day:
+    * drops (deletes) every partition strictly older than the cutoff
+    * date. Pure metadata operation — directory deletes, no scan.
+    * Returns the number of dropped partition directories. */
+  def retention(spark: SparkSession, lakeRoot: String,
+      cutoff: java.time.LocalDate): Int = {
+    val root = new Path(lakeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def kv(p: Path, k: String): Option[Int] = {
+      val seg = p.toString.split("/").find(_.startsWith(s"$k="))
+      seg.map(_.split("=")(1).toInt)
+    }
+    // walk only to day-depth (year=/month=/day=), never into leaves
+    def dayDirs(p: Path): Seq[Path] = {
+      val kids = fs.listStatus(p).filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_"))
+      kids.toSeq.flatMap { d =>
+        if (d.getPath.getName.startsWith("day=")) Seq(d.getPath)
+        else dayDirs(d.getPath)
+      }
+    }
+    val expired = dayDirs(root).filter { p =>
+      (kv(p, "year"), kv(p, "month"), kv(p, "day")) match {
+        case (Some(y), Some(m), Some(d)) =>
+          java.time.LocalDate.of(y, m, d).isBefore(cutoff)
+        case _ => false
+      }
+    }
+    expired.foreach(fs.delete(_, true))
+    expired.size
+  }
+}

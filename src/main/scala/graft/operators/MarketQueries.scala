@@ -54,6 +54,43 @@ object MarketQueries {
        |SELECT year, month, day, symbol, COUNT(*) AS n
        |FROM trades GROUP BY 1,2,3,4 ORDER BY 1,2,3,4""".stripMargin
 
+  // --- etl_incremental: idempotent load planning -----------------------
+  // The reference downloader keeps a manifest and skips files already
+  // in the lake (glue_binance_downloader.py:60-140, skip-if-exists
+  // against the S3 listing). Re-expressed Spark-first: a load ledger of
+  // already-ingested partition keys, anti-joined against the incoming
+  // feed, yields exactly the partitions still to load — re-running
+  // ingestion can never duplicate one. Here the ledger is simulated as
+  // "everything before Jan 21 is loaded"; the lake-side runtime twin
+  // (ledger parquet + left_anti + dynamic partition overwrite) lives in
+  // graft.etl.IncrementalIngest and is EtlSpec-pinned.
+
+  private def etlIncremental(s: SparkSession, dir: String): DataFrame = {
+    val t = trades(s, dir)
+    val ledger = t
+      .filter(col("trade_time") < lit("2024-01-21 00:00:00").cast(TimestampNTZType))
+      .select("symbol", "year", "month", "day").distinct()
+    t.groupBy("symbol", "year", "month", "day")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("quote_qty")).as("value_loaded"))
+      .join(ledger, Seq("symbol", "year", "month", "day"), "left_anti")
+      .orderBy("symbol", "year", "month", "day")
+  }
+
+  private val etlIncrementalSql =
+    s"""$cte, ledger AS (
+       |  SELECT DISTINCT symbol, year, month, day FROM trades
+       |  WHERE trade_time < TIMESTAMP '2024-01-21 00:00:00'),
+       |incoming AS (
+       |  SELECT symbol, year, month, day, COUNT(*) AS n_rows,
+       |         ${dsumSql("quote_qty")} AS value_loaded
+       |  FROM trades GROUP BY 1,2,3,4)
+       |SELECT symbol, year, month, day, n_rows, value_loaded
+       |FROM incoming i
+       |WHERE NOT EXISTS (SELECT 1 FROM ledger l
+       |                  WHERE l.symbol = i.symbol AND l.year = i.year
+       |                    AND l.month = i.month AND l.day = i.day)
+       |ORDER BY symbol, year, month, day""".stripMargin
+
   // --- Q1: partition-pruned counts + volume (athena_sample_queries.sql:9-21)
 
   private def q1(s: SparkSession, dir: String): DataFrame =
@@ -596,6 +633,7 @@ object MarketQueries {
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
+    Op("etl_incremental", etlIncremental, Some(etlIncrementalSql)),
     Op("etl_json_props", etlJsonProps, Some(etlJsonPropsSql)),
     Op("etl_upsert_latest", etlUpsertLatest, Some(etlUpsertLatestSql)),
     Op("etl_scd2_history", etlScd2, Some(etlScd2Sql)),

@@ -67,6 +67,57 @@ object StreamingJobs {
       .withColumn("minute", date_trunc("minute", col("ts")))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
 
+  case class QuoteState(us: Long, event: Long, value: Double)
+
+  case class AsofOut(trade_event: Long, user_id: Long,
+      trade_ts: java.sql.Timestamp, trade_value: Double,
+      quote_event: Option[Long], quote_value: Option[Double])
+
+  private def micros(t: java.sql.Timestamp): Long =
+    (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+
+  /** Streaming as-of join: each trade ("purchase") enriched with the
+    * latest quote ("view") of the same user at or before the trade —
+    * live trade⋈quote enrichment, the streaming twin of r6_asof_join.
+    *
+    * State is ONE small record per user (the latest quote), not a
+    * buffer of history — at any corpus size the state store holds
+    * |active users| rows, the minimal state an as-of join can carry.
+    * Within a batch events are sorted in event-time order (quotes
+    * before trades at the same instant, r6's tie rule); across batches
+    * the monotone-update guard keeps the newest quote under any
+    * event-time-ordered feed. StreamingSpec pins equivalence with the
+    * batch r6 semantics across a multi-batch feed. */
+  def asofJoin(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[QuoteState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e =>
+              (micros(e.ts), if (e.event_type == "view") 0 else 1, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[AsofOut]
+            sorted.foreach { e =>
+              e.event_type match {
+                case "view" =>
+                  if (cur.forall(q => q.us < micros(e.ts) ||
+                      (q.us == micros(e.ts) && q.event < e.event_id)))
+                    cur = Some(QuoteState(micros(e.ts), e.event_id, e.value))
+                case "purchase" =>
+                  out += AsofOut(e.event_id, userId, e.ts, e.value,
+                    cur.map(_.event), cur.map(_.value))
+                case _ => () // other event types are neither side of the join
+              }
+            }
+            cur.foreach(state.update)
+            out.result().iterator
+          }
+        })
+  }
+
   private val GapMs = 30L * 60 * 1000
 
   /** Gap-based sessionization with explicit state: one SessionState per

@@ -13,7 +13,7 @@ class EtlSpec extends AnyFunSuite {
 
   val base = "target/tmp/etl-lake"
 
-  def writeCsvLake(): Unit = {
+  def writeCsvLake(at: String = base): Unit = {
     // two symbols × one month, Binance trades CSV layout (no header):
     // trade_id,price,quantity,quote_qty,time(epoch ms),is_buyer_maker,is_best_match
     val rows = Map(
@@ -26,11 +26,16 @@ class EtlSpec extends AnyFunSuite {
         "10,3000.0,2.0,6000.0,1721995200000,False,False",
         "11,3001.5,4.0,12006.0,1721995500000,True,False"))
     rows.foreach { case (sym, lines) =>
-      val dir = Paths.get(s"$base/symbol=$sym/year=2024/month=07")
+      val dir = Paths.get(s"$at/symbol=$sym/year=2024/month=07")
       Files.createDirectories(dir)
       Files.writeString(dir.resolve(s"$sym-trades-2024-07.csv"),
         lines.mkString("\n"))
     }
+  }
+
+  private def rmrf(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   test("csv lake → normalize → DQ → partitioned parquet round-trip") {
@@ -121,6 +126,69 @@ class EtlSpec extends AnyFunSuite {
     val r = df.filter(col("trade_id") === 7 && col("archive").contains("AAAUSDT")).head
     assert(r.getAs[Double]("price") == 107.0)
     assert(r.getAs[String]("is_buyer_maker") == "True")
+  }
+
+  test("incremental ingestion is idempotent and loads only unseen partitions") {
+    import graft.etl.IncrementalIngest
+    val in = "target/tmp/etl-incr-in"
+    val lakeRoot = "target/tmp/etl-incr"
+    val dataPath = s"$lakeRoot/data"
+    rmrf(in); rmrf(lakeRoot)
+    writeCsvLake(in)
+
+    val n1 = IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot)
+    assert(n1 == 4) // 6 raw rows, 2 die at the DQ gate
+    // re-run with nothing new: the ledger anti-join makes it a no-op
+    val n2 = IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot)
+    assert(n2 == 0)
+    assert(spark.read.parquet(dataPath).count() == 4) // no duplicates
+
+    // a new partition lands in the feed → only it is ingested
+    val dir = Paths.get(s"$in/symbol=SOLUSDT/year=2024/month=07")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("SOLUSDT-trades-2024-07.csv"),
+      "21,150.0,2.0,300.0,1721995200000,True,True")
+    val n3 = IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot)
+    assert(n3 == 1)
+    val back = spark.read.parquet(dataPath)
+    assert(back.count() == 5)
+    assert(back.select("trade_id").distinct().count() == 5)
+    assert(IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot) == 0)
+  }
+
+  test("compaction merges small files; retention drops expired partitions") {
+    import graft.etl.LakeMaintenance
+    val lake = "target/tmp/maint-lake"
+    rmrf(lake)
+    val df = spark.range(1000).select(
+      col("id"),
+      (col("id") * 37 % 1000).as("value"),
+      lit(2024).as("year"), lit(1).as("month"),
+      (col("id") % 10 + 1).cast("int").as("day"),
+      concat(lit("SYM"), (col("id") % 2).cast("string")).as("symbol"))
+    // deliberate small-file sprawl: 8 tasks × every partition
+    df.repartition(8)
+      .write.partitionBy("year", "month", "day", "symbol").parquet(lake)
+
+    val before = LakeMaintenance.partitionCensus(spark, lake)
+    assert(before.exists(_._2 > 1), s"fixture not fragmented: $before")
+    val wantCount = spark.read.parquet(lake).count()
+    val wantSum = spark.read.parquet(lake).agg(sum("value")).head.getLong(0)
+
+    val compacted = LakeMaintenance.compact(spark, lake)
+    assert(compacted == before.count(_._2 > 1))
+    val after = LakeMaintenance.partitionCensus(spark, lake)
+    assert(after.forall(_._2 == 1), s"still fragmented: ${after.filter(_._2 > 1)}")
+    // compaction is layout-only: same rows, same values
+    assert(spark.read.parquet(lake).count() == wantCount)
+    assert(spark.read.parquet(lake).agg(sum("value")).head.getLong(0) == wantSum)
+
+    // retention: drop partitions before Jan 6 → days 1-5 gone, 6-10 kept
+    val dropped = LakeMaintenance.retention(spark, lake, java.time.LocalDate.of(2024, 1, 6))
+    assert(dropped == 5)
+    val days = spark.read.parquet(lake).select("day").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(days.sameElements(6 to 10), days.mkString(","))
   }
 
   test("partition audit groups by lake partition columns") {

@@ -103,6 +103,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedKeys == batchKeys)
   }
 
+  test("streaming as-of join matches batch r6 across an ordered multi-batch feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+      .sortBy(e => ((e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000,
+        if (e.event_type == "view") 0 else 1, e.event_id))
+    // two batches split on the global event-time order: quotes from
+    // batch 1 must carry over in state to enrich batch-2 trades
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val source = MemoryStream[StreamingJobs.Event]
+    val q = StreamingJobs.asofJoin(source.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_out").start()
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("asof_out")
+      .select("trade_event", "quote_event", "quote_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val batch = Registry.queries("r6_asof_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.get(4)), Option(r.get(5)))).toSet
+    assert(streamed == batch,
+      s"only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
+  }
+
   test("stateful sessionization matches the batch window sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
