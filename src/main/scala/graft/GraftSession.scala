@@ -15,6 +15,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // the test lake's events.ts is parquet TIMESTAMP(NANOS); read it
+      // as raw longs session-wide (Tables.events converts to µs NTZ).
+      // Set here once — Tables re-sets it defensively for sessions not
+      // built by this factory (e.g. the driver's).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

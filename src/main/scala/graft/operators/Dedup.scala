@@ -83,8 +83,8 @@ object Dedup {
       |sh AS (
       |  SELECT DISTINCT doc_id, source,
       |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
-      |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
-      |  WHERE i <= len(ts) - 2),
+      |  FROM (SELECT doc_id, source, ts,
+      |          unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -356,7 +356,8 @@ object Dedup {
     var prevSum = Long.MaxValue
     var curSum = labels.agg(sum("label")).head.getLong(0)
     var iter = 0
-    while (curSum < prevSum && iter < 20) {
+    val MaxRounds = 20
+    while (curSum < prevSum && iter < MaxRounds) {
       val neighborMin = edges.join(labels, edges("id_b") === labels("doc_id"))
         .groupBy(edges("id_a").as("nid")).agg(min("label").as("nmin"))
       labels = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
@@ -367,6 +368,12 @@ object Dedup {
       curSum = labels.agg(sum("label")).head.getLong(0)
       iter += 1
     }
+    // a silent cap-out would emit split clusters as if converged —
+    // components with diameter > MaxRounds must fail loudly instead
+    if (curSum < prevSum) throw new IllegalStateException(
+      s"dedup_clusters: label propagation still converging after " +
+      s"$MaxRounds rounds (graph diameter > $MaxRounds); raise the " +
+      s"round cap or pre-contract the graph")
     labels.select(col("label").as("cluster_id"), col("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }
@@ -377,8 +384,8 @@ object Dedup {
        |sh AS (
        |  SELECT DISTINCT doc_id, source,
        |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
-       |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
-       |  WHERE i <= len(ts) - 2),
+       |  FROM (SELECT doc_id, source, ts,
+       |          unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c

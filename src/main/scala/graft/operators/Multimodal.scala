@@ -72,9 +72,10 @@ object Multimodal {
     s"""SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
        |       CAST(octet_length(encode(substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes))) AS INTEGER) AS frame_bytes,
        |       md5(substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes)) AS frame_md5
-       |FROM documents,
-       |     (SELECT unnest(generate_series(0, 63)) AS i) g
-       |WHERE i < ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes)
+       |FROM (SELECT doc_id, text,
+       |        unnest(generate_series(0,
+       |          CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes) AS BIGINT) - 1)) AS i
+       |      FROM documents)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
   val ops: Seq[Op] = Seq(

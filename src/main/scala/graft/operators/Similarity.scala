@@ -216,13 +216,23 @@ object Similarity {
     * quantizer quality needs a representative sample, not every
     * vector); assignment of the full corpus stays exact. */
   private def trainCentroids(v: DataFrame): DataFrame = {
-    val sample = v.filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0 || col("vec_id") < IvfK)
+    // materialized once: every Lloyd round re-reads the sample, not
+    // the parquet scan + norm computation behind it
+    val sample = v.select(col("vec_id"), col("embedding"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0 || col("vec_id") < IvfK)
+      .localCheckpoint()
     var cents = v.filter(col("vec_id") < IvfK)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cent"))
       .localCheckpoint()
     for (_ <- 1 to LloydIters) {
-      val assigned = assign(sample, cents)
-      cents = sample.join(assigned, "vec_id")
+      // argmax carries the vector along, so no re-join with the sample
+      val assigned = sample.crossJoin(broadcast(withCentNorm(cents)))
+        .groupBy("vec_id")
+        .agg(
+          max_by(col("cid"),
+            struct(centScore(col("embedding"), col("cent"), col("cn2")), -col("cid"))).as("list_id"),
+          first(col("embedding")).as("embedding"))
+      cents = assigned
         .select(col("list_id").as("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy("cid", "d").agg(avg(col("x")).as("m"))
         .groupBy("cid")

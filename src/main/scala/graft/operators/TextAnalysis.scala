@@ -169,8 +169,7 @@ object TextAnalysis {
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       |bi AS (
       |  SELECT ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] AS bigram
-      |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) g
-      |  WHERE i <= len(ts) - 1)
+      |  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks))
       |SELECT bigram, COUNT(*) AS n FROM bi
       |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin
 
