@@ -14,6 +14,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // shuffles start wide and AQE coalesces to the advisory size:
+      // at small SF this lands on ~`cores` partitions anyway, while at
+      // 16× data it prevents the per-partition spill a fixed low
+      // partition count causes (the cluster-honest setting — partition
+      // count tracks data volume, not a constant)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cores.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // the test lake's events.ts is parquet TIMESTAMP(NANOS); read it
       // as raw longs session-wide (Tables.events converts to µs NTZ).

@@ -33,9 +33,26 @@ object ScaleProbe {
         .withColumn("o_custkey", col("o_custkey") + col("rep") * 1000000L)
         .drop("rep")
         .write.mode("overwrite").parquet(s"$dst/orders.parquet")
-      // dims + llm tables: pass through unscaled
-      for (t <- Seq("customer", "supplier", "part", "nation", "region", "documents", "embeddings"))
+      // dims: pass through unscaled
+      for (t <- Seq("supplier", "part", "nation", "region"))
         Tables.table(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      // llm tables scale too, replica-DISTINCT so pair growth stays
+      // linear (what real corpus growth looks like): every word gets a
+      // replica prefix → no cross-replica shingle/signature collisions,
+      // and blocking keys (source, label) are offset per replica.
+      Tables.table(spark, src, "documents").crossJoin(reps)
+        .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
+        .withColumn("source", concat(col("source"), lit("_r"), col("rep")))
+        .withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            w => concat(lit("r"), col("rep"), lit("x"), w)), " "))
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      Tables.table(spark, src, "embeddings").crossJoin(reps)
+        .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
+        .withColumn("label", col("label") + col("rep") * 1000L)
+        .drop("rep")
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
       // customer must cover the scaled custkeys for join semantics
       Tables.customer(spark, src).crossJoin(reps)
         .withColumn("c_custkey", col("c_custkey") + col("rep") * 1000000L)
@@ -47,7 +64,11 @@ object ScaleProbe {
       "q12_drawdown", "q13_gapfill", "q14_correlation_matrix",
       "r1_pricing_summary", "r2_top_customers", "r6_asof_join",
       "r14_range_join", "s1_window_candles", "s2_sessionize",
-      "etl_normalize", "etl_upsert_latest")
+      "etl_normalize", "etl_upsert_latest", "etl_incremental",
+      "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
+      "dedup_embedding", "dedup_clusters",
+      "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
+      "text_heavy_hitters", "text_ngram_freq")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()

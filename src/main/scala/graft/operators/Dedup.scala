@@ -320,9 +320,10 @@ object Dedup {
 
   // --- dedup_clusters: transitive near-dup groups ----------------------
   // Connected components over the Jaccard similarity graph (j ≥ 0.03)
-  // via iterative min-label propagation — the standard Spark shape for
-  // graph fixpoints: each round is one join + aggregate, lineage is
-  // truncated with localCheckpoint, and convergence (≤ graph diameter
+  // via iterative min-label propagation with pointer doubling — the
+  // standard Spark shape for graph fixpoints: each round is one
+  // neighbor-min join + one label-jump join + aggregate, lineage is
+  // truncated with localCheckpoint, and convergence (O(log diameter)
   // rounds) is independent of partitioning. Canonical-doc selection
   // across transitive duplicate groups is why this exists in training
   // pipelines: A≈B and B≈C must collapse to one cluster even when A≉C.
@@ -360,9 +361,16 @@ object Dedup {
     while (curSum < prevSum && iter < MaxRounds) {
       val neighborMin = edges.join(labels, edges("id_b") === labels("doc_id"))
         .groupBy(edges("id_a").as("nid")).agg(min("label").as("nmin"))
-      labels = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
+      val merged = labels.join(neighborMin, labels("doc_id") === col("nid"), "left")
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer doubling: label[v] ← label[label[v]] halves every label
+      // chain, so convergence is O(log diameter) rounds instead of
+      // O(diameter) — the 20-round cap then covers diameters ~2^20
+      val jump = merged.select(col("doc_id").as("jd"), col("label").as("jl"))
+      labels = merged.join(jump, merged("label") === col("jd"), "left")
+        .select(merged("doc_id"),
+          least(merged("label"), coalesce(col("jl"), merged("label"))).as("label"))
         .localCheckpoint()
       prevSum = curSum
       curSum = labels.agg(sum("label")).head.getLong(0)
@@ -372,8 +380,8 @@ object Dedup {
     // components with diameter > MaxRounds must fail loudly instead
     if (curSum < prevSum) throw new IllegalStateException(
       s"dedup_clusters: label propagation still converging after " +
-      s"$MaxRounds rounds (graph diameter > $MaxRounds); raise the " +
-      s"round cap or pre-contract the graph")
+      s"$MaxRounds doubling rounds (graph diameter ~> 2^$MaxRounds); " +
+      s"raise the round cap or pre-contract the graph")
     labels.select(col("label").as("cluster_id"), col("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }

@@ -191,6 +191,51 @@ class EtlSpec extends AnyFunSuite {
     assert(days.sameElements(6 to 10), days.mkString(","))
   }
 
+  test("CDC merge: latest-wins upserts, deletes, idempotent replay, emptied partitions") {
+    import graft.etl.CdcMerge
+    val in = "target/tmp/etl-cdc-in"
+    val lake = "target/tmp/etl-cdc-lake"
+    rmrf(in); rmrf(lake)
+    writeCsvLake(in)
+    MarketEtl.run(spark, in, lake)
+    val base = spark.read.parquet(lake)
+    assert(base.count() == 4) // trades 1,2 (BTC) + 10,11 (ETH)
+
+    def tagged(id: Long, op: String, seq: Long) =
+      base.filter(col("trade_id") === id)
+        .withColumn("op", lit(op)).withColumn("seq", lit(seq))
+    val changes = tagged(1, "U", 2).withColumn("price", lit(99999.0))
+      .unionByName(tagged(1, "U", 1).withColumn("price", lit(1.0))) // stale, must lose
+      .unionByName(tagged(10, "D", 1))
+      .unionByName(tagged(2, "I", 1).withColumn("trade_id", lit(999L)))
+      .localCheckpoint() // changes derive from the lake being rewritten
+
+    val (nU, nD) = CdcMerge(spark, lake, changes, Seq("trade_id"))
+    assert((nU, nD) == (2L, 1L))
+    val after = spark.read.parquet(lake)
+    assert(after.count() == 4) // -1 delete, +1 insert
+    assert(after.filter(col("trade_id") === 1).head.getAs[Double]("price") == 99999.0)
+    assert(after.filter(col("trade_id") === 10).isEmpty)
+    assert(after.filter(col("trade_id") === 999).count() == 1)
+
+    // replaying the same batch converges to the same state
+    CdcMerge(spark, lake, changes, Seq("trade_id"))
+    val replay = spark.read.parquet(lake)
+    assert(replay.count() == 4)
+    assert(replay.filter(col("trade_id") === 1).head.getAs[Double]("price") == 99999.0)
+
+    // deleting a partition's last row drops the partition directory
+    // (fresh read: `base`'s file listing is stale after the rewrites)
+    val delLast = spark.read.parquet(lake).filter(col("trade_id") === 11)
+      .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      .localCheckpoint()
+    CdcMerge(spark, lake, delLast, Seq("trade_id"))
+    val end = spark.read.parquet(lake)
+    assert(end.filter(col("symbol") === "ETHUSDT").isEmpty)
+    assert(!Files.exists(Paths.get(s"$lake").resolve("year=2024/month=7/day=26/symbol=ETHUSDT"))
+      || new java.io.File(s"$lake/year=2024/month=7/day=26/symbol=ETHUSDT").list().isEmpty)
+  }
+
   test("partition audit groups by lake partition columns") {
     val audit = MarketEtl.partitionAudit(
       MarketEtl.dqFilter(MarketEtl.normalize(MarketEtl.readTradesCsv(spark, base))))
