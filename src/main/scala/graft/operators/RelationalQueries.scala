@@ -417,6 +417,100 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // --- r16: nation-pair trade flow (TPC-H Q7 shape) --------------------
+  // Two independent joins against the same bounded dim (nation) under
+  // different roles — only the dims are broadcast; customer/supplier
+  // scale with SF and stay AQE-planned.
+
+  private def r16(s: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(s, dir)
+    val o   = Tables.orders(s, dir)
+    val c   = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  private val r16Sql =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       |       ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS volume,
+       |       COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE n1.n_name <> n2.n_name
+       |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
+
+  // --- r17: market share (TPC-H Q8 shape) ------------------------------
+  // One nation's share of a region's PROMO-part market per order year:
+  // conditional numerator over the same exact-decimal denominator.
+
+  private def r17(s: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(s, dir)
+    val o   = Tables.orders(s, dir)
+    val c   = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val p   = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey").as("c_rk"))
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    // part scales with SF → no broadcast hint (AQE decides); only the
+    // fixed-size nation/region dims are hinted
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("c_rk") === col("r_regionkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(vol, 6).as("volume"),
+        dsum(when(col("supp_nation") === "NATION_5", vol).otherwise(lit(0.0)), 6).as("nation_volume"))
+      .withColumn("mkt_share", ratio(col("nation_volume"), col("volume")))
+      .orderBy("o_year")
+  }
+
+  private val r17Sql =
+    s"""SELECT o_year, volume, nation_volume,
+       |       ${ratioSql("nation_volume", "volume")} AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |         ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS volume,
+       |         ${dsumSql(
+                 "CASE WHEN n1.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)} AS nation_volume
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  GROUP BY 1)
+       |ORDER BY o_year""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -432,5 +526,7 @@ object RelationalQueries {
     Op("r12_pivot", r12, Some(r12Sql)),
     Op("r13_anti_join", r13, Some(r13Sql)),
     Op("r14_range_join", r14, Some(r14Sql)),
-    Op("r15_grouping_sets", r15, Some(r15Sql)))
+    Op("r15_grouping_sets", r15, Some(r15Sql)),
+    Op("r16_nation_flow", r16, Some(r16Sql)),
+    Op("r17_market_share", r17, Some(r17Sql)))
 }
