@@ -1,0 +1,119 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal table-format layer over the parquet lake: versioned
+  * file-manifest snapshots with time-travel reads and rollback.
+  *
+  * What Iceberg/Delta call a snapshot is, at its core, a manifest of
+  * the data files visible at a version. This records exactly that —
+  * `_snapshots/v{N}.manifest`, one relative path + length per line —
+  * giving the lake the three operations the immutable-append workflow
+  * needs: `commit` after a load, `readVersion` to query any past
+  * snapshot, `rollback` to discard files added since one.
+  *
+  * Scale notes: a manifest is one driver-side listing (bounded by file
+  * count, the same listing split planning does) and snapshot reads
+  * pass the explicit file list to the parquet source — no directory
+  * scan at all, and partition columns still parse from the paths via
+  * `basePath`. Contract: valid under append-style evolution
+  * (ingestion, CDC inserts of new partitions); compaction/retention
+  * REWRITE files and invalidate older snapshots — production table
+  * formats version the rewrite itself, which is out of scope here and
+  * enforced by `rollback` failing loudly when a manifest file is gone.
+  */
+object Snapshots {
+
+  private def snapDir(lakeRoot: String) = new Path(lakeRoot, "_snapshots")
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(spark: SparkSession, lakeRoot: String): Seq[(String, Long)] = {
+    val root = new Path(lakeRoot)
+    val f = fs(spark, root)
+    val rootUri = f.makeQualified(root).toString
+    def walk(p: Path): Seq[(String, Long)] =
+      f.listStatus(p).filter(!_.getPath.getName.startsWith("_")).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq((f.makeQualified(s.getPath).toString.stripPrefix(rootUri + "/"), s.getLen))
+      }
+    walk(root)
+  }
+
+  def versions(spark: SparkSession, lakeRoot: String): Seq[Int] = {
+    val d = snapDir(lakeRoot)
+    val f = fs(spark, d)
+    if (!f.exists(d)) Seq.empty
+    else f.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .toSeq.sorted
+  }
+
+  /** Records the current file set as the next snapshot version and
+    * returns its number. */
+  def commit(spark: SparkSession, lakeRoot: String): Int = {
+    val v = versions(spark, lakeRoot).lastOption.getOrElse(0) + 1
+    val manifest = dataFiles(spark, lakeRoot)
+      .map { case (p, len) => s"$p\t$len" }.sorted.mkString("\n")
+    val d = snapDir(lakeRoot)
+    val f = fs(spark, d)
+    f.mkdirs(d)
+    val out = f.create(new Path(d, s"v$v.manifest"), true)
+    out.write(manifest.getBytes("UTF-8")); out.close()
+    v
+  }
+
+  def manifest(spark: SparkSession, lakeRoot: String, version: Int): Seq[(String, Long)] = {
+    val p = new Path(snapDir(lakeRoot), s"v$version.manifest")
+    val f = fs(spark, p)
+    require(f.exists(p), s"no snapshot v$version under $lakeRoot")
+    val in = f.open(p)
+    val text = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(path, len) = l.split("\t"); (path, len.toLong)
+    }.toSeq
+  }
+
+  /** Time-travel read: exactly the files of `version`, as of commit
+    * time. Fails loudly if a manifest file was rewritten away. */
+  def readVersion(spark: SparkSession, lakeRoot: String, version: Int): DataFrame = {
+    val root = new Path(lakeRoot)
+    val f = fs(spark, root)
+    val qualified = f.makeQualified(root).toString
+    val paths = manifest(spark, lakeRoot, version).map { case (p, _) => s"$qualified/$p" }
+    paths.foreach(p => require(f.exists(new Path(p)),
+      s"snapshot v$version references rewritten/deleted file $p — " +
+      "snapshots only survive append-style evolution (see Snapshots doc)"))
+    spark.read.option("basePath", qualified).parquet(paths: _*)
+  }
+
+  /** Deletes every data file not in `version`'s manifest (and any
+    * now-empty partition dirs), restoring the lake to that snapshot.
+    * Returns the number of files removed. */
+  def rollback(spark: SparkSession, lakeRoot: String, version: Int): Int = {
+    val keep = manifest(spark, lakeRoot, version).map(_._1).toSet
+    val root = new Path(lakeRoot)
+    val f = fs(spark, root)
+    keep.foreach(p => require(f.exists(new Path(root, p)),
+      s"cannot roll back to v$version: file $p was rewritten/deleted"))
+    val doomed = dataFiles(spark, lakeRoot).map(_._1).filterNot(keep)
+    doomed.foreach(p => f.delete(new Path(root, p), false))
+    // prune empty partition dirs left behind
+    def prune(p: Path): Boolean = { // returns true if p ends up empty and deleted
+      if (!f.getFileStatus(p).isDirectory) return false
+      val kids = f.listStatus(p)
+      val remaining = kids.count { k =>
+        if (k.isDirectory && !k.getPath.getName.startsWith("_")) !prune(k.getPath)
+        else true
+      }
+      if (remaining == 0 && p != root) { f.delete(p, false); true } else false
+    }
+    f.listStatus(root).filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+      .foreach(s => prune(s.getPath))
+    doomed.size
+  }
+}

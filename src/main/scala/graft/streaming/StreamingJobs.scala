@@ -67,6 +67,22 @@ object StreamingJobs {
       .withColumn("minute", date_trunc("minute", col("ts")))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
 
+  /** Windowed streaming heavy hitters: the SpaceSaving
+    * `TypedImperativeAggregate` (graft.plans.HeavyHitters) running as a
+    * plain aggregate inside a watermarked window groupBy — per-window
+    * state is one bounded sketch (≤ capacity counters), merged
+    * incrementally across micro-batches by the engine like any agg
+    * buffer. The custom-aggregate tier composes with Structured
+    * Streaming unchanged. */
+  def heavyHittersStream(events: DataFrame, capacity: Int = 64): DataFrame = {
+    graft.plans.HeavyHitters.register(events.sparkSession)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(graft.plans.HeavyHitters.heavy_hitters(col("event_type"), capacity).as("top_types"))
+      .select(col("window.start").as("window_start"), col("top_types"))
+  }
+
   case class QuoteState(us: Long, event: Long, value: Double)
 
   case class AsofOut(trade_event: Long, user_id: Long,

@@ -236,6 +236,39 @@ class EtlSpec extends AnyFunSuite {
       || new java.io.File(s"$lake/year=2024/month=7/day=26/symbol=ETHUSDT").list().isEmpty)
   }
 
+  test("snapshots: commit, time-travel read, rollback over append evolution") {
+    import graft.etl.{IncrementalIngest, Snapshots}
+    val in = "target/tmp/etl-snap-in"
+    val lakeRoot = "target/tmp/etl-snap"
+    val dataPath = s"$lakeRoot/data"
+    rmrf(in); rmrf(lakeRoot)
+    writeCsvLake(in)
+    IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot)
+    assert(Snapshots.commit(spark, dataPath) == 1)
+
+    // append-style evolution: a new partition lands via the ledger path
+    val dir = Paths.get(s"$in/symbol=SOLUSDT/year=2024/month=07")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("SOLUSDT-trades-2024-07.csv"),
+      "21,150.0,2.0,300.0,1721995200000,True,True")
+    IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot)
+    assert(Snapshots.commit(spark, dataPath) == 2)
+    assert(Snapshots.versions(spark, dataPath) == Seq(1, 2))
+
+    assert(spark.read.parquet(dataPath).count() == 5)
+    // time travel: v1 sees the lake as of the first load
+    val v1 = Snapshots.readVersion(spark, dataPath, 1)
+    assert(v1.count() == 4)
+    assert(v1.select("symbol").distinct().count() == 2) // partition cols survive
+    assert(Snapshots.readVersion(spark, dataPath, 2).count() == 5)
+
+    val removed = Snapshots.rollback(spark, dataPath, 1)
+    assert(removed >= 1)
+    val back = spark.read.parquet(dataPath)
+    assert(back.count() == 4)
+    assert(back.filter(col("symbol") === "SOLUSDT").isEmpty)
+  }
+
   test("partition audit groups by lake partition columns") {
     val audit = MarketEtl.partitionAudit(
       MarketEtl.dqFilter(MarketEtl.normalize(MarketEtl.readTradesCsv(spark, base))))

@@ -103,6 +103,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedKeys == batchKeys)
   }
 
+  test("streaming heavy hitters: SpaceSaving aggregate inside a windowed stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+    val source = MemoryStream[StreamingJobs.Event]
+    source.addData(rows.toSeq)
+    val q = StreamingJobs.heavyHittersStream(source.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // capacity (64) > distinct event types (5) → sketch counts are
+    // exact; every window must match the batch groupBy exactly
+    val streamed = spark.table("hh_out").collect().flatMap { r =>
+      val w = r.getTimestamp(0).getTime
+      r.getMap[String, Long](1).map { case (t, n) => (w, t, n) }
+    }.toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(window(col("ts").cast("timestamp"), "10 minutes"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getStruct(0).getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch,
+      s"only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming as-of join matches batch r6 across an ordered multi-batch feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
