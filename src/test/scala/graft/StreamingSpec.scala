@@ -160,6 +160,59 @@ class StreamingSpec extends AnyFunSuite {
       s"only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
   }
 
+  test("file-sink candles survive a restart from checkpoint without duplicates") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val root = "target/tmp/stream-restart"
+    val srcDir = s"$root/src"; val sinkDir = s"$root/sink"; val ckDir = s"$root/ck"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    JFiles.createDirectories(JPaths.get(srcDir))
+
+    // split the events file into two arrival batches by raw nanos ts
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val mid = raw.selectExpr("percentile_approx(ts, 0.5)").head.getLong(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      JFiles.copy(part.toPath, JPaths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(raw.filter(col("ts") < mid), "a")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+        .parquet(srcDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = StreamingJobs.candles(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .format("parquet").option("path", sinkDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(sinkDir).count()
+    // restart from the same checkpoint with the second half arrived
+    stage(raw.filter(col("ts") >= mid), "b")
+    runOnce()
+
+    val sunk = spark.read.parquet(sinkDir)
+      .withColumn("minute", col("minute").cast("timestamp_ntz"))
+    val n = sunk.count()
+    assert(n > afterFirst, s"restart made no progress ($afterFirst -> $n)")
+    // exactly-once across the restart: one row per (symbol, minute)…
+    assert(sunk.select("symbol", "minute").distinct().count() == n)
+    // …and every emitted window matches the batch result cell-for-cell
+    val batch = Registry.queries("s1_window_candles")(spark, sf)
+    val joined = sunk.join(batch,
+      Seq("symbol", "minute", "n_events", "open", "close", "low", "high", "volume"))
+    assert(joined.count() == n, "an emitted window diverges from batch")
+  }
+
   test("stateful sessionization matches the batch window sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
