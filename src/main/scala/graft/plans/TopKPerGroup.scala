@@ -53,6 +53,12 @@ object TopKPerGroup {
   val MaxBufferedKey = "spark.graft.topk.maxBufferedRows"
   val MaxBufferedDefault = 4000000L
 
+  /** "heap" (default: no sort, task-memory heaps, fail-fast cap) or
+    * "sorted" (spill-safe: the planner's SortExec owns memory, the
+    * operator streams first-k-per-group in O(1)). Pick "sorted" when
+    * group cardinality per partition is unbounded. */
+  val ModeKey = "spark.graft.topk.mode"
+
   /** Installs the rewrite into an existing session (public API — no
     * session rebuild needed) and switches it on. Idempotent; sticky for
     * the session. Result-identity with the Window plan is pinned by
@@ -100,10 +106,12 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(group, order, k, rankAttr, child) =>
-      val maxBuffered = org.apache.spark.sql.internal.SQLConf.get
-        .getConfString(TopKPerGroup.MaxBufferedKey,
-          TopKPerGroup.MaxBufferedDefault.toString).toLong
-      TopKPerGroupExec(group, order, k, rankAttr, maxBuffered, planLater(child)) :: Nil
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val maxBuffered = conf.getConfString(TopKPerGroup.MaxBufferedKey,
+        TopKPerGroup.MaxBufferedDefault.toString).toLong
+      val sorted = conf.getConfString(TopKPerGroup.ModeKey, "heap") == "sorted"
+      TopKPerGroupExec(group, order, k, rankAttr, maxBuffered, sorted,
+        planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -114,6 +122,7 @@ case class TopKPerGroupExec(
     k: Int,
     rankAttr: Attribute,
     maxBuffered: Long,
+    sorted: Boolean,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -122,7 +131,40 @@ case class TopKPerGroupExec(
     if (group.isEmpty) ClusteredDistribution(Seq(Literal(1))) :: Nil
     else ClusteredDistribution(group) :: Nil
 
+  // sorted mode delegates memory safety to the (spillable) SortExec the
+  // planner inserts to satisfy this ordering; the operator itself then
+  // streams in O(1) memory
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (!sorted) Seq(Nil)
+    else Seq(group.map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)) ++ order)
+
+  /** Streaming pass over (group, order)-sorted input: emit the first k
+    * rows of each group, skip the rest. No operator-side buffering at
+    * all — the upstream sort spills as needed. */
+  private def doExecuteSorted(): RDD[InternalRow] = {
+    val localGroup = group
+    val localK = k
+    val localOutput = child.output
+    val localRank = rankAttr
+    child.execute().mapPartitions { iter =>
+      val groupProj = UnsafeProjection.create(localGroup, localOutput)
+      val joiner = UnsafeProjection.create(localOutput :+ localRank, localOutput :+ localRank)
+      var curKey: InternalRow = null
+      var rank = 0
+      iter.flatMap { row =>
+        val key = groupProj(row)
+        if (curKey == null || key != curKey) { curKey = key.copy(); rank = 0 }
+        rank += 1
+        if (rank <= localK)
+          Iterator.single[InternalRow](joiner(
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow(row, InternalRow(rank))))
+        else Iterator.empty
+      }
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    if (sorted) return doExecuteSorted()
     // capture only serializable expressions; build projections and
     // orderings executor-side (generated classes don't serialize)
     val localGroup = group

@@ -47,6 +47,21 @@ class TopKSpec extends AnyFunSuite {
       val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
       assert(got == want,
         s"only-topk=${(got -- want).take(3)} only-window=${(want -- got).take(3)}")
+
+      // spill-safe sorted mode: same rows, the planner's (spillable)
+      // SortExec owns memory and the operator streams first-k-per-group
+      s2.conf.set(graft.plans.TopKPerGroup.ModeKey, "sorted")
+      try {
+        val dfSorted = topkQuery(s2)
+        val planSorted = dfSorted.queryExecution.executedPlan.toString
+        assert(planSorted.contains("TopKPerGroup"), planSorted.take(1500))
+        assert(planSorted.contains("Sort "), "sorted mode should require a sort:\n" +
+          planSorted.take(1500))
+        val gotSorted = dfSorted.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+        assert(gotSorted == want,
+          s"only-sorted=${(gotSorted -- want).take(3)} only-window=${(want -- gotSorted).take(3)}")
+      } finally s2.conf.set(graft.plans.TopKPerGroup.ModeKey, "heap")
     } finally {
       saved.foreach { s =>
         SparkSession.setDefaultSession(s)
