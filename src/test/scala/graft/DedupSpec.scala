@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
@@ -62,6 +63,33 @@ class DedupSpec extends AnyFunSuite {
     // 2 probes over a 10-list quantizer on 10-dim-cluster data: expect
     // meaningful but not perfect recall
     assert(recall >= 0.2, s"IVF recall $recall too low (${ivf.size} results)")
+  }
+
+  test("ANN two-phase prefilter is bit-identical to exhaustive exact scoring") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    import graft.operators.Similarity
+    import graft.functions.round6
+    // exhaustive reference: exact decimal scoring of EVERY pair, no
+    // fast prefilter — what ann_bruteforce computed before the
+    // two-phase rework; results must agree cell-for-cell
+    val v = Similarity.withNorm2(Tables.embeddings(spark, sf))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    val exhaustive = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (Similarity.ddot(col("q_emb"), col("embedding")).cast(DoubleType) /
+          (sqrt(col("qn2")) * sqrt(col("n2")))).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round6(col("cos_raw")).as("cos_sim"))
+      .collect().map(_.toSeq).toSet
+    val twoPhase = Registry.queries("ann_bruteforce_topk")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(twoPhase == exhaustive,
+      s"prefilter diverges: only-2p=${twoPhase.diff(exhaustive).take(3)} " +
+      s"only-exhaustive=${exhaustive.diff(twoPhase).take(3)}")
   }
 
   test("LSH ANN results agree with brute force on shared pairs") {
