@@ -58,8 +58,18 @@ object LakeMaintenance {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
       .parquet(lakeRoot)
+    reSnapshot(spark, lakeRoot)
     fragmented.size
   }
+
+  /** A rewrite invalidates any snapshot referencing the old files:
+    * expire those and record the new layout as a fresh snapshot
+    * (VACUUM semantics — see Snapshots.expireInvalid). */
+  private def reSnapshot(spark: SparkSession, lakeRoot: String): Unit =
+    if (Snapshots.enabled(spark, lakeRoot)) {
+      Snapshots.expireInvalid(spark, lakeRoot)
+      Snapshots.commit(spark, lakeRoot)
+    }
 
   /** Age-based retention for a lake partitioned by year/month/day:
     * drops (deletes) every partition strictly older than the cutoff
@@ -90,6 +100,7 @@ object LakeMaintenance {
       }
     }
     expired.foreach(fs.delete(_, true))
+    if (expired.nonEmpty) reSnapshot(spark, lakeRoot)
     expired.size
   }
 }

@@ -52,10 +52,22 @@ object Snapshots {
       .toSeq.sorted
   }
 
+  /** Highest version number ever used, live or expired — version
+    * numbers are never reused. */
+  private def maxEverVersion(spark: SparkSession, lakeRoot: String): Int = {
+    val d = snapDir(lakeRoot)
+    val f = fs(spark, d)
+    if (!f.exists(d)) 0
+    else f.listStatus(d).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.contains(".manifest") =>
+        n.stripPrefix("v").takeWhile(_.isDigit).toInt }
+      .foldLeft(0)(math.max)
+  }
+
   /** Records the current file set as the next snapshot version and
     * returns its number. */
   def commit(spark: SparkSession, lakeRoot: String): Int = {
-    val v = versions(spark, lakeRoot).lastOption.getOrElse(0) + 1
+    val v = maxEverVersion(spark, lakeRoot) + 1
     val manifest = dataFiles(spark, lakeRoot)
       .map { case (p, len) => s"$p\t$len" }.sorted.mkString("\n")
     val d = snapDir(lakeRoot)
@@ -90,6 +102,29 @@ object Snapshots {
       "snapshots only survive append-style evolution (see Snapshots doc)"))
     spark.read.option("basePath", qualified).parquet(paths: _*)
   }
+
+  /** Drops every snapshot whose manifest references a file that no
+    * longer exists — the aftermath of a rewrite (compaction,
+    * retention, CDC). Table-format VACUUM semantics: maintenance
+    * trades old time travel for layout. Returns the expired versions.
+    * Callers that rewrite should follow with [[commit]] so the new
+    * layout is itself a snapshot (LakeMaintenance does both). */
+  def expireInvalid(spark: SparkSession, lakeRoot: String): Seq[Int] = {
+    val root = new Path(lakeRoot)
+    val f = fs(spark, root)
+    versions(spark, lakeRoot).filter { v =>
+      manifest(spark, lakeRoot, v).exists { case (p, _) => !f.exists(new Path(root, p)) }
+    }.map { v =>
+      // rename, don't delete: keeps the audit trail and keeps version
+      // numbers monotone (commit never reuses an expired number)
+      f.rename(new Path(snapDir(lakeRoot), s"v$v.manifest"),
+        new Path(snapDir(lakeRoot), s"v$v.manifest.expired")); v
+    }
+  }
+
+  /** True when the lake has any snapshot history. */
+  def enabled(spark: SparkSession, lakeRoot: String): Boolean =
+    versions(spark, lakeRoot).nonEmpty
 
   /** Deletes every data file not in `version`'s manifest (and any
     * now-empty partition dirs), restoring the lake to that snapshot.

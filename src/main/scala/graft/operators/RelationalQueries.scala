@@ -511,6 +511,45 @@ object RelationalQueries {
        |  GROUP BY 1)
        |ORDER BY o_year""".stripMargin
 
+  // --- r18: problem suppliers (TPC-H Q21 shape) ------------------------
+  // Nested EXISTS + NOT EXISTS: suppliers who shipped late (> 60 days
+  // after the order date) in multi-supplier orders where nobody else
+  // was late — a left-semi feeding a left-anti on the same key, both
+  // planned as single-shuffle joins.
+
+  private def r18(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+    val lateLines = l.filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val lateOthers = lateLines.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    lateLines
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"), "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"), "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val r18Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -528,5 +567,6 @@ object RelationalQueries {
     Op("r14_range_join", r14, Some(r14Sql)),
     Op("r15_grouping_sets", r15, Some(r15Sql)),
     Op("r16_nation_flow", r16, Some(r16Sql)),
-    Op("r17_market_share", r17, Some(r17Sql)))
+    Op("r17_market_share", r17, Some(r17Sql)),
+    Op("r18_problem_suppliers", r18, Some(r18Sql)))
 }

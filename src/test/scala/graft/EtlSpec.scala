@@ -174,6 +174,7 @@ class EtlSpec extends AnyFunSuite {
     assert(before.exists(_._2 > 1), s"fixture not fragmented: $before")
     val wantCount = spark.read.parquet(lake).count()
     val wantSum = spark.read.parquet(lake).agg(sum("value")).head.getLong(0)
+    val preCompactVersion = graft.etl.Snapshots.commit(spark, lake)
 
     val compacted = LakeMaintenance.compact(spark, lake)
     assert(compacted == before.count(_._2 > 1))
@@ -182,6 +183,11 @@ class EtlSpec extends AnyFunSuite {
     // compaction is layout-only: same rows, same values
     assert(spark.read.parquet(lake).count() == wantCount)
     assert(spark.read.parquet(lake).agg(sum("value")).head.getLong(0) == wantSum)
+    // the rewrite expired the pre-compaction snapshot and recorded the
+    // new layout as a fresh one (VACUUM semantics)
+    val vs = graft.etl.Snapshots.versions(spark, lake)
+    assert(!vs.contains(preCompactVersion) && vs.nonEmpty, vs.mkString(","))
+    assert(graft.etl.Snapshots.readVersion(spark, lake, vs.last).count() == wantCount)
 
     // retention: drop partitions before Jan 6 → days 1-5 gone, 6-10 kept
     val dropped = LakeMaintenance.retention(spark, lake, java.time.LocalDate.of(2024, 1, 6))
