@@ -103,6 +103,29 @@ object Snapshots {
     spark.read.option("basePath", qualified).parquet(paths: _*)
   }
 
+  /** The incremental read set: files present in `toVersion` but not
+    * `fromVersion`. With append-style loads this is exactly the new
+    * data between the two commits — the primitive an incremental
+    * downstream job consumes instead of re-scanning the lake. */
+  def addedFiles(spark: SparkSession, lakeRoot: String,
+      fromVersion: Int, toVersion: Int): Seq[String] = {
+    val before = manifest(spark, lakeRoot, fromVersion).map(_._1).toSet
+    manifest(spark, lakeRoot, toVersion).map(_._1).filterNot(before)
+  }
+
+  /** Reads only the rows added between two snapshots (explicit
+    * file-list scan; partition columns still parse via basePath). */
+  def readAdded(spark: SparkSession, lakeRoot: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val root = new Path(lakeRoot)
+    val qualified = fs(spark, root).makeQualified(root).toString
+    val paths = addedFiles(spark, lakeRoot, fromVersion, toVersion)
+      .map(p => s"$qualified/$p")
+    require(paths.nonEmpty,
+      s"no files added between v$fromVersion and v$toVersion")
+    spark.read.option("basePath", qualified).parquet(paths: _*)
+  }
+
   /** Drops every snapshot whose manifest references a file that no
     * longer exists — the aftermath of a rewrite (compaction,
     * retention, CDC). Table-format VACUUM semantics: maintenance

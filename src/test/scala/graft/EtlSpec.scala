@@ -268,6 +268,12 @@ class EtlSpec extends AnyFunSuite {
     assert(v1.select("symbol").distinct().count() == 2) // partition cols survive
     assert(Snapshots.readVersion(spark, dataPath, 2).count() == 5)
 
+    // manifest diff = the incremental read set: exactly the new
+    // partition's rows, nothing rescanned
+    val added = Snapshots.readAdded(spark, dataPath, 1, 2)
+    assert(added.count() == 1)
+    assert(added.select("symbol").head.getString(0) == "SOLUSDT")
+
     val removed = Snapshots.rollback(spark, dataPath, 1)
     assert(removed >= 1)
     val back = spark.read.parquet(dataPath)
