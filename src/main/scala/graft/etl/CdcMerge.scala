@@ -29,12 +29,18 @@ object CdcMerge {
 
   private val partCols = Seq("year", "month", "day", "symbol")
 
-  /** Latest change per key by (seq, opCol tiebreak-free) — the state a
-    * key converges to no matter how many times the batch replays. */
+  /** Latest change per key — the state a key converges to no matter
+    * how many times the batch replays. The max_by order key is the
+    * full value struct led by seq: two changes with equal seq resolve
+    * by comparing the remaining fields, so replay is deterministic
+    * even on malformed batches that reuse a sequence number (a bare
+    * seq key would let ties resolve by partition order and break the
+    * idempotent-replay guarantee). */
   private def latestChanges(changes: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
     val valueCols = changes.columns.filterNot(c => keyCols.contains(c))
+    val orderCols = col(seqCol) +: valueCols.filterNot(_ == seqCol).map(col)
     changes.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(valueCols.map(col): _*), col(seqCol)).as("v"))
+      .agg(max_by(struct(valueCols.map(col): _*), struct(orderCols: _*)).as("v"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c")): _*)
   }
 
@@ -85,6 +91,9 @@ object CdcMerge {
     }
     val counts = (upserts.count(), latest.filter(col("op") === "D").count())
     latest.unpersist()
+    // the merge rewrote files: expire the snapshots it invalidated and
+    // commit the new layout, exactly as compaction/retention do
+    Snapshots.reSnapshot(spark, lakePath)
     counts
   }
 }

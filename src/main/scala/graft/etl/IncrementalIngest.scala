@@ -10,12 +10,19 @@ import org.apache.spark.sql.types._
   * anything already in the lake (glue_binance_downloader.py:60-140:
   * list-existing, skip-if-present, per-file status accounting).
   * Re-expressed Spark-first: a *load ledger* parquet table records
-  * every (symbol, year, month) partition already ingested; each run
-  * anti-joins the incoming feed's partition keys against the ledger
-  * and processes only the remainder. Re-running after a partial
+  * every (symbol, year, month, day) partition already ingested; each
+  * run anti-joins the incoming feed's partition keys against the
+  * ledger and processes only the remainder. Re-running after a partial
   * failure is safe twice over — the data write uses dynamic partition
   * overwrite (a retried partition is replaced, not duplicated) and the
   * ledger is only appended after the data lands.
+  *
+  * The ledger key deliberately matches the WRITE granularity (day —
+  * the dynamic-overwrite unit), not the feed's delivery granularity
+  * (month files): a feed that delivers partial months is re-read on
+  * the next run and only the genuinely new days are ingested, instead
+  * of a month-level ledger silently skipping late-arriving days
+  * forever.
   *
   * At 100 TB the ledger stays tiny (one row per ingested partition,
   * not per row) and the anti-join broadcasts it; the heavy feed scan
@@ -24,7 +31,7 @@ import org.apache.spark.sql.types._
   */
 object IncrementalIngest {
 
-  val partCols = Seq("symbol", "year", "month")
+  val partCols = Seq("symbol", "year", "month", "day")
 
   def ledgerPath(lakeRoot: String): String = s"$lakeRoot/_load_ledger"
 
@@ -32,6 +39,7 @@ object IncrementalIngest {
     StructField("symbol", StringType),
     StructField("year", IntegerType),
     StructField("month", IntegerType),
+    StructField("day", IntegerType),
     StructField("n_rows", LongType)))
 
   def readLedger(spark: SparkSession, lakeRoot: String): DataFrame = {
@@ -48,13 +56,15 @@ object IncrementalIngest {
     * `lakeRoot` holds the ledger next to it. */
   def runIncremental(spark: SparkSession, inputPath: String,
       dataPath: String, lakeRoot: String): Long = {
-    val raw = MarketEtl.readTradesCsv(spark, inputPath)
+    // normalize first: `day` comes from the row timestamps (the write
+    // granularity), not the month-level feed file paths
+    val normalized = MarketEtl.normalize(MarketEtl.readTradesCsv(spark, inputPath))
     val ledger = readLedger(spark, lakeRoot).select(partCols.map(col): _*)
-    val todo = raw.select(partCols.map(col): _*).distinct()
+    val todo = normalized.select(partCols.map(col): _*).distinct()
       .join(ledger, partCols, "left_anti")
       .cache()
-    val fresh = MarketEtl.dqFilter(MarketEtl.normalize(
-      raw.join(broadcast(todo), partCols, "left_semi")))
+    val fresh = MarketEtl.dqFilter(
+      normalized.join(broadcast(todo), partCols, "left_semi"))
     val nRows = fresh.count()
     if (nRows > 0) {
       // dynamic mode replaces exactly the partitions present in the

@@ -54,6 +54,13 @@ object LakeMaintenance {
       .stripPrefix(new Path(lakeRoot).toString).split("/")
       .filter(_.contains("=")).map(_.split("=")(0)).toSeq
     df.repartition(partCols.map(col): _*)
+      // materialize BEFORE the overwrite (CdcMerge's pattern): the
+      // rewrite reads the files it replaces, and relying on the
+      // dynamic-overwrite committer to defer deletion past the read —
+      // which only escapes Spark's overwrite-while-reading check
+      // because the inputs are subdirectories — is fragile against
+      // committer changes
+      .localCheckpoint()
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCols: _*)
@@ -64,12 +71,9 @@ object LakeMaintenance {
 
   /** A rewrite invalidates any snapshot referencing the old files:
     * expire those and record the new layout as a fresh snapshot
-    * (VACUUM semantics — see Snapshots.expireInvalid). */
+    * (VACUUM semantics — see Snapshots.reSnapshot). */
   private def reSnapshot(spark: SparkSession, lakeRoot: String): Unit =
-    if (Snapshots.enabled(spark, lakeRoot)) {
-      Snapshots.expireInvalid(spark, lakeRoot)
-      Snapshots.commit(spark, lakeRoot)
-    }
+    Snapshots.reSnapshot(spark, lakeRoot)
 
   /** Age-based retention for a lake partitioned by year/month/day:
     * drops (deletes) every partition strictly older than the cutoff

@@ -149,6 +149,17 @@ object Snapshots {
   def enabled(spark: SparkSession, lakeRoot: String): Boolean =
     versions(spark, lakeRoot).nonEmpty
 
+  /** Post-rewrite housekeeping for snapshot-enabled lakes: expire the
+    * snapshots the rewrite invalidated and commit the new layout. A
+    * no-op on lakes without snapshot history. Every job that rewrites
+    * files (compaction, retention, CDC merge) must call this, or all
+    * prior snapshots dangle until readVersion/rollback fail loudly. */
+  def reSnapshot(spark: SparkSession, lakeRoot: String): Unit =
+    if (enabled(spark, lakeRoot)) {
+      expireInvalid(spark, lakeRoot)
+      commit(spark, lakeRoot)
+    }
+
   /** Deletes every data file not in `version`'s manifest (and any
     * now-empty partition dirs), restoring the lake to that snapshot.
     * Returns the number of files removed. */

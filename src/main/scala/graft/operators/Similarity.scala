@@ -67,20 +67,25 @@ object Similarity {
   private val PrefilterBuffer = 64
 
   private def exactTopK(s: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
-    graft.plans.TopKPerGroup.enable(s)
+    // rank aliases carry the MarkerPrefix: the heap rewrite applies to
+    // exactly these two windows and nothing else in the session — the
+    // session-wide conf gate stays untouched, so unrelated rank-filter
+    // queries in a shared session keep the stock spillable Window plan
+    graft.plans.TopKPerGroup.install(s)
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
     import graft.plans.VecDotProduct.vec_dot
     val fast = pairs.withColumn("cos_fast",
       cosine(vec_dot(col("q_emb"), col("embedding")), col("qn2"), col("n2")))
     val wf = Window.partitionBy("query_id").orderBy(col("cos_fast").desc, col("neighbor_id"))
-    val surv = fast.withColumn("fr", row_number().over(wf))
-      .filter(col("fr") <= PrefilterBuffer)
+    val surv = fast.withColumn(s"${mk}fr", row_number().over(wf))
+      .filter(col(s"${mk}fr") <= PrefilterBuffer)
     val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
     surv
       .withColumn("cos_raw",
         cosine(ddot(col("q_emb"), col("embedding")).cast(DoubleType), col("qn2"), col("n2")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+      .withColumn(s"${mk}rank", row_number().over(w))
+      .filter(col(s"${mk}rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col(s"${mk}rank").as("rank"),
         round6(col("cos_raw")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }

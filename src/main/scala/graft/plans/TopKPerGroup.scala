@@ -59,17 +59,34 @@ object TopKPerGroup {
     * group cardinality per partition is unbounded. */
   val ModeKey = "spark.graft.topk.mode"
 
-  /** Installs the rewrite into an existing session (public API — no
-    * session rebuild needed) and switches it on. Idempotent; sticky for
-    * the session. Result-identity with the Window plan is pinned by
-    * TopKSpec. */
-  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
+  /** Plan-local opt-in: a row_number alias starting with this prefix
+    * marks that specific Filter-over-Window for the rewrite, regardless
+    * of [[EnabledKey]]. Queries that want the heap operator name their
+    * rank column with the marker (see Similarity.exactTopK); nothing
+    * else in the session is affected — unlike the session conf, which
+    * would silently switch every later rank-filter query in a shared
+    * session onto the non-spilling operator. */
+  val MarkerPrefix = "__graft_topk_"
+
+  /** Installs the rule + strategy into an existing session without
+    * switching the session-wide gate on. Idempotent. Only plans using
+    * the [[MarkerPrefix]] alias are rewritten until [[EnabledKey]] is
+    * set. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKRewriteRule
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+  }
+
+  /** Installs the rewrite into an existing session (public API — no
+    * session rebuild needed) and switches it on session-wide.
+    * Idempotent; sticky for the session. Result-identity with the
+    * Window plan is pinned by TopKSpec. */
+  def enable(spark: org.apache.spark.sql.SparkSession): Unit = {
+    install(spark)
     spark.conf.set(EnabledKey, "true")
   }
 }
@@ -88,18 +105,20 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    if (conf.getConfString(TopKPerGroup.EnabledKey, "false") != "true") plan
-    else plan.transformUp {
-    case f @ Filter(cond,
-        LogicalWindow(Seq(a @ Alias(WindowExpression(_: RowNumber,
-          WindowSpecDefinition(part, order, _: SpecifiedWindowFrame)), _)),
-          _, _, child, _)) =>
-      asLimit(cond, a.toAttribute) match {
-        case Some(k) if k >= 0 && order.nonEmpty =>
-          TopKPerGroup(part, order, k, a.toAttribute, child)
-        case _ => f
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val sessionWide = conf.getConfString(TopKPerGroup.EnabledKey, "false") == "true"
+    plan.transformUp {
+      case f @ Filter(cond,
+          LogicalWindow(Seq(a @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(part, order, _: SpecifiedWindowFrame)), _)),
+            _, _, child, _))
+          if sessionWide || a.name.startsWith(TopKPerGroup.MarkerPrefix) =>
+        asLimit(cond, a.toAttribute) match {
+          case Some(k) if k >= 0 && order.nonEmpty =>
+            TopKPerGroup(part, order, k, a.toAttribute, child)
+          case _ => f
+        }
+    }
   }
 }
 

@@ -154,6 +154,22 @@ class EtlSpec extends AnyFunSuite {
     assert(back.count() == 5)
     assert(back.select("trade_id").distinct().count() == 5)
     assert(IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot) == 0)
+
+    // late-arriving NEW DAY inside an already-ingested month: the
+    // ledger is keyed at day granularity (the dynamic-overwrite unit),
+    // so a feed that delivers partial months doesn't lose the rest of
+    // the month — a month-level ledger would skip this row forever
+    Files.writeString(
+      Paths.get(s"$in/symbol=BTCUSDT/year=2024/month=07")
+        .resolve("BTCUSDT-trades-2024-07-day27.csv"),
+      "30,50100.0,0.25,12525.0,1722081600000,False,True") // 2024-07-27
+    val n4 = IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot)
+    assert(n4 == 1, s"late-arriving day must be ingested, got $n4")
+    val withLate = spark.read.parquet(dataPath)
+    assert(withLate.count() == 6)
+    assert(withLate.filter(col("trade_id") === 30).head.getAs[Int]("day") == 27)
+    // and the run is still idempotent
+    assert(IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot) == 0)
   }
 
   test("compaction merges small files; retention drops expired partitions") {
@@ -240,6 +256,32 @@ class EtlSpec extends AnyFunSuite {
     assert(end.filter(col("symbol") === "ETHUSDT").isEmpty)
     assert(!Files.exists(Paths.get(s"$lake").resolve("year=2024/month=7/day=26/symbol=ETHUSDT"))
       || new java.io.File(s"$lake/year=2024/month=7/day=26/symbol=ETHUSDT").list().isEmpty)
+  }
+
+  test("CDC merge expires invalidated snapshots and commits the new layout") {
+    import graft.etl.{CdcMerge, Snapshots}
+    val in = "target/tmp/etl-cdcsnap-in"
+    val lake = "target/tmp/etl-cdcsnap-lake"
+    rmrf(in); rmrf(lake)
+    writeCsvLake(in)
+    MarketEtl.run(spark, in, lake)
+    val preMerge = Snapshots.commit(spark, lake)
+
+    val changes = spark.read.parquet(lake).filter(col("trade_id") === 1)
+      .withColumn("price", lit(12345.0))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      .localCheckpoint()
+    CdcMerge(spark, lake, changes, Seq("trade_id"))
+
+    // the merge rewrote the BTC partition: the pre-merge snapshot is
+    // invalid and must be expired, with the new layout committed —
+    // otherwise it dangles until readVersion fails loudly
+    val vs = Snapshots.versions(spark, lake)
+    assert(!vs.contains(preMerge), s"pre-merge snapshot should be expired: $vs")
+    assert(vs.nonEmpty, "merge must commit the new layout as a snapshot")
+    val snap = Snapshots.readVersion(spark, lake, vs.last)
+    assert(snap.count() == 4)
+    assert(snap.filter(col("trade_id") === 1).head.getAs[Double]("price") == 12345.0)
   }
 
   test("snapshots: commit, time-travel read, rollback over append evolution") {

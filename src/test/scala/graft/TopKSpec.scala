@@ -69,4 +69,44 @@ class TopKSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("marker alias scopes the rewrite to one plan; the session gate stays off") {
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    graft.plans.TopKPerGroup.install(spark)
+    assert(spark.conf.getOption(graft.plans.TopKPerGroup.EnabledKey).forall(_ != "true"),
+      "install() must not flip the session-wide gate")
+
+    // a marked rank filter gets the heap operator…
+    val o = Tables.orders(spark, sf)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val marked = o.withColumn(s"${mk}rn", row_number().over(w))
+      .filter(col(s"${mk}rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col(s"${mk}rn").as("rn"))
+    assert(marked.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+
+    // …while the identical unmarked query in the same session keeps the
+    // stock spillable Window plan (this is what building an ANN
+    // DataFrame must NOT change)
+    val plain = topkQuery(spark)
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("TopKPerGroup"), plainPlan.take(1500))
+    assert(plainPlan.contains("Window"), plainPlan.take(1500))
+
+    // and the marked plan returns exactly the window-plan rows
+    val want = plain.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val got = marked.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+  }
+
+  test("building an ANN query leaves the session gate off") {
+    val before = spark.conf.getOption(graft.plans.TopKPerGroup.EnabledKey)
+    // exercised for the side effect: exactTopK used to flip the session
+    // conf, silently switching every later rank-filter query onto the
+    // non-spilling heap operator
+    SparkEntry.queries("ann_bruteforce_topk")(spark, sf).collect()
+    val after = spark.conf.getOption(graft.plans.TopKPerGroup.EnabledKey)
+    assert(after.forall(_ != "true"), s"ANN build flipped $before -> $after")
+    val plainPlan = topkQuery(spark).queryExecution.executedPlan.toString
+    assert(!plainPlan.contains("TopKPerGroup"), plainPlan.take(1500))
+  }
 }
