@@ -17,6 +17,7 @@ object Registry {
     graft.operators.Dedup.ops ++
     graft.operators.Similarity.ops ++
     graft.operators.TextAnalysis.ops ++
+    graft.operators.Curation.ops ++
     graft.operators.Multimodal.ops ++
     graft.streaming.BatchEquivalents.ops
 

@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Op, Tables}
+import graft.functions.{round6, round6Sql}
+
+/** Corpus-curation operators for a large-scale training-data pipeline,
+  * over `documents`: quality filtering, repetition screening, benchmark
+  * decontamination, weighted source mixing, chunking into training
+  * windows, and the pre-training global shuffle.
+  *
+  * Scale design: quality/repetition/chunking are per-document (narrow,
+  * scan-speed — the only shuffles are per-doc word aggregates bounded
+  * by vocabulary, and the final presentation ORDER BY). Decontamination
+  * joins the corpus against a *benchmark* shingle set that is tiny by
+  * construction (eval suites are MBs, corpora are TBs) — it broadcasts.
+  * Mixing is a stateless hash filter (no shuffle at all, any executor
+  * can evaluate any row). The global shuffle is one hash exchange on
+  * the shard key + an in-partition sort — exactly the
+  * repartition-then-sort a 100 TB pre-training randomization runs.
+  */
+object Curation {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Portable 32-bit int from a string: first 8 md5 hex chars (the
+    * hash family proven oracle-portable in text_fingerprint). */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  // --- text_quality_gopher: rule-based quality gate --------------------
+  // The Gopher-style document filter: word count bounds, mean word
+  // length in the human-text band, stopword presence, lexical
+  // diversity. One narrow pass; every metric is reported so downstream
+  // consumers can re-threshold without recomputation.
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")
+
+  private def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+    val n = size(toks)
+    val meanRaw = length(translate(col("text"), " ", "")).cast(DoubleType) / n
+    val distinctRaw = size(array_distinct(toks)).cast(DoubleType) / n
+    val stopRaw = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast(DoubleType) / n
+    Tables.documents(s, dir)
+      .select(col("doc_id"), n.as("n_words"),
+        meanRaw.as("mean_raw"), distinctRaw.as("distinct_raw"), stopRaw.as("stop_raw"))
+      .select(col("doc_id"), col("n_words"),
+        round6(col("mean_raw")).as("mean_word_len"),
+        round6(col("distinct_raw")).as("distinct_ratio"),
+        round6(col("stop_raw")).as("stopword_frac"),
+        (col("n_words").between(20, 100000) &&
+          col("mean_raw").between(3.0, 10.0) &&
+          (col("stop_raw") >= 0.01) &&
+          (col("distinct_raw") >= 0.2)).as("quality_pass"))
+      .orderBy("doc_id")
+  }
+
+  private val qualityGopherSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(ts) AS n_words,
+       |         CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(ts) AS mean_raw,
+       |         CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS distinct_raw,
+       |         CAST(len(list_filter(ts, w -> w IN
+       |           (${stopwords.map(w => s"'$w'").mkString(",")}))) AS DOUBLE) / len(ts) AS stop_raw
+       |  FROM toks)
+       |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       |       ${round6Sql("mean_raw")} AS mean_word_len,
+       |       ${round6Sql("distinct_raw")} AS distinct_ratio,
+       |       ${round6Sql("stop_raw")} AS stopword_frac,
+       |       (n_words BETWEEN 20 AND 100000 AND mean_raw BETWEEN 3.0 AND 10.0
+       |        AND stop_raw >= 0.01 AND distinct_raw >= 0.2) AS quality_pass
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // --- text_repetition: Gopher repetition screens ----------------------
+  // Boilerplate/spam shows up as one word dominating the doc or
+  // repeated 3-gram runs. top-word fraction needs a per-(doc, word)
+  // count (bounded by per-doc vocabulary); duplicate-shingle fraction
+  // reuses the codegen'd posexplode+lead shingler.
+
+  private def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wstats = docs
+      .select(col("doc_id"), explode(toks).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_words"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .withColumn("w1", lead("word", 1).over(w))
+      .withColumn("w2", lead("word", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("word"), col("w1"), col("w2")).as("shingle"))
+    val shstats = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
+    val topRaw = col("top_c").cast(DoubleType) / col("n_words")
+    val dupRaw = lit(1.0) - col("n_dist").cast(DoubleType) / col("n_sh")
+    wstats.join(shstats, "doc_id")
+      .select(col("doc_id"),
+        round6(topRaw).as("top_word_frac"),
+        round6(dupRaw).as("dup_shingle_frac"),
+        (topRaw <= 0.2 && dupRaw <= 0.5).as("repetition_pass"))
+      .orderBy("doc_id")
+  }
+
+  private val textRepetitionSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |words AS (SELECT doc_id, unnest(ts) AS word FROM toks),
+       |wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+       |wstats AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_words FROM wc GROUP BY 1),
+       |sh AS (
+       |  SELECT doc_id, ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+       |shstats AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT shingle) AS n_dist FROM sh GROUP BY 1)
+       |SELECT w.doc_id,
+       |       ${round6Sql("CAST(top_c AS DOUBLE) / n_words")} AS top_word_frac,
+       |       ${round6Sql("1.0 - CAST(n_dist AS DOUBLE) / n_sh")} AS dup_shingle_frac,
+       |       (CAST(top_c AS DOUBLE) / n_words <= 0.2
+       |        AND (1.0 - CAST(n_dist AS DOUBLE) / n_sh) <= 0.5) AS repetition_pass
+       |FROM wstats w JOIN shstats s ON w.doc_id = s.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
+  // --- text_contamination: benchmark decontamination -------------------
+  // Fraction of each training doc's distinct 3-grams that appear in a
+  // held-out benchmark set (here: every 50th doc plays the eval suite).
+  // The benchmark shingle set is small by construction → broadcast;
+  // the corpus side is one distinct-shingle pass.
+
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
+      .withColumn("w1", lead("word", 1).over(w))
+      .withColumn("w2", lead("word", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("word"), col("w1"), col("w2")).as("shingle"))
+      .distinct()
+    val evalSet = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    val fracRaw = col("n_contaminated").cast(DoubleType) / col("n_shingles")
+    sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .join(broadcast(evalSet), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        round6(fracRaw).as("contaminated_frac"),
+        (fracRaw > 0.2).as("flag_contaminated"))
+      .orderBy("doc_id")
+  }
+
+  private val textContaminationSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+       |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+       |hits AS (
+       |  SELECT t.doc_id, count(*) AS n_sh,
+       |         sum(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+       |  FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0) t
+       |  LEFT JOIN eval_sh e ON t.shingle = e.shingle
+       |  GROUP BY 1)
+       |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+       |       CAST(n_hit AS BIGINT) AS n_contaminated,
+       |       ${round6Sql("CAST(n_hit AS DOUBLE) / n_sh")} AS contaminated_frac,
+       |       (CAST(n_hit AS DOUBLE) / n_sh > 0.2) AS flag_contaminated
+       |FROM hits ORDER BY doc_id""".stripMargin
+
+  // --- corpus_mix_sample: weighted source mixing -----------------------
+  // Dataset mixing with per-source sampling rates (here derived
+  // deterministically from the source name; in production a weights
+  // table). Selection is a stateless hash test — no shuffle, no state,
+  // reproducible across runs and engines, exactly how a 100 TB corpus
+  // is downsampled without materializing a random() column.
+
+  private def corpusMixSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = (lit(1) + pmod(h32(col("source")), lit(9))) / lit(10.0)
+    val ticket = pmod(
+      h32(concat(col("doc_id").cast(StringType), lit(":"), col("source"))), lit(1000))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), rate.as("rate"), ticket.as("ticket"))
+      .filter(col("ticket") < col("rate") * 1000)
+      .select("doc_id", "source", "rate")
+      .orderBy("doc_id")
+  }
+
+  private val corpusMixSampleSql =
+    s"""WITH rated AS (
+       |  SELECT doc_id, source,
+       |         (1 + CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) % 9) / 10.0 AS rate,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS BIGINT) % 1000 AS ticket
+       |  FROM documents)
+       |SELECT doc_id, source, rate FROM rated
+       |WHERE ticket < rate * 1000 ORDER BY doc_id""".stripMargin
+
+  // --- doc_chunking: fixed-size training windows -----------------------
+  // Split each doc into 32-token chunks on a 24-token stride (8-token
+  // overlap) — the standard context-window preparation. Generator
+  // expression (sequence + explode + slice), no UDF, no shuffle;
+  // chunk content is reported as an md5 so the output stays narrow.
+
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+
+  private def docChunking(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")), lit(ChunkStride))).as("st"))
+      .select(col("doc_id"),
+        expr(s"(st - 1) div $ChunkStride").cast(IntegerType).as("chunk_idx"),
+        slice(col("ts"), col("st"), lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val docChunkingSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, CAST((st - 1) // $ChunkStride AS INTEGER) AS chunk_idx,
+       |         ts[CAST(st AS INTEGER) : CAST(st AS INTEGER) + ${ChunkSize - 1}] AS chunk
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(1, len(ts), $ChunkStride)) AS st FROM toks))
+       |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
+       |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --- corpus_shuffle: deterministic pre-training shuffle --------------
+  // Assign every doc a shard and an in-shard position from a seeded
+  // hash — the global randomization pass before training-data export.
+  // One hash exchange + in-partition sort (the window's partition IS
+  // the shard); reshuffling with a different salt is a constant change.
+
+  private val Shards = 8
+
+  private def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(col("doc_id").cast(StringType))
+    val shard = pmod(conv(substring(key, 1, 8), 16, 10).cast(LongType), lit(Shards))
+      .cast(IntegerType)
+    val ord = conv(substring(key, 9, 8), 16, 10).cast(LongType)
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shard.as("shard"), ord.as("ord"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  private val corpusShuffleSql =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $Shards AS shard,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS ord
+       |  FROM documents)
+       |SELECT doc_id, CAST(shard AS INTEGER) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS INTEGER) AS pos
+       |FROM keyed ORDER BY shard, pos""".stripMargin
+
+  val ops: Seq[Op] = Seq(
+    Op("text_quality_gopher", qualityGopher, Some(qualityGopherSql)),
+    Op("text_repetition", textRepetition, Some(textRepetitionSql)),
+    Op("text_contamination", textContamination, Some(textContaminationSql)),
+    Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
+    Op("doc_chunking", docChunking, Some(docChunkingSql)),
+    Op("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)))
+}
