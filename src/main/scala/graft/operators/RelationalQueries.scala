@@ -550,6 +550,134 @@ object RelationalQueries {
       |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  // --- r19: TPC-H Q20 shape — nested semi chain ------------------------
+  // Suppliers who shipped heavy volume of a part class in a year:
+  // part-filter semi-join into a (supp, part) HAVING aggregate, then a
+  // semi-join into supplier⋈nation. Both semi targets stay key-only
+  // (never widen the fact rows); the part list broadcasts, the heavy
+  // list is key-distinct so AQE picks its join side by runtime size.
+
+  private def r19(s: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(s, dir)
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val heavy = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ntz("1995-01-01 00:00:00") &&
+        col("l_shipdate") < ntz("1996-01-01 00:00:00"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 4))).as("sq"))
+      .filter(col("sq") > 50)
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "n_name")
+      .orderBy("s_name")
+  }
+
+  private val r19Sql =
+    """WITH heavy AS (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 50)
+      |SELECT s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)
+      |ORDER BY s_name""".stripMargin
+
+  // --- r20: TPC-H Q13 shape — outer-join count distribution ------------
+  // Orders-per-customer histogram including zero-order customers: the
+  // LEFT OUTER join keeps every customer, count(o_orderkey) skips the
+  // null-extended rows, and the second aggregate is over at most
+  // max-orders-per-customer distinct keys (tiny).
+
+  private def r20(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count").cast(IntegerType).as("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  private val r20Sql =
+    """WITH c_orders AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |SELECT CAST(c_count AS INTEGER) AS c_count, count(*) AS custdist
+      |FROM c_orders GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- r21: TPC-H Q18 shape — large-volume orders ----------------------
+  // Group-HAVING semi-join back into the 3-way join, global top-100 by
+  // order value. The `big` key list is re-aggregated fact output — no
+  // broadcast hint (it scales with data; AQE decides), and the final
+  // LIMIT bounds the result at any corpus size.
+
+  private def r21(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = li.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(DecimalType(38, 4))).as("sq"))
+      .filter(col("sq") > 210)
+      .select("l_orderkey")
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(li.select("l_orderkey", "l_quantity"), col("o_orderkey") === col("l_orderkey"))
+      .join(big.withColumnRenamed("l_orderkey", "big_key"),
+        col("o_orderkey") === col("big_key"), "left_semi")
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val r21Sql =
+    s"""WITH big AS (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 210)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       ${dsumSql("l_quantity")} AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // --- r22: TPC-H Q22 shape — scalar cutoff + anti join ----------------
+  // Rich-but-idle customers: account balance above the (exact-decimal)
+  // positive-balance average, with no orders in the final year. The
+  // scalar aggregate is one row (broadcast by construction); the
+  // anti-join side is date-pruned before the join.
+
+  private def r22(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val cutoff = c.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("a"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ntz("1998-01-01 00:00:00"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(cutoff))
+      .filter(col("c_acctbal") > col("a"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val r22Sql =
+    s"""WITH cutoff AS (
+      |  SELECT ${dsumSql("c_acctbal")} / count(*) AS a
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_custkey, c_name, c_acctbal
+      |FROM customer, cutoff
+      |WHERE c_acctbal > cutoff.a
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -568,5 +696,9 @@ object RelationalQueries {
     Op("r15_grouping_sets", r15, Some(r15Sql)),
     Op("r16_nation_flow", r16, Some(r16Sql)),
     Op("r17_market_share", r17, Some(r17Sql)),
-    Op("r18_problem_suppliers", r18, Some(r18Sql)))
+    Op("r18_problem_suppliers", r18, Some(r18Sql)),
+    Op("r19_heavy_suppliers", r19, Some(r19Sql)),
+    Op("r20_custdist", r20, Some(r20Sql)),
+    Op("r21_big_orders", r21, Some(r21Sql)),
+    Op("r22_idle_rich", r22, Some(r22Sql)))
 }
