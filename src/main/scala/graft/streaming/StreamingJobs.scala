@@ -22,6 +22,10 @@ object StreamingJobs {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** A CDC change record for a minimal trades lake (tests/examples). */
+  case class CdcChange(trade_id: Long, price: Double, year: Int, month: Int,
+      day: Int, symbol: String, op: String, seq: Long)
+
   case class SessionState(start: Long, end: Long, n: Long, total: Double)
 
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
@@ -133,6 +137,29 @@ object StreamingJobs {
           }
         })
   }
+
+  /** Streaming CDC apply: a live change feed (rows tagged 'I'/'U'/'D'
+    * with a monotone seq) merged into the partitioned lake once per
+    * micro-batch through etl.CdcMerge. Each micro-batch is one
+    * surgical merge — partition-pruned read of affected partitions,
+    * anti-join + union, dynamic partition overwrite — and CdcMerge's
+    * latest-wins idempotence makes a crash-replayed batch converge to
+    * the same lake state, so the sink is effectively exactly-once at
+    * the partition level. Snapshot housekeeping (expire + re-commit)
+    * runs per merge exactly as in the batch path. */
+  def cdcApply(changes: DataFrame, lakePath: String, keyCols: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          // decouple the merge's lake rewrite from whatever source the
+          // micro-batch derives from
+          graft.etl.CdcMerge(batch.sparkSession, lakePath, batch.localCheckpoint(), keyCols)
+          ()
+        }
+      }
+      .start()
 
   private val GapMs = 30L * 60 * 1000
 

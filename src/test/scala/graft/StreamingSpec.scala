@@ -213,6 +213,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == n, "an emitted window diverges from batch")
   }
 
+  test("streaming CDC apply merges each micro-batch into the lake") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lake = "target/tmp/stream-cdc-lake"
+    val ckpt = "target/tmp/stream-cdc-ckpt"
+    Seq(lake, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    Seq(
+      (1L, 100.0, 2024, 7, 26, "BTCUSDT"),
+      (2L, 200.0, 2024, 7, 26, "BTCUSDT"),
+      (10L, 300.0, 2024, 7, 26, "ETHUSDT"))
+      .toDF("trade_id", "price", "year", "month", "day", "symbol")
+      .write.partitionBy("year", "month", "day", "symbol").parquet(lake)
+
+    val source = MemoryStream[StreamingJobs.CdcChange]
+    val q = StreamingJobs.cdcApply(source.toDF(), lake, Seq("trade_id"), ckpt)
+    try {
+      // batch 1: update trade 1, insert trade 3
+      source.addData(
+        StreamingJobs.CdcChange(1L, 111.0, 2024, 7, 26, "BTCUSDT", "U", 1L),
+        StreamingJobs.CdcChange(3L, 333.0, 2024, 7, 26, "BTCUSDT", "I", 1L))
+      q.processAllAvailable()
+      val mid = spark.read.parquet(lake)
+      assert(mid.count() == 4)
+      assert(mid.filter(col("trade_id") === 1).head.getAs[Double]("price") == 111.0)
+
+      // batch 2: a newer update for trade 1 wins; ETH's last row deleted
+      source.addData(
+        StreamingJobs.CdcChange(1L, 999.0, 2024, 7, 26, "BTCUSDT", "U", 2L),
+        StreamingJobs.CdcChange(10L, 300.0, 2024, 7, 26, "ETHUSDT", "D", 2L))
+      q.processAllAvailable()
+      val end = spark.read.parquet(lake)
+      assert(end.count() == 3)
+      assert(end.filter(col("trade_id") === 1).head.getAs[Double]("price") == 999.0)
+      assert(end.filter(col("symbol") === "ETHUSDT").isEmpty)
+      assert(end.filter(col("trade_id") === 3).head.getAs[Double]("price") == 333.0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
