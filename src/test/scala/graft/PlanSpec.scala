@@ -62,6 +62,33 @@ class PlanSpec extends AnyFunSuite {
       s"r3 hints a non-dim side: $r3Hints")
   }
 
+  test("corpus_mix_sample is a narrow hash filter — no join, no aggregate") {
+    // the weighted-mixing selection must stay a stateless per-row test:
+    // any executor can evaluate any row, nothing shuffles except the
+    // presentation sort. A join or aggregate here means someone
+    // materialized weights or sampled via a shuffle.
+    val plan = formatted("corpus_mix_sample")
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("HashAggregate"), plan.take(1200))
+  }
+
+  test("doc_chunking is generator-based — no join, no shuffle before the sort") {
+    val plan = formatted("doc_chunking")
+    assert(plan.contains("Generate"), plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+    // exactly one Exchange: the presentation sort (count the detail
+    // headers — the tree section renders every node a second time)
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 1,
+      plan.take(1600))
+  }
+
+  test("text_contamination broadcasts the benchmark shingle set") {
+    // the eval suite is tiny by construction (MBs vs TBs); the corpus
+    // side must stream past it, never shuffle against it
+    val plan = formatted("text_contamination")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
