@@ -78,7 +78,29 @@ object Multimodal {
        |      FROM documents)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- mm_dedup: content-digest dedup of media payloads ----------------
+  // The exact-dedup every multimodal pipeline runs first: group the
+  // opaque binary by its sha256, keep the lowest id. One hash groupBy —
+  // at 100 TB of media the shuffle carries (digest, id, length), never
+  // the payloads themselves.
+
+  private def mmDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("payload", payload)
+      .groupBy(sha2(col("payload"), 256).as("content_sha256"))
+      .agg(min("doc_id").as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        sum(length(col("payload")).cast(LongType)).as("total_bytes"))
+      .orderBy("keep_doc_id")
+
+  private val mmDedupSql =
+    """SELECT sha256(text) AS content_sha256,
+      |       min(doc_id) AS keep_doc_id, count(*) AS n_copies,
+      |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_meta", mmMeta, Some(mmMetaSql)),
-    Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)))
+    Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    Op("mm_dedup", mmDedup, Some(mmDedupSql)))
 }

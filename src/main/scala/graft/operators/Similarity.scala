@@ -270,8 +270,70 @@ object Similarity {
     exactTopK(s, pairs, 5)
   }
 
+  // --- embedding_quantize: int8 scalar quantization --------------------
+  // The storage path for a billion-vector index: per-vector min/max
+  // range, codes q = floor((x-lo)/step + 0.5) in 0..255, plus the
+  // reconstruction-error report (max abs error, MSE). Narrow until one
+  // per-vector aggregate; lo/hi come from array_min/array_max before
+  // the explode so no self-join re-attaches the range. All arithmetic
+  // is IEEE-identical in DuckDB (floor(+0.5) quantization — never
+  // engine-specific round()), with the MSE reduced in DECIMAL(38,18)
+  // so summation order can't leak in.
+
+  private def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val step = (col("hi") - col("lo")) / 255
+    val q = when(col("hi") > col("lo"),
+      floor((col("x") - col("lo")) / step + 0.5)).otherwise(0.0)
+    val err = when(col("hi") > col("lo"), col("lo") + q * step).otherwise(col("lo")) - col("x")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_min(col("embedding")).cast(DoubleType).as("lo"),
+        array_max(col("embedding")).cast(DoubleType).as("hi"),
+        posexplode(col("embedding")).as(Seq("d0", "xf")))
+      .select(col("vec_id"), col("lo"), col("hi"),
+        (col("d0") + 1).cast(IntegerType).as("d"), col("xf").cast(DoubleType).as("x"))
+      .groupBy("vec_id")
+      .agg(
+        sum(q.cast(LongType) * col("d")).as("code_checksum"),
+        max(abs(err)).as("maxerr"),
+        (sum((err * err).cast(DecimalType(38, 18))).cast(DoubleType) / count(lit(1))).as("mse_raw"))
+      .select(col("vec_id"), col("code_checksum"),
+        round6(col("maxerr")).as("max_abs_err"),
+        (floor(col("mse_raw") * 1e9 + 0.5) / 1e9).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  private val embeddingQuantizeSql =
+    """WITH dims AS (
+      |  SELECT vec_id,
+      |         CAST(list_min(embedding) AS DOUBLE) AS lo,
+      |         CAST(list_max(embedding) AS DOUBLE) AS hi,
+      |         CAST(i AS INTEGER) AS d,
+      |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+      |rec AS (
+      |  SELECT vec_id, d,
+      |         CASE WHEN hi > lo
+      |           THEN floor((x - lo) / ((hi - lo) / 255) + 0.5) ELSE 0 END AS q,
+      |         (CASE WHEN hi > lo
+      |           THEN lo + (CASE WHEN hi > lo
+      |             THEN floor((x - lo) / ((hi - lo) / 255) + 0.5) ELSE 0 END) * ((hi - lo) / 255)
+      |           ELSE lo END) - x AS err
+      |  FROM dims),
+      |agg AS (
+      |  SELECT vec_id, sum(CAST(q AS BIGINT) * d) AS code_checksum,
+      |         max(abs(err)) AS maxerr,
+      |         CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS mse_raw
+      |  FROM rec GROUP BY 1)
+      |SELECT vec_id, CAST(code_checksum AS BIGINT) AS code_checksum,
+      |       floor(maxerr * 1e6 + 0.5) / 1e6 AS max_abs_err,
+      |       floor(mse_raw * 1e9 + 0.5) / 1e9 AS mse
+      |FROM agg ORDER BY vec_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
-    Op("ann_ivf_topk", annIvf, None))
+    Op("ann_ivf_topk", annIvf, None),
+    Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)))
 }
