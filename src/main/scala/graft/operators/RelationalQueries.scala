@@ -648,21 +648,21 @@ object RelationalQueries {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
   // --- r22: TPC-H Q22 shape — scalar cutoff + anti join ----------------
-  // Rich-but-idle customers: account balance above the (exact-decimal)
-  // positive-balance average, with no orders in the final year. The
-  // scalar aggregate is one row (broadcast by construction); the
-  // anti-join side is date-pruned before the join.
+  // Rich-but-unprioritized customers: account balance above the
+  // (exact-decimal) positive-balance average, with no URGENT orders.
+  // The scalar aggregate is one row (broadcast by construction); the
+  // anti-join side is priority-pruned before the join.
 
   private def r22(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
     val cutoff = c.filter(col("c_acctbal") > 0.0)
       .agg((dsum(col("c_acctbal")) / count(lit(1))).as("a"))
-    val recent = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= ntz("1998-01-01 00:00:00"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_custkey")
     c.crossJoin(broadcast(cutoff))
       .filter(col("c_acctbal") > col("a"))
-      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
       .orderBy("c_custkey")
   }
@@ -675,7 +675,7 @@ object RelationalQueries {
       |FROM customer, cutoff
       |WHERE c_acctbal > cutoff.a
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-      |                  AND o_orderdate >= TIMESTAMP '1998-01-01')
+      |                  AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
   val ops: Seq[Op] = Seq(
