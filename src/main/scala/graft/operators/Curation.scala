@@ -264,11 +264,59 @@ object Curation {
        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS INTEGER) AS pos
        |FROM keyed ORDER BY shard, pos""".stripMargin
 
+  // --- token_pack: corpus-level sequence packing -----------------------
+  // The concat-and-chunk mapping GPT-style pre-training uses: every
+  // doc's global token offset in the concatenated corpus, and the
+  // fixed-size training blocks it spans. The global running sum is a
+  // DISTRIBUTED prefix sum — a naive `Window.orderBy(doc_id)` with no
+  // partition key funnels the whole corpus into one reducer, the exact
+  // shape that dies at 100 TB. Instead: per-shard local prefix sums
+  // (shard = contiguous doc_id range, so shard order = corpus order),
+  // shard totals cumulated over the tiny shard table, broadcast back.
+  // The only single-partition window runs over #shards rows (bounded
+  // metadata), never over documents.
+
+  private val PackBlock = 64
+  private val ShardWidth = 100
+
+  private def tokenPack(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        expr(s"doc_id div $ShardWidth").as("pk"))
+    val wLocal = Window.partitionBy("pk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = d.withColumn("local_off",
+      coalesce(sum(col("n_tokens").cast(LongType)).over(wLocal), lit(0L)))
+    val totals = d.groupBy("pk").agg(sum(col("n_tokens").cast(LongType)).as("tot"))
+    val wShard = Window.orderBy("pk").rowsBetween(Window.unboundedPreceding, -1)
+    val bases = totals
+      .withColumn("base", coalesce(sum("tot").over(wShard), lit(0L)))
+      .select("pk", "base")
+    local.join(broadcast(bases), "pk")
+      .withColumn("token_offset", col("base") + col("local_off"))
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        expr(s"token_offset div $PackBlock").as("start_block"),
+        expr(s"(token_offset + n_tokens - 1) div $PackBlock").as("end_block"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenPackSql =
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |o AS (SELECT doc_id, n,
+       |        COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |      FROM d)
+       |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens, CAST(off AS BIGINT) AS token_offset,
+       |       CAST(off // $PackBlock AS BIGINT) AS start_block,
+       |       CAST((off + n - 1) // $PackBlock AS BIGINT) AS end_block
+       |FROM o ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("text_contamination", textContamination, Some(textContaminationSql)),
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
     Op("doc_chunking", docChunking, Some(docChunkingSql)),
-    Op("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)))
+    Op("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
+    Op("token_pack", tokenPack, Some(tokenPackSql)))
 }

@@ -89,6 +89,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("token_pack's corpus prefix sum is sharded, not a global window") {
+    // Window.orderBy with no partition key funnels the whole corpus
+    // into one reducer. The distributed prefix sum keeps the corpus
+    // window hash-partitioned by shard; the only SinglePartition
+    // exchange may feed the shard-totals window (#shards rows).
+    val plan = formatted("token_pack")
+    assert(plan.contains("hashpartitioning(pk"), plan.take(2000))
+    val singles = plan.linesIterator.count(_.contains("Arguments: SinglePartition"))
+    assert(singles <= 1, s"$singles SinglePartition exchanges:\n${plan.take(2000)}")
+  }
+
   test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
