@@ -311,9 +311,46 @@ object Curation {
        |       CAST((off + n - 1) // $PackBlock AS BIGINT) AS end_block
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // --- corpus_filter_pipeline: the composed curation decision ----------
+  // What a real pipeline ships: one keep/drop verdict per training doc
+  // with the first failing gate as the reason (quality → repetition →
+  // contamination, in precedence order). Built by joining the three
+  // metric operators — everything stays one declarative plan, so
+  // Catalyst shares scans and the eval-set broadcast across gates.
+  // Scope matches text_contamination (train docs only; eval-suite docs
+  // aren't training candidates).
+
+  private def corpusFilterPipeline(s: SparkSession, dir: String): DataFrame = {
+    val q = qualityGopher(s, dir).select("doc_id", "quality_pass")
+    val r = textRepetition(s, dir).select("doc_id", "repetition_pass")
+    val c = textContamination(s, dir).select("doc_id", "flag_contaminated")
+    val reason = when(!col("quality_pass"), "quality")
+      .when(!col("repetition_pass"), "repetition")
+      .when(col("flag_contaminated"), "contamination")
+    q.join(r, "doc_id").join(c, "doc_id")
+      .select(col("doc_id"), reason.isNull.as("keep"), reason.as("reject_reason"))
+      .orderBy("doc_id")
+  }
+
+  private val corpusFilterPipelineSql =
+    s"""WITH q AS (SELECT doc_id, quality_pass FROM ($qualityGopherSql)),
+       |r AS (SELECT doc_id, repetition_pass FROM ($textRepetitionSql)),
+       |c AS (SELECT doc_id, flag_contaminated FROM ($textContaminationSql)),
+       |j AS (
+       |  SELECT q.doc_id,
+       |         CASE WHEN NOT quality_pass THEN 'quality'
+       |              WHEN NOT repetition_pass THEN 'repetition'
+       |              WHEN flag_contaminated THEN 'contamination'
+       |         END AS reject_reason
+       |  FROM q JOIN r ON q.doc_id = r.doc_id
+       |         JOIN c ON q.doc_id = c.doc_id)
+       |SELECT doc_id, reject_reason IS NULL AS keep, reject_reason
+       |FROM j ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
+    Op("corpus_filter_pipeline", corpusFilterPipeline, Some(corpusFilterPipelineSql)),
     Op("text_contamination", textContamination, Some(textContaminationSql)),
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
     Op("doc_chunking", docChunking, Some(docChunkingSql)),
