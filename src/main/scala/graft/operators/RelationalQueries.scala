@@ -678,6 +678,42 @@ object RelationalQueries {
       |                  AND o_orderpriority = '1-URGENT')
       |ORDER BY c_custkey""".stripMargin
 
+  // --- r23: TPC-H Q17 shape — correlated per-group average filter ------
+  // Small-quantity revenue for small parts: each lineitem compares
+  // against ITS part's average quantity. The correlated scalar
+  // subquery decorrelates into a per-part aggregate re-joined on the
+  // key — both sides shuffle on l_partkey (AQE picks the strategy; a
+  // broadcast hint here would scale with the part table and OOM at
+  // 100 TB). The exact-decimal average keeps the sub-average filter
+  // boundary bit-identical to the oracle.
+
+  private def r23(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val pavg = li.groupBy("l_partkey")
+      .agg((dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(Tables.part(s, dir).filter(col("p_size") <= 5),
+        col("p_partkey") === col("l_partkey"))
+      .join(pavg, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .groupBy("p_brand")
+      .agg(round6(dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+      .orderBy("p_brand")
+  }
+
+  private val r23Sql =
+    s"""WITH pavg AS (
+      |  SELECT l_partkey, ${dsumSql("l_quantity")} / count(*) AS avg_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT p_brand,
+      |       ${round6Sql(dsumSql("l_extendedprice") + " / 7.0")} AS avg_yearly,
+      |       count(*) AS n_small
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN pavg ON pavg.l_partkey = lineitem.l_partkey
+      |WHERE l_quantity < 0.2 * avg_qty AND p_size <= 5
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -700,5 +736,6 @@ object RelationalQueries {
     Op("r19_heavy_suppliers", r19, Some(r19Sql)),
     Op("r20_custdist", r20, Some(r20Sql)),
     Op("r21_big_orders", r21, Some(r21Sql)),
-    Op("r22_idle_rich", r22, Some(r22Sql)))
+    Op("r22_idle_rich", r22, Some(r22Sql)),
+    Op("r23_small_qty_revenue", r23, Some(r23Sql)))
 }
