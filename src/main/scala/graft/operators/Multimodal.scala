@@ -99,8 +99,58 @@ object Multimodal {
       |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
+  // --- mm_feature_extract: batched per-payload feature extraction ------
+  // The decode/feature-extract stage of a media pipeline in its real
+  // execution shape: a partition-batched iterator transform (Spark's
+  // Scala analog of the mapInPandas batch contract — each task
+  // receives an iterator of rows, loops imperatively over raw payload
+  // bytes, and emits typed feature rows). This is extension tier (d),
+  // used because per-byte feature loops genuinely aren't expressible
+  // as Catalyst expressions. The *decoder* is the documented stub
+  // (payload = UTF-8 text bytes); the byte-loop feature math, typed
+  // Encoders, batch iteration, and narrow no-shuffle placement are the
+  // real plumbing a codec-backed extractor would drop into.
+
+  // public: Encoder codegen instantiates these from generated classes
+  case class PayloadRow(doc_id: Long, payload: Array[Byte])
+  case class FeatureRow(doc_id: Long, byte_len: Int,
+      n_space: Int, n_vowel: Int, space_density: Double)
+
+  private def mmFeatureExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .as[PayloadRow]
+      .mapPartitions { batch =>
+        batch.map { r =>
+          var spaces = 0; var vowels = 0; var i = 0
+          while (i < r.payload.length) {
+            val b = r.payload(i)
+            if (b == ' '.toByte) spaces += 1
+            else if (b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u') vowels += 1
+            i += 1
+          }
+          val density =
+            math.floor(spaces.toDouble / r.payload.length * 1e6 + 0.5) / 1e6
+          FeatureRow(r.doc_id, r.payload.length, spaces, vowels, density)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  private val mmFeatureExtractSql =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+      |       CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_space,
+      |       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS n_vowel,
+      |       floor(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+      |             / octet_length(encode(text)) * 1e6 + 0.5) / 1e6 AS space_density
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_meta", mmMeta, Some(mmMetaSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
-    Op("mm_dedup", mmDedup, Some(mmDedupSql)))
+    Op("mm_dedup", mmDedup, Some(mmDedupSql)),
+    Op("mm_feature_extract", mmFeatureExtract, Some(mmFeatureExtractSql)))
 }
