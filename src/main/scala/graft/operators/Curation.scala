@@ -40,24 +40,34 @@ object Curation {
 
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "for")
 
-  private def qualityGopher(s: SparkSession, dir: String): DataFrame = {
+  /** Attaches the quality metrics + pass flag to any frame with a
+    * `text` column — stateless and narrow, so it runs identically over
+    * a batch corpus or a readStream micro-batch (the streaming twin in
+    * StreamingJobs.qualityGateStream applies exactly this). */
+  def qualityMetrics(docs: DataFrame): DataFrame = {
     val n = size(toks)
     val meanRaw = length(translate(col("text"), " ", "")).cast(DoubleType) / n
     val distinctRaw = size(array_distinct(toks)).cast(DoubleType) / n
     val stopRaw = size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast(DoubleType) / n
-    Tables.documents(s, dir)
-      .select(col("doc_id"), n.as("n_words"),
-        meanRaw.as("mean_raw"), distinctRaw.as("distinct_raw"), stopRaw.as("stop_raw"))
-      .select(col("doc_id"), col("n_words"),
-        round6(col("mean_raw")).as("mean_word_len"),
-        round6(col("distinct_raw")).as("distinct_ratio"),
-        round6(col("stop_raw")).as("stopword_frac"),
+    docs
+      .withColumn("n_words", n)
+      .withColumn("mean_raw", meanRaw)
+      .withColumn("distinct_raw", distinctRaw)
+      .withColumn("stop_raw", stopRaw)
+      .select(docs.columns.map(col) :+ col("n_words") :+
+        round6(col("mean_raw")).as("mean_word_len") :+
+        round6(col("distinct_raw")).as("distinct_ratio") :+
+        round6(col("stop_raw")).as("stopword_frac") :+
         (col("n_words").between(20, 100000) &&
           col("mean_raw").between(3.0, 10.0) &&
           (col("stop_raw") >= 0.01) &&
-          (col("distinct_raw") >= 0.2)).as("quality_pass"))
-      .orderBy("doc_id")
+          (col("distinct_raw") >= 0.2)).as("quality_pass"): _*)
   }
+
+  private def qualityGopher(s: SparkSession, dir: String): DataFrame =
+    qualityMetrics(Tables.documents(s, dir).select("doc_id", "text"))
+      .drop("text")
+      .orderBy("doc_id")
 
   private val qualityGopherSql =
     s"""WITH toks AS (

@@ -161,6 +161,15 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming corpus curation: the Gopher-style quality gate applied
+    * to a live document feed. The gate is stateless and narrow
+    * (identical expressions to the batch text_quality_gopher), so it
+    * needs no watermark or state store — each micro-batch is scored at
+    * scan speed, which is how quality filtering runs inline with a
+    * streaming ingest at any corpus size. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.qualityMetrics(docs)
+
   private val GapMs = 30L * 60 * 1000
 
   /** Gap-based sessionization with explicit state: one SessionState per

@@ -254,6 +254,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality gate scores micro-batches like the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.qualityGateStream(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      source.addData(b1.toSeq: _*); q.processAllAvailable()
+      source.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("qgate")
+        .select("doc_id", "n_words", "mean_word_len", "quality_pass")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSet
+      val want = Registry.queries("text_quality_gopher")(spark, sf)
+        .select("doc_id", "n_words", "mean_word_len", "quality_pass")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3))).toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
