@@ -356,9 +356,95 @@ object Similarity {
       |       floor(mse_raw * 1e9 + 0.5) / 1e9 AS mse
       |FROM agg ORDER BY vec_id""".stripMargin
 
+  // --- contrastive_pairs: training-pair mining -------------------------
+  // Deterministic contrastive-dataset construction: per anchor, the
+  // hardest positive (nearest same-label neighbor — exact, via the
+  // same two-phase vec_dot/decimal top-k as ANN) and 3 hash-probed
+  // negatives from other labels. Negative selection is bucket-probed,
+  // never a cross join: each (anchor, k) opens ONE hash bucket
+  // (corpus/16 of the data) and picks the hash-min candidate, so pair
+  // volume is anchors × 3 probes × bucket size — and the expensive
+  // decimal cosine runs only on the 4 selected partners per anchor,
+  // after the cheap hash rank, not before.
+
+  private val NegProbes = 3
+  private val NegBuckets = 16
+
+  private def h32s(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val v = withNorm2(Tables.embeddings(s, dir))
+      .withColumn("bucket", pmod(h32s(col("vec_id").cast(StringType)), lit(NegBuckets)))
+    val anchors = v.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("a_label"),
+        col("embedding").as("q_emb"), col("n2").as("qn2"))
+    // hardest positive: exact top-1 within the anchor's label block
+    val posPairs = v.join(broadcast(anchors),
+        col("label") === col("a_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    val pos = exactTopK(s, posPairs, 1)
+      .select(col("query_id").as("anchor_id"), lit("pos").as("pair_type"),
+        lit(0).as("k"), col("neighbor_id").as("partner_id"), col("cos_sim"))
+    // negatives: one hash bucket per (anchor, probe), hash-min winner
+    val probes = anchors
+      .withColumn("k", explode(sequence(lit(1), lit(NegProbes))))
+      .withColumn("pb", pmod(
+        h32s(concat(col("query_id").cast(StringType), lit(":"), col("k").cast(StringType))),
+        lit(NegBuckets)))
+    val w = Window.partitionBy("query_id", "k").orderBy(col("pick_h"), col("vec_id"))
+    val neg = v.join(broadcast(probes),
+        col("bucket") === col("pb") && col("label") =!= col("a_label") &&
+        col("vec_id") =!= col("query_id"))
+      .withColumn("pick_h", h32s(concat(col("query_id").cast(StringType), lit("/"),
+        col("vec_id").cast(StringType))))
+      .withColumn(s"${mk}rn", row_number().over(w))
+      .filter(col(s"${mk}rn") === 1)
+      .withColumn("cos_raw",
+        ddot(col("q_emb"), col("embedding")).cast(DoubleType) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+      .select(col("query_id").as("anchor_id"), lit("neg").as("pair_type"),
+        col("k"), col("vec_id").as("partner_id"), round6(col("cos_raw")).as("cos_sim"))
+    pos.unionByName(neg).orderBy("anchor_id", "pair_type", "k")
+  }
+
+  private val contrastivePairsSql = {
+    def h32(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+    s"""WITH v AS (
+       |  SELECT vec_id, label, embedding, ${norm2Sql("embedding")} AS nn,
+       |         ${h32("CAST(vec_id AS VARCHAR)")} % $NegBuckets AS bucket
+       |  FROM embeddings),
+       |anchors AS (SELECT vec_id AS a_id, label AS a_label, embedding AS a_emb, nn AS a_n2
+       |            FROM v WHERE vec_id < 20),
+       |pos AS (
+       |  SELECT a_id, 'pos' AS pair_type, 0 AS k, vec_id AS partner_id,
+       |         ${ddotSql("a_emb", "embedding")} / (sqrt(a_n2) * sqrt(nn)) AS cos_raw,
+       |         row_number() OVER (PARTITION BY a_id ORDER BY
+       |           ${ddotSql("a_emb", "embedding")} / (sqrt(a_n2) * sqrt(nn)) DESC, vec_id) AS rn
+       |  FROM anchors JOIN v ON v.label = a_label AND v.vec_id <> a_id),
+       |probes AS (
+       |  SELECT a_id, a_label, a_emb, a_n2, k,
+       |         ${h32("CAST(a_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")} % $NegBuckets AS pb
+       |  FROM anchors, (SELECT unnest(generate_series(1, $NegProbes)) AS k)),
+       |neg AS (
+       |  SELECT a_id, 'neg' AS pair_type, k, vec_id AS partner_id,
+       |         ${ddotSql("a_emb", "embedding")} / (sqrt(a_n2) * sqrt(nn)) AS cos_raw,
+       |         row_number() OVER (PARTITION BY a_id, k ORDER BY
+       |           ${h32("CAST(a_id AS VARCHAR) || '/' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+       |  FROM probes JOIN v ON v.bucket = pb AND v.label <> a_label AND v.vec_id <> a_id)
+       |SELECT a_id AS anchor_id, pair_type, CAST(k AS INTEGER) AS k, partner_id,
+       |       ${round6Sql("cos_raw")} AS cos_sim
+       |FROM (SELECT * FROM pos WHERE rn = 1 UNION ALL SELECT * FROM neg WHERE rn = 1)
+       |ORDER BY anchor_id, pair_type, k""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_ivf_topk", annIvf, None),
-    Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)))
+    Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
+    Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }
