@@ -403,7 +403,7 @@ object Similarity {
       .withColumn("pick_h", h32s(concat(col("query_id").cast(StringType), lit("/"),
         col("vec_id").cast(StringType))))
       .withColumn(s"${mk}rn", row_number().over(w))
-      .filter(col(s"${mk}rn") === 1)
+      .filter(col(s"${mk}rn") <= 1)
       .withColumn("cos_raw",
         ddot(col("q_emb"), col("embedding")).cast(DoubleType) / (sqrt(col("qn2")) * sqrt(col("n2"))))
       .select(col("query_id").as("anchor_id"), lit("neg").as("pair_type"),
