@@ -630,6 +630,42 @@ object MarketQueries {
        |       END AS corr
        |FROM moments ORDER BY sym_a, sym_b""".stripMargin
 
+  // --- Q15: exact per-symbol price quantiles ---------------------------
+  // The reference approximates (APPROX_PERCENTILE in Q5); this is the
+  // exact complement via rank arithmetic — position ceil(p·n) in the
+  // (price, trade_id)-sorted order, the only quantile definition both
+  // engines compute bit-identically (interpolating percentile
+  // functions differ across engines). Cost is one per-symbol sort,
+  // parallel across symbols — the honest price of exactness; the
+  // sketch-based path for approximate needs is q5's.
+
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(col("price"), col("trade_id"))
+    val wc = Window.partitionBy("symbol")
+    def at(p: Double) =
+      min(when(col("rn") === ceil(lit(p) * col("n")), col("price")))
+    trades(s, dir)
+      .select(col("symbol"), col("price"), col("trade_id"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy("symbol")
+      .agg(max("n").as("n_trades"),
+        at(0.50).as("p50"), at(0.90).as("p90"), at(0.99).as("p99"))
+      .orderBy("symbol")
+  }
+
+  private val q15Sql =
+    s"""$cte, ranked AS (
+       |  SELECT symbol, price,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY price, trade_id) AS rn,
+       |         count(*) OVER (PARTITION BY symbol) AS n
+       |  FROM trades)
+       |SELECT symbol, CAST(max(n) AS BIGINT) AS n_trades,
+       |       min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN price END) AS p50,
+       |       min(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN price END) AS p90,
+       |       min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN price END) AS p99
+       |FROM ranked GROUP BY symbol ORDER BY symbol""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -650,5 +686,8 @@ object MarketQueries {
     Op("q11_volatility", q11, Some(q11Sql)),
     Op("q12_drawdown", q12, Some(q12Sql)),
     Op("q13_gapfill", q13, Some(q13Sql)),
-    Op("q14_correlation_matrix", q14, Some(q14Sql)))
+    Op("q14_correlation_matrix", q14, Some(q14Sql)),
+    Op("q15_quantiles", q15, Some(q15Sql)))
+
+
 }

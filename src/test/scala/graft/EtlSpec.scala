@@ -258,6 +258,52 @@ class EtlSpec extends AnyFunSuite {
       || new java.io.File(s"$lake/year=2024/month=7/day=26/symbol=ETHUSDT").list().isEmpty)
   }
 
+  test("schema evolution: later partitions add columns, mergeSchema unifies") {
+    val lake = "target/tmp/etl-evolve"
+    rmrf(lake)
+    // v1 era: no venue column
+    spark.range(10).selectExpr("id AS trade_id", "50000.0 + id AS price",
+        "2024 AS year", "7 AS month")
+      .write.partitionBy("year", "month").parquet(lake)
+    // v2 era: a new month arrives with an extra column
+    spark.range(10, 15).selectExpr("id AS trade_id", "51000.0 + id AS price",
+        "'binance' AS venue", "2024 AS year", "8 AS month")
+      .write.mode("append").partitionBy("year", "month").parquet(lake)
+
+    val unified = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert(unified.columns.contains("venue"))
+    assert(unified.count() == 15)
+    // old-era rows surface the new column as null; new-era rows keep it
+    assert(unified.filter(col("month") === 7 && col("venue").isNull).count() == 10)
+    assert(unified.filter(col("month") === 8 && col("venue") === "binance").count() == 5)
+  }
+
+  test("corrupt data files are skippable without losing the healthy partitions") {
+    val lake = "target/tmp/etl-corrupt"
+    rmrf(lake)
+    spark.range(100).selectExpr("id", "id * 2 AS v", "CAST(id % 4 AS INT) AS part")
+      .repartition(col("part")) // one data file per partition dir
+      .write.partitionBy("part").parquet(lake)
+    // clobber the partition's single data file with garbage
+    val dir = new java.io.File(s"$lake/part=3")
+    val victims = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(victims.length == 1, s"fixture expects one file, got ${victims.length}")
+    java.nio.file.Files.write(victims.head.toPath, "not a parquet file".getBytes)
+
+    // default: the corrupt file fails the scan loudly (no silent loss)
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(lake).count()
+    }
+    // opted in, the healthy 75 rows survive — the 100 TB posture:
+    // one bad object must not take down the whole corpus scan
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val healthy = spark.read.parquet(lake)
+      assert(healthy.count() == 75)
+      assert(healthy.select("part").distinct().count() == 3)
+    } finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+  }
+
   test("CDC merge expires invalidated snapshots and commits the new layout") {
     import graft.etl.{CdcMerge, Snapshots}
     val in = "target/tmp/etl-cdcsnap-in"
