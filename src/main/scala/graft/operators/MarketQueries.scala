@@ -666,6 +666,23 @@ object MarketQueries {
        |       min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN price END) AS p99
        |FROM ranked GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  // --- Q16: sketched per-symbol quantiles (the 100 TB path) ------------
+  // q15 is exact but pays a per-symbol sort; this is the single-pass
+  // complement — percentile_approx's mergeable histogram sketch
+  // (bounded memory per partial, map-side combinable, no sort), the
+  // same exact-vs-sketch relationship q5 demonstrates for thresholds.
+  // Approximation is engine-specific, so the oracle is rows-only;
+  // QueriesSpec bounds the rank error against q15's exact answers.
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_trades"),
+        percentile_approx(col("price"), lit(0.50), lit(5000)).as("p50"),
+        percentile_approx(col("price"), lit(0.90), lit(5000)).as("p90"),
+        percentile_approx(col("price"), lit(0.99), lit(5000)).as("p99"))
+      .orderBy("symbol")
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -687,7 +704,8 @@ object MarketQueries {
     Op("q12_drawdown", q12, Some(q12Sql)),
     Op("q13_gapfill", q13, Some(q13Sql)),
     Op("q14_correlation_matrix", q14, Some(q14Sql)),
-    Op("q15_quantiles", q15, Some(q15Sql)))
+    Op("q15_quantiles", q15, Some(q15Sql)),
+    Op("q16_quantiles_sketch", q16, None))
 
 
 }

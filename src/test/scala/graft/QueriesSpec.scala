@@ -46,4 +46,25 @@ class QueriesSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q16 sketch quantiles sit within rank-error bound of q15 exact") {
+    import org.apache.spark.sql.functions._
+    // percentile_approx(accuracy=5000) guarantees rank error ≤ n/5000;
+    // check the reported value's true rank is within that of ceil(p·n)
+    val exactRanks = Registry.queries("q15_quantiles")(spark, sf)
+    val sketch = Registry.queries("q16_quantiles_sketch")(spark, sf)
+    val trades = Registry.queries("etl_normalize")(spark, sf)
+      .select("symbol", "price")
+    val joined = sketch.join(exactRanks.select(col("symbol"), col("n_trades").as("n_exact")), "symbol")
+    for (r <- joined.collect(); (p, idx) <- Seq((0.50, "p50"), (0.90, "p90"), (0.99, "p99"))) {
+      val sym = r.getAs[String]("symbol")
+      val n = r.getAs[Long]("n_exact")
+      val v = r.getAs[Double](idx)
+      val rank = trades.filter(col("symbol") === sym && col("price") <= v).count()
+      val target = math.ceil(p * n).toLong
+      val tol = math.max(1L, n / 5000 + 1)
+      assert(math.abs(rank - target) <= tol,
+        s"$sym $idx: value $v has rank $rank, target $target ± $tol (n=$n)")
+    }
+  }
 }
