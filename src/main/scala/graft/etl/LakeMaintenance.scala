@@ -41,30 +41,38 @@ object LakeMaintenance {
     * into one file per partition (small-file compaction). Only the
     * fragmented partitions are read or touched; results are
     * byte-equivalent to the originals. Returns the number of
-    * partitions compacted. */
-  def compact(spark: SparkSession, lakeRoot: String, maxFiles: Int = 1): Int = {
+    * partitions compacted.
+    *
+    * Work proceeds in passes of at most `partitionsPerPass` partition
+    * dirs: each pass materializes its rows (localCheckpoint — the
+    * rewrite reads the files it replaces, so rows must leave the
+    * source lineage before the overwrite; relying on the
+    * dynamic-overwrite committer deferring deletion is fragile against
+    * committer changes) and each pass is itself a complete, durable
+    * compaction. Bounding the pass size bounds the materialized
+    * footprint — compacting a 100 TB lake's worth of fragmented
+    * partitions in one checkpoint would be the scale hazard the
+    * batching avoids — and a crash between passes loses nothing. */
+  def compact(spark: SparkSession, lakeRoot: String, maxFiles: Int = 1,
+      partitionsPerPass: Int = 64): Int = {
     val fragmented = partitionCensus(spark, lakeRoot).filter(_._2 > maxFiles)
     if (fragmented.isEmpty) return 0
-    // one pruned read over just the fragmented partition dirs; base
-    // path keeps the partition columns in the schema
-    val df = spark.read
-      .option("basePath", lakeRoot)
-      .parquet(fragmented.map(_._1): _*)
     val partCols = fragmented.head._1
       .stripPrefix(new Path(lakeRoot).toString).split("/")
       .filter(_.contains("=")).map(_.split("=")(0)).toSeq
-    df.repartition(partCols.map(col): _*)
-      // materialize BEFORE the overwrite (CdcMerge's pattern): the
-      // rewrite reads the files it replaces, and relying on the
-      // dynamic-overwrite committer to defer deletion past the read —
-      // which only escapes Spark's overwrite-while-reading check
-      // because the inputs are subdirectories — is fragile against
-      // committer changes
-      .localCheckpoint()
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCols: _*)
-      .parquet(lakeRoot)
+    fragmented.grouped(partitionsPerPass).foreach { batch =>
+      // one pruned read over just this pass's partition dirs; base
+      // path keeps the partition columns in the schema
+      spark.read
+        .option("basePath", lakeRoot)
+        .parquet(batch.map(_._1): _*)
+        .repartition(partCols.map(col): _*)
+        .localCheckpoint()
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*)
+        .parquet(lakeRoot)
+    }
     reSnapshot(spark, lakeRoot)
     fragmented.size
   }

@@ -205,6 +205,16 @@ class EtlSpec extends AnyFunSuite {
     assert(!vs.contains(preCompactVersion) && vs.nonEmpty, vs.mkString(","))
     assert(graft.etl.Snapshots.readVersion(spark, lake, vs.last).count() == wantCount)
 
+    // multi-pass compaction: re-fragment and compact 4 partitions per
+    // pass — each pass is durable, results identical to one big pass
+    spark.read.parquet(lake).repartition(8)
+      .write.mode("overwrite").partitionBy("year", "month", "day", "symbol").parquet(lake + "2")
+    val frag2 = LakeMaintenance.partitionCensus(spark, lake + "2").count(_._2 > 1)
+    assert(frag2 > 4, s"fixture not fragmented enough for multi-pass: $frag2")
+    assert(LakeMaintenance.compact(spark, lake + "2", partitionsPerPass = 4) == frag2)
+    assert(LakeMaintenance.partitionCensus(spark, lake + "2").forall(_._2 == 1))
+    assert(spark.read.parquet(lake + "2").count() == wantCount)
+
     // retention: drop partitions before Jan 6 → days 1-5 gone, 6-10 kept
     val dropped = LakeMaintenance.retention(spark, lake, java.time.LocalDate.of(2024, 1, 6))
     assert(dropped == 5)
