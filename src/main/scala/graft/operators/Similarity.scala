@@ -198,11 +198,14 @@ object Similarity {
   private val IvfProbes = 2
   private val LloydIters = 5
 
-  /** score monotone in -||x-c||²: c·x − ||c||²/2. */
-  private def centScore(emb: Column, cent: Column, cn2: Column): Column = {
-    import graft.plans.VecDotProduct.vec_dot
-    vec_dot(emb, cent) - cn2 / 2.0
-  }
+  /** score monotone in -||x-c||²: c·x − ||c||²/2 — reduced in
+    * DECIMAL(38,12) (exact, order-free) so every argmax the quantizer
+    * takes is bit-portable to the DuckDB oracle. The training/
+    * assignment volume is sample×k and corpus×k — k rows broadcast —
+    * so the interpreted decimal reduction is off the per-pair hot path
+    * (which stays two-phase vec_dot in exactTopK). */
+  private def centScore(emb: Column, cent: Column, cn2: Column): Column =
+    ddot(emb, cent).cast(DoubleType) - cn2 / 2.0
 
   private def withCentNorm(cents: DataFrame): DataFrame =
     cents.withColumn("cn2", ddot(col("cent"), col("cent")).cast(DoubleType))
@@ -219,12 +222,15 @@ object Similarity {
     * the cluster. Trains on a bounded deterministic hash-sample of the
     * corpus (~25%, capped by the sampling ratio — at 100 TB the
     * quantizer quality needs a representative sample, not every
-    * vector); assignment of the full corpus stays exact. */
+    * vector); assignment of the full corpus stays exact. Every step is
+    * engine-portable: md5-prefix sample hash, decimal argmax scores,
+    * decimal per-dimension means rounded through double→float — so
+    * the DuckDB oracle replays training bit-for-bit. */
   private def trainCentroids(v: DataFrame): DataFrame = {
     // materialized once: every Lloyd round re-reads the sample, not
     // the parquet scan + norm computation behind it
     val sample = v.select(col("vec_id"), col("embedding"))
-      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0 || col("vec_id") < IvfK)
+      .filter(pmod(h32s(col("vec_id").cast(StringType)), lit(4)) === 0 || col("vec_id") < IvfK)
       .localCheckpoint()
     var cents = v.filter(col("vec_id") < IvfK)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cent"))
@@ -239,7 +245,9 @@ object Similarity {
           first(col("embedding")).as("embedding"))
       cents = assigned
         .select(col("list_id").as("cid"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy("cid", "d").agg(avg(col("x")).as("m"))
+        .groupBy("cid", "d")
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(38, 12)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           e => e.getField("m").cast("float")).as("cent"))
@@ -441,10 +449,82 @@ object Similarity {
        |ORDER BY anchor_id, pair_type, k""".stripMargin
   }
 
+  /** Full DuckDB twin of the IVF pipeline, k-means training included:
+    * the [[LloydIters]] Lloyd rounds unroll into chained CTEs (one
+    * assignment + one centroid-update per round), generated from the
+    * same constants the Spark side uses. Bit-parity holds because the
+    * quantizer is engine-portable end to end — md5-prefix sample hash,
+    * DECIMAL(38,12) argmax scores with the (score DESC, cid) tiebreak,
+    * per-dimension means as decimal-sum/count rounded double→float. */
+  private val annIvfSql: String = {
+    def h32(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+    def score(emb: String, cent: String) =
+      s"${ddotSql(emb, cent)} - ${ddotSql(cent, cent)} / 2.0"
+    val rounds = (1 to LloydIters).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      s"""a$r AS (
+         |  SELECT vec_id, embedding, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+         |  FROM (SELECT s.vec_id, s.embedding, c.cid,
+         |          ${score("s.embedding", "c.cent")} AS score
+         |        FROM samp s CROSS JOIN $prev c)),
+         |c$r AS (
+         |  SELECT cid, list(CAST(m AS REAL) ORDER BY d) AS cent
+         |  FROM (
+         |    SELECT cid, CAST(i AS INTEGER) AS d,
+         |           CAST(sum(CAST(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |             / count(*) AS m
+         |    FROM (SELECT cid, embedding,
+         |            unnest(generate_series(1, len(embedding))) AS i
+         |          FROM a$r WHERE rn = 1)
+         |    GROUP BY cid, CAST(i AS INTEGER))
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val last = s"c$LloydIters"
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS nn FROM embeddings),
+       |samp AS (
+       |  SELECT vec_id, embedding FROM v
+       |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < $IvfK),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cent FROM v WHERE vec_id < $IvfK),
+       |$rounds,
+       |assigned AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${score("v.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $last c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS probe FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${score("v.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $last c WHERE v.vec_id < 10)
+       |  WHERE rn <= $IvfProbes),
+       |scored AS (
+       |  SELECT p.query_id, v.vec_id AS neighbor_id,
+       |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.nn) * sqrt(v.nn)) AS cos_raw
+       |  FROM probes p
+       |  JOIN assigned a ON a.list_id = p.probe
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  JOIN v q ON q.vec_id = p.query_id
+       |  WHERE v.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
-    Op("ann_ivf_topk", annIvf, None),
+    Op("ann_ivf_topk", annIvf, Some(annIvfSql)),
     Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }
