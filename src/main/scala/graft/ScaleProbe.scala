@@ -72,7 +72,10 @@ object ScaleProbe {
       "r19_heavy_suppliers", "r20_custdist", "r21_big_orders",
       "text_quality_gopher", "text_repetition", "text_contamination",
       "corpus_mix_sample", "doc_chunking", "corpus_shuffle", "token_pack",
-      "embedding_quantize", "mm_dedup")
+      "embedding_quantize", "mm_dedup",
+      "contrastive_pairs", "q15_quantiles", "q16_quantiles_sketch",
+      "r22_idle_rich", "r23_small_qty_revenue", "corpus_filter_pipeline",
+      "mm_feature_extract")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
