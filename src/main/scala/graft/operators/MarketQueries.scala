@@ -666,6 +666,44 @@ object MarketQueries {
        |       min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN price END) AS p99
        |FROM ranked GROUP BY symbol ORDER BY symbol""".stripMargin
 
+  // --- etl_dq_rejects: the DQ gate as an auditable rejects report ------
+  // Every query applies the DQ gate inline (eventsAsTrades); this is
+  // the gate's complement — the rows it drops, each tagged with the
+  // first failing rule — so the filter embedded in every plan is also
+  // a standalone, verifiable operator (and the report a real pipeline
+  // ships to its data-quality dashboard).
+
+  private def etlDqRejects(s: SparkSession, dir: String): DataFrame = {
+    val kStr = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+    val qty = when(length(kStr) > 0, kStr.cast(DoubleType))
+    Tables.events(s, dir)
+      .select(col("event_id").as("trade_id"), col("ts"),
+        col("value").as("price"), qty.as("quantity"))
+      .filter(col("ts").isNull || col("price").isNull || col("price") <= 0 ||
+        col("quantity").isNull || col("quantity") <= 0)
+      .select(col("trade_id"),
+        when(col("ts").isNull, "null_time")
+          .when(col("price").isNull || col("price") <= 0, "bad_price")
+          .otherwise("bad_qty").as("reject_reason"),
+        col("price"), col("quantity"))
+      .orderBy("trade_id")
+  }
+
+  private val etlDqRejectsSql =
+    """WITH raw AS (
+      |  SELECT event_id AS trade_id, ts, value AS price,
+      |         TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) AS quantity
+      |  FROM events)
+      |SELECT trade_id,
+      |       CASE WHEN ts IS NULL THEN 'null_time'
+      |            WHEN price IS NULL OR price <= 0 THEN 'bad_price'
+      |            ELSE 'bad_qty' END AS reject_reason,
+      |       price, quantity
+      |FROM raw
+      |WHERE ts IS NULL OR price IS NULL OR price <= 0
+      |   OR quantity IS NULL OR quantity <= 0
+      |ORDER BY trade_id""".stripMargin
+
   // --- Q16: sketched per-symbol quantiles (the 100 TB path) ------------
   // q15 is exact but pays a per-symbol sort; this is the single-pass
   // complement — percentile_approx's mergeable histogram sketch
@@ -690,6 +728,7 @@ object MarketQueries {
     Op("etl_json_props", etlJsonProps, Some(etlJsonPropsSql)),
     Op("etl_upsert_latest", etlUpsertLatest, Some(etlUpsertLatestSql)),
     Op("etl_scd2_history", etlScd2, Some(etlScd2Sql)),
+    Op("etl_dq_rejects", etlDqRejects, Some(etlDqRejectsSql)),
     Op("q1_partition_counts", q1, Some(q1Sql)),
     Op("q2_vwap_minute", q2, Some(q2Sql)),
     Op("q3_order_flow", q3, Some(q3Sql)),

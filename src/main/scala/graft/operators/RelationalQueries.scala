@@ -714,6 +714,54 @@ object RelationalQueries {
       |WHERE l_quantity < 0.2 * avg_qty AND p_size <= 5
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // --- r24: TPC-H Q19 shape — disjunctive band predicates --------------
+  // OR-of-ANDs over joined columns: Catalyst extracts the common
+  // residual (p_size lower bound, quantity envelope) and pushes what it
+  // can into both scans while the full disjunction evaluates post-join
+  // — the predicate shape rule-based pushdown gets wrong if you write
+  // it imperatively.
+
+  private def r24(s: SparkSession, dir: String): DataFrame = {
+    def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+      .filter(band("Brand#1", 5, 1, 11) || band("Brand#2", 10, 10, 20) ||
+        band("Brand#3", 15, 20, 30))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val r24Sql =
+    s"""SELECT ${dsumSql("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+      |       count(*) AS n
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // --- r25: TPC-H Q12 shape — conditional priority counts --------------
+
+  private def r25(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  private val r25Sql =
+    """SELECT l_returnflag,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= o_orderdate
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -737,5 +785,7 @@ object RelationalQueries {
     Op("r20_custdist", r20, Some(r20Sql)),
     Op("r21_big_orders", r21, Some(r21Sql)),
     Op("r22_idle_rich", r22, Some(r22Sql)),
-    Op("r23_small_qty_revenue", r23, Some(r23Sql)))
+    Op("r23_small_qty_revenue", r23, Some(r23Sql)),
+    Op("r24_disjunctive_bands", r24, Some(r24Sql)),
+    Op("r25_priority_lines", r25, Some(r25Sql)))
 }
