@@ -49,7 +49,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver merges stderr into stdout, and a WARN
+    // flushed concurrently with the final JSON println can interleave
+    // mid-line and break the driver's parse (observed in round 3).
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM/codegen warmup so the first timed query isn't paying JIT cost
     spark.range(1000000L).selectExpr("sum(id * 2)", "count(distinct id % 7)").collect()
     SparkEntry.queries.head._2(spark, sfDir).count()
@@ -67,8 +70,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // n:2 documents the min-of-two runs per query (see `timed` above)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":2,"queries":$qs,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing: once the context is down nothing else
+    // writes to the merged stdout/stderr stream, so the JSON line cannot
+    // be split by a concurrent log flush. The leading newline terminates
+    // any unterminated partial line a logger may have left behind.
     spark.stop()
+    // n:2 documents the min-of-two runs per query (see `timed` above)
+    print(s"""\n{"metric":"total","value":$total,"unit":"sec","n":2,"queries":$qs,"sf":"$sfDir"}\n""")
+    System.out.flush()
   }
 }

@@ -762,6 +762,154 @@ object RelationalQueries {
       |WHERE l_shipdate >= o_orderdate
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // --- r26: TPC-H Q6 shape — scan-only forecast revenue ----------------
+  // The pure pushdown exhibit: no join at all, three conjunctive range
+  // predicates reach the parquet scan as PushedFilters, and the single
+  // aggregate is map-side partial + one-row final. At 100 TB this is
+  // I/O-bound by exactly the rows the filters keep — the plan to beat.
+
+  private def r26(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ntz("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val r26Sql =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount", 6)} AS revenue,
+       |       count(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // --- r27: TPC-H Q10 shape — returned-item reporting ------------------
+  // Top customers by lost revenue from returned lineitems in a quarter:
+  // date-pruned orders ⋈ returnflag-pruned lineitem, customer join left
+  // to AQE (cardinality scales with SF), nation broadcast (bounded 25).
+
+  private def r27(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ntz("1996-04-01 00:00:00"))
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val r27Sql =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |       ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+       |GROUP BY 1,2,3,4
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // --- r28: TPC-H Q14 shape — promotion revenue share ------------------
+  // Conditional numerator over the same exact-decimal denominator in
+  // one pass (no second scan, no self-join); the part join shuffles on
+  // the key with AQE picking the strategy. Both sums surface alongside
+  // the share so the result discriminates at every SF.
+
+  private def r28(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ntz("1996-04-01 00:00:00"))
+      .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+      .agg(
+        dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 6).as("promo_revenue"),
+        dsum(disc, 6).as("total_revenue"))
+      .withColumn("promo_share_pct",
+        round6(lit(100.0) * col("promo_revenue") / col("total_revenue")))
+  }
+
+  private val r28Sql =
+    s"""SELECT promo_revenue, total_revenue,
+       |       ${round6Sql("100.0 * promo_revenue / total_revenue")} AS promo_share_pct
+       |FROM (
+       |  SELECT ${dsumSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)} AS promo_revenue,
+       |         ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS total_revenue
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01')""".stripMargin
+
+  // --- r29: TPC-H Q15 shape — top supplier(s) by revenue ---------------
+  // The revenue "view" aggregates once; the scalar max over it is one
+  // row (broadcast by construction) and the equality filter returns
+  // every supplier tied at the maximum. Exact-decimal revenue makes the
+  // tie boundary bit-identical to the oracle.
+
+  private def r29(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ntz("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ntz("1996-04-01 00:00:00"))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("total_rev"))
+    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(s, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("max_rev"))
+      .select("s_suppkey", "s_name", "total_rev")
+      .orderBy("s_suppkey")
+  }
+
+  private val r29Sql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |         ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS total_rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // --- r30: TPC-H Q9 shape — product-line profit by nation/year --------
+  // The reference schema carries no partsupp, so unit cost is derived
+  // from the part's retail price (fixed 50% margin) — the join/agg
+  // shape is Q9's: name-filtered part ⋈ fact ⋈ orders (year) ⋈
+  // supplier ⋈ nation (broadcast), profit summed exactly per
+  // (nation, year). Part scales with SF → its join strategy is AQE's.
+
+  private def r30(s: SparkSession, dir: String): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.5) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_name").like("red%")),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(profit, 6).as("sum_profit"), count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  private val r30Sql =
+    s"""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       ${dsumSql("l_extendedprice * (1.0 - l_discount) - 0.5 * p_retailprice * l_quantity", 6)} AS sum_profit,
+       |       count(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE 'red%'
+       |GROUP BY 1,2
+       |ORDER BY n_name, o_year DESC""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -787,5 +935,10 @@ object RelationalQueries {
     Op("r22_idle_rich", r22, Some(r22Sql)),
     Op("r23_small_qty_revenue", r23, Some(r23Sql)),
     Op("r24_disjunctive_bands", r24, Some(r24Sql)),
-    Op("r25_priority_lines", r25, Some(r25Sql)))
+    Op("r25_priority_lines", r25, Some(r25Sql)),
+    Op("r26_forecast_revenue", r26, Some(r26Sql)),
+    Op("r27_returned_items", r27, Some(r27Sql)),
+    Op("r28_promo_share", r28, Some(r28Sql)),
+    Op("r29_top_supplier", r29, Some(r29Sql)),
+    Op("r30_nation_profit", r30, Some(r30Sql)))
 }
