@@ -289,7 +289,11 @@ object Curation {
   private val PackBlock = 64
   private val ShardWidth = 100
 
-  private def tokenPack(s: SparkSession, dir: String): DataFrame = {
+  /** Every doc's global token offset in the concatenated corpus via the
+    * distributed prefix sum (shared by token_pack and
+    * pack_attention_mask — see the token_pack comment for why the only
+    * single-partition window runs over #shards rows). */
+  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(toks).as("n_tokens"),
         expr(s"doc_id div $ShardWidth").as("pk"))
@@ -304,11 +308,15 @@ object Curation {
       .select("pk", "base")
     local.join(broadcast(bases), "pk")
       .withColumn("token_offset", col("base") + col("local_off"))
+      .select("doc_id", "n_tokens", "token_offset")
+  }
+
+  private def tokenPack(s: SparkSession, dir: String): DataFrame =
+    packedDocs(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("token_offset"),
         expr(s"token_offset div $PackBlock").as("start_block"),
         expr(s"(token_offset + n_tokens - 1) div $PackBlock").as("end_block"))
       .orderBy("doc_id")
-  }
 
   private val tokenPackSql =
     s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
@@ -320,6 +328,134 @@ object Curation {
        |       CAST(off // $PackBlock AS BIGINT) AS start_block,
        |       CAST((off + n - 1) // $PackBlock AS BIGINT) AS end_block
        |FROM o ORDER BY doc_id""".stripMargin
+
+  // --- pack_attention_mask: packed-block boundary metadata -------------
+  // The metadata packed-sequence training actually consumes: for every
+  // fixed-size training block, how many documents it spans and where
+  // the document boundaries fall inside it (the attention-mask reset
+  // points — cross-document attention must be masked at exactly these
+  // positions). Derived from the same distributed prefix sum as
+  // token_pack; the block fan-out is a generator over each doc's
+  // (start_block..end_block) span, so work is O(total blocks), never
+  // corpus × blocks.
+
+  private def packAttentionMask(s: SparkSession, dir: String): DataFrame = {
+    val spans = packedDocs(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("token_offset"),
+        expr(s"token_offset div $PackBlock").as("sb"),
+        expr(s"(token_offset + n_tokens - 1) div $PackBlock").as("eb"))
+    val starts = col("token_offset") >= col("block_id") * PackBlock
+    spans
+      .withColumn("block_id", explode(sequence(col("sb"), col("eb"))))
+      .groupBy("block_id")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sum(when(starts, 1L).otherwise(0L)).cast(IntegerType).as("n_starts"),
+        sum(when(starts, col("token_offset") - col("block_id") * PackBlock + 1L)
+          .otherwise(0L)).as("boundary_checksum"))
+      .orderBy("block_id")
+  }
+
+  private val packAttentionMaskSql =
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |o AS (SELECT doc_id, n,
+       |        COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |      FROM d),
+       |spans AS (
+       |  SELECT doc_id, n, off, CAST(off // $PackBlock AS BIGINT) AS sb,
+       |         CAST((off + n - 1) // $PackBlock AS BIGINT) AS eb FROM o),
+       |blocks AS (
+       |  SELECT doc_id, n, off, unnest(generate_series(sb, eb)) AS block_id FROM spans)
+       |SELECT block_id, CAST(count(*) AS INTEGER) AS n_docs, min(doc_id) AS first_doc,
+       |       CAST(SUM(CASE WHEN off >= block_id * $PackBlock THEN 1 ELSE 0 END) AS INTEGER) AS n_starts,
+       |       CAST(SUM(CASE WHEN off >= block_id * $PackBlock
+       |         THEN off - block_id * $PackBlock + 1 ELSE 0 END) AS BIGINT) AS boundary_checksum
+       |FROM blocks GROUP BY 1 ORDER BY block_id""".stripMargin
+
+  // --- text_pii_redact: pattern-driven redaction + audit counts --------
+  // The privacy/compliance scrub a corpus pipeline runs before
+  // training: a chain of codegen'd regexp_replace passes (email, phone,
+  // denylisted terms) with per-category match counts so the audit
+  // report is produced in the same scan as the redaction — stateless
+  // and narrow, scan-speed at 100 TB. The denylist category carries the
+  // discriminating load on the synthetic corpus; the email/phone
+  // patterns are the real-world shapes (both regex dialects here are
+  // RE2-compatible, so Spark and the oracle match identically).
+
+  private val EmailPat = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+  private val PhonePat = """\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"""
+  private val TermPat = """\b(customer|order|query)\b"""
+
+  private def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
+          lit(PhonePat), lit("<PHONE>")),
+        lit(TermPat), lit("<TERM>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailPat)).cast(IntegerType).as("n_email"),
+        regexp_count(col("text"), lit(PhonePat)).cast(IntegerType).as("n_phone"),
+        regexp_count(col("text"), lit(TermPat)).cast(IntegerType).as("n_term"),
+        md5(redacted).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val textPiiRedactSql =
+    s"""WITH red AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(text, '$EmailPat', '<EMAIL>', 'g'),
+       |        '$PhonePat', '<PHONE>', 'g'),
+       |      '$TermPat', '<TERM>', 'g') AS redacted,
+       |    len(regexp_extract_all(text, '$EmailPat')) AS n_email,
+       |    len(regexp_extract_all(text, '$PhonePat')) AS n_phone,
+       |    len(regexp_extract_all(text, '$TermPat')) AS n_term
+       |  FROM documents)
+       |SELECT doc_id, CAST(n_email AS INTEGER) AS n_email,
+       |       CAST(n_phone AS INTEGER) AS n_phone, CAST(n_term AS INTEGER) AS n_term,
+       |       md5(redacted) AS redacted_hash
+       |FROM red ORDER BY doc_id""".stripMargin
+
+  // --- text_rarity_score: unigram-LM document scoring ------------------
+  // The language-model quality signal without the language model: score
+  // each doc by the corpus-frequency ranks of its tokens (common word →
+  // rank 1). Rank arithmetic instead of log-probabilities keeps it
+  // engine-portable (§4: ln() is not correctly-rounded-identical across
+  // engines; integer ranks and one exact ratio are). The frequency
+  // table is vocabulary-bounded → broadcast back to the token stream;
+  // the only unpartitioned window ranks vocabulary rows, not corpus.
+
+  private def textRarityScore(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val ranked = words.groupBy("word").agg(count(lit(1)).as("c"))
+      .withColumn("rnk",
+        dense_rank().over(Window.orderBy(col("c").desc, col("word"))).cast(IntegerType))
+      .select("word", "rnk")
+    words.join(broadcast(ranked), "word")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_words"),
+        round6(sum(col("rnk")).cast(DoubleType) / count(lit(1))).as("mean_rank"),
+        max(col("rnk")).as("rarest_rank"))
+      .orderBy("doc_id")
+  }
+
+  private val textRarityScoreSql =
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |freq AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+       |ranked AS (SELECT word, CAST(dense_rank() OVER (ORDER BY c DESC, word) AS INTEGER) AS rnk
+       |           FROM freq)
+       |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_words,
+       |       ${round6Sql("CAST(sum(rnk) AS DOUBLE) / count(*)")} AS mean_rank,
+       |       CAST(max(rnk) AS INTEGER) AS rarest_rank
+       |FROM words JOIN ranked USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // --- corpus_filter_pipeline: the composed curation decision ----------
   // What a real pipeline ships: one keep/drop verdict per training doc
@@ -365,5 +501,8 @@ object Curation {
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
     Op("doc_chunking", docChunking, Some(docChunkingSql)),
     Op("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
-    Op("token_pack", tokenPack, Some(tokenPackSql)))
+    Op("token_pack", tokenPack, Some(tokenPackSql)),
+    Op("pack_attention_mask", packAttentionMask, Some(packAttentionMaskSql)),
+    Op("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
+    Op("text_rarity_score", textRarityScore, Some(textRarityScoreSql)))
 }

@@ -910,6 +910,53 @@ object RelationalQueries {
        |GROUP BY 1,2
        |ORDER BY n_name, o_year DESC""".stripMargin
 
+  // --- r31: bloom-style runtime-filter join ---------------------------
+  // The runtime-filter pattern made explicit at the DataFrame level:
+  // the selective build side (urgent 1996 orders) is compressed into
+  // its set of 8192 hash buckets — a bounded, bloom-filter-sized
+  // membership structure regardless of corpus size — broadcast, and
+  // applied to the fact scan as a left-semi prefilter BEFORE the real
+  // join. False positives (~5% fill here) only cost prefilter
+  // selectivity; the exact equi-join still decides membership, so the
+  // result is identical to the plain join (which is the oracle). At
+  // 100 TB this is what cuts the fact-side shuffle to ~the matching
+  // rows: the broadcast is ≤8192 ints no matter how big orders grows
+  // (fill fraction — and with it prefilter power — degrades
+  // gracefully, never correctness or memory).
+
+  private val BloomBuckets = 8192
+
+  private def h32r(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  private def r31(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ntz("1997-01-01 00:00:00"))
+      .select("o_orderkey", "o_orderdate")
+    val buckets = o.select(
+      pmod(h32r(col("o_orderkey").cast(StringType)), lit(BloomBuckets)).as("bkt")).distinct()
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .withColumn("bkt", pmod(h32r(col("l_orderkey").cast(StringType)), lit(BloomBuckets)))
+      .join(broadcast(buckets), Seq("bkt"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(month(col("o_orderdate")).as("m"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("m")
+  }
+
+  private val r31Sql =
+    s"""SELECT CAST(month(o_orderdate) AS INTEGER) AS m,
+       |       ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |       count(*) AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY 1 ORDER BY m""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -940,5 +987,6 @@ object RelationalQueries {
     Op("r27_returned_items", r27, Some(r27Sql)),
     Op("r28_promo_share", r28, Some(r28Sql)),
     Op("r29_top_supplier", r29, Some(r29Sql)),
-    Op("r30_nation_profit", r30, Some(r30Sql)))
+    Op("r30_nation_profit", r30, Some(r30Sql)),
+    Op("r31_bloom_prune", r31, Some(r31Sql)))
 }

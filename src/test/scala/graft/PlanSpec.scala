@@ -100,6 +100,37 @@ class PlanSpec extends AnyFunSuite {
     assert(singles <= 1, s"$singles SinglePartition exchanges:\n${plan.take(2000)}")
   }
 
+  test("r31 applies the bloom-style prefilter before the exact join") {
+    // the runtime-filter shape: a LeftSemi against the broadcast bucket
+    // set must prune the fact side BEFORE the equi-join — if the semi
+    // disappears (e.g. optimizer folds it away) the fact scan shuffles
+    // everything and the operator loses its point at scale
+    val plan = formatted("r31_bloom_prune")
+    val semiIdx = plan.indexOf("LeftSemi")
+    assert(semiIdx >= 0, plan.take(2000))
+    // the semi join's membership structure is broadcast, never shuffled
+    assert(plan.contains("BroadcastHashJoin LeftSemi") ||
+      plan.contains("LeftSemi BuildRight"), plan.take(2000))
+  }
+
+  test("pack_attention_mask reuses the sharded prefix sum (no global window)") {
+    val plan = formatted("pack_attention_mask")
+    assert(plan.contains("hashpartitioning(pk"), plan.take(2000))
+    val singles = plan.linesIterator.count(_.contains("Arguments: SinglePartition"))
+    assert(singles <= 1, s"$singles SinglePartition exchanges:\n${plan.take(2000)}")
+  }
+
+  test("text_pii_redact is a stateless narrow scan — no join, no aggregate") {
+    val plan = formatted("text_pii_redact")
+    assert(!plan.contains("Join"), plan.take(1200))
+    assert(!plan.contains("HashAggregate"), plan.take(1200))
+  }
+
+  test("text_rarity_score broadcasts the vocabulary-bounded rank table") {
+    val plan = formatted("text_rarity_score")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
