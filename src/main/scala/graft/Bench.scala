@@ -47,6 +47,9 @@ object Bench {
         (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see GraftSession: default 100-entry codegen cache thrashes on a
+      // 90-plan registry, charging Janino recompiles to min-of-two
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the driver merges stderr into stdout, and a WARN

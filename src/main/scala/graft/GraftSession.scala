@@ -27,6 +27,14 @@ object GraftSession {
       // Set here once — Tables re-sets it defensively for sessions not
       // built by this factory (e.g. the driver's).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the registry holds 90+ distinct plans; the default 100-entry
+      // codegen cache evicts every compiled unit between reruns, so
+      // repeated queries pay Janino again (measured: dedup_minhash's
+      // 64-agg unit ~4 s per recompile, 1.7 s steady state). Executors
+      // on a real cluster are long-lived compile-once processes — a
+      // roomy cache is the cluster-honest setting. (Static conf: must
+      // be set before the SparkContext exists.)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -221,7 +221,87 @@ object TextAnalysis {
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY 1 ORDER BY n DESC, word""".stripMargin
 
+  // --- text_bm25_topk: BM25-style relevance ranking --------------------
+  // The retrieval primitive a corpus pipeline uses for targeted
+  // sampling ("give me the docs most about X"): BM25 scoring of every
+  // document against a fixed term set, global top-50. Engine-portable
+  // by construction: the idf is the log-free probabilistic form
+  // (N - df + 0.5)/(df + 0.5) — ln() is not correctly-rounded-identical
+  // across engines (§4), and within a term the log is monotone, so the
+  // rational form preserves per-term ordering while staying
+  // bit-identical; every remaining op is IEEE +,×,/ evaluated in the
+  // same order on both sides. Corpus stats (N, avgdl, per-term df) are
+  // ONE row — broadcast — and term frequencies come from conditional
+  // sums in the per-doc aggregate (codegen'd, no HOF in the scan).
+
+  private val Bm25Terms = Seq("customer", "query", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("word"))
+    val tfAggs = Bm25Terms.map(t =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).cast(IntegerType).as(s"tf_$t"))
+    val tf = words.groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("dl"), tfAggs: _*)
+    val dfAggs =
+      sum(col("dl").cast(LongType)).cast(DoubleType).as("sum_dl") +:
+        Bm25Terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = tf.agg(count(lit(1)).as("n_docs"), dfAggs: _*)
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val score = Bm25Terms.map { t =>
+      val idf = (col("n_docs").cast(DoubleType) - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5))
+      idf * (col(s"tf_$t") * lit(Bm25K1 + 1.0)) /
+        (col(s"tf_$t") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))
+    tf.crossJoin(broadcast(stats))
+      .withColumn("bm25", round6(score))
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= 50)
+      .select(Seq(col("doc_id"), col("dl")) ++
+        Bm25Terms.map(t => col(s"tf_$t")) ++ Seq(col("bm25"), col("rnk")): _*)
+      .orderBy("rnk")
+  }
+
+  private val textBm25Sql: String = {
+    val tfCols = Bm25Terms.map(t =>
+      s"CAST(len(list_filter(ts, w -> w = '$t')) AS INTEGER) AS tf_$t").mkString(",\n    ")
+    val dfCols = Bm25Terms.map(t =>
+      s"CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n    ")
+    // CAST the non-dyadic literal to DOUBLE: DuckDB parses bare 2.2 as
+    // DECIMAL and computes tf*2.2 exactly, one ulp off Spark's double
+    // multiply; the dyadic constants (0.5/0.75/0.25) are exact either way
+    val score = Bm25Terms.map { t =>
+      s"((CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (df_$t + 0.5)) * " +
+        s"(tf_$t * CAST(${Bm25K1 + 1.0} AS DOUBLE)) / " +
+        s"(tf_$t + CAST($Bm25K1 AS DOUBLE) * ((1.0 - $Bm25B) + $Bm25B * dl / avgdl))"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tf AS (
+       |  SELECT doc_id, CAST(len(ts) AS INTEGER) AS dl,
+       |    $tfCols
+       |  FROM toks),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+       |    $dfCols
+       |  FROM tf),
+       |scored AS (
+       |  SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")},
+       |         ${round6Sql(score)} AS bm25
+       |  FROM tf, stats),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, dl, ${Bm25Terms.map(t => s"tf_$t").mkString(", ")}, bm25, rnk
+       |FROM ranked WHERE rnk <= 50 ORDER BY rnk""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("text_bm25_topk", textBm25, Some(textBm25Sql)),
     Op("text_stats", textStats, Some(textStatsSql)),
     Op("text_ngram_freq", textNgramFreq, Some(textNgramFreqSql)),
     Op("text_sample_per_source", textSample, Some(textSampleSql)),
