@@ -66,18 +66,19 @@ object Similarity {
     * operator, so at scale nothing sorts a full candidate set. */
   private val PrefilterBuffer = 64
 
-  private def exactTopK(s: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
+  /** Prefilter-by-`fast`-score + exact-decimal rescore, shared by every
+    * ANN variant. `scored` must carry (query_id, neighbor_id, q_emb,
+    * embedding, qn2, n2, fast); the per-query fast top-[[PrefilterBuffer]]
+    * survivors get the exact DECIMAL(38,12) cosine and the final top-k. */
+  private def rescoreTopK(s: SparkSession, scored: DataFrame, k: Int): DataFrame = {
     // rank aliases carry the MarkerPrefix: the heap rewrite applies to
     // exactly these two windows and nothing else in the session — the
     // session-wide conf gate stays untouched, so unrelated rank-filter
     // queries in a shared session keep the stock spillable Window plan
     graft.plans.TopKPerGroup.install(s)
     val mk = graft.plans.TopKPerGroup.MarkerPrefix
-    import graft.plans.VecDotProduct.vec_dot
-    val fast = pairs.withColumn("cos_fast",
-      cosine(vec_dot(col("q_emb"), col("embedding")), col("qn2"), col("n2")))
-    val wf = Window.partitionBy("query_id").orderBy(col("cos_fast").desc, col("neighbor_id"))
-    val surv = fast.withColumn(s"${mk}fr", row_number().over(wf))
+    val wf = Window.partitionBy("query_id").orderBy(col("fast").desc, col("neighbor_id"))
+    val surv = scored.withColumn(s"${mk}fr", row_number().over(wf))
       .filter(col(s"${mk}fr") <= PrefilterBuffer)
     val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
     surv
@@ -88,6 +89,12 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col(s"${mk}rank").as("rank"),
         round6(col("cos_raw")).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  private def exactTopK(s: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
+    import graft.plans.VecDotProduct.vec_dot
+    rescoreTopK(s, pairs.withColumn("fast",
+      cosine(vec_dot(col("q_emb"), col("embedding")), col("qn2"), col("n2"))), k)
   }
 
   // --- ann_bruteforce_topk ---------------------------------------------
@@ -521,10 +528,204 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- ann_pq_topk: product quantization + ADC scoring ----------------
+  // The billion-vector serving path: vectors compress to M=8 one-byte
+  // codes (one per 8-dim subspace, 16-centroid codebooks → 8 bytes per
+  // vector instead of 256), and query scoring becomes 8 lookup-table
+  // reads per candidate instead of a 64-dim dot product — the
+  // asymmetric-distance (ADC) scan from the FAISS lineage. Spark-first
+  // shape: codebook training is the same join+aggregate Lloyd machinery
+  // as IVF but grouped by (subspace, centroid) so all 8 codebooks train
+  // in ONE DataFrame program; the per-query LUT (8×16 exact-decimal
+  // dots) and the codes are bounded structures that broadcast; the ADC
+  // sum is 8 codegen'd element_at adds per pair. Two-phase like every
+  // ANN op here: ADC-ranked top-[[PrefilterBuffer]] survivors get the
+  // exact-decimal rescore. Fully deterministic and engine-portable
+  // (md5 sample hash, decimal argmax, decimal means double→float,
+  // fixed-order double LUT sums) — the DuckDB oracle replays training,
+  // encoding, and the ADC scan bit-for-bit. Recall vs bruteforce
+  // pinned in SimilaritySpec.
+
+  private val PqM = 8      // subspaces
+  private val PqK = 16     // centroids per codebook
+  private val PqD = 8      // dims per subspace (embedding dim / PqM)
+  private val PqLloyd = 2
+
+  /** (vec_id, m, sub): every vector split into its M subvectors. */
+  private def pqSubs(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
+      .withColumn("sub", slice(col("embedding"), col("m") * PqD + 1, lit(PqD)))
+      .select("vec_id", "m", "sub")
+
+  private def pqWithCentNorm(cents: DataFrame): DataFrame =
+    cents.withColumn("cn2", ddot(col("cent"), col("cent")).cast(DoubleType))
+
+  /** nearest-codebook-entry per (vector, subspace); the codebook table
+    * is M×K rows — broadcast. */
+  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(pqWithCentNorm(cents)), "m")
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("cid"),
+        struct(centScore(col("sub"), col("cent"), col("cn2")), -col("cid"))).as("cid"))
+
+  /** All M codebooks in one Lloyd loop (grouped by subspace); trains on
+    * the same bounded hash-sample as IVF, init = subvectors of the
+    * first K vectors. */
+  private def trainPqCodebooks(subs: DataFrame): DataFrame = {
+    val samp = subs
+      .filter(pmod(h32s(col("vec_id").cast(StringType)), lit(4)) === 0 || col("vec_id") < PqK)
+      .localCheckpoint()
+    var cents = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("cid"), col("sub").as("cent"))
+      .localCheckpoint()
+    for (_ <- 1 to PqLloyd) {
+      val assigned = samp.join(broadcast(pqWithCentNorm(cents)), "m")
+        .groupBy("vec_id", "m")
+        .agg(
+          max_by(col("cid"),
+            struct(centScore(col("sub"), col("cent"), col("cn2")), -col("cid"))).as("cid"),
+          first(col("sub")).as("sub"))
+      cents = assigned
+        .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("d0", "x")))
+        .groupBy("m", "cid", "d0")
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(38, 12)))
+          .cast(DoubleType) / count(lit(1))).as("mn"))
+        .groupBy("m", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("d0"), col("mn")))),
+          e => e.getField("mn").cast("float")).as("cent"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** PQ index build — like IVF, a maintenance job memoized per
+    * (session, corpus): the codebook table (M×K rows) and the encoded
+    * corpus (8 small ints per vector). */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+
+  def buildPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
+      val v = Tables.embeddings(s, dir)
+      val subs = pqSubs(v)
+      val cents = trainPqCodebooks(subs)
+      val codes = pqAssign(subs, cents)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+          e => e.getField("cid")).as("codes"))
+        .localCheckpoint()
+      (cents, codes)
+    })
+
+  private def annPq(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm2(Tables.embeddings(s, dir))
+    val (cents, codes) = buildPqIndex(s, dir)
+    // per-query LUT: exact-decimal dot of each query subvector against
+    // each codebook entry, flattened to a 128-slot array ordered by
+    // (m, cid) — one bounded array per query, broadcast with the query
+    val lut = pqSubs(v.filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(cents), "m")
+      .select(col("query_id"), col("m"), col("cid"),
+        ddot(col("sub"), col("cent")).cast(DoubleType).as("lv"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid"), col("lv")))),
+        e => e.getField("lv")).as("lut"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+      .join(lut, "query_id")
+    // ADC: 8 LUT reads per (candidate, query) pair, fixed-order sum
+    val adc = (0 until PqM).map(m =>
+      element_at(col("lut"), lit(m * PqK) + element_at(col("codes"), m + 1) + lit(1)))
+      .reduce(_ + _)
+    val scored = v.join(codes, "vec_id")
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"),
+        (adc / (sqrt(col("qn2")) * sqrt(col("n2")))).as("fast"))
+    rescoreTopK(s, scored, 5)
+  }
+
+  /** DuckDB twin of the full PQ pipeline — codebook training, corpus
+    * encoding, LUT build, and the ADC scan unroll into generated CTEs
+    * from the same constants, like [[annIvfSql]]. */
+  private val annPqSql: String = {
+    def h32(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+    def score(sub: String, cent: String) =
+      s"${ddotSql(sub, cent)} - ${ddotSql(cent, cent)} / 2.0"
+    val rounds = (1 to PqLloyd).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      s"""a$r AS (
+         |  SELECT vec_id, m, sub, cid,
+         |         row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, cid) AS rn
+         |  FROM (SELECT s.vec_id, s.m, s.sub, c.cid, ${score("s.sub", "c.cent")} AS score
+         |        FROM sampsubs s JOIN $prev c ON s.m = c.m)),
+         |c$r AS (
+         |  SELECT m, cid, list(CAST(mn AS REAL) ORDER BY d) AS cent
+         |  FROM (
+         |    SELECT m, cid, CAST(i AS INTEGER) AS d,
+         |           CAST(sum(CAST(CAST(sub[CAST(i AS INTEGER)] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |             / count(*) AS mn
+         |    FROM (SELECT m, cid, sub, unnest(generate_series(1, len(sub))) AS i
+         |          FROM a$r WHERE rn = 1)
+         |    GROUP BY m, cid, CAST(i AS INTEGER))
+         |  GROUP BY m, cid)""".stripMargin
+    }.mkString(",\n")
+    val last = s"c$PqLloyd"
+    val fast = (0 until PqM).map(m => s"lut[${m * PqK} + codes[${m + 1}] + 1]").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS nn FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, m, embedding[m*$PqD+1 : m*$PqD+$PqD] AS sub
+       |  FROM v, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+       |sampsubs AS (
+       |  SELECT vec_id, m, sub FROM subs
+       |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < $PqK),
+       |c0 AS (
+       |  SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS cent FROM subs WHERE vec_id < $PqK),
+       |$rounds,
+       |enc AS (
+       |  SELECT vec_id, m, cid,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, cid) AS rn
+       |  FROM (SELECT s.vec_id, s.m, c.cid, ${score("s.sub", "c.cent")} AS score
+       |        FROM subs s JOIN $last c ON s.m = c.m)),
+       |codes AS (
+       |  SELECT vec_id, list(cid ORDER BY m) AS codes FROM enc WHERE rn = 1 GROUP BY vec_id),
+       |lut AS (
+       |  SELECT query_id, list(lv ORDER BY m, cid) AS lut
+       |  FROM (SELECT q.vec_id AS query_id, c.m, c.cid, ${ddotSql("q.sub", "c.cent")} AS lv
+       |        FROM subs q JOIN $last c ON q.m = c.m WHERE q.vec_id < 10)
+       |  GROUP BY query_id),
+       |scored AS (
+       |  SELECT l.query_id, v.vec_id AS neighbor_id, v.embedding, v.nn,
+       |         q.embedding AS q_emb, q.nn AS qn2,
+       |         ($fast) / (sqrt(q.nn) * sqrt(v.nn)) AS fast
+       |  FROM v JOIN codes cd ON v.vec_id = cd.vec_id
+       |  CROSS JOIN lut l
+       |  JOIN v q ON q.vec_id = l.query_id
+       |  WHERE v.vec_id <> l.query_id),
+       |pre AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY fast DESC, neighbor_id) AS fr
+       |  FROM scored),
+       |rescored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(nn)) AS cos_raw
+       |  FROM pre WHERE fr <= $PrefilterBuffer),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM rescored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_ivf_topk", annIvf, Some(annIvfSql)),
+    Op("ann_pq_topk", annPq, Some(annPqSql)),
     Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }
