@@ -83,6 +83,63 @@ object LakeMaintenance {
   private def reSnapshot(spark: SparkSession, lakeRoot: String): Unit =
     Snapshots.reSnapshot(spark, lakeRoot)
 
+  /** Morton (Z-order) key: interleaves the low `bits` bits of each
+    * already-normalized integer column — bit j of column i lands at
+    * position j*n + i, so a range of keys is a compact rectangle in
+    * every dimension at once. Pure codegen'd shift/mask arithmetic. */
+  def mortonKey(cols: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
+    val n = cols.size
+    (0 until bits).flatMap { j =>
+      cols.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Multi-dimensional clustering (the lakehouse OPTIMIZE ZORDER): a
+    * Hive partition layout can only prune its own prefix dimensions —
+    * predicates on anything else scan every file. This rewrite makes
+    * each data file cover a compact rectangle in the space of `zCols`
+    * (numeric, non-partition columns): per-column global min/max (one
+    * tiny aggregate), bit-normalize each value into 2^`bits` buckets,
+    * interleave into the Morton key, then range-repartition + local
+    * sort by (partition cols, z) and rewrite. File/row-group min-max
+    * stats then skip on ALL `zCols` simultaneously. Everything except
+    * the one-row stats collect is distributed; `outFiles` bounds the
+    * target file count (at 100 TB you'd size it to the data / target
+    * file size, exactly like compaction's pass width). */
+  def zorderCluster(spark: SparkSession, lakeRoot: String, zCols: Seq[String],
+      outFiles: Int = 8, bits: Int = 12): Unit = {
+    val df = spark.read.parquet(lakeRoot)
+    val partCols = partitionCensus(spark, lakeRoot).headOption.toSeq
+      .flatMap(_._1.stripPrefix(new Path(lakeRoot).toString).split("/")
+        .filter(_.contains("=")).map(_.split("=")(0)))
+    val statCols = zCols.map(c => min(col(c).cast("double")).as(s"mn_$c")) ++
+      zCols.map(c => max(col(c).cast("double")).as(s"mx_$c"))
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val maxCode = (1L << bits) - 1
+    val normed = zCols.map { c =>
+      val mn = stats.getAs[Double](s"mn_$c")
+      val mx = stats.getAs[Double](s"mx_$c")
+      if (mx > mn)
+        least(lit(maxCode), greatest(lit(0L),
+          ((col(c).cast("double") - mn) / (mx - mn) * maxCode).cast("long")))
+      else lit(0L)
+    }
+    val keys = partCols.map(col) :+ col("__z")
+    val clustered = df.withColumn("__z", mortonKey(normed, bits))
+      .repartitionByRange(outFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop("__z")
+      .localCheckpoint() // the rewrite reads the files it replaces
+    val writer = clustered.write.mode(SaveMode.Overwrite)
+    if (partCols.nonEmpty)
+      writer.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*).parquet(lakeRoot)
+    else writer.parquet(lakeRoot)
+    reSnapshot(spark, lakeRoot)
+  }
+
   /** Age-based retention for a lake partitioned by year/month/day:
     * drops (deletes) every partition strictly older than the cutoff
     * date. Pure metadata operation — directory deletes, no scan.

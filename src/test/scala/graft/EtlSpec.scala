@@ -223,6 +223,36 @@ class EtlSpec extends AnyFunSuite {
     assert(days.sameElements(6 to 10), days.mkString(","))
   }
 
+  test("z-order clustering shrinks per-file ranges on both dimensions") {
+    import graft.etl.LakeMaintenance
+    val lake = "target/tmp/zorder-lake"
+    rmrf(lake)
+    val df = spark.range(4096).select(
+      col("id"),
+      (col("id") * 2654435761L % 1024).as("x"),
+      (col("id") * 40503 % 1024).as("y"))
+    df.repartition(8).write.parquet(lake)
+
+    // mean fraction of each dimension's full range a file spans: ~1.0
+    // for random files (every file sees the whole domain), compact
+    // rectangles after clustering
+    def avgCoverage(): Double = spark.read.parquet(lake)
+      .groupBy(input_file_name().as("f"))
+      .agg((((max("x") - min("x")) / 1023d) + ((max("y") - min("y")) / 1023d)).as("w"))
+      .agg(avg("w")).head.getDouble(0) / 2
+    val before = avgCoverage()
+    val want = spark.read.parquet(lake).agg(sum("x"), sum("y"), count(lit(1))).head
+
+    LakeMaintenance.zorderCluster(spark, lake, Seq("x", "y"), outFiles = 8, bits = 10)
+
+    val after = avgCoverage()
+    assert(spark.read.parquet(lake).agg(sum("x"), sum("y"), count(lit(1))).head == want,
+      "clustering must be layout-only")
+    // 8 z-range files over a 2-dim 10-bit key: expected ~0.38 mean
+    // coverage vs ~1.0 unclustered — both dims prune, not just one
+    assert(after < before * 0.7, s"z-order didn't tighten file ranges: $before -> $after")
+  }
+
   test("CDC merge: latest-wins upserts, deletes, idempotent replay, emptied partitions") {
     import graft.etl.CdcMerge
     val in = "target/tmp/etl-cdc-in"
