@@ -721,6 +721,21 @@ object MarketQueries {
         percentile_approx(col("price"), lit(0.99), lit(5000)).as("p99"))
       .orderBy("symbol")
 
+  // --- Q17: sketched distinct counts (HLL++) ---------------------------
+  // q7's audit pays an exact countDistinct (a shuffle of every distinct
+  // key); this is its 100 TB sibling — approx_count_distinct's
+  // HyperLogLog++ sketch: fixed bytes per group, map-side mergeable,
+  // no distinct shuffle. Estimate is engine-specific ⇒ rows-only
+  // oracle; QueriesSpec bounds the relative error against the exact
+  // count (rsd 0.02 ⇒ expect well within ±10%).
+
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    trades(s, dir)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("row_count"),
+        approx_count_distinct(col("trade_id"), 0.02).as("ndv_trades_approx"))
+      .orderBy("symbol")
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -744,7 +759,8 @@ object MarketQueries {
     Op("q13_gapfill", q13, Some(q13Sql)),
     Op("q14_correlation_matrix", q14, Some(q14Sql)),
     Op("q15_quantiles", q15, Some(q15Sql)),
-    Op("q16_quantiles_sketch", q16, None))
+    Op("q16_quantiles_sketch", q16, None),
+    Op("q17_distinct_sketch", q17, None))
 
 
 }

@@ -957,6 +957,61 @@ object RelationalQueries {
        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
        |GROUP BY 1 ORDER BY m""".stripMargin
 
+  // --- r32: catalog statistics collection (ANALYZE TABLE) --------------
+  // The statistics a cost-based optimizer feeds on — per-column NDV,
+  // null counts, min/max, row count — collected in ONE pass over the
+  // fact table (the multiple exact distincts plan through Spark's
+  // Expand, still a single scan + one shuffle), then pivoted to the
+  // one-row-per-column catalog shape with a generator. At 100 TB this
+  // is the nightly ANALYZE job; a per-column loop of scans would read
+  // the lake N times.
+
+  private val StatNumCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val StatStrCols = Seq("l_returnflag", "l_linestatus")
+
+  private def r32(s: SparkSession, dir: String): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      (StatNumCols ++ StatStrCols).flatMap(c => Seq(
+        countDistinct(col(c)).as(s"ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
+      StatNumCols.flatMap(c => Seq(
+        min(col(c)).cast(DoubleType).as(s"min_$c"),
+        max(col(c)).cast(DoubleType).as(s"max_$c"))) ++
+      StatStrCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val rows =
+      StatNumCols.map(c => struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"ndv_$c").as("ndv"), col(s"nulls_$c").as("n_nulls"),
+        col(s"min_$c").as("min_num"), col(s"max_$c").as("max_num"),
+        lit(null).cast(StringType).as("min_str"), lit(null).cast(StringType).as("max_str"))) ++
+      StatStrCols.map(c => struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"ndv_$c").as("ndv"), col(s"nulls_$c").as("n_nulls"),
+        lit(null).cast(DoubleType).as("min_num"), lit(null).cast(DoubleType).as("max_num"),
+        col(s"min_$c").as("min_str"), col(s"max_$c").as("max_str")))
+    one.select(explode(array(rows: _*)).as("s")).select("s.*").orderBy("col_name")
+  }
+
+  private val r32Sql: String = {
+    val aggs = Seq("count(*) AS n_rows") ++
+      (StatNumCols ++ StatStrCols).flatMap(c => Seq(
+        s"count(DISTINCT $c) AS ndv_$c",
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c")) ++
+      StatNumCols.flatMap(c => Seq(
+        s"CAST(min($c) AS DOUBLE) AS min_$c", s"CAST(max($c) AS DOUBLE) AS max_$c")) ++
+      StatStrCols.flatMap(c => Seq(s"min($c) AS min_$c", s"max($c) AS max_$c"))
+    val selNum = StatNumCols.map(c =>
+      s"""SELECT '$c' AS col_name, n_rows, CAST(ndv_$c AS BIGINT) AS ndv,
+         |  nulls_$c AS n_nulls, min_$c AS min_num, max_$c AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM a""".stripMargin)
+    val selStr = StatStrCols.map(c =>
+      s"""SELECT '$c' AS col_name, n_rows, CAST(ndv_$c AS BIGINT) AS ndv,
+         |  nulls_$c AS n_nulls, CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  min_$c AS min_str, max_$c AS max_str FROM a""".stripMargin)
+    s"""WITH a AS (SELECT ${aggs.mkString(",\n  ")} FROM lineitem)
+       |${(selNum ++ selStr).mkString("\nUNION ALL\n")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -988,5 +1043,6 @@ object RelationalQueries {
     Op("r28_promo_share", r28, Some(r28Sql)),
     Op("r29_top_supplier", r29, Some(r29Sql)),
     Op("r30_nation_profit", r30, Some(r30Sql)),
-    Op("r31_bloom_prune", r31, Some(r31Sql)))
+    Op("r31_bloom_prune", r31, Some(r31Sql)),
+    Op("r32_catalog_stats", r32, Some(r32Sql)))
 }

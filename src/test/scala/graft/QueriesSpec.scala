@@ -67,4 +67,18 @@ class QueriesSpec extends AnyFunSuite {
         s"$sym $idx: value $v has rank $rank, target $target ± $tol (n=$n)")
     }
   }
+
+  test("q17 HLL distinct estimates land within relative-error bound of exact") {
+    import org.apache.spark.sql.functions._
+    val sketch = Registry.queries("q17_distinct_sketch")(spark, sf)
+    val exact = Registry.queries("etl_normalize")(spark, sf)
+      .groupBy("symbol").agg(countDistinct(col("trade_id")).as("ndv_exact"))
+    for (r <- sketch.join(exact, "symbol").collect()) {
+      val approx = r.getAs[Long]("ndv_trades_approx").toDouble
+      val ex = r.getAs[Long]("ndv_exact").toDouble
+      // rsd 0.02 ⇒ ±10% is a 5-sigma bound
+      assert(math.abs(approx - ex) / ex <= 0.10,
+        s"${r.getAs[String]("symbol")}: approx $approx vs exact $ex")
+    }
+  }
 }
