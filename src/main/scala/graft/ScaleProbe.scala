@@ -75,7 +75,12 @@ object ScaleProbe {
       "embedding_quantize", "mm_dedup",
       "contrastive_pairs", "q15_quantiles", "q16_quantiles_sketch",
       "r22_idle_rich", "r23_small_qty_revenue", "corpus_filter_pipeline",
-      "mm_feature_extract")
+      "mm_feature_extract",
+      "r26_forecast_revenue", "r27_returned_items", "r28_promo_share",
+      "r29_top_supplier", "r30_nation_profit", "r31_bloom_prune",
+      "r32_catalog_stats", "q17_distinct_sketch",
+      "pack_attention_mask", "text_pii_redact", "text_rarity_score",
+      "text_bm25_topk", "ann_pq_topk")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
@@ -84,6 +89,12 @@ object ScaleProbe {
     // warmup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     names.foreach(n => time(src, n))
+    // ANN index construction is a maintenance job (build once, serve
+    // many queries — like compaction), so warm the ×N indexes too: the
+    // probe measures the QUERY path's scaling, and charging a one-time
+    // build to the first timed run at one scale but not the other made
+    // ann_pq look 88× when its scan is actually linear
+    Seq("ann_ivf_topk", "ann_pq_topk").foreach(n => time(dst, n))
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"x$Factor"}%8s ${"ratio"}%6s")
     names.foreach { n =>
       val a = time(src, n)

@@ -388,21 +388,28 @@ object Curation {
   private val PhonePat = """\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"""
   private val TermPat = """\b(customer|order|query)\b"""
 
-  private def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+  /** Appends the redaction audit columns (per-category counts + hash of
+    * the redacted text) to any frame with a `text` column — stateless
+    * and narrow like [[qualityMetrics]], so the streaming twin
+    * (StreamingJobs.redactStream) applies exactly this. */
+  def redactionReport(docs: DataFrame): DataFrame = {
     val redacted =
       regexp_replace(
         regexp_replace(
           regexp_replace(col("text"), lit(EmailPat), lit("<EMAIL>")),
           lit(PhonePat), lit("<PHONE>")),
         lit(TermPat), lit("<TERM>"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        regexp_count(col("text"), lit(EmailPat)).cast(IntegerType).as("n_email"),
-        regexp_count(col("text"), lit(PhonePat)).cast(IntegerType).as("n_phone"),
-        regexp_count(col("text"), lit(TermPat)).cast(IntegerType).as("n_term"),
-        md5(redacted).as("redacted_hash"))
-      .orderBy("doc_id")
+    docs
+      .withColumn("n_email", regexp_count(col("text"), lit(EmailPat)).cast(IntegerType))
+      .withColumn("n_phone", regexp_count(col("text"), lit(PhonePat)).cast(IntegerType))
+      .withColumn("n_term", regexp_count(col("text"), lit(TermPat)).cast(IntegerType))
+      .withColumn("redacted_hash", md5(redacted))
   }
+
+  private def textPiiRedact(s: SparkSession, dir: String): DataFrame =
+    redactionReport(Tables.documents(s, dir).select("doc_id", "text"))
+      .select("doc_id", "n_email", "n_phone", "n_term", "redacted_hash")
+      .orderBy("doc_id")
 
   private val textPiiRedactSql =
     s"""WITH red AS (

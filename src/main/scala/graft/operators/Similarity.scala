@@ -561,12 +561,29 @@ object Similarity {
     cents.withColumn("cn2", ddot(col("cent"), col("cent")).cast(DoubleType))
 
   /** nearest-codebook-entry per (vector, subspace); the codebook table
-    * is M×K rows — broadcast. */
-  private def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    * is M×K rows — broadcast. Two-phase argmax, same pattern (and same
+    * bit-identity argument) as the ANN pair scan: the corpus×M×K
+    * candidate stream is scored by the codegen'd vec_dot — the
+    * interpreted decimal reduction here was the round-4 scale-probe's
+    * superlinear finding — and only the fast top-2 per (vector,
+    * subspace) get the exact-decimal score that decides the argmax
+    * (identical unless two distinct centroids sit within ~1e-13,
+    * while exact ties break on cid in both phases). */
+  private def pqAssign(subs: DataFrame, cents: DataFrame, keepSub: Boolean = false): DataFrame = {
+    import graft.plans.VecDotProduct.vec_dot
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val fast = vec_dot(col("sub"), col("cent")) - col("cn2") / 2.0
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("fast").desc, col("cid"))
+    val extra = if (keepSub) Seq(first(col("sub")).as("sub")) else Nil
     subs.join(broadcast(pqWithCentNorm(cents)), "m")
+      .withColumn("fast", fast)
+      .withColumn(s"${mk}cr", row_number().over(w))
+      .filter(col(s"${mk}cr") <= 2)
       .groupBy("vec_id", "m")
       .agg(max_by(col("cid"),
-        struct(centScore(col("sub"), col("cent"), col("cn2")), -col("cid"))).as("cid"))
+        struct(centScore(col("sub"), col("cent"), col("cn2")), -col("cid"))).as("cid"),
+        extra: _*)
+  }
 
   /** All M codebooks in one Lloyd loop (grouped by subspace); trains on
     * the same bounded hash-sample as IVF, init = subvectors of the
@@ -579,12 +596,7 @@ object Similarity {
       .select(col("m"), col("vec_id").cast("int").as("cid"), col("sub").as("cent"))
       .localCheckpoint()
     for (_ <- 1 to PqLloyd) {
-      val assigned = samp.join(broadcast(pqWithCentNorm(cents)), "m")
-        .groupBy("vec_id", "m")
-        .agg(
-          max_by(col("cid"),
-            struct(centScore(col("sub"), col("cent"), col("cn2")), -col("cid"))).as("cid"),
-          first(col("sub")).as("sub"))
+      val assigned = pqAssign(samp, cents, keepSub = true)
       cents = assigned
         .select(col("m"), col("cid"), posexplode(col("sub")).as(Seq("d0", "x")))
         .groupBy("m", "cid", "d0")
@@ -606,6 +618,8 @@ object Similarity {
 
   def buildPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     pqCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
+      graft.plans.VecDotProduct.register(s)
+      graft.plans.TopKPerGroup.install(s)
       val v = Tables.embeddings(s, dir)
       val subs = pqSubs(v)
       val cents = trainPqCodebooks(subs)

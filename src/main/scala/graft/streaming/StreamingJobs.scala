@@ -170,6 +170,14 @@ object StreamingJobs {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.qualityMetrics(docs)
 
+  /** Streaming PII/denylist redaction: the same stateless narrow
+    * expressions as `text_pii_redact`, applied to a live document feed
+    * — no watermark or state store, every micro-batch redacts at scan
+    * speed (the shape a compliance gate needs between ingest and the
+    * training lake). */
+  def redactStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.redactionReport(docs)
+
   private val GapMs = 30L * 60 * 1000
 
   /** Gap-based sessionization with explicit state: one SessionState per

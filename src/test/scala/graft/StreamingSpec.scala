@@ -278,6 +278,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming redaction matches the batch scrub cell-for-cell") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.redactStream(source.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("redact").outputMode("append").start()
+    try {
+      source.addData(b1.toSeq: _*); q.processAllAvailable()
+      source.addData(b2.toSeq: _*); q.processAllAvailable()
+      val got = spark.table("redact")
+        .select("doc_id", "n_email", "n_phone", "n_term", "redacted_hash")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      val want = Registry.queries("text_pii_redact")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toSet
+      assert(got == want,
+        s"stream-only=${(got -- want).take(3)} batch-only=${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
