@@ -57,9 +57,7 @@ object LakeMaintenance {
       partitionsPerPass: Int = 64): Int = {
     val fragmented = partitionCensus(spark, lakeRoot).filter(_._2 > maxFiles)
     if (fragmented.isEmpty) return 0
-    val partCols = fragmented.head._1
-      .stripPrefix(new Path(lakeRoot).toString).split("/")
-      .filter(_.contains("=")).map(_.split("=")(0)).toSeq
+    val partCols = partitionColumns(spark, lakeRoot)
     fragmented.grouped(partitionsPerPass).foreach { batch =>
       // one pruned read over just this pass's partition dirs; base
       // path keeps the partition columns in the schema
@@ -88,12 +86,32 @@ object LakeMaintenance {
     * position j*n + i, so a range of keys is a compact rectangle in
     * every dimension at once. Pure codegen'd shift/mask arithmetic. */
   def mortonKey(cols: Seq[org.apache.spark.sql.Column], bits: Int): org.apache.spark.sql.Column = {
+    // JVM shift amounts wrap mod 64: bits*n > 63 would silently fold
+    // high interleaved bits onto positions owned by other (j,i) pairs
+    // and corrupt the key — fail loudly instead
+    require(bits * cols.size <= 63,
+      s"mortonKey: $bits bits x ${cols.size} cols exceeds a 64-bit key")
     val n = cols.size
     (0 until bits).flatMap { j =>
       cols.zipWithIndex.map { case (c, i) =>
         shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * n + i)
       }
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Partition columns inferred from the first leaf directory's
+    * Hive-style `k=v` segments, with the lake root fs-qualified so the
+    * prefix strip is exact (partitionCensus returns qualified paths —
+    * an unqualified relative root would make stripPrefix a no-op and
+    * misread any ancestor directory containing '='). Shared by every
+    * rewrite job. */
+  private def partitionColumns(spark: SparkSession, lakeRoot: String): Seq[String] = {
+    val root = new Path(lakeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(root).toString
+    partitionCensus(spark, lakeRoot).headOption.toSeq
+      .flatMap(_._1.stripPrefix(qualified).split("/")
+        .filter(_.contains("=")).map(_.split("=")(0)))
   }
 
   /** Multi-dimensional clustering (the lakehouse OPTIMIZE ZORDER): a
@@ -111,20 +129,24 @@ object LakeMaintenance {
   def zorderCluster(spark: SparkSession, lakeRoot: String, zCols: Seq[String],
       outFiles: Int = 8, bits: Int = 12): Unit = {
     val df = spark.read.parquet(lakeRoot)
-    val partCols = partitionCensus(spark, lakeRoot).headOption.toSeq
-      .flatMap(_._1.stripPrefix(new Path(lakeRoot).toString).split("/")
-        .filter(_.contains("=")).map(_.split("=")(0)))
+    val partCols = partitionColumns(spark, lakeRoot)
     val statCols = zCols.map(c => min(col(c).cast("double")).as(s"mn_$c")) ++
       zCols.map(c => max(col(c).cast("double")).as(s"mx_$c"))
     val stats = df.agg(statCols.head, statCols.tail: _*).head()
     val maxCode = (1L << bits) - 1
     val normed = zCols.map { c =>
+      // all-null column or zero-row lake: min/max are null — treat the
+      // dimension as constant instead of NPEing mid-rewrite
+      if (stats.isNullAt(stats.fieldIndex(s"mn_$c")) ||
+          stats.isNullAt(stats.fieldIndex(s"mx_$c"))) lit(0L)
+      else {
       val mn = stats.getAs[Double](s"mn_$c")
       val mx = stats.getAs[Double](s"mx_$c")
       if (mx > mn)
         least(lit(maxCode), greatest(lit(0L),
           ((col(c).cast("double") - mn) / (mx - mn) * maxCode).cast("long")))
       else lit(0L)
+      }
     }
     val keys = partCols.map(col) :+ col("__z")
     val clustered = df.withColumn("__z", mortonKey(normed, bits))

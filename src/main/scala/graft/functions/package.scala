@@ -52,6 +52,15 @@ package object functions {
   def ratioSql(num: String, den: String): String =
     round6Sql(s"$num / NULLIF($den, 0)")
 
+  /** Portable 32-bit integer hash of a string column: the integer
+    * value of the first 8 md5 hex chars. THE engine-portable hash
+    * family (sampling, bucketing, mixing, fingerprints): DuckDB
+    * oracles mirror it as `CAST(('0x' || substr(md5(x),1,8)) AS
+    * BIGINT)`; chars 9-16 give an independent second half when 64 bits
+    * are needed without BIGINT bit-63 sign wrap. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
   /** Calendar validity incl. leap years — the reference's DQ predicate
     * (glue_spark_trades_etl.py:135-171) as one codegen'd boolean. */
   def validCalendar(y: Column, m: Column, d: Column): Column = {

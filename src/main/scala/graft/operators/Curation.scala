@@ -27,10 +27,7 @@ object Curation {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Portable 32-bit int from a string: first 8 md5 hex chars (the
-    * hash family proven oracle-portable in text_fingerprint). */
-  private def h32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+  private def h32(c: Column): Column = graft.functions.h32(c)
 
   // --- text_quality_gopher: rule-based quality gate --------------------
   // The Gopher-style document filter: word count bounds, mean word

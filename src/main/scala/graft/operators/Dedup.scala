@@ -115,10 +115,7 @@ object Dedup {
     Array.fill(64)((rnd.nextInt(Int.MaxValue - 2).toLong * 2 + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** Portable 32-bit string hash: integer value of the first 8 md5 hex
-    * chars (mirrors TextAnalysis.wordInt). */
-  private def portableHash(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+  private def portableHash(c: Column): Column = graft.functions.h32(c)
 
   /** Order-sensitive polynomial combine of one band's 8 signature
     * values, mod P after every step (stays < 2^52). */

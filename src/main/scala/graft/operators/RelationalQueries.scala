@@ -926,9 +926,6 @@ object RelationalQueries {
 
   private val BloomBuckets = 8192
 
-  private def h32r(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
-
   private def r31(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT" &&
@@ -936,10 +933,10 @@ object RelationalQueries {
         col("o_orderdate") < ntz("1997-01-01 00:00:00"))
       .select("o_orderkey", "o_orderdate")
     val buckets = o.select(
-      pmod(h32r(col("o_orderkey").cast(StringType)), lit(BloomBuckets)).as("bkt")).distinct()
+      pmod(h32(col("o_orderkey").cast(StringType)), lit(BloomBuckets)).as("bkt")).distinct()
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-      .withColumn("bkt", pmod(h32r(col("l_orderkey").cast(StringType)), lit(BloomBuckets)))
+      .withColumn("bkt", pmod(h32(col("l_orderkey").cast(StringType)), lit(BloomBuckets)))
       .join(broadcast(buckets), Seq("bkt"), "left_semi")
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(month(col("o_orderdate")).as("m"))

@@ -385,8 +385,7 @@ object Similarity {
   private val NegProbes = 3
   private val NegBuckets = 16
 
-  private def h32s(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+  private def h32s(c: Column): Column = graft.functions.h32(c)
 
   private def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
@@ -637,13 +636,23 @@ object Similarity {
     // per-query LUT: exact-decimal dot of each query subvector against
     // each codebook entry, flattened to a 128-slot array ordered by
     // (m, cid) — one bounded array per query, broadcast with the query
-    val lut = pqSubs(v.filter(col("vec_id") < 10))
+    // the LUT is read by ARITHMETIC position (m*K + cid), so the
+    // flattened array must cover the full M×K grid even if a Lloyd
+    // round empties a centroid (its slot is never referenced by any
+    // code, but a missing slot would shift every later position):
+    // left-join the computed values onto the complete grid, hole = 0
+    val lutVals = pqSubs(v.filter(col("vec_id") < 10))
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents), "m")
       .select(col("query_id"), col("m"), col("cid"),
         ddot(col("sub"), col("cent")).cast(DoubleType).as("lv"))
+    val lut = v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"))
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .withColumn("cid", explode(sequence(lit(0), lit(PqK - 1))))
+      .join(lutVals, Seq("query_id", "m", "cid"), "left")
       .groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid"), col("lv")))),
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid"),
+          coalesce(col("lv"), lit(0.0)).as("lv")))),
         e => e.getField("lv")).as("lut"))
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
@@ -705,10 +714,17 @@ object Similarity {
        |        FROM subs s JOIN $last c ON s.m = c.m)),
        |codes AS (
        |  SELECT vec_id, list(cid ORDER BY m) AS codes FROM enc WHERE rn = 1 GROUP BY vec_id),
+       |lutvals AS (
+       |  SELECT q.vec_id AS query_id, c.m, c.cid, ${ddotSql("q.sub", "c.cent")} AS lv
+       |  FROM subs q JOIN $last c ON q.m = c.m WHERE q.vec_id < 10),
+       |qgrid AS (
+       |  SELECT v.vec_id AS query_id, mm.m, kk.cid
+       |  FROM v, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) mm,
+       |       (SELECT unnest(generate_series(0, ${PqK - 1})) AS cid) kk
+       |  WHERE v.vec_id < 10),
        |lut AS (
-       |  SELECT query_id, list(lv ORDER BY m, cid) AS lut
-       |  FROM (SELECT q.vec_id AS query_id, c.m, c.cid, ${ddotSql("q.sub", "c.cent")} AS lv
-       |        FROM subs q JOIN $last c ON q.m = c.m WHERE q.vec_id < 10)
+       |  SELECT query_id, list(COALESCE(lv, CAST(0.0 AS DOUBLE)) ORDER BY m, cid) AS lut
+       |  FROM qgrid LEFT JOIN lutvals USING (query_id, m, cid)
        |  GROUP BY query_id),
        |scored AS (
        |  SELECT l.query_id, v.vec_id AS neighbor_id, v.embedding, v.nn,

@@ -257,11 +257,18 @@ object TextAnalysis {
       idf * (col(s"tf_$t") * lit(Bm25K1 + 1.0)) /
         (col(s"tf_$t") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
     }.reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))
-    tf.crossJoin(broadcast(stats))
+    // two-phase global top-k: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition partial top-50, no
+    // corpus-sized single-partition sort); the rank window then runs
+    // over the 50 survivors only — bounded, like token_pack's
+    // shard-totals window (PlanSpec pins the TakeOrdered shape)
+    val top = tf.crossJoin(broadcast(stats))
       .withColumn("bm25", round6(score))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(50)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bm25").desc, col("doc_id"))
+    top
       .withColumn("rnk", row_number().over(w).cast(IntegerType))
-      .filter(col("rnk") <= 50)
       .select(Seq(col("doc_id"), col("dl")) ++
         Bm25Terms.map(t => col(s"tf_$t")) ++ Seq(col("bm25"), col("rnk")): _*)
       .orderBy("rnk")

@@ -106,11 +106,31 @@ class PlanSpec extends AnyFunSuite {
     // disappears (e.g. optimizer folds it away) the fact scan shuffles
     // everything and the operator loses its point at scale
     val plan = formatted("r31_bloom_prune")
-    val semiIdx = plan.indexOf("LeftSemi")
-    assert(semiIdx >= 0, plan.take(2000))
     // the semi join's membership structure is broadcast, never shuffled
-    assert(plan.contains("BroadcastHashJoin LeftSemi") ||
-      plan.contains("LeftSemi BuildRight"), plan.take(2000))
+    assert(plan.contains("LeftSemi BuildRight"), plan.take(2000))
+    // execution ORDER is the point: formatted-explain node ids number
+    // bottom-up, so the semi's id must be smaller than the equi-join's
+    // (tree text position would be inverted — parents print first)
+    def nodeId(marker: String): Int = {
+      val m = s"""\\Q$marker\\E \\((\\d+)\\)""".r
+      m.findFirstMatchIn(plan).map(_.group(1).toInt)
+        .getOrElse(fail(s"no '$marker' node in plan:\n${plan.take(2000)}"))
+    }
+    val semiId = nodeId("BroadcastHashJoin LeftSemi BuildRight")
+    val innerId = plan.linesIterator
+      .flatMap(l => """BroadcastHashJoin Inner BuildRight \((\d+)\)""".r
+        .findFirstMatchIn(l).map(_.group(1).toInt)).toSeq.headOption
+      .getOrElse(fail(s"no inner join node in plan:\n${plan.take(2000)}"))
+    assert(semiId < innerId,
+      s"semi (node $semiId) does not run before the exact join (node $innerId)")
+  }
+
+  test("text_bm25_topk's global top-50 is TakeOrdered, not a corpus-wide sort") {
+    // orderBy+limit must plan as TakeOrderedAndProject (per-partition
+    // partial top-k); the only single-partition work after it is the
+    // 50-row rank window
+    val plan = formatted("text_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
   test("pack_attention_mask reuses the sharded prefix sum (no global window)") {
