@@ -80,7 +80,7 @@ object ScaleProbe {
       "r29_top_supplier", "r30_nation_profit", "r31_bloom_prune",
       "r32_catalog_stats", "q17_distinct_sketch",
       "pack_attention_mask", "text_pii_redact", "text_rarity_score",
-      "text_bm25_topk", "ann_pq_topk")
+      "text_bm25_topk", "ann_pq_topk", "ann_ivfpq_topk")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
@@ -94,7 +94,7 @@ object ScaleProbe {
     // probe measures the QUERY path's scaling, and charging a one-time
     // build to the first timed run at one scale but not the other made
     // ann_pq look 88× when its scan is actually linear
-    Seq("ann_ivf_topk", "ann_pq_topk").foreach(n => time(dst, n))
+    Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk").foreach(n => time(dst, n))
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"x$Factor"}%8s ${"ratio"}%6s")
     names.foreach { n =>
       val a = time(src, n)

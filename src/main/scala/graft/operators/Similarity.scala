@@ -550,10 +550,11 @@ object Similarity {
   private val PqD = 8      // dims per subspace (embedding dim / PqM)
   private val PqLloyd = 2
 
-  /** (vec_id, m, sub): every vector split into its M subvectors. */
-  private def pqSubs(v: DataFrame): DataFrame =
-    v.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("embedding"))
-      .withColumn("sub", slice(col("embedding"), col("m") * PqD + 1, lit(PqD)))
+  /** (vec_id, m, sub): every vector split into its M subvectors —
+    * `srcCol` lets the IVF+PQ composition subspace the residuals. */
+  private def pqSubs(v: DataFrame, srcCol: String = "embedding"): DataFrame =
+    v.select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("m"), col(srcCol).as("__vec"))
+      .withColumn("sub", slice(col("__vec"), col("m") * PqD + 1, lit(PqD)))
       .select("vec_id", "m", "sub")
 
   private def pqWithCentNorm(cents: DataFrame): DataFrame =
@@ -751,11 +752,241 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- ann_ivfpq_topk: IVF + residual PQ (the FAISS IVFADC) ------------
+  // The composition serving engines actually deploy: the IVF coarse
+  // quantizer prunes the scan to 2 posting lists, and list members are
+  // scored by ADC over RESIDUAL codebooks (x − centroid has far less
+  // variance than x, so 8 bytes quantize it much better) with the
+  // query's per-list residual LUT: q·x ≈ q·c + q_res·x̂_res. Everything
+  // reuses the proven pieces — buildIvfIndex's quantizer, the PQ Lloyd
+  // machinery on residual subvectors, the grid-complete LUT, the
+  // two-phase exact rescore — so the DuckDB oracle replays the whole
+  // composed pipeline bit-for-bit. Recall vs bruteforce (0.62-0.72)
+  // spec-pinned; the residual vsub is corpus×1 interpreted work in the
+  // BUILD path only (same order as the norm pass), never per pair.
+
+  /** Elementwise float difference (residual vector). */
+  private def vsub(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)).cast(FloatType))
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** (residual-indexed corpus, residual codebooks, residual codes) —
+    * built on top of [[buildIvfIndex]], memoized like it. */
+  def buildIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    ivfPqCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
+      graft.plans.VecDotProduct.register(s)
+      graft.plans.TopKPerGroup.install(s)
+      val index = buildIvfIndex(s, dir)
+      val resid = index
+        .withColumn("res", vsub(col("embedding"), col("cent")))
+        .select("vec_id", "list_id", "embedding", "n2", "res")
+        .localCheckpoint()
+      val rsubs = pqSubs(resid, "res")
+      val rcents = trainPqCodebooks(rsubs)
+      val rcodes = pqAssign(rsubs, rcents)
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+          e => e.getField("cid")).as("codes"))
+        .localCheckpoint()
+      (resid, rcents, rcodes)
+    })
+
+  private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val v = withNorm2(Tables.embeddings(s, dir))
+    val (resid, rcents, rcodes) = buildIvfPqIndex(s, dir)
+    val cents = buildIvfIndex(s, dir)
+      .select(col("list_id").as("cid"), col("cent"), col("cn2")).distinct()
+    val pw = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= IvfProbes)
+    // per (query, probed list): q·c constant + the query residual the
+    // LUT is built from
+    val qres = probes
+      .withColumn("qc", ddot(col("q_emb"), col("cent")).cast(DoubleType))
+      .withColumn("qr", vsub(col("q_emb"), col("cent")))
+      .select(col("query_id"), col("cid").as("probe"), col("q_emb"), col("qn2"),
+        col("qc"), col("qr"))
+    val lutVals = qres
+      .select(col("query_id"), col("probe"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qr"))
+      .withColumn("sub", slice(col("qr"), col("m") * PqD + 1, lit(PqD)))
+      .join(broadcast(rcents), "m")
+      .select(col("query_id"), col("probe"), col("m"), col("cid"),
+        ddot(col("sub"), col("cent")).cast(DoubleType).as("lv"))
+    // grid-complete flattening, same argument as the plain-PQ LUT
+    val lut = qres.select("query_id", "probe")
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .withColumn("cid", explode(sequence(lit(0), lit(PqK - 1))))
+      .join(lutVals, Seq("query_id", "probe", "m", "cid"), "left")
+      .groupBy("query_id", "probe")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid"),
+          coalesce(col("lv"), lit(0.0)).as("lv")))),
+        e => e.getField("lv")).as("lut"))
+    val q = qres.select("query_id", "probe", "q_emb", "qn2", "qc")
+      .join(lut, Seq("query_id", "probe"))
+    val adc = (0 until PqM).map(m =>
+      element_at(col("lut"), lit(m * PqK) + element_at(col("codes"), m + 1) + lit(1)))
+      .reduce(_ + _)
+    val scored = resid.join(rcodes, "vec_id")
+      .join(broadcast(q), col("list_id") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"),
+        ((col("qc") + adc) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("fast"))
+    rescoreTopK(s, scored, 5)
+  }
+
+  /** DuckDB twin of the composed IVFADC pipeline: the IVF quantizer
+    * rounds, residual computation, residual-PQ rounds, per-(query,
+    * probe) LUTs and the ADC scan all unroll into generated CTEs from
+    * the same constants. */
+  private val annIvfPqSql: String = {
+    def h32(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+    def score(sub: String, cent: String) =
+      s"${ddotSql(sub, cent)} - ${ddotSql(cent, cent)} / 2.0"
+    def vsubSql(a: String, b: String) =
+      s"""list_transform(list_zip($a, $b),
+         |  x -> CAST(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE) AS REAL))""".stripMargin
+    val ivfRounds = (1 to LloydIters).map { r =>
+      val prev = if (r == 1) "c0" else s"c${r - 1}"
+      s"""a$r AS (
+         |  SELECT vec_id, embedding, cid,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn
+         |  FROM (SELECT s.vec_id, s.embedding, c.cid, ${score("s.embedding", "c.cent")} AS score
+         |        FROM samp s CROSS JOIN $prev c)),
+         |c$r AS (
+         |  SELECT cid, list(CAST(m AS REAL) ORDER BY d) AS cent
+         |  FROM (
+         |    SELECT cid, CAST(i AS INTEGER) AS d,
+         |           CAST(sum(CAST(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |             / count(*) AS m
+         |    FROM (SELECT cid, embedding, unnest(generate_series(1, len(embedding))) AS i
+         |          FROM a$r WHERE rn = 1)
+         |    GROUP BY cid, CAST(i AS INTEGER))
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val ilast = s"c$LloydIters"
+    val pqRounds = (1 to PqLloyd).map { r =>
+      val prev = if (r == 1) "pc0" else s"pc${r - 1}"
+      s"""pa$r AS (
+         |  SELECT vec_id, m, sub, cid,
+         |         row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, cid) AS rn
+         |  FROM (SELECT s.vec_id, s.m, s.sub, c.cid, ${score("s.sub", "c.cent")} AS score
+         |        FROM rsamp s JOIN $prev c ON s.m = c.m)),
+         |pc$r AS (
+         |  SELECT m, cid, list(CAST(mn AS REAL) ORDER BY d) AS cent
+         |  FROM (
+         |    SELECT m, cid, CAST(i AS INTEGER) AS d,
+         |           CAST(sum(CAST(CAST(sub[CAST(i AS INTEGER)] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         |             / count(*) AS mn
+         |    FROM (SELECT m, cid, sub, unnest(generate_series(1, len(sub))) AS i
+         |          FROM pa$r WHERE rn = 1)
+         |    GROUP BY m, cid, CAST(i AS INTEGER))
+         |  GROUP BY m, cid)""".stripMargin
+    }.mkString(",\n")
+    val plast = s"pc$PqLloyd"
+    val fast = (0 until PqM).map(m => s"lut[${m * PqK} + codes[${m + 1}] + 1]").mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS nn FROM embeddings),
+       |samp AS (
+       |  SELECT vec_id, embedding FROM v
+       |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < $IvfK),
+       |c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cent FROM v WHERE vec_id < $IvfK),
+       |$ivfRounds,
+       |assigned AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${score("v.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $ilast c)
+       |  WHERE rn = 1),
+       |resid AS (
+       |  SELECT v.vec_id, a.list_id, v.embedding, v.nn,
+       |         ${vsubSql("v.embedding", "c.cent")} AS res
+       |  FROM v JOIN assigned a ON v.vec_id = a.vec_id
+       |  JOIN $ilast c ON c.cid = a.list_id),
+       |rsubs AS (
+       |  SELECT vec_id, m, res[m*$PqD+1 : m*$PqD+$PqD] AS sub
+       |  FROM resid, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+       |rsamp AS (
+       |  SELECT vec_id, m, sub FROM rsubs
+       |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < $PqK),
+       |pc0 AS (
+       |  SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS cent FROM rsubs WHERE vec_id < $PqK),
+       |$pqRounds,
+       |renc AS (
+       |  SELECT vec_id, m, cid,
+       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, cid) AS rn
+       |  FROM (SELECT s.vec_id, s.m, c.cid, ${score("s.sub", "c.cent")} AS score
+       |        FROM rsubs s JOIN $plast c ON s.m = c.m)),
+       |rcodes AS (
+       |  SELECT vec_id, list(cid ORDER BY m) AS codes FROM renc WHERE rn = 1 GROUP BY vec_id),
+       |qprobes AS (
+       |  SELECT vec_id AS query_id, cid AS probe FROM (
+       |    SELECT v.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |             ${score("v.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM v CROSS JOIN $ilast c WHERE v.vec_id < 10)
+       |  WHERE rn <= $IvfProbes),
+       |qres AS (
+       |  SELECT p.query_id, p.probe, ${vsubSql("q.embedding", "c.cent")} AS res,
+       |         ${ddotSql("q.embedding", "c.cent")} AS qc
+       |  FROM qprobes p JOIN v q ON q.vec_id = p.query_id
+       |  JOIN $ilast c ON c.cid = p.probe),
+       |qrsubs AS (
+       |  SELECT query_id, probe, m, res[m*$PqD+1 : m*$PqD+$PqD] AS sub
+       |  FROM qres, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+       |rlutvals AS (
+       |  SELECT q.query_id, q.probe, c.m, c.cid, ${ddotSql("q.sub", "c.cent")} AS lv
+       |  FROM qrsubs q JOIN $plast c ON q.m = c.m),
+       |qgrid AS (
+       |  SELECT p.query_id, p.probe, mm.m, kk.cid
+       |  FROM qprobes p, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) mm,
+       |       (SELECT unnest(generate_series(0, ${PqK - 1})) AS cid) kk),
+       |rlut AS (
+       |  SELECT query_id, probe, list(COALESCE(lv, CAST(0.0 AS DOUBLE)) ORDER BY m, cid) AS lut
+       |  FROM qgrid LEFT JOIN rlutvals USING (query_id, probe, m, cid)
+       |  GROUP BY query_id, probe),
+       |scored AS (
+       |  SELECT l.query_id, r.vec_id AS neighbor_id, r.embedding, r.nn,
+       |         q.embedding AS q_emb, q.nn AS qn2,
+       |         (qr.qc + ($fast)) / (sqrt(q.nn) * sqrt(r.nn)) AS fast
+       |  FROM rlut l
+       |  JOIN qres qr ON qr.query_id = l.query_id AND qr.probe = l.probe
+       |  JOIN resid r ON r.list_id = l.probe
+       |  JOIN rcodes cd ON cd.vec_id = r.vec_id
+       |  JOIN v q ON q.vec_id = l.query_id
+       |  WHERE r.vec_id <> l.query_id),
+       |pre AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY fast DESC, neighbor_id) AS fr
+       |  FROM scored),
+       |rescored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(nn)) AS cos_raw
+       |  FROM pre WHERE fr <= $PrefilterBuffer),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM rescored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_ivf_topk", annIvf, Some(annIvfSql)),
     Op("ann_pq_topk", annPq, Some(annPqSql)),
+    Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
     Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }

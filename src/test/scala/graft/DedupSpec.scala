@@ -77,6 +77,19 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"PQ recall $recall too low (${pq.size} results)")
   }
 
+  test("IVF+PQ ANN recalls a solid share of exact top-5 neighbors") {
+    val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Registry.queries("ann_ivfpq_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq.size == brute.size)
+    val recall = brute.intersect(ivfpq).size.toDouble / brute.size
+    // 2-probe IVF pruning on top of 8-byte residual codes: measured
+    // 0.62-0.72 across sf0.001/0.01/0.1 (pruning trades recall for
+    // scanning ~2/10ths of the corpus)
+    assert(recall >= 0.4, s"IVF+PQ recall $recall too low (${ivfpq.size} results)")
+  }
+
   test("ANN two-phase prefilter is bit-identical to exhaustive exact scoring") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
