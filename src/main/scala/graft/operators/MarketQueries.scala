@@ -736,6 +736,45 @@ object MarketQueries {
         approx_count_distinct(col("trade_id"), 0.02).as("ndv_trades_approx"))
       .orderBy("symbol")
 
+  // --- Q18: pattern scan — momentum streak detection -------------------
+  // The MATCH_RECOGNIZE-style shape as composable windows: three
+  // consecutive rising minute-VWAP closes per symbol, reported with
+  // the total rise over the streak. A lag-chain over the per-symbol
+  // bar window (the q10/q12 partitioning — bounded per symbol, never
+  // global); everything downstream of the one bar aggregate is narrow.
+
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val bars = trades(s, dir)
+      .groupBy(col("symbol"), date_trunc("minute", col("trade_time")).as("minute"))
+      .agg(dsum(col("quote_qty")).as("pv"), dsum(col("quantity")).as("q"))
+      .select(col("symbol"), col("minute"), ratio(col("pv"), col("q")).as("vwap"))
+    val w = Window.partitionBy("symbol").orderBy("minute")
+    bars
+      .withColumn("v1", lag("vwap", 1).over(w))
+      .withColumn("v2", lag("vwap", 2).over(w))
+      .withColumn("v3", lag("vwap", 3).over(w))
+      .filter(col("vwap") > col("v1") && col("v1") > col("v2") && col("v2") > col("v3"))
+      .select(col("symbol"), col("minute"), col("vwap"),
+        round6(col("vwap") - col("v3")).as("rise"))
+      .orderBy("symbol", "minute")
+  }
+
+  private val q18Sql =
+    s"""$cte,
+       |bars AS (
+       |  SELECT symbol, date_trunc('minute', trade_time) AS minute,
+       |         ${dsumSql("quote_qty")} AS pv, ${dsumSql("quantity")} AS q
+       |  FROM trades GROUP BY 1, 2),
+       |v AS (SELECT symbol, minute, ${ratioSql("pv", "q")} AS vwap FROM bars),
+       |lagged AS (
+       |  SELECT symbol, minute, vwap,
+       |         lag(vwap, 1) OVER w AS v1, lag(vwap, 2) OVER w AS v2, lag(vwap, 3) OVER w AS v3
+       |  FROM v WINDOW w AS (PARTITION BY symbol ORDER BY minute))
+       |SELECT symbol, minute, vwap, ${round6Sql("vwap - v3")} AS rise
+       |FROM lagged
+       |WHERE vwap > v1 AND v1 > v2 AND v2 > v3
+       |ORDER BY symbol, minute""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -760,7 +799,8 @@ object MarketQueries {
     Op("q14_correlation_matrix", q14, Some(q14Sql)),
     Op("q15_quantiles", q15, Some(q15Sql)),
     Op("q16_quantiles_sketch", q16, None),
-    Op("q17_distinct_sketch", q17, None))
+    Op("q17_distinct_sketch", q17, None),
+    Op("q18_pattern_scan", q18, Some(q18Sql)))
 
 
 }

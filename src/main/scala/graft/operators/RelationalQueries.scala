@@ -1009,6 +1009,54 @@ object RelationalQueries {
        |ORDER BY col_name""".stripMargin
   }
 
+  // --- etl_constraint_check: data-contract validation ------------------
+  // The constraint sweep a lake runs after every load: NOT NULL,
+  // primary-key uniqueness, referential integrity, and value-range
+  // checks, each reported as (constraint, violation_count). The two
+  // orders-level checks share ONE scan (explode of a single aggregate
+  // row); the FK check is a left-anti join (never a row-by-row
+  // lookup); the PK check is a keyed aggregate. All shapes stay
+  // shuffle-bounded by key cardinality at 100 TB.
+
+  private def etlConstraints(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val oAgg = o.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_neg"))
+      .select(explode(array(
+        struct(lit("orders_custkey_not_null").as("constraint_name"),
+          col("v_null").as("violations")),
+        struct(lit("orders_totalprice_positive").as("constraint_name"),
+          col("v_neg").as("violations")))).as("s"))
+      .select("s.*")
+    val orphans = o.join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_customer_fk").as("constraint_name"), col("violations"))
+    val dupPk = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n") - 1), lit(0L)).as("violations"))
+      .select(lit("lineitem_pk_unique").as("constraint_name"), col("violations"))
+    oAgg.unionByName(orphans).unionByName(dupPk).orderBy("constraint_name")
+  }
+
+  private val etlConstraintsSql =
+    """SELECT 'orders_custkey_not_null' AS constraint_name,
+      |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_totalprice_positive', CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'orders_customer_fk', CAST(count(*) AS BIGINT)
+      |FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'lineitem_pk_unique', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+      |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber) d
+      |WHERE n > 1
+      |ORDER BY constraint_name""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("r1_pricing_summary", r1, Some(r1Sql)),
     Op("r2_top_customers", r2, Some(r2Sql)),
@@ -1041,5 +1089,6 @@ object RelationalQueries {
     Op("r29_top_supplier", r29, Some(r29Sql)),
     Op("r30_nation_profit", r30, Some(r30Sql)),
     Op("r31_bloom_prune", r31, Some(r31Sql)),
-    Op("r32_catalog_stats", r32, Some(r32Sql)))
+    Op("r32_catalog_stats", r32, Some(r32Sql)),
+    Op("etl_constraint_check", etlConstraints, Some(etlConstraintsSql)))
 }
