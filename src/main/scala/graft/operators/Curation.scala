@@ -434,20 +434,34 @@ object Curation {
   // table is vocabulary-bounded → broadcast back to the token stream;
   // the only unpartitioned window ranks vocabulary rows, not corpus.
 
-  private def textRarityScore(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(toks).as("word"))
-    val ranked = words.groupBy("word").agg(count(lit(1)).as("c"))
+  /** Corpus word→frequency-rank table. Vocabulary-bounded (the only
+    * unpartitioned window ranks vocabulary rows, not corpus). */
+  def wordRanks(docs: DataFrame): DataFrame =
+    docs.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
       .withColumn("rnk",
         dense_rank().over(Window.orderBy(col("c").desc, col("word"))).cast(IntegerType))
       .select("word", "rnk")
-    words.join(broadcast(ranked), "word")
+
+  /** Rarity scores of `docs` against a precomputed rank table: one
+    * broadcast join (stream-static-capable — the doc side never
+    * shuffles against the table) + one per-doc aggregate. Inner-join
+    * contract: the rank table must cover the feed's vocabulary (it
+    * does when built from the same corpus; a production feed would
+    * refresh it with the lake). Used identically by the batch op and
+    * StreamingJobs.rarityStream. */
+  def rarityScores(docs: DataFrame, ranks: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(toks).as("word"))
+      .join(broadcast(ranks), "word")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast(IntegerType).as("n_words"),
         round6(sum(col("rnk")).cast(DoubleType) / count(lit(1))).as("mean_rank"),
         max(col("rnk")).as("rarest_rank"))
-      .orderBy("doc_id")
+
+  private def textRarityScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    rarityScores(docs, wordRanks(docs)).orderBy("doc_id")
   }
 
   private val textRarityScoreSql =

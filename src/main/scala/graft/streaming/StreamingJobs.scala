@@ -170,6 +170,21 @@ object StreamingJobs {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.qualityMetrics(docs)
 
+  /** Stream-static rarity scoring: each micro-batch of the live
+    * document feed joins the STATIC corpus word-rank table (broadcast
+    * stream-static join — the feed side stays narrow, the table is
+    * vocabulary-bounded) and aggregates per document inside the batch.
+    * Documents arrive whole (the feed contract), so scoring is exact
+    * per batch with no cross-batch state — the shape for enriching an
+    * ingest stream against lake-derived reference data. */
+  def rarityStream(docs: DataFrame, ranks: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) sink(graft.operators.Curation.rarityScores(batch, ranks))
+      }
+      .start()
+
   /** Streaming PII/denylist redaction: the same stateless narrow
     * expressions as `text_pii_redact`, applied to a live document feed
     * — no watermark or state store, every micro-batch redacts at scan

@@ -301,6 +301,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static rarity scoring matches the batch scores cell-for-cell") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsDf = Tables.documents(spark, sf).select("doc_id", "text")
+    val ranks = graft.operators.Curation.wordRanks(docsDf).cache()
+    val docs = docsDf.as[(Long, String)].collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+
+    val got = scala.collection.mutable.Set[(Long, Int, Double, Int)]()
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.rarityStream(source.toDF().toDF("doc_id", "text"), ranks) { scores =>
+      got.synchronized {
+        got ++= scores.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+      }
+    }
+    try {
+      source.addData(b1.toSeq: _*); q.processAllAvailable()
+      source.addData(b2.toSeq: _*); q.processAllAvailable()
+      val want = Registry.queries("text_rarity_score")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got.toSet == want,
+        s"stream-only=${(got.toSet -- want).take(3)} batch-only=${(want -- got.toSet).take(3)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization matches the batch window sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
