@@ -80,7 +80,8 @@ object ScaleProbe {
       "r29_top_supplier", "r30_nation_profit", "r31_bloom_prune",
       "r32_catalog_stats", "q17_distinct_sketch",
       "pack_attention_mask", "text_pii_redact", "text_rarity_score",
-      "text_bm25_topk", "ann_pq_topk", "ann_ivfpq_topk")
+      "text_bm25_topk", "ann_pq_topk", "ann_ivfpq_topk",
+      "q18_pattern_scan", "etl_constraint_check")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()

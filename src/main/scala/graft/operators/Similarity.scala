@@ -272,26 +272,33 @@ object Similarity {
     * localCheckpoint and memoized per (session, corpus); at scale it
     * would be a parquet table maintained alongside the lake. */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
 
-  def buildIvfIndex(s: SparkSession, dir: String): DataFrame =
+  /** (trained centroid table with norms — the FULL k rows, even a
+    * centroid whose posting list ends up empty — and the encoded
+    * corpus). Probing must rank over the full table: the oracle's
+    * probe CTE ranks over every trained centroid, so deriving the
+    * probe set from the index (distinct over members) would silently
+    * diverge the candidate sets the moment a list is empty — besides
+    * re-scanning the corpus-sized index for a k-row table. */
+  def buildIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
       val v = withNorm2(Tables.embeddings(s, dir))
-      val cents = trainCentroids(v)
+      val cents = withCentNorm(trainCentroids(v)).localCheckpoint()
       // one row per vector: posting-list id + centroid geometry columns
       // folded in (cid/cent/cn2 repeated per member keeps the index
       // self-contained for probing)
-      v.join(broadcast(assign(v, cents)), "vec_id")
-        .join(broadcast(withCentNorm(cents)
+      val index = v.join(broadcast(assign(v, cents.drop("cn2"))), "vec_id")
+        .join(broadcast(cents
           .select(col("cid").as("list_id"), col("cent"), col("cn2"))), "list_id")
         .localCheckpoint()
+      (cents, index)
     })
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     val v = withNorm2(Tables.embeddings(s, dir))
-    val index = buildIvfIndex(s, dir)
-    val cents = index.select(col("list_id").as("cid"), col("cent"), col("cn2")).distinct()
+    val (cents, index) = buildIvfIndex(s, dir)
     val indexed = index.drop("cent", "cn2")
     // each query probes its IvfProbes nearest centroid lists
     val pw = Window.partitionBy("query_id")
@@ -610,6 +617,29 @@ object Similarity {
     cents
   }
 
+  /** (vec_id, m, cid) assignments → one codes array per vector,
+    * position-ordered by subspace. */
+  private def collectCodes(assigned: DataFrame): DataFrame =
+    assigned.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+        e => e.getField("cid")).as("codes"))
+
+  /** Grid-complete LUT flattening: the ADC reads the array by
+    * ARITHMETIC position (m*K + cid), so every (m, cid) slot must
+    * exist even if a Lloyd round emptied a centroid (an absent slot is
+    * never referenced by any code, but it would shift every later
+    * position). `keys` identifies one LUT per row group (query, or
+    * (query, probe) for the IVF composition). */
+  private def gridLut(base: DataFrame, keys: Seq[String], lutVals: DataFrame): DataFrame =
+    base.select(keys.map(col): _*)
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .withColumn("cid", explode(sequence(lit(0), lit(PqK - 1))))
+      .join(lutVals, keys ++ Seq("m", "cid"), "left")
+      .groupBy(keys.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid"),
+          coalesce(col("lv"), lit(0.0)).as("lv")))),
+        e => e.getField("lv")).as("lut"))
+
   /** PQ index build — like IVF, a maintenance job memoized per
     * (session, corpus): the codebook table (M×K rows) and the encoded
     * corpus (8 small ints per vector). */
@@ -623,11 +653,7 @@ object Similarity {
       val v = Tables.embeddings(s, dir)
       val subs = pqSubs(v)
       val cents = trainPqCodebooks(subs)
-      val codes = pqAssign(subs, cents)
-        .groupBy("vec_id")
-        .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
-          e => e.getField("cid")).as("codes"))
-        .localCheckpoint()
+      val codes = collectCodes(pqAssign(subs, cents)).localCheckpoint()
       (cents, codes)
     })
 
@@ -637,24 +663,13 @@ object Similarity {
     // per-query LUT: exact-decimal dot of each query subvector against
     // each codebook entry, flattened to a 128-slot array ordered by
     // (m, cid) — one bounded array per query, broadcast with the query
-    // the LUT is read by ARITHMETIC position (m*K + cid), so the
-    // flattened array must cover the full M×K grid even if a Lloyd
-    // round empties a centroid (its slot is never referenced by any
-    // code, but a missing slot would shift every later position):
-    // left-join the computed values onto the complete grid, hole = 0
     val lutVals = pqSubs(v.filter(col("vec_id") < 10))
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents), "m")
       .select(col("query_id"), col("m"), col("cid"),
         ddot(col("sub"), col("cent")).cast(DoubleType).as("lv"))
-    val lut = v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"))
-      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-      .withColumn("cid", explode(sequence(lit(0), lit(PqK - 1))))
-      .join(lutVals, Seq("query_id", "m", "cid"), "left")
-      .groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid"),
-          coalesce(col("lv"), lit(0.0)).as("lv")))),
-        e => e.getField("lv")).as("lut"))
+    val lut = gridLut(v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id")),
+      Seq("query_id"), lutVals)
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
       .join(lut, "query_id")
@@ -778,18 +793,14 @@ object Similarity {
     ivfPqCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
       graft.plans.VecDotProduct.register(s)
       graft.plans.TopKPerGroup.install(s)
-      val index = buildIvfIndex(s, dir)
+      val index = buildIvfIndex(s, dir)._2
       val resid = index
         .withColumn("res", vsub(col("embedding"), col("cent")))
         .select("vec_id", "list_id", "embedding", "n2", "res")
         .localCheckpoint()
       val rsubs = pqSubs(resid, "res")
       val rcents = trainPqCodebooks(rsubs)
-      val rcodes = pqAssign(rsubs, rcents)
-        .groupBy("vec_id")
-        .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
-          e => e.getField("cid")).as("codes"))
-        .localCheckpoint()
+      val rcodes = collectCodes(pqAssign(rsubs, rcents)).localCheckpoint()
       (resid, rcents, rcodes)
     })
 
@@ -797,8 +808,7 @@ object Similarity {
     graft.plans.VecDotProduct.register(s)
     val v = withNorm2(Tables.embeddings(s, dir))
     val (resid, rcents, rcodes) = buildIvfPqIndex(s, dir)
-    val cents = buildIvfIndex(s, dir)
-      .select(col("list_id").as("cid"), col("cent"), col("cn2")).distinct()
+    val cents = buildIvfIndex(s, dir)._1
     val pw = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
@@ -820,15 +830,7 @@ object Similarity {
       .join(broadcast(rcents), "m")
       .select(col("query_id"), col("probe"), col("m"), col("cid"),
         ddot(col("sub"), col("cent")).cast(DoubleType).as("lv"))
-    // grid-complete flattening, same argument as the plain-PQ LUT
-    val lut = qres.select("query_id", "probe")
-      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-      .withColumn("cid", explode(sequence(lit(0), lit(PqK - 1))))
-      .join(lutVals, Seq("query_id", "probe", "m", "cid"), "left")
-      .groupBy("query_id", "probe")
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid"),
-          coalesce(col("lv"), lit(0.0)).as("lv")))),
-        e => e.getField("lv")).as("lut"))
+    val lut = gridLut(qres, Seq("query_id", "probe"), lutVals)
     val q = qres.select("query_id", "probe", "q_emb", "qn2", "qc")
       .join(lut, Seq("query_id", "probe"))
     val adc = (0 until PqM).map(m =>

@@ -181,7 +181,20 @@ object StreamingJobs {
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) sink(graft.operators.Curation.rarityScores(batch, ranks))
+        if (!batch.isEmpty) {
+          // the scoring join is inner (the rank table must cover the
+          // feed's vocabulary); a stale reference table would silently
+          // skew scores or drop docs — fail the batch loudly instead
+          val b = batch.localCheckpoint()
+          val oov = b
+            .select(explode(split(col("text"), " ")).as("word"))
+            .join(broadcast(ranks), Seq("word"), "left_anti")
+            .count()
+          require(oov == 0,
+            s"rarityStream: $oov feed tokens missing from the rank table — " +
+              "refresh the reference before scoring")
+          sink(graft.operators.Curation.rarityScores(b, ranks))
+        }
       }
       .start()
 
