@@ -775,6 +775,103 @@ object MarketQueries {
        |WHERE vwap > v1 AND v1 > v2 AND v2 > v3
        |ORDER BY symbol, minute""".stripMargin
 
+  // --- Q19: conversion funnel ------------------------------------------
+  // Staged user-journey funnel (view → click within 24 h → purchase
+  // within 24 h of the click): the canonical product-analytics shape.
+  // Spark-first: each stage is a per-user conditional MIN — three
+  // aggregates that all shuffle on user_id (one exchange shape, reused),
+  // with the candidate set shrinking stage over stage; never a
+  // sort-the-whole-journey-per-user window. The only unpartitioned
+  // window runs over the 3 stage-count rows.
+
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t"))
+    def nextStage(prev: DataFrame, et: String): DataFrame =
+      ev.filter(col("event_type") === et)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("t") &&
+          col("ts") <= col("t") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("t_next"))
+        .withColumnRenamed("t_next", "t")
+    val t2 = nextStage(t1, "click")
+    val t3 = nextStage(t2, "purchase")
+    def stageCount(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"), col("users"))
+    val counts = stageCount(t1, 1, "view")
+      .unionByName(stageCount(t2, 2, "click_within_24h"))
+      .unionByName(stageCount(t3, 3, "purchase_within_24h"))
+    val w = Window.orderBy("stage_ord")
+    counts
+      .withColumn("conversion", round6(
+        col("users").cast(DoubleType) / lag("users", 1).over(w).cast(DoubleType)))
+      .orderBy("stage_ord")
+  }
+
+  private val q19Sql =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > t1.t
+      |    AND e.ts <= t1.t + INTERVAL 24 HOUR GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > t2.t
+      |    AND e.ts <= t2.t + INTERVAL 24 HOUR GROUP BY 1),
+      |counts AS (
+      |  SELECT 1 AS stage_ord, 'view' AS stage, COUNT(*) AS users FROM t1
+      |  UNION ALL SELECT 2, 'click_within_24h', COUNT(*) FROM t2
+      |  UNION ALL SELECT 3, 'purchase_within_24h', COUNT(*) FROM t3)
+      |SELECT CAST(stage_ord AS INTEGER) AS stage_ord, stage, users,
+      |       floor((CAST(users AS DOUBLE) / CAST(lag(users) OVER (ORDER BY stage_ord) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS conversion
+      |FROM counts ORDER BY stage_ord""".stripMargin
+
+  // --- Q20: cohort retention matrix --------------------------------------
+  // First-activity-day cohorts × days-since-cohort distinct actives —
+  // the other canonical product-analytics shape. Cohort assignment and
+  // daily activity share the user_id shuffle; the retention grid is
+  // bounded by days² (tiny at any corpus size), and the cohort-size
+  // join key (cohort_day) is bounded by the calendar, so AQE broadcasts
+  // it on its own — no hint needed.
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("act_day"))
+    val cohort = ev.groupBy("user_id").agg(min("act_day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    ev.distinct()
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("act_day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("active_users"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("active_users"), col("cohort_users"),
+        round6(col("active_users").cast(DoubleType) / col("cohort_users").cast(DoubleType))
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  private val q20Sql =
+    """WITH cohort AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+      |activity AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events),
+      |sizes AS (
+      |  SELECT cohort_day, COUNT(*) AS cohort_users FROM cohort GROUP BY 1),
+      |ret AS (
+      |  SELECT c.cohort_day, date_diff('day', c.cohort_day, a.act_day) AS day_offset,
+      |         COUNT(DISTINCT a.user_id) AS active_users
+      |  FROM activity a JOIN cohort c ON a.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT r.cohort_day, CAST(r.day_offset AS INTEGER) AS day_offset,
+      |       r.active_users, s.cohort_users,
+      |       floor((CAST(r.active_users AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS retention
+      |FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+      |ORDER BY r.cohort_day, r.day_offset""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
@@ -800,7 +897,9 @@ object MarketQueries {
     Op("q15_quantiles", q15, Some(q15Sql)),
     Op("q16_quantiles_sketch", q16, None),
     Op("q17_distinct_sketch", q17, None),
-    Op("q18_pattern_scan", q18, Some(q18Sql)))
+    Op("q18_pattern_scan", q18, Some(q18Sql)),
+    Op("q19_funnel", q19, Some(q19Sql)),
+    Op("q20_retention", q20, Some(q20Sql)))
 
 
 }

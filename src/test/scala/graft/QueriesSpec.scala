@@ -81,4 +81,22 @@ class QueriesSpec extends AnyFunSuite {
         s"${r.getAs[String]("symbol")}: approx $approx vs exact $ex")
     }
   }
+
+  test("q19 funnel stages are monotonically non-increasing") {
+    val rows = Registry.queries("q19_funnel")(spark, sf).collect()
+    assert(rows.length == 3)
+    val users = rows.sortBy(_.getAs[Int]("stage_ord")).map(_.getAs[Long]("users"))
+    assert(users.sliding(2).forall(w => w(1) <= w(0)),
+      s"funnel widened: ${users.mkString(" -> ")}")
+  }
+
+  test("q20 retention: day-0 retention is 1.0 and actives never exceed cohort") {
+    val rows = Registry.queries("q20_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("active_users") <= r.getAs[Long]("cohort_users"))
+      if (r.getAs[Int]("day_offset") == 0)
+        assert(r.getAs[Double]("retention") == 1.0)
+    }
+  }
 }
