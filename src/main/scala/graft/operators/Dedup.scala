@@ -315,6 +315,59 @@ object Dedup {
        |FROM p WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --- dedup_semantic: SemDeDup (cluster-blocked embedding dedup) ------
+  // The SemDeDup recipe (Abbas et al. 2023): k-means-cluster the
+  // embedding space, then search for near-duplicates ONLY within each
+  // cluster — the learned quantizer replaces dedup_embedding's label
+  // blocking, so the operator works on corpora with no labels at all
+  // and pair volume is Σ|cluster|² instead of n². Reuses the IVF
+  // coarse quantizer (a memoized maintenance job — the same build
+  // serves ANN queries and dedup) and the proven two-phase scorer:
+  // codegen'd vec_dot prefilter with a 1e-6 margin, exact-decimal
+  // rescore on survivors. The DuckDB oracle replays quantizer training
+  // bit-for-bit via Similarity.ivfQuantizerCtes. Cross-cluster
+  // near-dups are invisible by design — that recall tradeoff is the
+  // operator's published semantics (DedupSpec pins it vs the
+  // label-blocked exact pass).
+
+  private val SemThreshold = 0.4
+
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VecDotProduct.vec_dot
+    graft.plans.VecDotProduct.register(s)
+    val v = Similarity.buildIvfIndex(s, dir)._2
+      .select(col("vec_id"), col("list_id"), col("embedding"), col("n2"))
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("norm_prod", sqrt(col("a.n2")) * sqrt(col("b.n2")))
+      .filter(vec_dot(col("a.embedding"), col("b.embedding")) / col("norm_prod")
+        >= SemThreshold - 1e-6)
+    pairs
+      .withColumn("cos_raw",
+        Similarity.ddot(col("a.embedding"), col("b.embedding")).cast(DoubleType) / col("norm_prod"))
+      .filter(col("cos_raw") >= SemThreshold)
+      .select(col("a.list_id").as("cluster_id"),
+        col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+        round6(col("cos_raw")).as("cos_sim"))
+      .orderBy("keep_id", "drop_id")
+  }
+
+  private val dedupSemanticSql =
+    s"""WITH ${Similarity.ivfQuantizerCtes},
+       |members AS (
+       |  SELECT a.vec_id, a.list_id, v.embedding, v.nn
+       |  FROM assigned a JOIN v ON v.vec_id = a.vec_id),
+       |p AS (
+       |  SELECT a.list_id AS cluster_id, a.vec_id AS keep_id, b.vec_id AS drop_id,
+       |         ${Similarity.ddotSql("a.embedding", "b.embedding")} AS dot,
+       |         a.nn AS na2, b.nn AS nb2
+       |  FROM members a JOIN members b
+       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id)
+       |SELECT cluster_id, keep_id, drop_id,
+       |       ${round6Sql("dot / (sqrt(na2) * sqrt(nb2))")} AS cos_sim
+       |FROM p WHERE dot / (sqrt(na2) * sqrt(nb2)) >= $SemThreshold
+       |ORDER BY keep_id, drop_id""".stripMargin
+
   // --- dedup_clusters: transitive near-dup groups ----------------------
   // Connected components over the Jaccard similarity graph (j ≥ 0.03)
   // via iterative min-label propagation with pointer doubling — the
@@ -418,5 +471,6 @@ object Dedup {
     Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
 }

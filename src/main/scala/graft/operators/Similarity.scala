@@ -469,7 +469,14 @@ object Similarity {
     * quantizer is engine-portable end to end — md5-prefix sample hash,
     * DECIMAL(38,12) argmax scores with the (score DESC, cid) tiebreak,
     * per-dimension means as decimal-sum/count rounded double→float. */
-  private val annIvfSql: String = {
+  /** The IVF quantizer's DuckDB replay — `v` (corpus + norms), `samp`,
+    * the Lloyd-round CTE chain, and `assigned` (vec_id → list_id) — as
+    * a reusable CTE block ending at `assigned`. The final centroid
+    * table is CTE [[ivfLastCentCte]]. Shared by [[annIvfSql]] and the
+    * SemDeDup oracle in [[Dedup]]. */
+  private[operators] val ivfLastCentCte = s"c$LloydIters"
+
+  private[operators] val ivfQuantizerCtes: String = {
     def h32(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
     def score(emb: String, cent: String) =
       s"${ddotSql(emb, cent)} - ${ddotSql(cent, cent)} / 2.0"
@@ -493,8 +500,7 @@ object Similarity {
          |    GROUP BY cid, CAST(i AS INTEGER))
          |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    val last = s"c$LloydIters"
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS nn FROM embeddings),
        |samp AS (
        |  SELECT vec_id, embedding FROM v
@@ -507,8 +513,15 @@ object Similarity {
        |    SELECT v.vec_id, c.cid,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |             ${score("v.embedding", "c.cent")} DESC, c.cid) AS rn
-       |    FROM v CROSS JOIN $last c)
-       |  WHERE rn = 1),
+       |    FROM v CROSS JOIN $ivfLastCentCte c)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private val annIvfSql: String = {
+    def score(emb: String, cent: String) =
+      s"${ddotSql(emb, cent)} - ${ddotSql(cent, cent)} / 2.0"
+    val last = ivfLastCentCte
+    s"""WITH $ivfQuantizerCtes,
        |probes AS (
        |  SELECT vec_id AS query_id, cid AS probe FROM (
        |    SELECT v.vec_id, c.cid,
