@@ -315,6 +315,72 @@ object Dedup {
        |FROM p WHERE dot / (sqrt(na2) * sqrt(nb2)) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --- dedup_substring_spans: repeated-n-gram span detection -----------
+  // Exact substring dedup in the Lee et al. 2022 ("Deduplicating
+  // Training Data Makes Language Models Better") lineage: find every
+  // position whose 8-token window recurs ANYWHERE in the corpus, then
+  // merge consecutive duplicated positions into maximal spans — the
+  // character ranges a training pipeline would cut. Spark-first shape:
+  // the window stream is the proven posexplode + lead-chain (codegen'd,
+  // one doc_id shuffle); occurrence counting groups by the gram's md5
+  // (bounded 16-byte key instead of an arbitrary-length token string —
+  // at 50-token windows this is what makes the shuffle narrow), with
+  // map-side partial aggregation absorbing boilerplate grams that
+  // repeat millions of times (the groupBy+join shape is deliberately
+  // chosen over count-over-window, which would funnel each gram's
+  // occurrences into one task); span merging is the islands trick
+  // (pos − row_number is constant within a consecutive run). The md5
+  // keys replay exactly in DuckDB.
+
+  private val SpanGram = 8
+
+  private def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos0")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+    val withLeads = (1 until SpanGram).foldLeft(toks) { (df, j) =>
+      df.withColumn(s"w$j", lead("word", j).over(w))
+    }
+    val win = withLeads
+      .filter(col(s"w${SpanGram - 1}").isNotNull)
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        md5(concat_ws(" ", col("word") +: (1 until SpanGram).map(j => col(s"w$j")): _*)).as("gh"))
+    val freq = win.groupBy("gh").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val dup = win.join(freq, "gh").select("doc_id", "pos")
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("grp", col("pos") - row_number().over(iw))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), max("pos").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(SpanGram)).as("span_len_words"),
+        col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  private val dedupSubstringSpansSql = {
+    val gram = (0 until SpanGram).map(j => s"ts[CAST(i AS INTEGER)+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, md5($gram) AS gh
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(1, len(ts) - ${SpanGram - 1})) AS i FROM toks)),
+       |freq AS (SELECT gh, count(*) AS n FROM win GROUP BY 1 HAVING count(*) > 1),
+       |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN freq f ON w.gh = f.gh),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
+       |       CAST(MAX(pos) - MIN(pos) + $SpanGram AS INTEGER) AS span_len_words,
+       |       COUNT(*) AS n_windows
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // --- dedup_semantic: SemDeDup (cluster-blocked embedding dedup) ------
   // The SemDeDup recipe (Abbas et al. 2023): k-means-cluster the
   // embedding space, then search for near-duplicates ONLY within each
@@ -472,5 +538,6 @@ object Dedup {
     Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
+    Op("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
 }
