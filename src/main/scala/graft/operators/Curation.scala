@@ -475,6 +475,49 @@ object Curation {
        |FROM words JOIN ranked USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- text_keyword_extract: tf×rarity keyword extraction --------------
+  // Per-document top-3 keywords — the tf-idf shape in portable integer
+  // arithmetic: score = term frequency × corpus-frequency rank (rank 1
+  // = most common word, so a high product means "frequent here, rare
+  // everywhere"), never a log-idf (§4: ln() is not bit-portable). The
+  // rank table is vocabulary-bounded and broadcasts; the per-doc top-3
+  // is the Filter-over-row_number shape, marker-aliased so the
+  // TopKPerGroup heap operator replaces the per-doc sort (the same
+  // plan-local rewrite the ANN rank stages use).
+
+  private def textKeywordExtract(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKPerGroup.install(s)
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val tf = docs.select(col("doc_id"), explode(toks).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf") * col("rnk")).desc, col("word"))
+    tf.join(broadcast(wordRanks(docs)), "word")
+      .withColumn(s"${mk}kw", row_number().over(w))
+      .filter(col(s"${mk}kw") <= 3)
+      .select(col("doc_id"), col(s"${mk}kw").as("kw_rank"), col("word"),
+        col("tf"), col("rnk").as("corpus_rank"),
+        (col("tf") * col("rnk")).as("kw_score"))
+      .orderBy("doc_id", "kw_rank")
+  }
+
+  private val textKeywordExtractSql =
+    """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |freq AS (SELECT word, count(*) AS c FROM words GROUP BY 1),
+      |ranked AS (SELECT word, CAST(dense_rank() OVER (ORDER BY c DESC, word) AS INTEGER) AS rnk
+      |           FROM freq),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_id, word, tf, rnk, tf * rnk AS kw_score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY tf * rnk DESC, word) AS rn
+      |  FROM tf JOIN ranked USING (word))
+      |SELECT doc_id, CAST(rn AS INTEGER) AS kw_rank, word, tf,
+      |       rnk AS corpus_rank, CAST(kw_score AS BIGINT) AS kw_score
+      |FROM scored WHERE rn <= 3
+      |ORDER BY doc_id, kw_rank""".stripMargin
+
   // --- corpus_filter_pipeline: the composed curation decision ----------
   // What a real pipeline ships: one keep/drop verdict per training doc
   // with the first failing gate as the reason (quality → repetition →
@@ -522,5 +565,6 @@ object Curation {
     Op("token_pack", tokenPack, Some(tokenPackSql)),
     Op("pack_attention_mask", packAttentionMask, Some(packAttentionMaskSql)),
     Op("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
-    Op("text_rarity_score", textRarityScore, Some(textRarityScoreSql)))
+    Op("text_rarity_score", textRarityScore, Some(textRarityScoreSql)),
+    Op("text_keyword_extract", textKeywordExtract, Some(textKeywordExtractSql)))
 }
