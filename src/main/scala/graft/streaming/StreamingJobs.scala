@@ -206,6 +206,55 @@ object StreamingJobs {
   def redactStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.redactionReport(docs)
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long) // µs; -1 = not reached
+
+  case class FunnelOut(user_id: Long, stage_ord: Int, ts: java.sql.Timestamp)
+
+  private val FunnelWindowUs = 24L * 3600 * 1000000L
+
+  /** Streaming conversion funnel: the q19_funnel stage machine (view →
+    * click within 24 h → purchase within 24 h of the click) evaluated
+    * live, one row emitted per user per stage REACHED — downstream, the
+    * stage counts are a trivial aggregate of this change stream.
+    *
+    * State is one 3-slot record per user (the stage timestamps), the
+    * minimal state a funnel can carry — |active users| rows at any
+    * corpus size, with the same event-time-ordered-feed contract as
+    * [[asofJoin]] (within a batch, rows are sorted; stage checks use
+    * the batch operator's strict-inequality window rules, so a replayed
+    * prefix advances the machine identically). StreamingSpec pins
+    * stage-count equivalence with batch q19 across a multi-batch feed. */
+  def funnelStream(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(FunnelState(-1, -1, -1))
+            val out = Seq.newBuilder[FunnelOut]
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              e.event_type match {
+                case "view" if st.t1 < 0 =>
+                  st = st.copy(t1 = t); out += FunnelOut(userId, 1, e.ts)
+                case "click" if st.t1 >= 0 && st.t2 < 0 &&
+                    t > st.t1 && t <= st.t1 + FunnelWindowUs =>
+                  st = st.copy(t2 = t); out += FunnelOut(userId, 2, e.ts)
+                case "purchase" if st.t2 >= 0 && st.t3 < 0 &&
+                    t > st.t2 && t <= st.t2 + FunnelWindowUs =>
+                  st = st.copy(t3 = t); out += FunnelOut(userId, 3, e.ts)
+                case _ => () // other types (or already-passed stages) don't move the machine
+              }
+            }
+            state.update(st)
+            out.result().iterator
+          }
+        })
+  }
+
   private val GapMs = 30L * 60 * 1000
 
   /** Gap-based sessionization with explicit state: one SessionState per

@@ -160,6 +160,38 @@ class StreamingSpec extends AnyFunSuite {
       s"only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming funnel stage counts match batch q19 across a multi-batch feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+      .sortBy(e => ((e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000, e.event_id))
+    // three batches on the global event-time order: stage state (a view
+    // in batch 1, its click in batch 2) must carry across batches
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val source = MemoryStream[StreamingJobs.Event]
+    val q = StreamingJobs.funnelStream(source.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+      source.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // a user reaches each stage at most once
+    val perUser = spark.table("funnel_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(perUser.distinct.length == perUser.length)
+    val streamedCounts = perUser.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val batchCounts = Registry.queries("q19_funnel")(spark, sf).collect()
+      .map(r => r.getAs[Int]("stage_ord") -> r.getAs[Long]("users")).toMap
+    assert(streamedCounts == batchCounts,
+      s"streamed=$streamedCounts batch=$batchCounts")
+  }
+
   test("file-sink candles survive a restart from checkpoint without duplicates") {
     import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
     val root = "target/tmp/stream-restart"
