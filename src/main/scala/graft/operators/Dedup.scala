@@ -196,25 +196,35 @@ object Dedup {
   // 32-bit halves — portable to the DuckDB oracle and free of the
   // bit-63 sign-wrap a single BIGINT fingerprint would hit.
 
-  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .withColumn("wlo", conv(substring(md5(col("word")), 1, 8), 16, 10).cast(LongType))
-      .withColumn("whi", conv(substring(md5(col("word")), 9, 8), 16, 10).cast(LongType))
+  /** 64-bit SimHash halves of a `(doc_id, gram)` stream: tf-weighted
+    * bit votes over two md5-derived 32-bit integers per gram. Shared by
+    * the word-level dedup_simhash and the byte-level mm_phash_neardup —
+    * both reduce to one groupBy(doc_id) over the gram stream. */
+  private[operators] def simhashHalves(grams: DataFrame): DataFrame = {
+    val hashed = grams
+      .withColumn("glo", conv(substring(md5(col("gram")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("ghi", conv(substring(md5(col("gram")), 9, 8), 16, 10).cast(LongType))
     def votesOf(src: String) = (0 until 32).map { i =>
       sum(when(shiftright(col(src), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"v_${src}_$i")
     }
-    val votes = words.groupBy("doc_id")
-      .agg(votesOf("wlo").head, (votesOf("wlo").tail ++ votesOf("whi")): _*)
+    val votes = hashed.groupBy("doc_id")
+      .agg(votesOf("glo").head, (votesOf("glo").tail ++ votesOf("ghi")): _*)
     def half(src: String) = (0 until 32).map { i =>
       when(col(s"v_${src}_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    val hashed = votes.select(col("doc_id"),
-      half("wlo").as("sim_lo"), half("whi").as("sim_hi"))
+    votes.select(col("doc_id"),
+      half("glo").as("sim_lo"), half("ghi").as("sim_hi"))
+  }
+
+  /** Chunk-LSH candidate pairs over [[simhashHalves]] signatures:
+    * 4 × 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal;
+    * recall above that is partial by design, as in any banded phash),
+    * hamming distance attached. */
+  private[operators] def simhashChunkPairs(sig: DataFrame): DataFrame = {
     val chunkDefs = Seq( // (chunk_idx, source half, shift)
       (0, "sim_lo", 0), (1, "sim_lo", 16), (2, "sim_hi", 0), (3, "sim_hi", 16))
-    val chunks = hashed.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+    val chunks = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(array(chunkDefs.map { case (c, src, sh) =>
           struct(lit(c).as("chunk_idx"),
             shiftright(col(src), sh).bitwiseAND(0xFFFFL).as("chunk"))
@@ -229,31 +239,36 @@ object Dedup {
         (bit_count(col("a.sim_lo").bitwiseXOR(col("b.sim_lo"))) +
          bit_count(col("a.sim_hi").bitwiseXOR(col("b.sim_hi")))).as("hamming"))
       .distinct()
-      .orderBy("id_a", "id_b")
   }
 
-  /** DuckDB twin of the simhash pipeline (same md5-derived bits). */
-  private val dedupSimhashSql: String = {
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashChunkPairs(simhashHalves(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("gram"))))
+      .orderBy("id_a", "id_b")
+
+  /** The [[simhashHalves]]+[[simhashChunkPairs]] DuckDB replay as CTEs,
+    * appended after a `grams` CTE providing (doc_id, gram); ends at
+    * `chunks` — callers SELECT the pair join off it. */
+  private[operators] val simhashSqlCtes: String = {
     def votes(src: String) = (0 until 32).map { i =>
       s"SUM(CASE WHEN ($src >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_${src}_$i"
     }.mkString(",\n         ")
     def half(src: String) = (0 until 32).map { i =>
       s"(CASE WHEN v_${src}_$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END)"
     }.mkString(" | ")
-    s"""WITH words AS (
-       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-       |hashes AS (
+    s"""hashes AS (
        |  SELECT doc_id,
-       |         CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) AS wlo,
-       |         CAST(('0x' || substr(md5(word), 9, 8)) AS BIGINT) AS whi
-       |  FROM words),
+       |         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) AS glo,
+       |         CAST(('0x' || substr(md5(gram), 9, 8)) AS BIGINT) AS ghi
+       |  FROM grams),
        |votes AS (
        |  SELECT doc_id,
-       |         ${votes("wlo")},
-       |         ${votes("whi")}
+       |         ${votes("glo")},
+       |         ${votes("ghi")}
        |  FROM hashes GROUP BY doc_id),
-       |hashed AS (
-       |  SELECT doc_id, ${half("wlo")} AS sim_lo, ${half("whi")} AS sim_hi
+       |sigs AS (
+       |  SELECT doc_id, ${half("glo")} AS sim_lo, ${half("ghi")} AS sim_hi
        |  FROM votes),
        |chunkstructs AS (
        |  SELECT doc_id, sim_lo, sim_hi, unnest([
@@ -262,20 +277,31 @@ object Dedup {
        |           {'chunk_idx': 2, 'chunk': sim_hi & 65535},
        |           {'chunk_idx': 3, 'chunk': (sim_hi >> 16) & 65535}
        |         ]) AS ch
-       |  FROM hashed),
+       |  FROM sigs),
        |chunks AS (
        |  SELECT doc_id, sim_lo, sim_hi,
        |         CAST(ch.chunk_idx AS INTEGER) AS chunk_idx,
        |         CAST(ch.chunk AS BIGINT) AS chunk
-       |  FROM chunkstructs)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       |       CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
-       |            bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
-       |FROM chunks a JOIN chunks b
-       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
-       | AND a.doc_id < b.doc_id
-       |ORDER BY id_a, id_b""".stripMargin
+       |  FROM chunkstructs)""".stripMargin
   }
+
+  /** The chunk-equal pair join off [[simhashSqlCtes]]' `chunks`. */
+  private[operators] val simhashPairSelectSql: String =
+    """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
+      |            bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
+      |FROM chunks a JOIN chunks b
+      |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+      | AND a.doc_id < b.doc_id""".stripMargin
+
+  /** DuckDB twin of the simhash pipeline (same md5-derived bits). */
+  private val dedupSimhashSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |grams AS (SELECT doc_id, word AS gram FROM words),
+       |$simhashSqlCtes
+       |$simhashPairSelectSql
+       |ORDER BY id_a, id_b""".stripMargin
 
   // --- dedup_embedding: cosine near-dup pairs, label-blocked -----------
   // (blocking key stands in for a coarse quantizer/LSH bucket at scale.)

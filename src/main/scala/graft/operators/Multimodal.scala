@@ -148,8 +148,47 @@ object Multimodal {
       |             / octet_length(encode(text)) * 1e6 + 0.5) / 1e6 AS space_density
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- mm_phash_neardup: perceptual-hash-style media near-dup ----------
+  // The fuzzy complement of mm_dedup: a 64-bit locality-sensitive
+  // signature per payload (SimHash over sliding 4-byte grams of the
+  // binary — the stand-in for a real pHash's DCT-sign bits, which
+  // needs a codec; the signature/banding/pair contract is identical),
+  // then candidate pairs only within 16-bit chunk buckets (pigeonhole:
+  // hamming ≤ 3 fully recalled, partial recall above — the standard
+  // banded-phash tradeoff), reported at hamming ≤ 10. Reuses the
+  // dedup_simhash machinery verbatim — the gram stream is the only
+  // modality-specific piece. At 100 TB the shuffle carries 64-bit
+  // signatures, never payloads.
+
+  private val PhashHamming = 10
+
+  private def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("payload", payload)
+      .withColumn("i", explode(
+        when(length(col("payload")) >= 4, sequence(lit(1), length(col("payload")) - 3))
+          .otherwise(array().cast(ArrayType(IntegerType)))))
+      .select(col("doc_id"), col("payload").substr(col("i"), lit(4)).as("gram"))
+    Dedup.simhashChunkPairs(Dedup.simhashHalves(grams))
+      .filter(col("hamming") <= PhashHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val mmPhashNeardupSql =
+    s"""WITH grams AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 4) AS gram
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, octet_length(encode(text)) - 3)) AS i
+       |        FROM documents)),
+       |${Dedup.simhashSqlCtes}
+       |SELECT * FROM (
+       |${Dedup.simhashPairSelectSql}
+       |) WHERE hamming <= $PhashHamming
+       |ORDER BY id_a, id_b""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_meta", mmMeta, Some(mmMetaSql)),
+    Op("mm_phash_neardup", mmPhashNeardup, Some(mmPhashNeardupSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_feature_extract", mmFeatureExtract, Some(mmFeatureExtractSql)))
