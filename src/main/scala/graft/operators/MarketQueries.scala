@@ -775,6 +775,52 @@ object MarketQueries {
        |WHERE vwap > v1 AND v1 > v2 AND v2 > v3
        |ORDER BY symbol, minute""".stripMargin
 
+  // --- Q21: z-score anomaly detection ------------------------------------
+  // Flag trades whose price sits > 3σ from the symbol mean — the
+  // surveillance query a market-data platform runs continuously. The
+  // moments come from q11's exact-decimal machinery (Σx, Σx² reduced in
+  // DECIMAL; built-in stddev accumulators are engine- and
+  // partition-order-specific), so mean/σ are deterministic doubles and
+  // the z comparison is pure IEEE arithmetic on identical operands in
+  // both engines. Per-symbol stats are symbol-bounded → broadcast back
+  // to the scan; one aggregate + one narrow re-scan, no self-join.
+
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val t = trades(s, dir)
+    val stats = t.groupBy("symbol")
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n_d"),
+        dsum(col("price")).as("sx"),
+        dsum(col("price") * col("price"), 6).as("sxx"))
+      .select(col("symbol"),
+        ratio(col("sx"), col("n_d")).as("mean_price"),
+        round6(sqrt((col("sxx") - col("sx") * col("sx") / col("n_d")) / (col("n_d") - 1.0)))
+          .as("std_price"))
+    t.join(broadcast(stats), "symbol")
+      .withColumn("z_raw", (col("price") - col("mean_price")) / col("std_price"))
+      .filter(abs(col("z_raw")) > 3.0)
+      .select(col("trade_id"), col("symbol"), col("price"),
+        col("mean_price"), round6(col("z_raw")).as("zscore"))
+      .orderBy("trade_id")
+  }
+
+  private val q21Sql =
+    s"""$cte,
+       |stats AS (
+       |  SELECT symbol, CAST(COUNT(*) AS DOUBLE) AS n_d,
+       |         ${dsumSql("price")} AS sx,
+       |         ${dsumSql("price * price", 6)} AS sxx
+       |  FROM trades GROUP BY 1),
+       |m AS (
+       |  SELECT symbol, ${ratioSql("sx", "n_d")} AS mean_price,
+       |         ${round6Sql("sqrt((sxx - sx * sx / n_d) / (n_d - 1.0))")} AS std_price
+       |  FROM stats)
+       |SELECT trade_id, symbol, price, mean_price,
+       |       ${round6Sql("(price - mean_price) / std_price")} AS zscore
+       |FROM trades JOIN m USING (symbol)
+       |WHERE abs((price - mean_price) / std_price) > 3.0
+       |ORDER BY trade_id""".stripMargin
+
   // --- Q19: conversion funnel ------------------------------------------
   // Staged user-journey funnel (view → click within 24 h → purchase
   // within 24 h of the click): the canonical product-analytics shape.
@@ -899,7 +945,8 @@ object MarketQueries {
     Op("q17_distinct_sketch", q17, None),
     Op("q18_pattern_scan", q18, Some(q18Sql)),
     Op("q19_funnel", q19, Some(q19Sql)),
-    Op("q20_retention", q20, Some(q20Sql)))
+    Op("q20_retention", q20, Some(q20Sql)),
+    Op("q21_anomaly", q21, Some(q21Sql)))
 
 
 }
