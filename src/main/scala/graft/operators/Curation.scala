@@ -475,6 +475,64 @@ object Curation {
        |FROM words JOIN ranked USING (word)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --- corpus_temperature_mix: temperature-scaled source mixing --------
+  // The mixing recipe LLM pipelines actually run: target share per
+  // source ∝ n_i^α with α = 0.5 (temperature flattening — large sources
+  // downweighted, small sources upweighted), total budget = half the
+  // corpus. All rate arithmetic is engine-portable: the weight is
+  // floor(sqrt(n)) (IEEE sqrt is correctly rounded in both engines, so
+  // the floor is bit-identical), the totals are integer sums, and the
+  // acceptance test is an INTEGER CROSS-MULTIPLY — ticket·S·n_i <
+  // 10⁶·T·s_i — so no division ever happens (at 100 TB the same 20-row
+  // rate table would cross-multiply in DECIMAL(38) to dodge int64
+  // overflow; the test keys stay the stateless h32 tickets of
+  // corpus_mix_sample). Per-doc selection is still a stateless hash
+  // test — no shuffle on the corpus side beyond the final report.
+
+  private def corpusTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val stats = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_w", floor(sqrt(col("n_docs").cast(DoubleType))).cast(LongType))
+    val tot = stats.agg(sum("n_docs").as("n_total"), sum("sqrt_w").as("sw_total"))
+    val rates = stats.crossJoin(broadcast(tot))
+      .withColumn("t_target", expr("n_total DIV 2"))
+    val ticket = pmod(
+      h32(concat(col("doc_id").cast(StringType), lit(":"), col("source"))), lit(1000000))
+    val kept = docs.join(broadcast(rates), "source")
+      .filter(ticket * col("sw_total") * col("n_docs")
+        < lit(1000000L) * col("t_target") * col("sqrt_w"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("sqrt_w"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round6(coalesce(col("n_kept"), lit(0L)).cast(DoubleType)
+          / col("n_docs").cast(DoubleType)).as("achieved_rate"))
+      .orderBy("source")
+  }
+
+  private val corpusTemperatureMixSql = {
+    val h32 = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS BIGINT)"
+    s"""WITH stats AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS sqrt_w
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT sum(n_docs) AS n_total, sum(sqrt_w) AS sw_total FROM stats),
+       |rates AS (
+       |  SELECT source, n_docs, sqrt_w, n_total // 2 AS t_target, sw_total
+       |  FROM stats, tot),
+       |kept AS (
+       |  SELECT d.source, count(*) AS n_kept
+       |  FROM documents d JOIN rates r USING (source)
+       |  WHERE (($h32 % 1000000) * r.sw_total * r.n_docs)
+       |        < (1000000 * r.t_target * r.sqrt_w)
+       |  GROUP BY 1)
+       |SELECT r.source, r.n_docs, r.sqrt_w,
+       |       COALESCE(k.n_kept, 0) AS n_kept,
+       |       ${round6Sql("CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / CAST(r.n_docs AS DOUBLE)")} AS achieved_rate
+       |FROM rates r LEFT JOIN kept k ON r.source = k.source
+       |ORDER BY r.source""".stripMargin
+  }
+
   // --- text_keyword_extract: tf×rarity keyword extraction --------------
   // Per-document top-3 keywords — the tf-idf shape in portable integer
   // arithmetic: score = term frequency × corpus-frequency rank (rank 1
@@ -560,6 +618,7 @@ object Curation {
     Op("corpus_filter_pipeline", corpusFilterPipeline, Some(corpusFilterPipelineSql)),
     Op("text_contamination", textContamination, Some(textContaminationSql)),
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
+    Op("corpus_temperature_mix", corpusTemperatureMix, Some(corpusTemperatureMixSql)),
     Op("doc_chunking", docChunking, Some(docChunkingSql)),
     Op("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     Op("token_pack", tokenPack, Some(tokenPackSql)),

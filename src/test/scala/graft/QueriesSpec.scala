@@ -82,6 +82,15 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix flattens: smallest source sampled at >= the largest's rate") {
+    val rows = Registry.queries("corpus_temperature_mix")(spark, sf).collect()
+    assert(rows.length > 1)
+    val smallest = rows.minBy(_.getAs[Long]("n_docs"))
+    val largest = rows.maxBy(_.getAs[Long]("n_docs"))
+    assert(smallest.getAs[Double]("achieved_rate") >= largest.getAs[Double]("achieved_rate"),
+      s"small=${smallest} large=${largest}")
+  }
+
   test("q19 funnel stages are monotonically non-increasing") {
     val rows = Registry.queries("q19_funnel")(spark, sf).collect()
     assert(rows.length == 3)
