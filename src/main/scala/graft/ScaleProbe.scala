@@ -81,7 +81,10 @@ object ScaleProbe {
       "r32_catalog_stats", "q17_distinct_sketch",
       "pack_attention_mask", "text_pii_redact", "text_rarity_score",
       "text_bm25_topk", "ann_pq_topk", "ann_ivfpq_topk",
-      "q18_pattern_scan", "etl_constraint_check")
+      "q18_pattern_scan", "etl_constraint_check",
+      "q19_funnel", "q20_retention", "q21_anomaly",
+      "dedup_semantic", "dedup_substring_spans",
+      "text_keyword_extract", "mm_phash_neardup", "corpus_temperature_mix")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()
