@@ -48,9 +48,20 @@ object ScaleProbe {
             w => concat(lit("r"), col("rep"), lit("x"), w)), " "))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      // replica-DISTINCT like documents: each replica's vectors are
+      // circularly rotated by rep positions — within-replica dot
+      // products (and so every base-corpus near-dup pair) are exactly
+      // preserved, while cross-replica cosines scatter like fresh data.
+      // Verbatim replication made every vector a 16-fold exact
+      // duplicate, so dedup ops correctly found 256× the pairs and the
+      // probe charged the op for the corpus's pathology.
       Tables.table(spark, src, "embeddings").crossJoin(reps)
         .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
         .withColumn("label", col("label") + col("rep") * 1000L)
+        .withColumn("embedding", expr(
+          """transform(sequence(0, size(embedding) - 1),
+             |  i -> element_at(embedding,
+             |         CAST((i + rep) % size(embedding) AS INT) + 1))""".stripMargin))
         .drop("rep")
         .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
       // customer must cover the scaled custkeys for join semantics
@@ -105,6 +116,21 @@ object ScaleProbe {
       val b = time(dst, n)
       println(f"$n%-22s $a%8.2f $b%8.2f ${b / a}%6.1f")
     }
+    // SemDeDup at deployment sizing: the registry entry pins the
+    // oracle-replayable k=10, whose Σ|cluster|² pair volume is
+    // quadratic when the corpus grows under a FIXED k — the probe line
+    // above shows that saturation. A deployment sizes k ∝ corpus
+    // (constant mean cluster size → linear pair volume); this row is
+    // the evidence the parameter restores linearity.
+    def timeSem(dir: String, k: Int): Double = {
+      val t0 = System.nanoTime()
+      operators.Dedup.dedupSemanticAt(spark, dir, k).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeSem(src, 10); timeSem(dst, 160) // warm (index build = maintenance job)
+    val sa = timeSem(src, 10)
+    val sb = timeSem(dst, 160)
+    println(f"${"dedup_semantic@kPropN"}%-22s $sa%8.2f $sb%8.2f ${sb / sa}%6.1f")
     spark.stop()
   }
 }

@@ -424,10 +424,16 @@ object Dedup {
 
   private val SemThreshold = 0.4
 
-  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+  /** SemDeDup at an explicit cluster count. The registry entry pins
+    * k = 10 (the oracle replays that quantizer bit-for-bit); a
+    * deployment sizes k ∝ corpus so mean cluster size — and with it
+    * Σ|cluster|² pair volume per row — stays constant as data grows.
+    * ScaleProbe's `dedup_semantic@k∝n` row is the evidence: fixed k
+    * probes ~quadratic, scaled k probes linear. */
+  def dedupSemanticAt(s: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.plans.VecDotProduct.vec_dot
     graft.plans.VecDotProduct.register(s)
-    val v = Similarity.buildIvfIndex(s, dir)._2
+    val v = Similarity.buildIvfIndex(s, dir, k)._2
       .select(col("vec_id"), col("list_id"), col("embedding"), col("n2"))
     val pairs = v.as("a").join(v.as("b"),
         col("a.list_id") === col("b.list_id") && col("a.vec_id") < col("b.vec_id"))
@@ -443,6 +449,9 @@ object Dedup {
         round6(col("cos_raw")).as("cos_sim"))
       .orderBy("keep_id", "drop_id")
   }
+
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    dedupSemanticAt(s, dir, Similarity.IvfK)
 
   private val dedupSemanticSql =
     s"""WITH ${Similarity.ivfQuantizerCtes},

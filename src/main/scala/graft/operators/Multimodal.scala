@@ -158,7 +158,14 @@ object Multimodal {
   // banded-phash tradeoff), reported at hamming ≤ 10. Reuses the
   // dedup_simhash machinery verbatim — the gram stream is the only
   // modality-specific piece. At 100 TB the shuffle carries 64-bit
-  // signatures, never payloads.
+  // signatures, never payloads. Like r31's fixed bucket count, the
+  // band structure (4 × 16-bit chunks) is a parameter sized to the
+  // corpus: candidate volume within a chunk bucket is ~n²/2¹⁶, so a
+  // billion-item deployment widens/multiplies the bands (multi-index
+  // hamming sizing) to keep buckets bounded — the ×16 probe's
+  // superlinear mm_phash row is that saturation, not a plan defect
+  // (candidate recall semantics are unchanged by band sizing only for
+  // the pigeonhole-guaranteed hamming ≤ 3 band count).
 
   private val PhashHamming = 10
 

@@ -201,7 +201,7 @@ object Similarity {
   // init = the first k vectors by vec_id. Rows-only oracle; recall vs
   // brute force asserted in SimilaritySpec.
 
-  private val IvfK = 10
+  private[operators] val IvfK = 10
   private val IvfProbes = 2
   private val LloydIters = 5
 
@@ -218,12 +218,25 @@ object Similarity {
     cents.withColumn("cn2", ddot(col("cent"), col("cent")).cast(DoubleType))
 
   /** nearest-centroid assignment: broadcast the k-row centroid table,
-    * score every (vector, centroid) pair, keep the argmax. */
-  private def assign(v: DataFrame, cents: DataFrame): DataFrame =
+    * score every (vector, centroid) pair, keep the argmax. Two-phase
+    * like [[pqAssign]]: the corpus×k candidate stream is ranked by the
+    * codegen'd vec_dot and only the fast top-2 get the exact-decimal
+    * score that decides the argmax (bit-identical to exact-everywhere —
+    * same ~1e-13-gap argument, ties break on cid in both phases) — at
+    * k ∝ corpus this is what keeps index builds off the interpreted
+    * reduction. */
+  private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.plans.VecDotProduct.vec_dot
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val w = Window.partitionBy("vec_id").orderBy(col("fast").desc, col("cid"))
     v.crossJoin(broadcast(withCentNorm(cents)))
+      .withColumn("fast", vec_dot(col("embedding"), col("cent")) - col("cn2") / 2.0)
+      .withColumn(s"${mk}ar", row_number().over(w))
+      .filter(col(s"${mk}ar") <= 2)
       .groupBy("vec_id")
       .agg(max_by(col("cid"),
         struct(centScore(col("embedding"), col("cent"), col("cn2")), -col("cid"))).as("list_id"))
+  }
 
   /** k-means training as join+aggregate rounds; centroids never leave
     * the cluster. Trains on a bounded deterministic hash-sample of the
@@ -233,18 +246,25 @@ object Similarity {
     * engine-portable: md5-prefix sample hash, decimal argmax scores,
     * decimal per-dimension means rounded through double→float — so
     * the DuckDB oracle replays training bit-for-bit. */
-  private def trainCentroids(v: DataFrame): DataFrame = {
+  private def trainCentroids(v: DataFrame, k: Int = IvfK): DataFrame = {
+    import graft.plans.VecDotProduct.vec_dot
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
     // materialized once: every Lloyd round re-reads the sample, not
     // the parquet scan + norm computation behind it
     val sample = v.select(col("vec_id"), col("embedding"))
-      .filter(pmod(h32s(col("vec_id").cast(StringType)), lit(4)) === 0 || col("vec_id") < IvfK)
+      .filter(pmod(h32s(col("vec_id").cast(StringType)), lit(4)) === 0 || col("vec_id") < k)
       .localCheckpoint()
-    var cents = v.filter(col("vec_id") < IvfK)
+    var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cent"))
       .localCheckpoint()
+    val tw = Window.partitionBy("vec_id").orderBy(col("fast").desc, col("cid"))
     for (_ <- 1 to LloydIters) {
-      // argmax carries the vector along, so no re-join with the sample
+      // argmax carries the vector along, so no re-join with the sample;
+      // two-phase (vec_dot top-2 → exact decimal) like assign()
       val assigned = sample.crossJoin(broadcast(withCentNorm(cents)))
+        .withColumn("fast", vec_dot(col("embedding"), col("cent")) - col("cn2") / 2.0)
+        .withColumn(s"${mk}tr", row_number().over(tw))
+        .filter(col(s"${mk}tr") <= 2)
         .groupBy("vec_id")
         .agg(
           max_by(col("cid"),
@@ -272,7 +292,7 @@ object Similarity {
     * localCheckpoint and memoized per (session, corpus); at scale it
     * would be a parquet table maintained alongside the lake. */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), (DataFrame, DataFrame)]()
 
   /** (trained centroid table with norms — the FULL k rows, even a
     * centroid whose posting list ends up empty — and the encoded
@@ -280,11 +300,18 @@ object Similarity {
     * probe CTE ranks over every trained centroid, so deriving the
     * probe set from the index (distinct over members) would silently
     * diverge the candidate sets the moment a list is empty — besides
-    * re-scanning the corpus-sized index for a k-row table. */
-  def buildIvfIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    ivfCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
+    * re-scanning the corpus-sized index for a k-row table.
+    *
+    * `k` defaults to the oracle-pinned [[IvfK]]; a corpus-sized
+    * deployment passes k ∝ corpus (constant posting-list length) —
+    * what keeps IVF probes and SemDeDup's within-cluster pair volume
+    * linear as data grows (ScaleProbe demonstrates the k ∝ n row). */
+  def buildIvfIndex(s: SparkSession, dir: String, k: Int = IvfK): (DataFrame, DataFrame) =
+    ivfCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir, k), _ => {
+      graft.plans.VecDotProduct.register(s)
+      graft.plans.TopKPerGroup.install(s)
       val v = withNorm2(Tables.embeddings(s, dir))
-      val cents = withCentNorm(trainCentroids(v)).localCheckpoint()
+      val cents = withCentNorm(trainCentroids(v, k)).localCheckpoint()
       // one row per vector: posting-list id + centroid geometry columns
       // folded in (cid/cent/cn2 repeated per member keeps the index
       // self-contained for probing)
