@@ -409,6 +409,54 @@ class EtlSpec extends AnyFunSuite {
     assert(back.filter(col("symbol") === "SOLUSDT").isEmpty)
   }
 
+  test("incremental aggregate: refresh from snapshot diffs equals full recompute") {
+    import graft.etl.{IncrementalAgg, IncrementalIngest, Snapshots}
+    import graft.etl.IncrementalAgg.AggSpec
+    val in = "target/tmp/etl-iagg-in"
+    val lakeRoot = "target/tmp/etl-iagg"
+    val dataPath = s"$lakeRoot/data"
+    val aggPath = s"$lakeRoot/agg"
+    rmrf(in); rmrf(lakeRoot)
+    writeCsvLake(in)
+    IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot)
+    val spec = AggSpec(Seq("symbol", "year", "month"), Seq("qty" -> "quantity", "pv" -> "quote_qty"))
+
+    val v1 = IncrementalAgg.fullBuild(spark, dataPath, aggPath, spec)
+    assert(IncrementalAgg.syncedVersion(spark, aggPath).contains(v1))
+    def materialized = spark.read.parquet(aggPath)
+      .orderBy("symbol", "year", "month").collect().toSeq
+    val base = materialized
+    assert(base.nonEmpty)
+
+    // refresh with no lake movement is a no-op
+    assert(IncrementalAgg.refresh(spark, dataPath, aggPath, spec) == v1)
+    assert(materialized == base)
+
+    // two appends land (one brand-new group, one into an existing group)
+    val d1 = Paths.get(s"$in/symbol=SOLUSDT/year=2024/month=07")
+    Files.createDirectories(d1)
+    Files.writeString(d1.resolve("SOLUSDT-trades-2024-07.csv"),
+      "21,150.0,2.0,300.0,1721995200000,True,True")
+    val d2 = Paths.get(s"$in/symbol=BTCUSDT/year=2024/month=08")
+    Files.createDirectories(d2)
+    Files.writeString(d2.resolve("BTCUSDT-trades-2024-08.csv"),
+      "22,51000.0,0.25,12750.0,1724673600000,False,True")
+    IncrementalIngest.runIncremental(spark, in, dataPath, lakeRoot)
+    val v2 = Snapshots.commit(spark, dataPath)
+
+    assert(IncrementalAgg.refresh(spark, dataPath, aggPath, spec) == v2)
+    // the merged state must equal an aggregate computed from scratch
+    val fromScratch = spark.read.parquet(dataPath)
+      .groupBy("symbol", "year", "month")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("quantity").cast("decimal(38,6)")).as("sum_qty"),
+        sum(col("quote_qty").cast("decimal(38,6)")).as("sum_pv"))
+      .orderBy("symbol", "year", "month").collect().toSeq
+    assert(materialized == fromScratch,
+      s"incremental=${materialized.mkString("; ")} scratch=${fromScratch.mkString("; ")}")
+    assert(materialized.size == base.size + 2) // one new symbol-month per append
+  }
+
   test("partition audit groups by lake partition columns") {
     val audit = MarketEtl.partitionAudit(
       MarketEtl.dqFilter(MarketEtl.normalize(MarketEtl.readTradesCsv(spark, base))))
