@@ -95,7 +95,8 @@ object ScaleProbe {
       "q18_pattern_scan", "etl_constraint_check",
       "q19_funnel", "q20_retention", "q21_anomaly",
       "dedup_semantic", "dedup_substring_spans",
-      "text_keyword_extract", "mm_phash_neardup", "corpus_temperature_mix")
+      "text_keyword_extract", "mm_phash_neardup", "corpus_temperature_mix",
+      "ann_knn_graph")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()

@@ -785,9 +785,11 @@ object MarketQueries {
   // both engines. Per-symbol stats are symbol-bounded → broadcast back
   // to the scan; one aggregate + one narrow re-scan, no self-join.
 
-  private def q21(s: SparkSession, dir: String): DataFrame = {
-    val t = trades(s, dir)
-    val stats = t.groupBy("symbol")
+  /** Per-symbol (mean, σ) reference table from exact decimal moments —
+    * symbol-bounded, broadcastable; shared by q21 and the streaming
+    * anomaly gate (which applies it to a live feed per micro-batch). */
+  private[graft] def anomalyStats(t: DataFrame): DataFrame =
+    t.groupBy("symbol")
       .agg(
         count(lit(1)).cast(DoubleType).as("n_d"),
         dsum(col("price")).as("sx"),
@@ -796,12 +798,19 @@ object MarketQueries {
         ratio(col("sx"), col("n_d")).as("mean_price"),
         round6(sqrt((col("sxx") - col("sx") * col("sx") / col("n_d")) / (col("n_d") - 1.0)))
           .as("std_price"))
+
+  /** Stateless z-score flagging of `t` against a precomputed stats
+    * table (stream-static-capable — the row side never shuffles). */
+  private[graft] def anomalyFlag(t: DataFrame, stats: DataFrame): DataFrame =
     t.join(broadcast(stats), "symbol")
       .withColumn("z_raw", (col("price") - col("mean_price")) / col("std_price"))
       .filter(abs(col("z_raw")) > 3.0)
       .select(col("trade_id"), col("symbol"), col("price"),
         col("mean_price"), round6(col("z_raw")).as("zscore"))
-      .orderBy("trade_id")
+
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val t = trades(s, dir)
+    anomalyFlag(t, anomalyStats(t)).orderBy("trade_id")
   }
 
   private val q21Sql =

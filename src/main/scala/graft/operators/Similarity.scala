@@ -190,6 +190,50 @@ object Similarity {
     exactTopK(s, pairs, 5)
   }
 
+  // --- ann_knn_graph: bucketed all-vectors kNN graph --------------------
+  // The construction primitive under graph ANN indexes (HNSW/NSG
+  // lineage), SemDeDup variants, and label propagation: EVERY vector's
+  // top-3 neighbors, not a query set's. The scale shape is the point —
+  // there is no broadcast-able query side, so candidates come from the
+  // LSH self-join (each vector meets only its bucket, pair volume
+  // Σ|bucket|²) and ranking is the same two-phase vec_dot → exact
+  // decimal top-k as every ANN op. Vectors whose bucket is a singleton
+  // have no candidates and legitimately emit no rows (a real kNN-graph
+  // build handles them with multi-probe — here the 6-plane bucketing
+  // keeps buckets populated at every test sf).
+
+  private val KnnK = 3
+
+  private def annKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val v = withNorm2(Tables.embeddings(s, dir)).withColumn("bucket", bucketCol(col("embedding")))
+    val q = v.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      col("n2").as("qn2"), col("bucket").as("q_bucket"))
+    val pairs = v.join(q,
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, KnnK)
+  }
+
+  private val annKnnGraphSql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
+       |         $bucketSql AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cos_raw
+       |  FROM v q JOIN v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= $KnnK
+       |ORDER BY query_id, rank""".stripMargin
+
   // --- ann_ivf_topk -----------------------------------------------------
   // IVF (inverted-file) index: k-means coarse quantizer → vectors
   // assigned to their nearest centroid's posting list → queries probe
@@ -1026,6 +1070,7 @@ object Similarity {
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
+    Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
     Op("ann_ivf_topk", annIvf, Some(annIvfSql)),
     Op("ann_pq_topk", annPq, Some(annPqSql)),
     Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),

@@ -198,6 +198,17 @@ object StreamingJobs {
       }
       .start()
 
+  /** Stream-static anomaly surveillance: each micro-batch of the live
+    * trade feed joins the STATIC per-symbol (mean, σ) reference table
+    * (broadcast, symbol-bounded — computed from the lake by
+    * MarketQueries.anomalyStats) and flags |z| > 3 rows — the
+    * continuous twin of batch q21_anomaly, stateless per row, no
+    * watermark or state store. The same lake-derived-reference shape
+    * as rarityStream: batch analytics computes the table, the stream
+    * applies it at scan speed. */
+  def anomalyStream(trades: DataFrame, stats: DataFrame): DataFrame =
+    graft.operators.MarketQueries.anomalyFlag(trades, stats)
+
   /** Streaming PII/denylist redaction: the same stateless narrow
     * expressions as `text_pii_redact`, applied to a live document feed
     * — no watermark or state store, every micro-batch redacts at scan

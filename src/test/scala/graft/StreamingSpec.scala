@@ -192,6 +192,31 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=$streamedCounts batch=$batchCounts")
   }
 
+  test("stream-static anomaly gate flags exactly the batch q21 rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tradesView = graft.etl.MarketEtl.eventsAsTrades(Tables.events(spark, sf))
+    val rows = tradesView.select($"trade_id", $"symbol", $"price")
+      .as[(Long, String, Double)].collect()
+    // the lake-derived reference table, computed once by batch analytics
+    val stats = graft.operators.MarketQueries.anomalyStats(tradesView).localCheckpoint()
+    val src = MemoryStream[(Long, String, Double)]
+    val q = StreamingJobs.anomalyStream(
+        src.toDS().toDF("trade_id", "symbol", "price"), stats)
+      .writeStream.outputMode("append").format("memory").queryName("anom_out").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      src.addData(b1.toSeq); q.processAllAvailable()
+      src.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom_out").select("trade_id", "zscore").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = Registry.queries("q21_anomaly")(spark, sf).select("trade_id", "zscore").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed == batch,
+      s"only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
+  }
+
   test("file-sink candles survive a restart from checkpoint without duplicates") {
     import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
     val root = "target/tmp/stream-restart"
