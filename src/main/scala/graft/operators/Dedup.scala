@@ -566,6 +566,93 @@ object Dedup {
        |FROM reach GROUP BY a
        |ORDER BY cluster_id, doc_id""".stripMargin
 
+  // --- graph_pagerank: centrality over the near-dup graph --------------
+  // Graph analytics on the similarity graph the dedup family builds:
+  // damped PageRank (d = 0.85, 5 iterations) over the symmetric
+  // Jaccard edges — in a training pipeline, rank identifies the
+  // canonical document of a near-dup neighborhood (keep the hub, cut
+  // the spokes). Spark shape: one join + one aggregate per iteration
+  // (the dedup_clusters fixpoint pattern, but value-propagating);
+  // per-iteration contribution sums reduce in DECIMAL(38,18), so
+  // partition order can't leak into the double ranks and the DuckDB
+  // oracle — the iterations unrolled into chained CTEs, the Lloyd
+  // trick — replays bit-for-bit. Isolated nodes (no edges at the
+  // threshold) aren't graph members and don't appear, matching the
+  // oracle's edge-derived node set.
+
+  private val PrIters = 5
+  private val PrDamp = 0.85
+
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = jaccardPairs(s, dir, 0.03)
+    val edges = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    val deg = edges.groupBy("id_a").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("id_a").as("doc_id"), col("deg"))
+    // n as a one-row broadcast (never a driver-side collect)
+    val nRow = nodes.agg(count(lit(1)).cast(DoubleType).as("n"))
+    var ranks = nodes.crossJoin(broadcast(nRow))
+      .select(col("doc_id"), col("deg"), col("n"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val contrib = edges.join(ranks, edges("id_a") === ranks("doc_id"))
+        .select(col("id_b").as("dst"),
+          (col("rank") / col("deg")).cast(DecimalType(38, 18)).as("c"))
+        .groupBy("dst").agg(sum("c").cast(DoubleType).as("in_sum"))
+      ranks = ranks.join(contrib, ranks("doc_id") === col("dst"), "left")
+        .select(ranks("doc_id"), ranks("deg"), ranks("n"),
+          (lit(1.0 - PrDamp) / col("n")
+            + lit(PrDamp) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("doc_id"), round6(col("rank") * 1000.0).as("rank_x1000"))
+      .orderBy("doc_id")
+  }
+
+  private val graphPagerankSql: String = {
+    val rounds = (1 to PrIters).map { r =>
+      val prev = s"r${r - 1}"
+      s"""r$r AS (
+         |  SELECT n.doc_id, n.deg, n.n,
+         |         CAST(${1.0 - PrDamp} AS DOUBLE) / n.n
+         |           + CAST($PrDamp AS DOUBLE) * COALESCE(c.in_sum, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.id_b AS dst,
+         |           CAST(sum(CAST(p.rank / p.deg AS DECIMAL(38,18))) AS DOUBLE) AS in_sum
+         |    FROM edges e JOIN $prev p ON e.id_a = p.doc_id
+         |    GROUP BY 1) c ON c.dst = n.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+       |  FROM (SELECT doc_id, source, ts,
+       |          unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.03),
+       |edges AS (SELECT id_a, id_b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (
+       |  SELECT id_a AS doc_id, count(*) AS deg,
+       |         CAST((SELECT count(DISTINCT id_a) FROM edges) AS DOUBLE) AS n
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT doc_id, deg, n, 1.0 / n AS rank FROM nodes),
+       |$rounds
+       |SELECT doc_id, ${round6Sql(s"rank * 1000.0")} AS rank_x1000
+       |FROM r$PrIters ORDER BY doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
@@ -574,5 +661,6 @@ object Dedup {
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Op("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql)),
-    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)))
+    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)))
 }

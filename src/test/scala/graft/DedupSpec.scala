@@ -133,6 +133,15 @@ class DedupSpec extends AnyFunSuite {
     assert(hits > 0, "LSH recalled none of the exact top-5 neighbors")
   }
 
+  test("pagerank conserves probability mass over the symmetric near-dup graph") {
+    val rows = Registry.queries("graph_pagerank")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // symmetric edges ⇒ no dangling nodes ⇒ Σ rank = 1 (up to float noise
+    // and the ×1000/round6 output quantization)
+    val mass = rows.map(_.getAs[Double]("rank_x1000")).sum / 1000.0
+    assert(math.abs(mass - 1.0) < 1e-4, s"rank mass $mass")
+  }
+
   test("semantic dedup pairs are exact-cosine-correct and cluster recall is solid") {
     // exhaustive reference: ALL pairs above the threshold, no blocking
     val v = Registry.queries("dedup_semantic")(spark, sf).collect()
