@@ -830,6 +830,65 @@ object MarketQueries {
        |WHERE abs((price - mean_price) / std_price) > 3.0
        |ORDER BY trade_id""".stripMargin
 
+  // --- Q22: Bollinger bands (rolling mean ± 2σ) --------------------------
+  // The classic volatility envelope over the q10 bar series: 5-bar
+  // trailing mean and stddev per symbol, bands at ±2σ. Rolling moments
+  // come from exact DECIMAL window sums (Σv, Σv² — sliding-frame
+  // double aggregation associates differently per engine, decimal is
+  // order-free; cast scales strictly exceed the 6dp/12dp value
+  // precision per §4), then the mean/σ/band arithmetic is pure IEEE on
+  // identical operands. Window state is per-symbol bars, not trades.
+
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val bars = trades(s, dir)
+      .groupBy(col("symbol"), date_trunc("minute", col("trade_time")).as("minute"))
+      .agg(dsum(col("quote_qty")).as("pv"), dsum(col("quantity")).as("q"))
+      .select(col("symbol"), col("minute"), ratio(col("pv"), col("q")).as("vwap"))
+    val w = Window.partitionBy("symbol").orderBy("minute").rowsBetween(-4, 0)
+    val n = count(lit(1)).over(w).cast(DoubleType)
+    val sx = sum(col("vwap").cast(DecimalType(38, 8))).over(w).cast(DoubleType)
+    val sxx = sum((col("vwap") * col("vwap")).cast(DecimalType(38, 16))).over(w)
+      .cast(DoubleType)
+    bars
+      .withColumn("m", sx / n)
+      // tiny negative variance = double rounding at σ≈0; clamp, don't NaN
+      .withColumn("sd", when(n > 1.0,
+        sqrt(greatest(lit(0.0), (sxx - sx * sx / n) / (n - 1.0)))))
+      .select(col("symbol"), col("minute"), col("vwap"),
+        round6(col("m")).as("ma5"),
+        round6(col("sd")).as("sd5"),
+        round6(col("m") + lit(2.0) * col("sd")).as("upper_band"),
+        round6(col("m") - lit(2.0) * col("sd")).as("lower_band"))
+      .orderBy("symbol", "minute")
+  }
+
+  private val q22Sql =
+    s"""$cte,
+       |bars AS (
+       |  SELECT symbol, date_trunc('minute', trade_time) AS minute,
+       |         ${dsumSql("quote_qty")} AS pv, ${dsumSql("quantity")} AS q
+       |  FROM trades GROUP BY 1, 2),
+       |v AS (SELECT symbol, minute, ${ratioSql("pv", "q")} AS vwap FROM bars),
+       |roll AS (
+       |  SELECT symbol, minute, vwap,
+       |         CAST(count(*) OVER w AS DOUBLE) AS n,
+       |         CAST(sum(CAST(vwap AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(vwap * vwap AS DECIMAL(38,16))) OVER w AS DOUBLE) AS sxx
+       |  FROM v
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY minute
+       |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+       |calc AS (
+       |  SELECT symbol, minute, vwap, sx / n AS m,
+       |         CASE WHEN n > 1.0 THEN
+       |           sqrt(GREATEST(CAST(0.0 AS DOUBLE), (sxx - sx * sx / n) / (n - 1.0)))
+       |         END AS sd
+       |  FROM roll)
+       |SELECT symbol, minute, vwap,
+       |       ${round6Sql("m")} AS ma5, ${round6Sql("sd")} AS sd5,
+       |       ${round6Sql("m + 2.0 * sd")} AS upper_band,
+       |       ${round6Sql("m - 2.0 * sd")} AS lower_band
+       |FROM calc ORDER BY symbol, minute""".stripMargin
+
   // --- Q19: conversion funnel ------------------------------------------
   // Staged user-journey funnel (view → click within 24 h → purchase
   // within 24 h of the click): the canonical product-analytics shape.
@@ -955,7 +1014,8 @@ object MarketQueries {
     Op("q18_pattern_scan", q18, Some(q18Sql)),
     Op("q19_funnel", q19, Some(q19Sql)),
     Op("q20_retention", q20, Some(q20Sql)),
-    Op("q21_anomaly", q21, Some(q21Sql)))
+    Op("q21_anomaly", q21, Some(q21Sql)),
+    Op("q22_bollinger", q22, Some(q22Sql)))
 
 
 }

@@ -151,6 +151,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("text_keyword_extract's per-doc top-3 uses the heap operator, not a window sort") {
+    val plan = formatted("text_keyword_extract")
+    assert(plan.contains("TopKPerGroup"), "heap rewrite did not engage")
+  }
+
+  test("q21's per-symbol stats side is broadcast (bounded), the fact side never is") {
+    val plan = formatted("q21_anomaly")
+    assert(plan.contains("BroadcastHashJoin"), "stats join should broadcast")
+    // exactly one broadcast side: the 5-row stats aggregate
+    assert(!plan.contains("SortMergeJoin"), "fact side should not shuffle for a bounded dim")
+  }
+
+  test("funnel stage aggregates all shuffle on user_id (reusable exchange shape)") {
+    val plan = formatted("q19_funnel")
+    val partitionings = "hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(partitionings >= 3, s"expected the three stage aggregates keyed on user_id:\n$plan")
+  }
+
+  test("substring-span counting groups on the md5 gram key, not the raw gram text") {
+    val plan = formatted("dedup_substring_spans")
+    assert(plan.contains("md5("), "gram key should be hashed")
+    assert("hashpartitioning\\(gh".r.findFirstIn(plan).isDefined,
+      "occurrence count should shuffle on the bounded hash key")
+  }
+
   test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
