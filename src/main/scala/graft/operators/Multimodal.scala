@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Op, Tables}
+import graft.functions.{round6, round6Sql}
 
 /** Multimodal-column plumbing: media payloads as opaque `binary`
   * columns with typed metadata, processed by narrow per-row transforms.
@@ -148,6 +149,67 @@ object Multimodal {
       |             / octet_length(encode(text)) * 1e6 + 0.5) / 1e6 AS space_density
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // --- mm_scene_cut: temporal change detection over the frame stream ---
+  // Shot/scene-boundary detection in its Spark execution shape: the
+  // fixed-stride frame stream (the mm_frame_sample generator), a cheap
+  // per-frame feature, and a lag comparison per payload — flag frames
+  // whose feature jumps more than a threshold from the previous frame.
+  // The feature here is the frame's mean byte value (the stub standing
+  // in for a codec histogram/SSIM; deterministic and byte-exact in the
+  // oracle via ASCII codepoints). Everything is narrow + one bounded
+  // per-payload window (frames per payload, never corpus-wide).
+
+  private val SceneCutJump = 2.0
+
+  private def mmSceneCut(s: SparkSession, dir: String): DataFrame = {
+    val nFrames = ceil(length(payload).cast(DoubleType) / FrameBytes).cast(IntegerType)
+    val frame = col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val frames = Tables.documents(s, dir)
+      .withColumn("payload", payload)
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .select(col("doc_id"), col("frame_idx"),
+        // mean byte value via the aggregate of the unpacked frame: an
+        // exact integer sum over ≤256 bytes, divided as double
+        (aggregate(transform(split(frame.cast(StringType), ""),
+            c => when(length(c) > 0, ascii(c)).otherwise(lit(0))),
+          lit(0L), (acc, x) => acc + x).cast(DoubleType)
+          / length(frame).cast(DoubleType)).as("mean_byte"))
+    frames
+      .withColumn("prev_mean", lag("mean_byte", 1).over(w))
+      .filter(col("prev_mean").isNotNull &&
+        abs(col("mean_byte") - col("prev_mean")) > SceneCutJump)
+      .select(col("doc_id"), col("frame_idx"),
+        round6(col("mean_byte")).as("mean_byte"),
+        round6(col("mean_byte") - col("prev_mean")).as("jump"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  private val mmSceneCutSql =
+    s"""WITH frames AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |         substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes) AS frame
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(0,
+       |            CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes) AS BIGINT) - 1)) AS i
+       |        FROM documents)),
+       |feats AS (
+       |  SELECT doc_id, frame_idx,
+       |         CAST(list_sum(list_transform(range(1, length(frame) + 1),
+       |                j -> ascii(substr(frame, CAST(j AS INTEGER), 1)))) AS DOUBLE)
+       |           / length(frame) AS mean_byte
+       |  FROM frames),
+       |lagged AS (
+       |  SELECT doc_id, frame_idx, mean_byte,
+       |         lag(mean_byte) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_mean
+       |  FROM feats)
+       |SELECT doc_id, frame_idx, ${round6Sql("mean_byte")} AS mean_byte,
+       |       ${round6Sql("mean_byte - prev_mean")} AS jump
+       |FROM lagged
+       |WHERE prev_mean IS NOT NULL AND abs(mean_byte - prev_mean) > $SceneCutJump
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   // --- mm_phash_neardup: perceptual-hash-style media near-dup ----------
   // The fuzzy complement of mm_dedup: a 64-bit locality-sensitive
   // signature per payload (SimHash over sliding 4-byte grams of the
@@ -196,6 +258,7 @@ object Multimodal {
   val ops: Seq[Op] = Seq(
     Op("mm_meta", mmMeta, Some(mmMetaSql)),
     Op("mm_phash_neardup", mmPhashNeardup, Some(mmPhashNeardupSql)),
+    Op("mm_scene_cut", mmSceneCut, Some(mmSceneCutSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_feature_extract", mmFeatureExtract, Some(mmFeatureExtractSql)))
