@@ -132,6 +132,20 @@ object ScaleProbe {
     val sa = timeSem(src, 10)
     val sb = timeSem(dst, 160)
     println(f"${"dedup_semantic@kPropN"}%-22s $sa%8.2f $sb%8.2f ${sb / sa}%6.1f")
+    // kNN graph at deployment sizing: the registry's 6 hyperplanes (64
+    // buckets) make the self-join pair volume ~n²/64 — quadratic under
+    // a fixed plane count (the probe line above). Adding 4 planes at
+    // ×16 data (1024 buckets) keeps bucket population — per-vector
+    // candidates, recall, pair volume per row — at the base level.
+    def timeKnn(dir: String, nPlanes: Int): Double = {
+      val t0 = System.nanoTime()
+      operators.Similarity.knnGraphAt(spark, dir, nPlanes).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeKnn(src, 6); timeKnn(dst, 10) // warm
+    val ka = timeKnn(src, 6)
+    val kb = timeKnn(dst, 10)
+    println(f"${"ann_knn_graph@planesPropN"}%-22s $ka%8.2f $kb%8.2f ${kb / ka}%6.1f")
     spark.stop()
   }
 }

@@ -133,13 +133,20 @@ object Similarity {
   // bit-portable to the DuckDB oracle, which embeds the same
   // hyperplane literals (Double.toString round-trips exactly).
 
-  private val planes: Array[Array[Double]] = {
+  /** Deterministic Gaussian hyperplanes (seed 42); the first 6 are the
+    * oracle-pinned literals, more planes = finer buckets. The plane
+    * COUNT is the LSH family's corpus parameter: bucket population is
+    * ~n/2^planes, so a growing corpus adds planes to keep buckets —
+    * and with them self-join pair volume per vector — constant. */
+  private def gaussianPlanes(n: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(6)(Array.fill(64)(rnd.nextGaussian()))
+    Array.fill(n)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  private def bucketCol(emb: Column): Column =
-    planes.zipWithIndex.map { case (pl, i) =>
+  private val planes: Array[Array[Double]] = gaussianPlanes(6)
+
+  private def bucketColFor(emb: Column, pls: Array[Array[Double]]): Column =
+    pls.zipWithIndex.map { case (pl, i) =>
       val dot = aggregate(
         zip_with(emb, typedLit(pl.toSeq), (x, y) =>
           (x.cast(DoubleType) * y).cast(DecimalType(38, 12))),
@@ -147,6 +154,8 @@ object Similarity {
         (acc, x) => (acc + x).cast(DecimalType(38, 12)))
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  private def bucketCol(emb: Column): Column = bucketColFor(emb, planes)
 
   /** `bucket` as DuckDB SQL over column `embedding`, from the same
     * plane constants. */
@@ -204,9 +213,15 @@ object Similarity {
 
   private val KnnK = 3
 
-  private def annKnnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** kNN graph at an explicit plane count. The registry entry pins the
+    * oracle's 6 planes; a deployment adds planes as the corpus grows
+    * (bucket population ~n/2^planes constant ⇒ per-vector candidate
+    * count — and recall — constant, pair volume linear). ScaleProbe's
+    * `ann_knn_graph@planesPropN` row is the evidence. */
+  def knnGraphAt(s: SparkSession, dir: String, nPlanes: Int): DataFrame = {
     graft.plans.VecDotProduct.register(s)
-    val v = withNorm2(Tables.embeddings(s, dir)).withColumn("bucket", bucketCol(col("embedding")))
+    val v = withNorm2(Tables.embeddings(s, dir))
+      .withColumn("bucket", bucketColFor(col("embedding"), gaussianPlanes(nPlanes)))
     val q = v.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("n2").as("qn2"), col("bucket").as("q_bucket"))
     val pairs = v.join(q,
@@ -215,6 +230,9 @@ object Similarity {
         col("q_emb"), col("embedding"), col("qn2"), col("n2"))
     exactTopK(s, pairs, KnnK)
   }
+
+  private def annKnnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphAt(s, dir, planes.length)
 
   private val annKnnGraphSql =
     s"""WITH v AS (
