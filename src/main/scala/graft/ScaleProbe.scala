@@ -96,7 +96,8 @@ object ScaleProbe {
       "q19_funnel", "q20_retention", "q21_anomaly",
       "dedup_semantic", "dedup_substring_spans",
       "text_keyword_extract", "mm_phash_neardup", "corpus_temperature_mix",
-      "ann_knn_graph", "graph_pagerank", "q22_bollinger", "mm_scene_cut")
+      "ann_knn_graph", "ann_knn_multiprobe", "graph_pagerank",
+      "q22_bollinger", "mm_scene_cut")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()

@@ -252,6 +252,97 @@ object Similarity {
        |FROM ranked WHERE rank <= $KnnK
        |ORDER BY query_id, rank""".stripMargin
 
+  // --- ann_knn_multiprobe: multi-probe LSH kNN graph --------------------
+  // The production answer to ann_knn_graph's isolated/skewed buckets:
+  // each vector ALSO probes the bucket across its least-confident
+  // hyperplane (the plane with the smallest |dot| — the boundary it
+  // most plausibly sits on; Lv et al.'s multi-probe LSH, depth 1).
+  // Candidates = y whose home bucket is in x's 2-bucket probe set, a
+  // strict superset of the single-probe graph, at ≤2× the pair volume
+  // — recall for boundary vectors recovered without touching bucket
+  // sizing. The plane dots are computed ONCE per vector (decimal,
+  // order-free) and reused for bucket signs AND the argmin, so the
+  // DuckDB oracle replays probe selection bit-for-bit.
+
+  private def annKnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    // exact decimal reduction, surfaced as DOUBLE so the sign test and
+    // the |dot| argmin compare in the same domain as the oracle (the
+    // decimal→double conversion is one correct rounding in both)
+    val dots = planes.zipWithIndex.map { case (pl, i) =>
+      aggregate(
+        zip_with(col("embedding"), typedLit(pl.toSeq), (x, y) =>
+          (x.cast(DoubleType) * y).cast(DecimalType(38, 12))),
+        lit(0).cast(DecimalType(38, 12)),
+        (acc, x) => (acc + x).cast(DecimalType(38, 12))).cast(DoubleType).as(s"d$i")
+    }
+    val v0 = withNorm2(Tables.embeddings(s, dir)).select(col("*") +: dots: _*)
+    val bucket = planes.indices.map(i =>
+      when(col(s"d$i") > 0, lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
+    val minAbs = least(planes.indices.map(i => abs(col(s"d$i"))): _*)
+    // argmin by |dot|, ties to the smallest plane index (the when-chain
+    // fires in index order in both engines)
+    val jstar = planes.indices.tail.foldLeft(
+        when(abs(col("d0")) === minAbs, lit(0))) { (acc, i) =>
+      acc.when(abs(col(s"d$i")) === minAbs, lit(i))
+    }
+    val v = v0.withColumn("bucket", bucket).withColumn("jstar", jstar)
+      .select("vec_id", "embedding", "n2", "bucket", "jstar")
+    val q = v.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"),
+        explode(array(col("bucket"),
+          col("bucket").bitwiseXOR(expr("shiftleft(1, jstar)")))).as("probe"))
+    val pairs = v.join(q,
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+      // a neighbor can be reached via both probes when it shares the
+      // home bucket — dedup before ranking
+      .distinct()
+    exactTopK(s, pairs, KnnK)
+  }
+
+  private val annKnnMultiprobeSql: String = {
+    val dotExprs = planes.zipWithIndex.map { case (pl, i) =>
+      val lits = pl.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""CAST(list_sum(list_transform(list_zip(embedding, $lits),
+         |  x -> CAST(CAST(x[1] AS DOUBLE) * x[2] AS DECIMAL(38,12)))) AS DOUBLE) AS d$i""".stripMargin
+    }.mkString(",\n         ")
+    val bucket = planes.indices.map(i => s"(CASE WHEN d$i > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val minAbs = s"LEAST(${planes.indices.map(i => s"abs(d$i)").mkString(", ")})"
+    val jstar = planes.indices.map(i => s"WHEN abs(d$i) = m THEN $i")
+      .mkString("CASE ", " ", " END")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
+       |         $dotExprs
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, embedding, n2, $bucket AS bucket,
+       |         $jstar AS jstar
+       |  FROM (SELECT *, $minAbs AS m FROM v0)),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS qn2,
+       |         unnest([bucket, xor(bucket, 1 << jstar)]) AS probe
+       |  FROM v),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, v.vec_id AS neighbor_id,
+       |         p.q_emb, v.embedding, p.qn2, v.n2
+       |  FROM v JOIN probes p ON v.bucket = p.probe AND v.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= $KnnK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- ann_ivf_topk -----------------------------------------------------
   // IVF (inverted-file) index: k-means coarse quantizer → vectors
   // assigned to their nearest centroid's posting list → queries probe
@@ -1089,6 +1180,7 @@ object Similarity {
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
+    Op("ann_knn_multiprobe", annKnnMultiprobe, Some(annKnnMultiprobeSql)),
     Op("ann_ivf_topk", annIvf, Some(annIvfSql)),
     Op("ann_pq_topk", annPq, Some(annPqSql)),
     Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),

@@ -133,6 +133,20 @@ class DedupSpec extends AnyFunSuite {
     assert(hits > 0, "LSH recalled none of the exact top-5 neighbors")
   }
 
+  test("multi-probe knn dominates the single-probe graph") {
+    val sp = Registry.queries("ann_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    val mp = Registry.queries("ann_knn_multiprobe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    // candidate superset ⇒ every covered query is covered at least as well
+    val spQueries = sp.keySet.map(_._1); val mpQueries = mp.keySet.map(_._1)
+    assert(spQueries.subsetOf(mpQueries),
+      s"multiprobe lost queries: ${spQueries.diff(mpQueries).take(5)}")
+    for (q <- spQueries)
+      assert(mp((q, 1)) >= sp((q, 1)) - 1e-9,
+        s"query $q: multiprobe rank-1 ${mp((q, 1))} < single-probe ${sp((q, 1))}")
+  }
+
   test("pagerank conserves probability mass over the symmetric near-dup graph") {
     val rows = Registry.queries("graph_pagerank")(spark, sf).collect()
     assert(rows.nonEmpty)
