@@ -187,6 +187,115 @@ object Dedup {
        |SELECT id_a, id_b, n_shared_bands FROM pairs ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --- dedup_minhash_est: sketch-based Jaccard estimation --------------
+  // What the MinHash signatures are FOR at 100 TB: estimating Jaccard
+  // without touching the shingle sets. For every banded candidate
+  // pair, the estimate is the fraction of agreeing signature slots
+  // (E[matches/64] = J), reported against the exact Jaccard from the
+  // inverted index so the estimator's error is auditable. The whole
+  // estimate is integer arithmetic over the portable hash family —
+  // fully oracle-replayable. At scale the exact column is the audit
+  // (run on a sample); the estimate column is the product.
+
+  private def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+      .withColumn("h", pmod(portableHash(col("shingle")), lit(P)))
+    val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // candidate pairs from the banded join (the dedup_minhash output)
+    val cands = dedupMinhash(s, dir).select("id_a", "id_b")
+    val matches = perms.indices.map(i =>
+      when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    def side(p: String) = sigs.select(
+      col("doc_id").as(s"${p}id") +: perms.indices.map(i => col(s"sig_$i").as(s"${p}sig_$i")): _*)
+    val est = cands
+      .join(side("a_"), col("id_a") === col("a_id"))
+      .join(side("b_"), col("id_b") === col("b_id"))
+      .select(col("id_a"), col("id_b"), matches.as("sig_matches"))
+    // the audit column: exact Jaccard from the inverted shingle index
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    est
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"), col("sig_matches"),
+        round6(col("sig_matches").cast(DoubleType) / perms.length).as("jaccard_est"),
+        round6(coalesce(col("c"), lit(0L)).cast(DoubleType)
+          / (col("na") + col("nb") - coalesce(col("c"), lit(0L))).cast(DoubleType))
+          .as("jaccard_exact"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupMinhashEstSql: String = {
+    val sigExprs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $P) AS sig_$i"
+    }.mkString(",\n         ")
+    val bandExprs = (0 until 8).map { j =>
+      val bh = (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, r) =>
+        s"(($acc) * $B + sig_${j * 8 + r}) % $P"
+      }
+      s"{'band_idx': $j, 'band_hash': $bh}"
+    }.mkString(",\n           ")
+    val matches = perms.indices.map(i =>
+      s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, source,
+       |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+       |  FROM (SELECT doc_id, source, ts,
+       |          unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+       |hashed AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % $P AS h
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id,
+       |         $sigExprs
+       |  FROM hashed GROUP BY doc_id),
+       |bandstructs AS (
+       |  SELECT doc_id, unnest([
+       |           $bandExprs
+       |         ]) AS b
+       |  FROM sigs),
+       |bands AS (
+       |  SELECT doc_id, CAST(b.band_idx AS INTEGER) AS band_idx,
+       |         CAST(b.band_hash AS BIGINT) AS band_hash
+       |  FROM bandstructs),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.id_a, c.id_b, $matches AS sig_matches
+       |  FROM cands c
+       |  JOIN sigs sa ON sa.doc_id = c.id_a
+       |  JOIN sigs sb ON sb.doc_id = c.id_b),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1,2)
+       |SELECT e.id_a, e.id_b, CAST(e.sig_matches AS INTEGER) AS sig_matches,
+       |       ${round6Sql(s"CAST(e.sig_matches AS DOUBLE) / ${perms.length}")} AS jaccard_est,
+       |       ${round6Sql("CAST(COALESCE(i.c, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.c, 0))")} AS jaccard_exact
+       |FROM est e
+       |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+       |JOIN sizes sa ON sa.doc_id = e.id_a
+       |JOIN sizes sb ON sb.doc_id = e.id_b
+       |ORDER BY e.id_a, e.id_b""".stripMargin
+  }
+
   // --- dedup_simhash: 64-bit SimHash + bit-chunk LSH -------------------
   // Term-frequency-weighted bit votes over word hashes; candidates share
   // one of four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk
@@ -657,6 +766,7 @@ object Dedup {
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Op("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql)),
     Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
