@@ -97,7 +97,7 @@ object ScaleProbe {
       "dedup_semantic", "dedup_substring_spans",
       "text_keyword_extract", "mm_phash_neardup", "corpus_temperature_mix",
       "ann_knn_graph", "ann_knn_multiprobe", "graph_pagerank",
-      "q22_bollinger", "mm_scene_cut", "dedup_minhash_est")
+      "q22_bollinger", "mm_scene_cut", "dedup_minhash_est", "q23_kmv_distinct")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()

@@ -889,6 +889,58 @@ object MarketQueries {
        |       ${round6Sql("m - 2.0 * sd")} AS lower_band
        |FROM calc ORDER BY symbol, minute""".stripMargin
 
+  // --- Q23: KMV distinct sketch (the hash-checkable q17) -----------------
+  // Per-symbol distinct-trade estimation via the custom KMV
+  // TypedImperativeAggregate (plans.KmvSketch): the k=256 smallest
+  // distinct md5-prefix hashes per symbol — bounded memory, map-side
+  // mergeable, no distinct shuffle — with the (k−1)·2³²/h₍k₎ estimator.
+  // Unlike q17's HLL (engine-internal registers ⇒ rows-only oracle),
+  // the KMV sketch over the portable hash family is deterministic end
+  // to end: DuckDB replays the k minima with a rank window and the
+  // estimate matches bit-for-bit. Below k distinct hashes the sketch
+  // IS the exact set (sf0.001 exercises that regime; larger sfs the
+  // estimating one). Exact countDistinct rides along as the audit.
+
+  private val KmvK = 256
+
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.KmvSketch.register(s)
+    val t = trades(s, dir)
+      .withColumn("h", h32(col("trade_id").cast(StringType)))
+    t.groupBy("symbol")
+      .agg(
+        graft.plans.KmvSketch.kmv_sketch(col("h"), KmvK).as("sketch"),
+        countDistinct(col("trade_id")).as("ndv_exact"))
+      .select(col("symbol"), col("ndv_exact"),
+        size(col("sketch")).as("sketch_size"),
+        when(size(col("sketch")) === KmvK, element_at(col("sketch"), KmvK)).as("kth_min"),
+        when(size(col("sketch")) < KmvK, size(col("sketch")).cast(DoubleType))
+          .otherwise(round6(lit((KmvK - 1) * 4294967296.0) / element_at(col("sketch"), KmvK)))
+          .as("ndv_est"))
+      .orderBy("symbol")
+  }
+
+  private val q23Sql = {
+    val h32sql = "CAST(('0x' || substr(md5(CAST(trade_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    s"""$cte,
+       |h AS (SELECT DISTINCT symbol, $h32sql AS h FROM trades),
+       |r AS (SELECT symbol, h,
+       |        row_number() OVER (PARTITION BY symbol ORDER BY h) AS rn FROM h),
+       |sk AS (
+       |  SELECT symbol,
+       |         CAST(count(*) FILTER (WHERE rn <= $KmvK) AS INTEGER) AS sketch_size,
+       |         MAX(CASE WHEN rn = $KmvK THEN h END) AS kth
+       |  FROM r GROUP BY 1),
+       |ex AS (SELECT symbol, count(DISTINCT trade_id) AS ndv_exact FROM trades GROUP BY 1)
+       |SELECT sk.symbol, ex.ndv_exact, sk.sketch_size,
+       |       CASE WHEN sk.sketch_size = $KmvK THEN sk.kth END AS kth_min,
+       |       CASE WHEN sk.sketch_size < $KmvK THEN CAST(sk.sketch_size AS DOUBLE)
+       |            ELSE ${round6Sql(s"CAST(${(KmvK - 1) * 4294967296.0} AS DOUBLE) / sk.kth")}
+       |       END AS ndv_est
+       |FROM sk JOIN ex ON sk.symbol = ex.symbol
+       |ORDER BY sk.symbol""".stripMargin
+  }
+
   // --- Q19: conversion funnel ------------------------------------------
   // Staged user-journey funnel (view → click within 24 h → purchase
   // within 24 h of the click): the canonical product-analytics shape.
@@ -1015,7 +1067,8 @@ object MarketQueries {
     Op("q19_funnel", q19, Some(q19Sql)),
     Op("q20_retention", q20, Some(q20Sql)),
     Op("q21_anomaly", q21, Some(q21Sql)),
-    Op("q22_bollinger", q22, Some(q22Sql)))
+    Op("q22_bollinger", q22, Some(q22Sql)),
+    Op("q23_kmv_distinct", q23, Some(q23Sql)))
 
 
 }

@@ -91,6 +91,25 @@ class QueriesSpec extends AnyFunSuite {
       s"small=${smallest} large=${largest}")
   }
 
+  test("q23 KMV estimate is exact below capacity and within bound above it") {
+    // sf0.001: ~200 distinct per symbol < k=256 ⇒ the sketch is the
+    // exact distinct-hash set
+    for (r <- Registry.queries("q23_kmv_distinct")(spark, sf).collect()) {
+      assert(r.getAs[Int]("sketch_size") <= 256)
+      if (r.getAs[Int]("sketch_size") < 256)
+        // est counts distinct HASHES; 32-bit collisions are ≲1 here
+        assert(math.abs(r.getAs[Double]("ndv_est") - r.getAs[Long]("ndv_exact")) <= 2)
+    }
+    // sf0.01: ~2000 distinct per symbol ⇒ estimating regime; KMV rel
+    // error ~1/sqrt(k-1) ≈ 6%, assert a 4-sigma-ish 25%
+    val est = Registry.queries("q23_kmv_distinct")(spark, "/root/testdata/sf0.01").collect()
+    assert(est.exists(_.getAs[Int]("sketch_size") == 256), "expected estimating regime")
+    for (r <- est if r.getAs[Int]("sketch_size") == 256) {
+      val e = r.getAs[Double]("ndv_est"); val x = r.getAs[Long]("ndv_exact").toDouble
+      assert(math.abs(e - x) / x <= 0.25, s"${r.getAs[String]("symbol")}: est $e vs exact $x")
+    }
+  }
+
   test("q19 funnel stages are monotonically non-increasing") {
     val rows = Registry.queries("q19_funnel")(spark, sf).collect()
     assert(rows.length == 3)
