@@ -96,7 +96,13 @@ object ScaleProbe {
       "q19_funnel", "q20_retention", "q21_anomaly",
       "dedup_semantic", "dedup_substring_spans",
       "text_keyword_extract", "mm_phash_neardup", "corpus_temperature_mix",
-      "ann_knn_graph", "ann_knn_multiprobe", "graph_pagerank",
+      // ann_knn_multiprobe is intentionally absent: it shares
+      // ann_knn_graph's bucket structure at ≤2× the pair volume by
+      // construction (probed once at ~193× = ~2× the knn ratio under
+      // the same fixed-plane saturation the @planesPropN row remedies),
+      // and a standing ~12-minute row would dominate probe runtime
+      // without new information.
+      "ann_knn_graph", "graph_pagerank",
       "q22_bollinger", "mm_scene_cut", "dedup_minhash_est", "q23_kmv_distinct")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
