@@ -161,6 +161,37 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming incremental view maintenance: each micro-batch is
+    * appended to the snapshot-enabled lake (one new partition-dir
+    * write + snapshot commit) and the materialized rollup is folded
+    * forward through etl.IncrementalAgg — the delta aggregate reads
+    * ONLY the files this batch added (a manifest diff), never the
+    * lake's history. The full lakehouse loop — ingest → snapshot →
+    * incremental rollup — kept live with per-batch cost proportional
+    * to the batch, which is the property that makes a continuously
+    * maintained 100 TB summary table affordable. Append-only contract
+    * inherited from Snapshots/IncrementalAgg. */
+  def incrementalAggStream(rows: DataFrame, lakePath: String, aggPath: String,
+      spec: graft.etl.IncrementalAgg.AggSpec,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // append-style evolution: every batch lands as its own subdir
+          batch.localCheckpoint().write.mode("append")
+            .parquet(s"$lakePath/batch=$batchId")
+          graft.etl.Snapshots.commit(s, lakePath)
+          if (graft.etl.IncrementalAgg.syncedVersion(s, aggPath).isEmpty)
+            graft.etl.IncrementalAgg.fullBuild(s, lakePath, aggPath, spec)
+          else
+            graft.etl.IncrementalAgg.refresh(s, lakePath, aggPath, spec)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming corpus curation: the Gopher-style quality gate applied
     * to a live document feed. The gate is stateless and narrow
     * (identical expressions to the batch text_quality_gopher), so it

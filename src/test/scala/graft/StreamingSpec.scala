@@ -217,6 +217,40 @@ class StreamingSpec extends AnyFunSuite {
       s"only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming incremental rollup equals a full recompute after every batch") {
+    import spark.implicits._
+    import graft.etl.IncrementalAgg
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/stream-iagg"
+    val lake = s"$root/lake"; val agg = s"$root/agg"; val ckpt = s"$root/ckpt"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val spec = IncrementalAgg.AggSpec(Seq("event_type"), Seq("v" -> "value"))
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val src = MemoryStream[StreamingJobs.Event]
+    val q = StreamingJobs.incrementalAggStream(src.toDF(), lake, agg, spec, ckpt)
+    def materialized = spark.read.parquet(agg)
+      .select("event_type", "n_rows", "sum_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    def fromScratch = spark.read.parquet(lake)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(38,6)")).as("sum_v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    try {
+      for (b <- Seq(b1, b2, b3)) {
+        src.addData(b.toSeq); q.processAllAvailable()
+        assert(materialized == fromScratch)
+      }
+    } finally q.stop()
+    assert(materialized.map(_._2).sum == rows.length.toLong)
+  }
+
   test("file-sink candles survive a restart from checkpoint without duplicates") {
     import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
     val root = "target/tmp/stream-restart"
