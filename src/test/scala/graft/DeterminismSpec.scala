@@ -51,6 +51,45 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch content is partitioning-invariant (merge = union+trim)") {
+    import graft.plans.KmvSketch
+    KmvSketch.register(spark)
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(3000)(rnd.nextLong().abs % 100000)
+    val sketches = (1 to 6).map { p =>
+      xs.toDF("x").repartition(p)
+        .agg(KmvSketch.kmv_sketch(col("x"), 64).as("s"))
+        .head.getSeq[Long](0).toList
+    }
+    assert(sketches.distinct.size == 1, "sketch content varied with partitioning")
+    assert(sketches.head.size == 64)
+    assert(sketches.head == sketches.head.sorted)
+  }
+
+  test("rolling decimal moments (q22) are stable across shuffle-partition settings") {
+    // the sliding-frame sums must not depend on how the pre-window
+    // exchange partitioned the bars
+    val dir = "/root/testdata/sf0.001"
+    def run(parts: String) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Registry.queries("q22_bollinger")(spark, dir).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("2") == run("13"))
+  }
+
+  test("pagerank's decimal contribution sums are partitioning-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    def run(parts: String) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try Registry.queries("graph_pagerank")(spark, dir).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(run("2") == run("11"))
+  }
+
   test("plain double sum is NOT order-stable (why dsum exists)") {
     // documents that the naive approach can differ across
     // partitionings on adversarial data; dsum never may (above).
