@@ -177,20 +177,37 @@ object StreamingJobs {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val s = batch.sparkSession
-          // append-style evolution: every batch lands as its own subdir
-          batch.localCheckpoint().write.mode("append")
-            .parquet(s"$lakePath/batch=$batchId")
-          graft.etl.Snapshots.commit(s, lakePath)
-          if (graft.etl.IncrementalAgg.syncedVersion(s, aggPath).isEmpty)
-            graft.etl.IncrementalAgg.fullBuild(s, lakePath, aggPath, spec)
-          else
-            graft.etl.IncrementalAgg.refresh(s, lakePath, aggPath, spec)
-          ()
-        }
+        if (!batch.isEmpty) landBatch(batch, lakePath, aggPath, spec, batchId)
       }
       .start()
+
+  /** One micro-batch of the incremental-rollup loop, each step
+    * idempotent so a crash-replayed batchId converges instead of
+    * double-counting (foreachBatch replays the last uncommitted batch
+    * after restart):
+    *  - the batch lands in its own `batch=N` subdir ONLY if that dir's
+    *    _SUCCESS marker is absent (a partial attempt is wiped and
+    *    rewritten; a complete one is left byte-identical, preserving
+    *    the append-only contract the snapshot diffs rely on),
+    *  - Snapshots.commit of an unchanged lake produces an
+    *    identical-content manifest, so the replayed refresh sees an
+    *    EMPTY manifest diff and only advances its sync marker. */
+  def landBatch(batch: Dataset[org.apache.spark.sql.Row], lakePath: String,
+      aggPath: String, spec: graft.etl.IncrementalAgg.AggSpec, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$lakePath/batch=$batchId")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) {
+      if (fs.exists(dir)) fs.delete(dir, true) // partial previous attempt
+      batch.localCheckpoint().write.mode("overwrite").parquet(dir.toString)
+    }
+    graft.etl.Snapshots.commit(s, lakePath)
+    if (graft.etl.IncrementalAgg.syncedVersion(s, aggPath).isEmpty)
+      graft.etl.IncrementalAgg.fullBuild(s, lakePath, aggPath, spec)
+    else
+      graft.etl.IncrementalAgg.refresh(s, lakePath, aggPath, spec)
+    ()
+  }
 
   /** Streaming corpus curation: the Gopher-style quality gate applied
     * to a live document feed. The gate is stateless and narrow

@@ -249,6 +249,18 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
     assert(materialized.map(_._2).sum == rows.length.toLong)
+
+    // crash-replay idempotence: re-landing an already-committed batchId
+    // (what foreachBatch does after a restart) must not change the lake
+    // or the rollup
+    val before = materialized
+    import org.apache.spark.sql.functions.{col => c}
+    StreamingJobs.landBatch(
+      b3.toSeq.toDS().toDF().select(
+        c("event_id"), c("ts"), c("user_id"), c("event_type"), c("value")),
+      lake, agg, spec, 2L)
+    assert(materialized == before, "replayed batch changed the rollup")
+    assert(materialized == fromScratch)
   }
 
   test("file-sink candles survive a restart from checkpoint without duplicates") {
