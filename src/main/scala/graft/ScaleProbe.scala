@@ -103,7 +103,8 @@ object ScaleProbe {
       // and a standing ~12-minute row would dominate probe runtime
       // without new information.
       "ann_knn_graph", "graph_pagerank",
-      "q22_bollinger", "mm_scene_cut", "dedup_minhash_est", "q23_kmv_distinct")
+      "q22_bollinger", "mm_scene_cut", "dedup_minhash_est", "q23_kmv_distinct",
+      "q24_twap")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       Registry.queries(name)(spark, dir).count()

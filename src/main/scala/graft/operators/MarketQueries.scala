@@ -941,6 +941,49 @@ object MarketQueries {
        |ORDER BY sk.symbol""".stripMargin
   }
 
+  // --- Q24: TWAP (time-weighted average price) ---------------------------
+  // The execution-quality benchmark VWAP can't provide: each price is
+  // weighted by how long it REIGNED (until the next trade), per symbol
+  // per day — Σ(pᵢ·Δtᵢ)/ΣΔtᵢ with Δt from a lead window over the
+  // symbol-day partition (bounded; the day's last trade carries no
+  // weight, the standard convention). Price×µs products are exact at
+  // 2dp ⇒ DECIMAL(38,4) per §4; the Δt sums are pure integers. One
+  // window + one aggregate per symbol-day, never a global sort.
+
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("symbol"), to_date(col("trade_time")))
+      .orderBy(col("trade_time"), col("trade_id"))
+    trades(s, dir)
+      // NTZ → TIMESTAMP is value-preserving under the session's UTC
+      .withColumn("dt_us",
+        unix_micros(lead("trade_time", 1).over(w).cast(TimestampType))
+          - unix_micros(col("trade_time").cast(TimestampType)))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("symbol"), to_date(col("trade_time")).as("day"))
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("span_us"),
+        sum((col("price") * col("dt_us")).cast(DecimalType(38, 4))).as("pwsum"))
+      .select(col("symbol"), col("day"), col("n_intervals"), col("span_us"),
+        round6(col("pwsum").cast(DoubleType) / col("span_us").cast(DoubleType)).as("twap"))
+      .orderBy("symbol", "day")
+  }
+
+  private val q24Sql =
+    s"""$cte,
+       |dt AS (
+       |  SELECT symbol, CAST(trade_time AS DATE) AS day, price,
+       |         epoch_us(lead(trade_time) OVER (
+       |           PARTITION BY symbol, CAST(trade_time AS DATE)
+       |           ORDER BY trade_time, trade_id)) - epoch_us(trade_time) AS dt_us
+       |  FROM trades)
+       |SELECT symbol, day, COUNT(*) AS n_intervals,
+       |       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       |       ${round6Sql(
+             "CAST(SUM(CAST(price * dt_us AS DECIMAL(38,4))) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE)")} AS twap
+       |FROM dt WHERE dt_us IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- Q19: conversion funnel ------------------------------------------
   // Staged user-journey funnel (view → click within 24 h → purchase
   // within 24 h of the click): the canonical product-analytics shape.
@@ -1068,7 +1111,8 @@ object MarketQueries {
     Op("q20_retention", q20, Some(q20Sql)),
     Op("q21_anomaly", q21, Some(q21Sql)),
     Op("q22_bollinger", q22, Some(q22Sql)),
-    Op("q23_kmv_distinct", q23, Some(q23Sql)))
+    Op("q23_kmv_distinct", q23, Some(q23Sql)),
+    Op("q24_twap", q24, Some(q24Sql)))
 
 
 }

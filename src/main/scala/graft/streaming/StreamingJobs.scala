@@ -281,8 +281,11 @@ object StreamingJobs {
     * corpus size, with the same event-time-ordered-feed contract as
     * [[asofJoin]] (within a batch, rows are sorted; stage checks use
     * the batch operator's strict-inequality window rules, so a replayed
-    * prefix advances the machine identically). StreamingSpec pins
-    * stage-count equivalence with batch q19 across a multi-batch feed. */
+    * prefix advances the machine identically). A state timeout, when
+    * passed, EVICTS an idle user's journey — the funnel forgets them
+    * (bounded state buys a conversion horizon); the synchronous-test
+    * default is NoTimeout. StreamingSpec pins stage-count equivalence
+    * with batch q19 across a multi-batch feed. */
   def funnelStream(events: Dataset[Event],
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
