@@ -70,16 +70,31 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> math.min(timed(fn), timed(fn))
     } ++ Map("etl_pipeline" -> benchEtl(spark, sfDir))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The FULL per-query map goes to a committed file: the driver's
+    // stdout tail capture is ~2 KB, and a 114-entry single line
+    // overflows it (rounds 3-4: "parsed": null — the line's head,
+    // including "metric":"total", was cut off). The stdout line below
+    // stays compact so it always fits the tail.
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":2,"queries":${jmap(results)},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_LOCAL.json"), "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => /* bench still reports via stdout */ }
+    val slowest = results.toSeq.sortBy(-_._2).take(10)
     // Stop Spark BEFORE printing: once the context is down nothing else
     // writes to the merged stdout/stderr stream, so the JSON line cannot
     // be split by a concurrent log flush. The leading newline terminates
     // any unterminated partial line a logger may have left behind.
     spark.stop()
-    // n:2 documents the min-of-two runs per query (see `timed` above)
-    print(s"""\n{"metric":"total","value":$total,"unit":"sec","n":2,"queries":$qs,"sf":"$sfDir"}\n""")
+    // n:2 documents the min-of-two runs per query (see `timed` above);
+    // "queries" carries only the 10 slowest entries (full map in
+    // BENCH_LOCAL.json, committed) so this line never exceeds the
+    // driver's tail capture.
+    print(s"""\n{"metric":"total","value":$total,"unit":"sec","n":2,"nqueries":${results.size},"queries":${jmap(slowest)},"full":"BENCH_LOCAL.json","sf":"$sfDir"}\n""")
     System.out.flush()
   }
 }
