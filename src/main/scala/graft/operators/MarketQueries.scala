@@ -485,7 +485,9 @@ object MarketQueries {
         count(lit(1)).cast(DoubleType).as("n_d"))
       .withColumn("mean_price", ratio(col("sx"), col("n_d")))
       .withColumn("stddev_price",
-        round6(sqrt((col("sxx") - col("sx") * col("sx") / col("n_d")) / (col("n_d") - 1.0))))
+        // same clamp as q21/q22: rounded moments must degrade to 0, not NaN
+        round6(sqrt(greatest(lit(0.0),
+          (col("sxx") - col("sx") * col("sx") / col("n_d")) / (col("n_d") - 1.0)))))
       .drop("sx", "sxx", "n_d")
       .orderBy("symbol")
 
@@ -493,7 +495,7 @@ object MarketQueries {
     s"""$cte
        |SELECT symbol, n,
        |       ${ratioSql("sx", "n_d")} AS mean_price,
-       |       ${round6Sql("sqrt((sxx - sx * sx / n_d) / (n_d - 1.0))")} AS stddev_price
+       |       ${round6Sql("sqrt(GREATEST(CAST(0.0 AS DOUBLE), (sxx - sx * sx / n_d) / (n_d - 1.0)))")} AS stddev_price
        |FROM (
        |  SELECT symbol, COUNT(*) AS n,
        |         ${dsumSql("price")} AS sx,
@@ -796,7 +798,11 @@ object MarketQueries {
         dsum(col("price") * col("price"), 6).as("sxx"))
       .select(col("symbol"),
         ratio(col("sx"), col("n_d")).as("mean_price"),
-        round6(sqrt((col("sxx") - col("sx") * col("sx") / col("n_d")) / (col("n_d") - 1.0)))
+        // clamp, don't NaN (q22 rule): 2dp-rounded moments can make the
+        // numerator slightly negative for a constant-price symbol —
+        // Spark's sqrt(<0) = NaN silently drops rows, DuckDB errors out
+        round6(sqrt(greatest(lit(0.0),
+            (col("sxx") - col("sx") * col("sx") / col("n_d")) / (col("n_d") - 1.0))))
           .as("std_price"))
 
   /** Stateless z-score flagging of `t` against a precomputed stats
@@ -822,7 +828,7 @@ object MarketQueries {
        |  FROM trades GROUP BY 1),
        |m AS (
        |  SELECT symbol, ${ratioSql("sx", "n_d")} AS mean_price,
-       |         ${round6Sql("sqrt((sxx - sx * sx / n_d) / (n_d - 1.0))")} AS std_price
+       |         ${round6Sql("sqrt(GREATEST(CAST(0.0 AS DOUBLE), (sxx - sx * sx / n_d) / (n_d - 1.0)))")} AS std_price
        |  FROM stats)
        |SELECT trade_id, symbol, price, mean_price,
        |       ${round6Sql("(price - mean_price) / std_price")} AS zscore
