@@ -215,11 +215,13 @@ object Dedup {
       .join(side("a_"), col("id_a") === col("a_id"))
       .join(side("b_"), col("id_b") === col("b_id"))
       .select(col("id_a"), col("id_b"), matches.as("sig_matches"))
-    // the audit column: exact Jaccard from the inverted shingle index
+    // the audit column: exact Jaccard from the inverted shingle index.
+    // NOT source-blocked (unlike dedup_ngram_jaccard): the banded
+    // candidates it audits come from all-source signatures, so a
+    // cross-source candidate must get its true Jaccard, not 0.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
-        col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("c"))
@@ -284,7 +286,7 @@ object Dedup {
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |  FROM sh a JOIN sh b
-       |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1,2)
        |SELECT e.id_a, e.id_b, CAST(e.sig_matches AS INTEGER) AS sig_matches,
        |       ${round6Sql(s"CAST(e.sig_matches AS DOUBLE) / ${perms.length}")} AS jaccard_est,
@@ -430,7 +432,8 @@ object Dedup {
       .filter(vec_dot(col("a.embedding"), col("b.embedding")) / col("norm_prod") >= 0.4 - 1e-6)
     pairs
       .withColumn("cos_raw",
-        Similarity.ddot(col("a.embedding"), col("b.embedding")).cast(DoubleType) / col("norm_prod"))
+        graft.plans.VecDotProduct.vec_dot_exact(col("a.embedding"), col("b.embedding"))
+          / col("norm_prod"))
       .filter(col("cos_raw") >= 0.4)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         round6(col("cos_raw")).as("cos_sim"))
@@ -551,7 +554,8 @@ object Dedup {
         >= SemThreshold - 1e-6)
     pairs
       .withColumn("cos_raw",
-        Similarity.ddot(col("a.embedding"), col("b.embedding")).cast(DoubleType) / col("norm_prod"))
+        graft.plans.VecDotProduct.vec_dot_exact(col("a.embedding"), col("b.embedding"))
+          / col("norm_prod"))
       .filter(col("cos_raw") >= SemThreshold)
       .select(col("a.list_id").as("cluster_id"),
         col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),

@@ -20,7 +20,13 @@ import graft.functions.{round6, round6Sql}
   */
 object Similarity {
 
-  /** Exact decimal dot product of two float-array columns. */
+  /** Decimal dot product of two float-array columns, as an interpreted
+    * HOF. CAVEAT (round-5 finding, pinned in DedupSpec): Spark types
+    * `Add(dec(38,12), dec(38,12))` as DECIMAL(38,11), so this rounds at
+    * 11dp per accumulation step — up to ~1e-9 from the true exact
+    * reduction the DuckDB [[ddotSql]] computes. All production call
+    * sites use [[graft.plans.VecDotDecimal]] (codegen'd, oracle-exact)
+    * instead; this stays as the spec's independent HOF reference. */
   def ddot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
@@ -38,7 +44,8 @@ object Similarity {
 
   /** Attach squared L2 norm (computed once per vector, not per pair). */
   def withNorm2(emb: DataFrame): DataFrame =
-    emb.withColumn("n2", ddot(col("embedding"), col("embedding")).cast(DoubleType))
+    emb.withColumn("n2",
+      graft.plans.VecDotProduct.vec_dot_exact(col("embedding"), col("embedding")))
 
   private def cosine(dot: Column, na2: Column, nb2: Column): Column =
     dot / (sqrt(na2) * sqrt(nb2))
@@ -83,7 +90,8 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
     surv
       .withColumn("cos_raw",
-        cosine(ddot(col("q_emb"), col("embedding")).cast(DoubleType), col("qn2"), col("n2")))
+        cosine(graft.plans.VecDotProduct.vec_dot_exact(col("q_emb"), col("embedding")),
+          col("qn2"), col("n2")))
       .withColumn(s"${mk}rank", row_number().over(w))
       .filter(col(s"${mk}rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col(s"${mk}rank").as("rank"),
@@ -145,15 +153,29 @@ object Similarity {
 
   private val planes: Array[Array[Double]] = gaussianPlanes(6)
 
-  private def bucketColFor(emb: Column, pls: Array[Array[Double]]): Column =
+  /** Sign-test margin: fast (double) vs exact (decimal) dot drift on
+    * 64-dim O(1) vectors is ≤ ~4e-11 (64 products each rounded to 12dp
+    * + double summation error), so a fast |dot| ≥ 1e-6 pins the exact
+    * sign and only near-boundary vectors pay the exact recompute. */
+  private val SignEps = 1e-6
+
+  /** Two-phase hyperplane signature: the codegen'd vec_dot scores every
+    * (vector, plane) pair in the scan projection — no interpreted HOF
+    * on the corpus-sized path — and the exact-decimal recompute
+    * ([[graft.plans.VecDotDecimal]], itself codegen'd and bit-identical
+    * to the oracle's list_sum reduction) runs only where |fast| <
+    * [[SignEps]], the only region where the sign could disagree.
+    * Buckets are bit-identical to exact-everywhere.
+    * Callers must [[graft.plans.VecDotProduct.register]] first. */
+  private def bucketColFor(emb: Column, pls: Array[Array[Double]]): Column = {
+    import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
     pls.zipWithIndex.map { case (pl, i) =>
-      val dot = aggregate(
-        zip_with(emb, typedLit(pl.toSeq), (x, y) =>
-          (x.cast(DoubleType) * y).cast(DecimalType(38, 12))),
-        lit(0).cast(DecimalType(38, 12)),
-        (acc, x) => (acc + x).cast(DecimalType(38, 12)))
+      val plLit = typedLit(pl.toSeq)
+      val fast = vec_dot(emb, plLit)
+      val dot = when(abs(fast) < SignEps, vec_dot_exact(emb, plLit)).otherwise(fast)
       when(dot > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   private def bucketCol(emb: Column): Column = bucketColFor(emb, planes)
 
@@ -265,18 +287,32 @@ object Similarity {
   // DuckDB oracle replays probe selection bit-for-bit.
 
   private def annKnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
     graft.plans.VecDotProduct.register(s)
-    // exact decimal reduction, surfaced as DOUBLE so the sign test and
-    // the |dot| argmin compare in the same domain as the oracle (the
-    // decimal→double conversion is one correct rounding in both)
-    val dots = planes.zipWithIndex.map { case (pl, i) =>
-      aggregate(
-        zip_with(col("embedding"), typedLit(pl.toSeq), (x, y) =>
-          (x.cast(DoubleType) * y).cast(DecimalType(38, 12))),
-        lit(0).cast(DecimalType(38, 12)),
-        (acc, x) => (acc + x).cast(DecimalType(38, 12))).cast(DoubleType).as(s"d$i")
+    // Two-phase plane dots (the multiprobe needs VALUES, not just
+    // signs: the argmin over |dot| picks the probe plane). Phase 1 is
+    // the codegen'd vec_dot for every plane; the exact-decimal
+    // recompute runs only for planes whose fast |dot| is within
+    // SignEps of the per-vector fast minimum — that set provably
+    // contains (a) every plane whose sign is ambiguous (|fast| <
+    // SignEps ⇒ |fast| < min+SignEps since min ≥ 0) and (b) every
+    // possible exact argmin (fast-vs-exact drift δ ≤ ~4e-11 ≪ SignEps,
+    // so the exact argmin's fast |dot| sits within 2δ of the fast
+    // min). Planes outside the set keep fast values that are strictly
+    // larger than any exact min and sign-safe, so bucket AND jstar
+    // replay the oracle's exact-everywhere decision bit-for-bit.
+    val fasts = planes.zipWithIndex.map { case (pl, i) =>
+      vec_dot(col("embedding"), typedLit(pl.toSeq)).as(s"f$i")
     }
-    val v0 = withNorm2(Tables.embeddings(s, dir)).select(col("*") +: dots: _*)
+    val minAbsFast = least(planes.indices.map(i => abs(col(s"f$i"))): _*)
+    val dots = planes.zipWithIndex.map { case (pl, i) =>
+      when(abs(col(s"f$i")) < minAbsFast + SignEps,
+        vec_dot_exact(col("embedding"), typedLit(pl.toSeq)))
+        .otherwise(col(s"f$i")).as(s"d$i")
+    }
+    val v0 = withNorm2(Tables.embeddings(s, dir))
+      .select(col("*") +: fasts: _*)
+      .select((col("vec_id") +: col("embedding") +: col("n2") +: dots): _*)
     val bucket = planes.indices.map(i =>
       when(col(s"d$i") > 0, lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
     val minAbs = least(planes.indices.map(i => abs(col(s"d$i"))): _*)
@@ -296,9 +332,9 @@ object Similarity {
         col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("q_emb"), col("embedding"), col("qn2"), col("n2"))
-      // a neighbor can be reached via both probes when it shares the
-      // home bucket — dedup before ranking
-      .distinct()
+    // no dedup needed: the two probe values (bucket, bucket^2^jstar)
+    // always differ and a neighbor has exactly one home bucket, so a
+    // (query, neighbor) pair matches at most one probe
     exactTopK(s, pairs, KnnK)
   }
 
@@ -326,7 +362,7 @@ object Similarity {
        |         unnest([bucket, xor(bucket, 1 << jstar)]) AS probe
        |  FROM v),
        |cand AS (
-       |  SELECT DISTINCT p.query_id, v.vec_id AS neighbor_id,
+       |  SELECT p.query_id, v.vec_id AS neighbor_id,
        |         p.q_emb, v.embedding, p.qn2, v.n2
        |  FROM v JOIN probes p ON v.bucket = p.probe AND v.vec_id <> p.query_id),
        |scored AS (
@@ -365,27 +401,33 @@ object Similarity {
     * so the interpreted decimal reduction is off the per-pair hot path
     * (which stays two-phase vec_dot in exactTopK). */
   private def centScore(emb: Column, cent: Column, cn2: Column): Column =
-    ddot(emb, cent).cast(DoubleType) - cn2 / 2.0
+    graft.plans.VecDotProduct.vec_dot_exact(emb, cent) - cn2 / 2.0
 
   private def withCentNorm(cents: DataFrame): DataFrame =
-    cents.withColumn("cn2", ddot(col("cent"), col("cent")).cast(DoubleType))
+    cents.withColumn("cn2",
+      graft.plans.VecDotProduct.vec_dot_exact(col("cent"), col("cent")))
 
   /** nearest-centroid assignment: broadcast the k-row centroid table,
     * score every (vector, centroid) pair, keep the argmax. Two-phase
-    * like [[pqAssign]]: the corpus×k candidate stream is ranked by the
-    * codegen'd vec_dot and only the fast top-2 get the exact-decimal
-    * score that decides the argmax (bit-identical to exact-everywhere —
-    * same ~1e-13-gap argument, ties break on cid in both phases) — at
-    * k ∝ corpus this is what keeps index builds off the interpreted
-    * reduction. */
+    * like [[pqAssign]]: the corpus×k candidate stream is prefiltered by
+    * the codegen'd vec_dot — every centroid within a 1e-6 margin of the
+    * per-vector fast max survives — and only the survivors get the
+    * exact-decimal score that decides the argmax (bit-identical to
+    * exact-everywhere: fast-vs-exact drift is ~1e-10 ≪ the margin, so
+    * the exact argmax always survives; ties break on cid in both
+    * phases) — at k ∝ corpus this is what keeps index builds off the
+    * interpreted reduction. */
   private def assign(v: DataFrame, cents: DataFrame): DataFrame = {
     import graft.plans.VecDotProduct.vec_dot
-    val mk = graft.plans.TopKPerGroup.MarkerPrefix
-    val w = Window.partitionBy("vec_id").orderBy(col("fast").desc, col("cid"))
+    val w = Window.partitionBy("vec_id")
     v.crossJoin(broadcast(withCentNorm(cents)))
       .withColumn("fast", vec_dot(col("embedding"), col("cent")) - col("cn2") / 2.0)
-      .withColumn(s"${mk}ar", row_number().over(w))
-      .filter(col(s"${mk}ar") <= 2)
+      // margin filter, not top-N-by-rank (the repo's 1e-6-margin rule):
+      // keep EVERY centroid within 1e-6 of the fast max, so the exact
+      // argmax can never hide below a fixed rank cutoff when 3+
+      // centroids are near-tied (fast-vs-exact drift is ~1e-10)
+      .withColumn("fmax", max(col("fast")).over(w))
+      .filter(col("fast") >= col("fmax") - 1e-6)
       .groupBy("vec_id")
       .agg(max_by(col("cid"),
         struct(centScore(col("embedding"), col("cent"), col("cn2")), -col("cid"))).as("list_id"))
@@ -401,7 +443,6 @@ object Similarity {
     * the DuckDB oracle replays training bit-for-bit. */
   private def trainCentroids(v: DataFrame, k: Int = IvfK): DataFrame = {
     import graft.plans.VecDotProduct.vec_dot
-    val mk = graft.plans.TopKPerGroup.MarkerPrefix
     // materialized once: every Lloyd round re-reads the sample, not
     // the parquet scan + norm computation behind it
     val sample = v.select(col("vec_id"), col("embedding"))
@@ -410,14 +451,14 @@ object Similarity {
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cent"))
       .localCheckpoint()
-    val tw = Window.partitionBy("vec_id").orderBy(col("fast").desc, col("cid"))
+    val tw = Window.partitionBy("vec_id")
     for (_ <- 1 to LloydIters) {
       // argmax carries the vector along, so no re-join with the sample;
-      // two-phase (vec_dot top-2 → exact decimal) like assign()
+      // two-phase (vec_dot margin prefilter → exact decimal) like assign()
       val assigned = sample.crossJoin(broadcast(withCentNorm(cents)))
         .withColumn("fast", vec_dot(col("embedding"), col("cent")) - col("cn2") / 2.0)
-        .withColumn(s"${mk}tr", row_number().over(tw))
-        .filter(col(s"${mk}tr") <= 2)
+        .withColumn("fmax", max(col("fast")).over(tw))
+        .filter(col("fast") >= col("fmax") - 1e-6)
         .groupBy("vec_id")
         .agg(
           max_by(col("cid"),
@@ -606,7 +647,8 @@ object Similarity {
       .withColumn(s"${mk}rn", row_number().over(w))
       .filter(col(s"${mk}rn") <= 1)
       .withColumn("cos_raw",
-        ddot(col("q_emb"), col("embedding")).cast(DoubleType) / (sqrt(col("qn2")) * sqrt(col("n2"))))
+        graft.plans.VecDotProduct.vec_dot_exact(col("q_emb"), col("embedding"))
+          / (sqrt(col("qn2")) * sqrt(col("n2"))))
       .select(col("query_id").as("anchor_id"), lit("neg").as("pair_type"),
         col("k"), col("vec_id").as("partner_id"), round6(col("cos_raw")).as("cos_sim"))
     pos.unionByName(neg).orderBy("anchor_id", "pair_type", "k")
@@ -758,7 +800,8 @@ object Similarity {
       .select("vec_id", "m", "sub")
 
   private def pqWithCentNorm(cents: DataFrame): DataFrame =
-    cents.withColumn("cn2", ddot(col("cent"), col("cent")).cast(DoubleType))
+    cents.withColumn("cn2",
+      graft.plans.VecDotProduct.vec_dot_exact(col("cent"), col("cent")))
 
   /** nearest-codebook-entry per (vector, subspace); the codebook table
     * is M×K rows — broadcast. Two-phase argmax, same pattern (and same
@@ -860,7 +903,7 @@ object Similarity {
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents), "m")
       .select(col("query_id"), col("m"), col("cid"),
-        ddot(col("sub"), col("cent")).cast(DoubleType).as("lv"))
+        graft.plans.VecDotProduct.vec_dot_exact(col("sub"), col("cent")).as("lv"))
     val lut = gridLut(v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id")),
       Seq("query_id"), lutVals)
     val q = v.filter(col("vec_id") < 10)
@@ -1012,7 +1055,7 @@ object Similarity {
     // per (query, probed list): q·c constant + the query residual the
     // LUT is built from
     val qres = probes
-      .withColumn("qc", ddot(col("q_emb"), col("cent")).cast(DoubleType))
+      .withColumn("qc", graft.plans.VecDotProduct.vec_dot_exact(col("q_emb"), col("cent")))
       .withColumn("qr", vsub(col("q_emb"), col("cent")))
       .select(col("query_id"), col("cid").as("probe"), col("q_emb"), col("qn2"),
         col("qc"), col("qr"))
@@ -1022,7 +1065,7 @@ object Similarity {
       .withColumn("sub", slice(col("qr"), col("m") * PqD + 1, lit(PqD)))
       .join(broadcast(rcents), "m")
       .select(col("query_id"), col("probe"), col("m"), col("cid"),
-        ddot(col("sub"), col("cent")).cast(DoubleType).as("lv"))
+        graft.plans.VecDotProduct.vec_dot_exact(col("sub"), col("cent")).as("lv"))
     val lut = gridLut(qres, Seq("query_id", "probe"), lutVals)
     val q = qres.select("query_id", "probe", "q_emb", "qn2", "qc")
       .join(lut, Seq("query_id", "probe"))

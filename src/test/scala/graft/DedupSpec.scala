@@ -147,6 +147,44 @@ class DedupSpec extends AnyFunSuite {
         s"query $q: multiprobe rank-1 ${mp((q, 1))} < single-probe ${sp((q, 1))}")
   }
 
+  test("vec_dot_exact is the true exact decimal reduction (oracle semantics)") {
+    // vec_dot_exact must equal an independent driver-side BigDecimal
+    // reduction (sum of HALF_UP-12dp products = DuckDB's list_sum
+    // semantics) EXACTLY, for every pair and for float×double operand
+    // mixes. The interpreted ddot HOF is deliberately NOT the
+    // reference: Spark types Add(dec(38,12), dec(38,12)) as
+    // DECIMAL(38,11), so the HOF rounds at 11dp per accumulation step
+    // — it may drift ≤ ~1e-9 from the true reduction (also pinned).
+    graft.plans.VecDotProduct.register(spark)
+    import graft.plans.VecDotProduct.vec_dot_exact
+    def exactRef(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = java.math.BigDecimal.ZERO
+      a.zip(b).foreach { case (x, y) =>
+        s = s.add(java.math.BigDecimal.valueOf(x.toDouble * y.toDouble)
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+      }
+      s.doubleValue()
+    }
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") <= col("b.vec_id"))
+    val rows = pairs.select(
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+        vec_dot_exact(col("a.embedding"), col("b.embedding")).as("x"),
+        vec_dot_exact(col("a.embedding"),
+          transform(col("b.embedding"), _.cast("double"))).as("xd"),
+        operators.Similarity.ddot(col("a.embedding"), col("b.embedding"))
+          .cast("double").as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ref = exactRef(r.getSeq[Float](0), r.getSeq[Float](1))
+      assert(r.getDouble(2) == ref, s"float×float ${r.getDouble(2)} != $ref")
+      assert(r.getDouble(3) == ref, s"float×double ${r.getDouble(3)} != $ref")
+      assert(math.abs(r.getDouble(4) - ref) < 1e-9,
+        s"ddot HOF drifted beyond its 11dp-per-step bound: ${r.getDouble(4)} vs $ref")
+    }
+  }
+
   test("pagerank conserves probability mass over the symmetric near-dup graph") {
     val rows = Registry.queries("graph_pagerank")(spark, sf).collect()
     assert(rows.nonEmpty)
