@@ -13,6 +13,10 @@ object ScaleProbe {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val src = "/root/testdata/sf0.1"
     val dst = s"target/tmp/scale$Factor"
+    // optional focused run: comma-separated names (registry names
+    // and/or the parameter-exhibit rows like ann_knn_graph@hotSplit)
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
 
     if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
       val reps = spark.range(Factor).withColumnRenamed("id", "rep")
@@ -102,7 +106,7 @@ object ScaleProbe {
       // the same fixed-plane saturation the @planesPropN row remedies),
       // and a standing ~12-minute row would dominate probe runtime
       // without new information.
-      "ann_knn_graph", "graph_pagerank",
+      "ann_knn_graph", "ann_knn_hotsplit", "graph_pagerank",
       "q22_bollinger", "mm_scene_cut", "dedup_minhash_est", "q23_kmv_distinct",
       "q24_twap")
     def time(dir: String, name: String): Double = {
@@ -112,15 +116,16 @@ object ScaleProbe {
     }
     // warmup
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    names.foreach(n => time(src, n))
+    names.filter(wanted).foreach(n => time(src, n))
     // ANN index construction is a maintenance job (build once, serve
     // many queries — like compaction), so warm the ×N indexes too: the
     // probe measures the QUERY path's scaling, and charging a one-time
     // build to the first timed run at one scale but not the other made
     // ann_pq look 88× when its scan is actually linear
-    Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk").foreach(n => time(dst, n))
+    Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk")
+      .filter(wanted).foreach(n => time(dst, n))
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"x$Factor"}%8s ${"ratio"}%6s")
-    names.foreach { n =>
+    names.filter(wanted).foreach { n =>
       val a = time(src, n)
       val b = time(dst, n)
       println(f"$n%-22s $a%8.2f $b%8.2f ${b / a}%6.1f")
@@ -136,10 +141,12 @@ object ScaleProbe {
       operators.Dedup.dedupSemanticAt(spark, dir, k).count()
       (System.nanoTime() - t0) / 1e9
     }
-    timeSem(src, 10); timeSem(dst, 160) // warm (index build = maintenance job)
-    val sa = timeSem(src, 10)
-    val sb = timeSem(dst, 160)
-    println(f"${"dedup_semantic@kPropN"}%-22s $sa%8.2f $sb%8.2f ${sb / sa}%6.1f")
+    if (wanted("dedup_semantic@kPropN")) {
+      timeSem(src, 10); timeSem(dst, 160) // warm (index build = maintenance job)
+      val sa = timeSem(src, 10)
+      val sb = timeSem(dst, 160)
+      println(f"${"dedup_semantic@kPropN"}%-22s $sa%8.2f $sb%8.2f ${sb / sa}%6.1f")
+    }
     // kNN graph at deployment sizing: the registry's 6 hyperplanes (64
     // buckets) make the self-join pair volume ~n²/64 — quadratic under
     // a fixed plane count (the probe line above). Adding 4 planes at
@@ -150,10 +157,47 @@ object ScaleProbe {
       operators.Similarity.knnGraphAt(spark, dir, nPlanes).count()
       (System.nanoTime() - t0) / 1e9
     }
-    timeKnn(src, 6); timeKnn(dst, 10) // warm
-    val ka = timeKnn(src, 6)
-    val kb = timeKnn(dst, 10)
-    println(f"${"ann_knn_graph@planesPropN"}%-22s $ka%8.2f $kb%8.2f ${kb / ka}%6.1f")
+    if (wanted("ann_knn_graph@planesPropN")) {
+      timeKnn(src, 6); timeKnn(dst, 10) // warm
+      val ka = timeKnn(src, 6)
+      val kb = timeKnn(dst, 10)
+      println(f"${"ann_knn_graph@planesPropN"}%-22s $ka%8.2f $kb%8.2f ${kb / ka}%6.1f")
+    }
+    // kNN graph at deployment sizing + hot-bucket splitting: planes ∝ n
+    // keeps MEAN bucket population constant but the cluster-skewed tail
+    // still carries Σ|bucket|² (the 20.1× residual above). The split cap
+    // bounds every join group to ~cap regardless of skew (maxSub ∝ log
+    // of the tail-to-cap ratio); pair volume becomes ≤ (d+1)·cap·n by
+    // construction — the skew-immune row.
+    def timeHot(dir: String, nPlanes: Int, maxSub: Int): Double = {
+      val t0 = System.nanoTime()
+      operators.Similarity.knnGraphHotSplitAt(spark, dir, nPlanes, 12, maxSub).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("ann_knn_graph@hotSplit")) {
+      timeHot(src, 6, 4); timeHot(dst, 10, 6) // warm
+      val ha = timeHot(src, 6, 4)
+      val hb = timeHot(dst, 10, 6)
+      println(f"${"ann_knn_graph@hotSplit"}%-22s $ha%8.2f $hb%8.2f ${hb / ha}%6.1f")
+    }
+    // pHash banding at deployment sizing: the registry pins 4×16-bit
+    // chunks (full recall at hamming ≤ 3); candidates per band are
+    // ~n²/2^chunkBits, so a growing corpus widens the chunks — 2×32-bit
+    // at ×16 data (multi-index hamming sizing; pigeonhole recall moves
+    // to hamming ≤ 1, verification unchanged). The row is the evidence
+    // the band width is the linearity knob, like k for SemDeDup and
+    // plane count for the kNN graph.
+    def timePhash(dir: String, bits: Int): Double = {
+      val t0 = System.nanoTime()
+      operators.Multimodal.phashNeardupAt(spark, dir, bits).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("mm_phash_neardup@bandsPropN")) {
+      timePhash(src, 16); timePhash(dst, 32) // warm
+      val pa = timePhash(src, 16)
+      val pb = timePhash(dst, 32)
+      println(f"${"mm_phash_neardup@bandsPropN"}%-27s $pa%8.2f $pb%8.2f ${pb / pa}%6.1f")
+    }
     spark.stop()
   }
 }

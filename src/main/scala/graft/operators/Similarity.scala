@@ -179,15 +179,17 @@ object Similarity {
 
   private def bucketCol(emb: Column): Column = bucketColFor(emb, planes)
 
-  /** `bucket` as DuckDB SQL over column `embedding`, from the same
+  /** `bucket` as DuckDB SQL over column `embedding`, from the given
     * plane constants. */
-  private def bucketSql: String =
-    planes.zipWithIndex.map { case (pl, i) =>
+  private def bucketSqlFor(pls: Array[Array[Double]]): String =
+    pls.zipWithIndex.map { case (pl, i) =>
       val lits = pl.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, $lits),
          |  x -> CAST(CAST(x[1] AS DOUBLE) * x[2] AS DECIMAL(38,12)))) > 0
          |  THEN ${1 << i} ELSE 0 END)""".stripMargin
     }.mkString("(", "\n + ", ")")
+
+  private def bucketSql: String = bucketSqlFor(planes)
 
   private val annLshSql =
     s"""WITH v AS (
@@ -365,6 +367,154 @@ object Similarity {
        |  SELECT p.query_id, v.vec_id AS neighbor_id,
        |         p.q_emb, v.embedding, p.qn2, v.n2
        |  FROM v JOIN probes p ON v.bucket = p.probe AND v.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= $KnnK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- ann_knn_hotsplit: kNN graph with hot-bucket splitting ------------
+  // The scale fix for the LSH self-join's skew residual: bucket
+  // population follows the corpus's cluster skew, so even with the
+  // plane count sized to the corpus (mean population constant) the
+  // hottest buckets carry Σ|bucket|² pair volume far above the mean
+  // (probed 20.1× at 16× data under planes ∝ n). Splitting ONLY the
+  // hot buckets bounds every join group: a bucket with population
+  // `pop` > `cap` gets a secondary hyperplane signature (the next
+  // planes of the same seed-42 family) truncated to
+  // d = ceil(log2(pop/cap)) bits — computed with integer threshold
+  // compares, never a floating log — so every sub-bucket population
+  // lands near `cap` and per-vector candidates are ~2·cap regardless
+  // of skew. Recall across sub-bucket boundaries is recovered by
+  // Hamming-1 multiprobe over the ACTIVE bits: each query probes its
+  // home sub-bucket plus every single-bit flip of the d active planes
+  // (d+1 probes), so a near-neighbor is lost only when ≥2 secondary
+  // signs disagree — and close vectors agree on confident planes.
+  // Pair volume is ≤ ~(d_max+1)·cap·n, i.e. linear in the corpus with
+  // a log(skew) factor, BY CONSTRUCTION, not by distributional luck.
+  // Cold buckets (d = 0) are untouched — identical candidates to
+  // ann_knn_graph.
+  //
+  // Everything replays in the oracle: populations are exact counts
+  // (a window count in the SQL twin), depth thresholds are integer
+  // compares, and the secondary dots are two-phase — codegen'd
+  // vec_dot in the scan, exact-decimal recompute ONLY where an active
+  // sign bit is ambiguous (|fast| < SignEps), which provably
+  // reproduces the exact-everywhere signs the DuckDB twin computes.
+
+  // cap 12 so the driver's sf0.01 gate (max bucket pop 16 there)
+  // actually exercises split + probe decisions; a deployment sizes the
+  // cap to what one executor comfortably self-joins (e.g. 10^4).
+  // Recall vs the unsplit graph is the cap's price (measured: 1.0 at
+  // sf0.01, 0.85 at sf0.1 where the cap sits at ~1/3 of mean bucket
+  // population — a deployment cap sits in the skew TAIL, where the
+  // only affected buckets are the ones that would straggle anyway)
+  private val HotCap = 12
+  private val HotMaxSub = 4
+
+  /** Hot-split kNN graph at explicit parameters; the registry entry
+    * pins (6 planes, cap 32, 4 sub-planes) for the oracle, ScaleProbe
+    * runs planes ∝ n with the same cap (`ann_knn_graph@hotSplit`) —
+    * at 100 TB, `cap` is the knob that bounds the self-join group
+    * size no matter how skewed the embedding space is. */
+  def knnGraphHotSplitAt(s: SparkSession, dir: String, nPlanes: Int,
+      cap: Int = HotCap, maxSub: Int = HotMaxSub): DataFrame = {
+    import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
+    graft.plans.VecDotProduct.register(s)
+    val fam = gaussianPlanes(nPlanes + maxSub)
+    val primary = fam.take(nPlanes)
+    val secondary = fam.drop(nPlanes)
+    val v0 = withNorm2(Tables.embeddings(s, dir))
+      .withColumn("bucket", bucketColFor(col("embedding"), primary))
+    // bucket populations: ≤ 2^nPlanes rows — broadcast back to the scan
+    val pops = v0.groupBy("bucket").agg(count(lit(1)).as("pop"))
+    // split depth d = ceil(log2(pop/cap)) via integer thresholds
+    val dCol = (0 until maxSub)
+      .map(k => when(col("pop") > (cap.toLong << k), 1).otherwise(0))
+      .reduce(_ + _)
+    // two-phase secondary sign bits: only signs matter (no argmin —
+    // the probe set is ALL Hamming-1 flips, not a least-confident
+    // pick), so the exact recompute triggers only on |fast| < SignEps
+    val subKey = secondary.zipWithIndex.map { case (pl, i) =>
+      val plLit = typedLit(pl.toSeq)
+      val fast = vec_dot(col("embedding"), plLit)
+      val sd = when(abs(fast) < SignEps, vec_dot_exact(col("embedding"), plLit))
+        .otherwise(fast)
+      when(col("d") > i && sd > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val v = v0.join(broadcast(pops), "bucket")
+      .withColumn("d", dCol)
+      .withColumn("sub", subKey)
+      .select("vec_id", "embedding", "n2", "bucket", "sub", "d")
+    // probes: home sub-bucket + every single-bit flip of the d active
+    // planes (an array literal per possible depth — d ≤ maxSub)
+    val probeArr = (1 to maxSub).foldLeft(
+        when(col("d") === 0, array(col("sub")))) { (acc, dd) =>
+      acc.when(col("d") === dd,
+        array(col("sub") +: (0 until dd).map(i =>
+          col("sub").bitwiseXOR(lit(1 << i))): _*))
+    }
+    val q = v.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("n2").as("qn2"),
+        col("bucket").as("q_bucket"),
+        explode(probeArr).as("probe"))
+    val pairs = v.join(q,
+        col("bucket") === col("q_bucket") && col("sub") === col("probe") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, KnnK)
+  }
+
+  private def annKnnHotsplit(s: SparkSession, dir: String): DataFrame =
+    knnGraphHotSplitAt(s, dir, planes.length)
+
+  private val annKnnHotsplitSql: String = {
+    val fam = gaussianPlanes(planes.length + HotMaxSub)
+    val secondary = fam.drop(planes.length)
+    val sdExprs = secondary.zipWithIndex.map { case (pl, i) =>
+      val lits = pl.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""CAST(list_sum(list_transform(list_zip(embedding, $lits),
+         |  x -> CAST(CAST(x[1] AS DOUBLE) * x[2] AS DECIMAL(38,12)))) AS DOUBLE) AS sd$i""".stripMargin
+    }.mkString(",\n         ")
+    val dExpr = (0 until HotMaxSub)
+      .map(k => s"(CASE WHEN pop > ${HotCap.toLong << k} THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val subExpr = (0 until HotMaxSub)
+      .map(i => s"(CASE WHEN d > $i AND sd$i > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val probeExpr = (1 to HotMaxSub).map { dd =>
+      val flips = (0 until dd).map(i => s"xor(sub, ${1 << i})").mkString(", ")
+      s"WHEN $dd THEN [sub, $flips]"
+    }.mkString("CASE d WHEN 0 THEN [sub] ", " ", " END")
+    s"""WITH v0 AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
+       |         ${bucketSqlFor(fam.take(planes.length))} AS bucket,
+       |         $sdExprs
+       |  FROM embeddings),
+       |v1 AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS pop FROM v0),
+       |v2 AS (SELECT *, $dExpr AS d FROM v1),
+       |v AS (SELECT vec_id, embedding, n2, bucket, d, $subExpr AS sub FROM v2),
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS qn2,
+       |         bucket AS q_bucket,
+       |         unnest($probeExpr) AS probe
+       |  FROM v),
+       |cand AS (
+       |  SELECT p.query_id, v.vec_id AS neighbor_id,
+       |         p.q_emb, v.embedding, p.qn2, v.n2
+       |  FROM v JOIN probes p
+       |    ON v.bucket = p.q_bucket AND v.sub = p.probe
+       |   AND v.vec_id <> p.query_id),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(n2)) AS cos_raw
@@ -1224,6 +1374,7 @@ object Similarity {
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
     Op("ann_knn_multiprobe", annKnnMultiprobe, Some(annKnnMultiprobeSql)),
+    Op("ann_knn_hotsplit", annKnnHotsplit, Some(annKnnHotsplitSql)),
     Op("ann_ivf_topk", annIvf, Some(annIvfSql)),
     Op("ann_pq_topk", annPq, Some(annPqSql)),
     Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),

@@ -147,6 +147,21 @@ class DedupSpec extends AnyFunSuite {
         s"query $q: multiprobe rank-1 ${mp((q, 1))} < single-probe ${sp((q, 1))}")
   }
 
+  test("hot-split kNN graph keeps near-full recall of the unsplit graph") {
+    // splitting only bounds candidate sets; with Hamming-1 multiprobe
+    // over the active secondary bits, a base-graph edge is lost only
+    // when ≥2 secondary signs disagree between true neighbors
+    val bg = Registry.queries("ann_knn_graph")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = Registry.queries("ann_knn_hotsplit")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bg.intersect(hs).size.toDouble / bg.size
+    assert(recall >= 0.95, s"hot-split recall $recall vs unsplit graph")
+    // every query keeps a full top-k: same query set as the base graph
+    val bq = bg.map(_._1); val hq = hs.map(_._1)
+    assert(bq.subsetOf(hq), s"hot-split lost queries: ${bq.diff(hq).take(5)}")
+  }
+
   test("vec_dot_exact is the true exact decimal reduction (oracle semantics)") {
     // vec_dot_exact must equal an independent driver-side BigDecimal
     // reduction (sum of HALF_UP-12dp products = DuckDB's list_sum
