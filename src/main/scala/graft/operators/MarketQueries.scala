@@ -723,6 +723,34 @@ object MarketQueries {
         percentile_approx(col("price"), lit(0.99), lit(5000)).as("p99"))
       .orderBy("symbol")
 
+  // --- Q25: t-digest per-symbol quantiles (mergeable, tail-accurate) ---
+  // The third custom TypedImperativeAggregate (plans.TDigestSketch),
+  // completing the sketch trio: SpaceSaving (heavy hitters), KMV
+  // (distincts), t-digest (quantiles). Same single-pass mergeable
+  // shape as q16's percentile_approx but with the k1 scale function's
+  // tail resolution — centroid capacity shrinks toward q→0/1, which is
+  // where p99 market queries live — and an explicitly pinned error
+  // contract (QueriesSpec bounds rank error vs q15's exact answers;
+  // DeterminismSpec bounds it under adversarial partitionings and pins
+  // exact min/max/total). Compression order is partition-order-
+  // dependent (inherent to every t-digest) ⇒ rows-only oracle, like
+  // q16: the BOUND, not the estimate, is the portable contract.
+
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TDigestSketch.register(s)
+    import graft.plans.TDigestSketch.tdigest_quantiles
+    trades(s, dir)
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n_trades"),
+        tdigest_quantiles(col("price").cast(DoubleType), 100,
+          Seq(0.50, 0.90, 0.99)).as("qs"))
+      .select(col("symbol"), col("n_trades"),
+        col("qs").getItem(0).as("p50"),
+        col("qs").getItem(1).as("p90"),
+        col("qs").getItem(2).as("p99"))
+      .orderBy("symbol")
+  }
+
   // --- Q17: sketched distinct counts (HLL++) ---------------------------
   // q7's audit pays an exact countDistinct (a shuffle of every distinct
   // key); this is its 100 TB sibling — approx_count_distinct's
@@ -1118,7 +1146,8 @@ object MarketQueries {
     Op("q21_anomaly", q21, Some(q21Sql)),
     Op("q22_bollinger", q22, Some(q22Sql)),
     Op("q23_kmv_distinct", q23, Some(q23Sql)),
-    Op("q24_twap", q24, Some(q24Sql)))
+    Op("q24_twap", q24, Some(q24Sql)),
+    Op("q25_tdigest_quantiles", q25, None))
 
 
 }

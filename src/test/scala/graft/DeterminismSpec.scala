@@ -90,6 +90,32 @@ class DeterminismSpec extends AnyFunSuite {
     assert(run("2") == run("11"))
   }
 
+  test("t-digest error bound holds under adversarial partitionings") {
+    // the t-digest ESTIMATE is partition-order-dependent (inherent to
+    // the sketch — why q25 is rows-only); the pinned contract is that
+    // the rank-error BOUND holds under ANY partitioning, and that
+    // total weight is exact. Feed a skewed distribution (heavy ties +
+    // a long tail) through 1, 3 and 32 partitions.
+    graft.plans.TDigestSketch.register(spark)
+    import graft.plans.TDigestSketch.tdigest_quantiles
+    val xs = samples(1).head.map(math.abs) // 200 money-like values
+    val sorted = xs.sorted
+    val n = xs.length
+    for (parts <- Seq(1, 3, 32)) {
+      val qs = xs.toDF("x").repartition(parts)
+        .agg(tdigest_quantiles(col("x"), 100, Seq(0.0, 0.5, 0.99, 1.0)).as("q"))
+        .head.getSeq[Double](0)
+      assert(qs(0) == sorted.head, s"min not exact under parts=$parts")
+      assert(qs(3) == sorted.last, s"max not exact under parts=$parts")
+      for ((p, i) <- Seq((0.5, 1), (0.99, 2))) {
+        val rank = sorted.count(_ <= qs(i))
+        val target = math.ceil(p * n).toLong
+        assert(math.abs(rank - target) <= math.max(2L, n / 25),
+          s"p$p: ${qs(i)} rank $rank vs $target under parts=$parts")
+      }
+    }
+  }
+
   test("plain double sum is NOT order-stable (why dsum exists)") {
     // documents that the naive approach can differ across
     // partitionings on adversarial data; dsum never may (above).

@@ -68,6 +68,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q25 t-digest quantiles sit within rank-error bound of q15 exact") {
+    import org.apache.spark.sql.functions._
+    // k1 scale at compression 100: centroid weight near the median is
+    // ~n/25 worst-case (rank error ≤ half of that); capacity shrinks
+    // toward the tails, so p99 is tighter than p50 by construction
+    val exactRanks = Registry.queries("q15_quantiles")(spark, sf)
+    val sketch = Registry.queries("q25_tdigest_quantiles")(spark, sf)
+    val trades = Registry.queries("etl_normalize")(spark, sf)
+      .select("symbol", "price")
+    val joined = sketch.join(
+      exactRanks.select(col("symbol"), col("n_trades").as("n_exact")), "symbol")
+    for (r <- joined.collect();
+         (p, idx, frac) <- Seq((0.50, "p50", 50L), (0.90, "p90", 50L), (0.99, "p99", 100L))) {
+      val sym = r.getAs[String]("symbol")
+      val n = r.getAs[Long]("n_exact")
+      val v = r.getAs[Double](idx)
+      val rank = trades.filter(col("symbol") === sym && col("price") <= v).count()
+      val target = math.ceil(p * n).toLong
+      val tol = math.max(2L, n / frac)
+      assert(math.abs(rank - target) <= tol,
+        s"$sym $idx: value $v has rank $rank, target $target ± $tol (n=$n)")
+    }
+  }
+
   test("q17 HLL distinct estimates land within relative-error bound of exact") {
     import org.apache.spark.sql.functions._
     val sketch = Registry.queries("q17_distinct_sketch")(spark, sf)
