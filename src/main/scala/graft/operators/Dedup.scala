@@ -332,13 +332,23 @@ object Dedup {
     * 4 × 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal;
     * recall above that is partial by design, as in any banded phash),
     * hamming distance attached. */
-  private[operators] def simhashChunkPairs(sig: DataFrame): DataFrame = {
-    val chunkDefs = Seq( // (chunk_idx, source half, shift)
-      (0, "sim_lo", 0), (1, "sim_lo", 16), (2, "sim_hi", 0), (3, "sim_hi", 16))
+  private[graft] def simhashChunkPairs(sig: DataFrame, chunkBits: Int = 16): DataFrame = {
+    // chunk width is the banded-LSH corpus parameter: candidates per
+    // bucket are ~n²/2^chunkBits, so a growing corpus WIDENS chunks
+    // (multi-index hamming sizing) to keep buckets bounded — at the
+    // price of the pigeonhole guarantee (4×16-bit ⇒ full recall at
+    // hamming ≤ 3; 2×32-bit ⇒ at hamming ≤ 1). ScaleProbe's
+    // mm_phash_neardup@bandsPropN row is the evidence.
+    val chunkDefs = chunkBits match { // (chunk_idx, source half, shift)
+      case 16 => Seq((0, "sim_lo", 0), (1, "sim_lo", 16), (2, "sim_hi", 0), (3, "sim_hi", 16))
+      case 32 => Seq((0, "sim_lo", 0), (1, "sim_hi", 0))
+      case b  => throw new IllegalArgumentException(s"chunkBits 16|32, got $b")
+    }
+    val mask = if (chunkBits == 16) 0xFFFFL else 0xFFFFFFFFL
     val chunks = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(array(chunkDefs.map { case (c, src, sh) =>
           struct(lit(c).as("chunk_idx"),
-            shiftright(col(src), sh).bitwiseAND(0xFFFFL).as("chunk"))
+            shiftright(col(src), sh).bitwiseAND(mask).as("chunk"))
         }: _*)).as("ch"))
       .select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         col("ch.chunk_idx").as("chunk_idx"), col("ch.chunk").as("chunk"))

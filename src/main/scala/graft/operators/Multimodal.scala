@@ -10,13 +10,18 @@ import graft.functions.{round6, round6Sql}
 /** Multimodal-column plumbing: media payloads as opaque `binary`
   * columns with typed metadata, processed by narrow per-row transforms.
   *
-  * The container has no image/audio codecs, so the *decode* step is a
-  * deterministic fake: the payload is the document text's UTF-8 bytes
-  * (all test text is ASCII, so byte and char offsets agree — asserted
-  * in MultimodalSpec). Everything around the stub is real Spark
-  * plumbing: binary schema, per-row digests, fixed-stride frame
-  * sampling via a generator expression (explode of a computed index
-  * range — no UDF, no shuffle), and partition-friendly output.
+  * The decode tier is REAL for the formats the JDK's pure-Java
+  * `javax.imageio` readers cover (PNG/BMP/GIF — `plans.ImageDecode`,
+  * exercised on synthesized images in MultimodalSpec): every payload
+  * passes through the decode probe, and payloads no reader claims
+  * (like the documents corpus's text bytes) flow to the deterministic
+  * fallback — the raw byte stream (all test text is ASCII, so byte and
+  * char offsets agree, asserted in MultimodalSpec). Audio/video codecs
+  * aren't in the container, so frame extraction stays byte-stride on
+  * the payload. Everything around the decode is real Spark plumbing:
+  * binary schema, per-row digests, fixed-stride frame sampling via a
+  * generator expression (explode of a computed index range — no UDF,
+  * no shuffle), and partition-friendly output.
   */
 object Multimodal {
 
@@ -27,9 +32,15 @@ object Multimodal {
 
   // --- mm_meta: typed metadata over opaque binary ----------------------
 
-  private def mmMeta(s: SparkSession, dir: String): DataFrame =
+  private def mmMeta(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ImageMeta.register(s)
     Tables.documents(s, dir)
       .withColumn("payload", payload)
+      // the real decode probe runs on EVERY payload (javax.imageio
+      // readers; plans.ImageDecode) — the documents corpus carries no
+      // image bytes, so these land NULL here, and MultimodalSpec
+      // proves the same probe fills them for synthesized PNG/BMP/GIF
+      .withColumn("img", graft.plans.ImageMeta.image_meta(col("payload")))
       .select(
         col("doc_id"),
         length(col("payload")).as("byte_len"),
@@ -37,18 +48,27 @@ object Multimodal {
         md5(col("payload")).as("md5"),
         // mime tag from the source system (deterministic fake routing)
         concat(lit("application/x-graft-"), col("source")).as("mime"),
-        ceil(length(col("payload")).cast(DoubleType) / FrameBytes).cast(IntegerType).as("n_frames"))
+        ceil(length(col("payload")).cast(DoubleType) / FrameBytes).cast(IntegerType).as("n_frames"),
+        col("img.format").as("decoded_format"),
+        col("img.width").as("decoded_width"),
+        col("img.height").as("decoded_height"))
       .orderBy("doc_id")
+  }
 
   // DuckDB 1.0 lacks BLOB digests; text is ASCII so the string digests
-  // equal the payload digests (same UTF-8 bytes).
+  // equal the payload digests (same UTF-8 bytes). The decode-probe
+  // columns are NULL on this corpus (no image payloads) — the oracle
+  // pins exactly that.
   private val mmMetaSql =
     s"""SELECT doc_id,
        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
        |       sha256(text) AS sha256,
        |       md5(text) AS md5,
        |       'application/x-graft-' || source AS mime,
-       |       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes) AS INTEGER) AS n_frames
+       |       CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes) AS INTEGER) AS n_frames,
+       |       CAST(NULL AS VARCHAR) AS decoded_format,
+       |       CAST(NULL AS INTEGER) AS decoded_width,
+       |       CAST(NULL AS INTEGER) AS decoded_height
        |FROM documents ORDER BY doc_id""".stripMargin
 
   // --- mm_frame_sample: fixed-stride frame extraction ------------------
@@ -114,34 +134,54 @@ object Multimodal {
 
   // public: Encoder codegen instantiates these from generated classes
   case class PayloadRow(doc_id: Long, payload: Array[Byte])
-  case class FeatureRow(doc_id: Long, byte_len: Int,
+  case class FeatureRow(doc_id: Long, kind: String, byte_len: Int,
       n_space: Int, n_vowel: Int, space_density: Double)
+
+  /** Per-payload feature extraction, decode-aware: image payloads
+    * (javax.imageio) get the byte-stream features over the decoded
+    * luminance plane (n_space → dark pixels < 64, n_vowel → bright
+    * pixels > 192); everything else over the raw bytes — the fallback
+    * contract. Exercised on synthesized PNG/BMP in MultimodalSpec. */
+  private[graft] def featureOf(docId: Long, pl: Array[Byte]): FeatureRow =
+    graft.plans.ImageDecode.decode(pl) match {
+      case Some(d) =>
+        var dark = 0; var bright = 0; var i = 0
+        while (i < d.luma.length) {
+          val v = d.luma(i) & 0xff
+          if (v < 64) dark += 1
+          else if (v > 192) bright += 1
+          i += 1
+        }
+        val density =
+          if (d.luma.length == 0) 0.0
+          else math.floor(dark.toDouble / d.luma.length * 1e6 + 0.5) / 1e6
+        FeatureRow(docId, "image/" + d.format, pl.length, dark, bright, density)
+      case None =>
+        var spaces = 0; var vowels = 0; var i = 0
+        while (i < pl.length) {
+          val b = pl(i)
+          if (b == ' '.toByte) spaces += 1
+          else if (b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u') vowels += 1
+          i += 1
+        }
+        val density =
+          math.floor(spaces.toDouble / pl.length * 1e6 + 0.5) / 1e6
+        FeatureRow(docId, "raw", pl.length, spaces, vowels, density)
+    }
 
   private def mmFeatureExtract(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(col("doc_id"), payload.as("payload"))
       .as[PayloadRow]
-      .mapPartitions { batch =>
-        batch.map { r =>
-          var spaces = 0; var vowels = 0; var i = 0
-          while (i < r.payload.length) {
-            val b = r.payload(i)
-            if (b == ' '.toByte) spaces += 1
-            else if (b == 'a' || b == 'e' || b == 'i' || b == 'o' || b == 'u') vowels += 1
-            i += 1
-          }
-          val density =
-            math.floor(spaces.toDouble / r.payload.length * 1e6 + 0.5) / 1e6
-          FeatureRow(r.doc_id, r.payload.length, spaces, vowels, density)
-        }
-      }
+      .mapPartitions(batch => batch.map(r => featureOf(r.doc_id, r.payload)))
       .toDF()
       .orderBy("doc_id")
   }
 
   private val mmFeatureExtractSql =
     """SELECT doc_id,
+      |       'raw' AS kind,
       |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
       |       CAST(length(text) - length(replace(text, ' ', '')) AS INTEGER) AS n_space,
       |       CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS n_vowel,
@@ -231,17 +271,25 @@ object Multimodal {
 
   private val PhashHamming = 10
 
-  private def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+  /** pHash near-dup at an explicit chunk width — the registry entry
+    * pins the oracle's 4×16-bit bands; a deployment widens chunks as
+    * the corpus grows (candidates ~n²/2^chunkBits per band; the
+    * multi-index hamming sizing rule). ScaleProbe's
+    * `mm_phash_neardup@bandsPropN` row is the evidence. */
+  def phashNeardupAt(s: SparkSession, dir: String, chunkBits: Int): DataFrame = {
     val grams = Tables.documents(s, dir)
       .withColumn("payload", payload)
       .withColumn("i", explode(
         when(length(col("payload")) >= 4, sequence(lit(1), length(col("payload")) - 3))
           .otherwise(array().cast(ArrayType(IntegerType)))))
       .select(col("doc_id"), col("payload").substr(col("i"), lit(4)).as("gram"))
-    Dedup.simhashChunkPairs(Dedup.simhashHalves(grams))
+    Dedup.simhashChunkPairs(Dedup.simhashHalves(grams), chunkBits)
       .filter(col("hamming") <= PhashHamming)
       .orderBy("id_a", "id_b")
   }
+
+  private def mmPhashNeardup(s: SparkSession, dir: String): DataFrame =
+    phashNeardupAt(s, dir, 16)
 
   private val mmPhashNeardupSql =
     s"""WITH grams AS (

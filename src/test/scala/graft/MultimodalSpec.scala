@@ -22,6 +22,66 @@ class MultimodalSpec extends AnyFunSuite {
     assert(mismatched == 0)
   }
 
+  // --- real decode path (javax.imageio, pure JVM) -----------------------
+
+  /** Deterministic test image: RGB gradient r=(x·7)%256, g=(y·13)%256,
+    * b=(x+y)%256 — plus its expected integer-601 luminance plane. */
+  private def testImage(w: Int, h: Int): (java.awt.image.BufferedImage, Array[Int]) = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val luma = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7) % 256; val g = (y * 13) % 256; val b = (x + y) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      luma(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+    }
+    (img, luma)
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("image payloads take the real javax.imageio decode path") {
+    import spark.implicits._
+    val (img, luma) = testImage(17, 9)
+    val png = encode(img, "png")
+    val bmp = encode(img, "bmp")
+    val txt = "plain text payload".getBytes("UTF-8")
+    graft.plans.ImageMeta.register(spark)
+    val rows = Seq((1L, png), (2L, bmp), (3L, txt)).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        graft.plans.ImageMeta.image_meta(col("payload")).as("m"))
+      .select(col("doc_id"), col("m.format"), col("m.width"),
+        col("m.height"), col("m.mean_luma"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val meanExp = math.floor(
+      luma.map(_.toLong).sum.toDouble / luma.length * 1e6 + 0.5) / 1e6
+    for ((id, fmt) <- Seq(1L -> "png", 2L -> "bmp")) {
+      val r = rows(id)
+      assert(r.getString(1) == fmt, s"doc $id decoded as ${r.getString(1)}")
+      assert(r.getInt(2) == 17 && r.getInt(3) == 9)
+      // PNG and BMP are lossless: the decoded luminance plane — and so
+      // its mean — must be bit-exact vs the ground-truth computation
+      assert(r.getDouble(4) == meanExp, s"$fmt mean ${r.getDouble(4)} != $meanExp")
+    }
+    assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(2), "text must fall back")
+  }
+
+  test("feature extraction routes image payloads through the decoder") {
+    val (img, luma) = testImage(31, 7)
+    val png = encode(img, "png")
+    val fr = operators.Multimodal.featureOf(42L, png)
+    assert(fr.kind == "image/png")
+    assert(fr.byte_len == png.length)
+    assert(fr.n_space == luma.count(_ < 64), "dark-pixel count")
+    assert(fr.n_vowel == luma.count(_ > 192), "bright-pixel count")
+    val txt = operators.Multimodal.featureOf(7L, "a b c".getBytes("UTF-8"))
+    assert(txt.kind == "raw" && txt.n_space == 2 && txt.n_vowel == 1)
+  }
+
   test("mm_frame_sample covers every payload byte exactly once") {
     val frames = Registry.queries("mm_frame_sample")(spark, sf)
     val byDoc = frames.groupBy("doc_id")
