@@ -457,6 +457,106 @@ class EtlSpec extends AnyFunSuite {
     assert(materialized.size == base.size + 2) // one new symbol-month per append
   }
 
+  test("snapshot commit contract survives a no-atomic-rename object store") {
+    // The reference lake is S3-native; S3 has atomic single-object PUT
+    // but NO atomic rename. This pins the three properties that make
+    // the snapshot layer correct under exactly that model:
+    //   1. the commit ATOM is the manifest object (one PUT) — readers
+    //      resolve a version's explicit file list, never a directory
+    //      listing, so data-file visibility flips atomically with it;
+    //   2. in-flight writer state is invisible: Spark's committer keeps
+    //      task files under _-prefixed paths, which both readVersion
+    //      and commit() exclude — a writer crash before its manifest
+    //      commit leaves NO torn state for readers or later commits;
+    //   3. committed data files are immutable — never renamed or
+    //      rewritten in place; evolution is append + new-manifest
+    //      (compaction writes NEW files and expires old manifests).
+    import spark.implicits._
+    import graft.etl.Snapshots
+    val lake = "target/tmp/etl-objstore"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(lake))
+    Seq((1L, "x", 10.0), (2L, "y", 20.0)).toDF("id", "sym", "v")
+      .write.partitionBy("sym").parquet(lake)
+    val v1 = Snapshots.commit(spark, lake)
+    val n1 = Snapshots.readVersion(spark, lake, v1).count()
+    // (2) a writer dies mid-job: its in-flight bytes sit under a
+    // _-prefixed scratch path (FileOutputCommitter's `_temporary`; a
+    // disjoint _-dir here so the test's own later append job's LIVE
+    // committer doesn't adopt the fake task dir as committed output —
+    // which it otherwise would, the committer protocol in action)
+    val tmp = Paths.get(s"$lake/_inflight-upload/attempt-7")
+    Files.createDirectories(tmp)
+    Files.write(tmp.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    assert(Snapshots.readVersion(spark, lake, v1).count() == n1,
+      "crashed writer leaked into a committed snapshot read")
+    val v2 = Snapshots.commit(spark, lake)
+    assert(Snapshots.manifest(spark, lake, v2) == Snapshots.manifest(spark, lake, v1),
+      "crashed writer's scratch files swept into the next commit")
+    // (1) append new data; visibility flips only with the new manifest
+    Seq((3L, "x", 30.0)).toDF("id", "sym", "v")
+      .write.mode("append").partitionBy("sym").parquet(lake)
+    assert(Snapshots.readVersion(spark, lake, v2).count() == n1,
+      "a committed version must never see files committed after it")
+    val v3 = Snapshots.commit(spark, lake)
+    assert(Snapshots.readVersion(spark, lake, v3).count() == n1 + 1)
+    // (3) immutability: every file v1 referenced still exists with the
+    // same length after later commits — nothing was renamed or mutated
+    val fsys = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.manifest(spark, lake, v1).foreach { case (rel, len) =>
+      val p = new org.apache.hadoop.fs.Path(s"$lake/$rel")
+      assert(fsys.exists(p), s"$rel vanished from under snapshot v1")
+      assert(fsys.getFileStatus(p).getLen == len, s"$rel mutated in place")
+    }
+  }
+
+  test("download ledger: 404-no-retry, exponential backoff, replay to ok") {
+    import spark.implicits._
+    import graft.etl.DownloadLedger
+    val root = "target/tmp/etl-dlledger"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // attempt streams mirroring the reference's per-file outcomes
+    val batch1 = Seq(
+      ("a/ok-first", ts(100), 200, 1000L),                 // clean success
+      ("b/flaky", ts(100), 503, 0L),                       // 1 failure → retry
+      ("c/gone", ts(100), 404, 0L),                        // 404 → terminal, NO retry
+      ("d/dead", ts(100), 500, 0L), ("d/dead", ts(101), 500, 0L),
+      ("d/dead", ts(103), 500, 0L)                         // 3 failures → exhausted
+    ).toDF("file_key", "attempt_ts", "status_code", "bytes")
+    DownloadLedger.append(spark, root, batch1)
+    val rep1 = DownloadLedger.statusReport(DownloadLedger.read(spark, root))
+      .collect().map(r => r.getAs[String]("file_key") -> r).toMap
+    assert(rep1("a/ok-first").getAs[String]("status") == "ok")
+    assert(rep1("b/flaky").getAs[String]("status") == "retry_pending")
+    assert(rep1("c/gone").getAs[String]("status") == "not_found")
+    assert(rep1("d/dead").getAs[String]("status") == "exhausted")
+    // backoff arithmetic: after 1 failure the reference waits 2^0 = 1s
+    assert(rep1("b/flaky").getAs[java.sql.Timestamp]("due_at") == ts(101))
+    // the queue respects the backoff clock and NEVER contains a 404
+    val qEarly = DownloadLedger.retryQueue(
+      DownloadLedger.statusReport(DownloadLedger.read(spark, root)),
+      lit(ts(100)).cast("timestamp")).collect()
+    assert(qEarly.isEmpty, "backoff not yet elapsed")
+    val qDue = DownloadLedger.retryQueue(
+      DownloadLedger.statusReport(DownloadLedger.read(spark, root)),
+      lit(ts(200)).cast("timestamp")).collect().map(_.getString(0))
+    assert(qDue.toSeq == Seq("b/flaky"), s"queue was ${qDue.toSeq}")
+    // the re-run appends its attempts; a success absorbs the history
+    DownloadLedger.append(spark, root,
+      Seq(("b/flaky", ts(200), 200, 777L)).toDF("file_key", "attempt_ts", "status_code", "bytes"))
+    val rep2 = DownloadLedger.statusReport(DownloadLedger.read(spark, root))
+    val flaky = rep2.filter(col("file_key") === "b/flaky").head
+    assert(flaky.getAs[String]("status") == "ok")
+    assert(flaky.getAs[Long]("ok_bytes") == 777L)
+    assert(flaky.getAs[Long]("n_attempts") == 2L)
+    // the end-of-run stats dict
+    val s = DownloadLedger.summary(rep2).head
+    assert(s.getAs[Long]("files_ok") == 2 && s.getAs[Long]("files_not_found") == 1
+      && s.getAs[Long]("files_exhausted") == 1 && s.getAs[Long]("files_retry_pending") == 0)
+    assert(s.getAs[Long]("total_bytes") == 1777L)
+  }
+
   test("partition audit groups by lake partition columns") {
     val audit = MarketEtl.partitionAudit(
       MarketEtl.dqFilter(MarketEtl.normalize(MarketEtl.readTradesCsv(spark, base))))
