@@ -95,7 +95,7 @@ object ScaleProbe {
       "r29_top_supplier", "r30_nation_profit", "r31_bloom_prune",
       "r32_catalog_stats", "q17_distinct_sketch",
       "pack_attention_mask", "text_pii_redact", "text_rarity_score",
-      "text_bm25_topk", "ann_pq_topk", "ann_ivfpq_topk",
+      "text_bm25_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_opq_topk",
       "q18_pattern_scan", "etl_constraint_check",
       "q19_funnel", "q20_retention", "q21_anomaly",
       "dedup_semantic", "dedup_substring_spans",
@@ -122,7 +122,7 @@ object ScaleProbe {
     // probe measures the QUERY path's scaling, and charging a one-time
     // build to the first timed run at one scale but not the other made
     // ann_pq look 88× when its scan is actually linear
-    Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk")
+    Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_opq_topk")
       .filter(wanted).foreach(n => time(dst, n))
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"x$Factor"}%8s ${"ratio"}%6s")
     names.filter(wanted).foreach { n =>
