@@ -1050,12 +1050,18 @@ object Similarity {
     * per-query grid LUT, ADC prefilter, exact rescore. Shared by
     * ann_pq_topk (raw corpus) and ann_opq_topk (rotated corpus). */
   private def pqServe(s: SparkSession, base: DataFrame,
-      cents: DataFrame, codes: DataFrame): DataFrame = {
+      cents: DataFrame, codes: DataFrame,
+      lutSrc: Option[DataFrame] = None): DataFrame = {
     val v = withNorm2(base)
+    // the LUT must be built in the INDEX's coordinate system (rotated
+    // for OPQ); the scan/rescore side stays in the original system —
+    // cosine is rotation-invariant, so mixing is exact, and the
+    // corpus-sized rotation is paid only in the memoized build
+    val lutBase = lutSrc.getOrElse(v)
     // per-query LUT: exact-decimal dot of each query subvector against
     // each codebook entry, flattened to a 128-slot array ordered by
     // (m, cid) — one bounded array per query, broadcast with the query
-    val lutVals = pqSubs(v.filter(col("vec_id") < 10))
+    val lutVals = pqSubs(lutBase.filter(col("vec_id") < 10))
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents), "m")
       .select(col("query_id"), col("m"), col("cid"),
@@ -1087,7 +1093,7 @@ object Similarity {
     * from the same constants, like [[annIvfSql]]. `srcSql` provides
     * the (vec_id, embedding) corpus — raw for ann_pq_topk, rotated
     * for ann_opq_topk. */
-  private def pqSqlOver(srcSql: String): String = {
+  private def pqSqlOver(srcSql: String, subsSrcSql: Option[String] = None): String = {
     def h32(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
     def score(sub: String, cent: String) =
       s"${ddotSql(sub, cent)} - ${ddotSql(cent, cent)} / 2.0"
@@ -1113,11 +1119,13 @@ object Similarity {
     val fast = (0 until PqM).map(m => s"lut[${m * PqK} + codes[${m + 1}] + 1]").mkString(" + ")
     s"""WITH src AS (
        |$srcSql),
+       |subsrc AS (
+       |${subsSrcSql.getOrElse(srcSql)}),
        |v AS (
        |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS nn FROM src),
        |subs AS (
        |  SELECT vec_id, m, embedding[m*$PqD+1 : m*$PqD+$PqD] AS sub
-       |  FROM v, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
+       |  FROM subsrc, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m)),
        |sampsubs AS (
        |  SELECT vec_id, m, sub FROM subs
        |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < $PqK),
@@ -1228,7 +1236,10 @@ object Similarity {
     graft.plans.VecDotProduct.register(s)
     def rot = rotated(Tables.embeddings(s, dir)).localCheckpoint()
     val (cents, codes) = buildPqIndexOver(s, s"$dir#opq", rot)
-    pqServe(s, rotated(Tables.embeddings(s, dir)), cents, codes)
+    // query path: original corpus for the scan + exact rescore; only
+    // the 10 query vectors get rotated (for the codebook LUT)
+    pqServe(s, Tables.embeddings(s, dir), cents, codes,
+      lutSrc = Some(rotated(Tables.embeddings(s, dir).filter(col("vec_id") < 10))))
   }
 
   private val annOpqSql: String = {
@@ -1238,9 +1249,10 @@ object Similarity {
          |      x -> CAST(CAST(x[1] AS DOUBLE) * x[2] AS DECIMAL(38,12)))) AS DOUBLE) AS REAL)""".stripMargin
     }.mkString(",\n    ")
     pqSqlOver(
-      s"""  SELECT vec_id, [
-         |    $coords
-         |  ] AS embedding FROM embeddings""".stripMargin)
+      "  SELECT vec_id, embedding FROM embeddings",
+      Some(s"""  SELECT vec_id, [
+           |    $coords
+           |  ] AS embedding FROM embeddings""".stripMargin))
   }
 
   // --- ann_ivfpq_topk: IVF + residual PQ (the FAISS IVFADC) ------------
