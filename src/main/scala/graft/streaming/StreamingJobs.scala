@@ -87,6 +87,29 @@ object StreamingJobs {
       .select(col("window.start").as("window_start"), col("top_types"))
   }
 
+  /** Windowed streaming quantile monitor (q25's twin): the t-digest
+    * `TypedImperativeAggregate` (graft.plans.TDigestSketch) as a plain
+    * aggregate inside a watermarked window groupBy — per-(window, type)
+    * state is one bounded digest (≤ ~2δ centroids), merged
+    * incrementally across micro-batches by the engine like any agg
+    * buffer; completing the sketch trio's streaming story next to
+    * [[heavyHittersStream]]. Estimates are merge-order-dependent
+    * (inherent to every t-digest), so the twin's pinned contract
+    * mirrors q25's: EXACT min/max (p=0/1), rank-error-bounded interior
+    * quantiles — StreamingSpec checks both against batch exact values
+    * across a multi-batch feed. */
+  def quantileStream(events: DataFrame, compression: Int = 100): DataFrame = {
+    graft.plans.TDigestSketch.register(events.sparkSession)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(graft.plans.TDigestSketch.tdigest_quantiles(
+        col("value").cast("double"), compression, Seq(0.0, 0.5, 0.99, 1.0)).as("qs"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("qs").getItem(0).as("vmin"), col("qs").getItem(1).as("p50"),
+        col("qs").getItem(2).as("p99"), col("qs").getItem(3).as("vmax"))
+  }
+
   case class QuoteState(us: Long, event: Long, value: Double)
 
   case class AsofOut(trade_event: Long, user_id: Long,

@@ -131,6 +131,41 @@ class StreamingSpec extends AnyFunSuite {
       s"only-stream=${streamed.diff(batch).take(3)} only-batch=${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming t-digest quantiles: exact min/max, bounded interior ranks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+    val source = MemoryStream[StreamingJobs.Event]
+    // three chunks → the engine merges digest partials across
+    // micro-batches, the path that must stay bound-correct
+    rows.grouped(math.max(1, rows.length / 3)).foreach(c => source.addData(c.toSeq))
+    val q = StreamingJobs.quantileStream(source.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("td_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val exact: Map[(Long, String), Array[Double]] = rows
+      .groupBy(r => ((r.ts.getTime / 600000) * 600000, r.event_type))
+      .map { case (k, rs) => k -> rs.map(_.value).sorted }
+    val streamed = spark.table("td_out").collect()
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      val key = (r.getTimestamp(0).getTime, r.getString(1))
+      val vals = exact(key); val n = vals.length
+      assert(r.getDouble(2) == vals.head, s"$key vmin")
+      assert(r.getDouble(5) == vals.last, s"$key vmax")
+      for ((p, i) <- Seq((0.5, 3), (0.99, 4))) {
+        val v = r.getDouble(i)
+        val rank = vals.count(_ <= v)
+        val target = math.ceil(p * n).toLong
+        assert(math.abs(rank - target) <= math.max(2L, n / 25),
+          s"$key p$p: $v rank $rank vs $target (n=$n)")
+      }
+    }
+  }
+
   test("streaming as-of join matches batch r6 across an ordered multi-batch feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
