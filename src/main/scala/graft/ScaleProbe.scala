@@ -198,6 +198,22 @@ object ScaleProbe {
       val pb = timePhash(dst, 32)
       println(f"${"mm_phash_neardup@bandsPropN"}%-27s $pa%8.2f $pb%8.2f ${pb / pa}%6.1f")
     }
+    // bloom-filter buckets at deployment sizing: the registry pins
+    // 8192 buckets (fill 5% at sf0.1); the ×16 build side fills the
+    // fixed filter to ~57% and prefilter power fades. Buckets ∝ build
+    // side (8192 → 131072; the broadcast is still ≤ 131072 ints)
+    // restore the base selectivity — the filter's linearity knob.
+    def timeBloom(dir: String, buckets: Int): Double = {
+      val t0 = System.nanoTime()
+      operators.RelationalQueries.bloomPruneAt(spark, dir, buckets).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    if (wanted("r31_bloom_prune@bucketsPropN")) {
+      timeBloom(src, 8192); timeBloom(dst, 131072) // warm
+      val ba = timeBloom(src, 8192)
+      val bb = timeBloom(dst, 131072)
+      println(f"${"r31_bloom_prune@bucketsPropN"}%-28s $ba%8.2f $bb%8.2f ${bb / ba}%6.1f")
+    }
     spark.stop()
   }
 }

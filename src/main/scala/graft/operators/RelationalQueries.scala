@@ -926,17 +926,23 @@ object RelationalQueries {
 
   private val BloomBuckets = 8192
 
-  private def r31(s: SparkSession, dir: String): DataFrame = {
+  /** r31 at an explicit bucket count. The registry pins the oracle's
+    * 8192; the bucket count is the filter's build-side parameter — the
+    * ×16 probe fills the fixed filter 5%→57% and its prefilter power
+    * degrades (gracefully, never correctness), while buckets ∝ build
+    * side (`r31_bloom_prune@bucketsPropN`) restore the selectivity at
+    * a broadcast cost that stays trivially small (≤ n_buckets ints). */
+  def bloomPruneAt(s: SparkSession, dir: String, nBuckets: Int): DataFrame = {
     val o = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
         col("o_orderdate") < ntz("1997-01-01 00:00:00"))
       .select("o_orderkey", "o_orderdate")
     val buckets = o.select(
-      pmod(h32(col("o_orderkey").cast(StringType)), lit(BloomBuckets)).as("bkt")).distinct()
+      pmod(h32(col("o_orderkey").cast(StringType)), lit(nBuckets)).as("bkt")).distinct()
     Tables.lineitem(s, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-      .withColumn("bkt", pmod(h32(col("l_orderkey").cast(StringType)), lit(BloomBuckets)))
+      .withColumn("bkt", pmod(h32(col("l_orderkey").cast(StringType)), lit(nBuckets)))
       .join(broadcast(buckets), Seq("bkt"), "left_semi")
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(month(col("o_orderdate")).as("m"))
@@ -944,6 +950,9 @@ object RelationalQueries {
         count(lit(1)).as("n"))
       .orderBy("m")
   }
+
+  private def r31(s: SparkSession, dir: String): DataFrame =
+    bloomPruneAt(s, dir, BloomBuckets)
 
   private val r31Sql =
     s"""SELECT CAST(month(o_orderdate) AS INTEGER) AS m,
