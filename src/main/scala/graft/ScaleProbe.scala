@@ -81,7 +81,7 @@ object ScaleProbe {
       "r14_range_join", "s1_window_candles", "s2_sessionize",
       "etl_normalize", "etl_upsert_latest", "etl_incremental",
       "dedup_ngram_jaccard", "dedup_minhash", "dedup_simhash",
-      "dedup_embedding", "dedup_clusters",
+      "dedup_embedding", "dedup_clusters", "dedup_keep_best",
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
       "text_heavy_hitters", "text_ngram_freq",
       "r19_heavy_suppliers", "r20_custdist", "r21_big_orders",

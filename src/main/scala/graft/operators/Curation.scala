@@ -66,7 +66,7 @@ object Curation {
       .drop("text")
       .orderBy("doc_id")
 
-  private val qualityGopherSql =
+  private[operators] val qualityGopherSql =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS ts, text FROM documents),
        |m AS (

@@ -689,6 +689,54 @@ object Dedup {
        |FROM reach GROUP BY a
        |ORDER BY cluster_id, doc_id""".stripMargin
 
+  // --- dedup_keep_best: quality-aware survivor selection ---------------
+  // What a production dedup stage actually emits: not "keep the first
+  // doc per cluster" but "keep the BEST" — the near-dup connected
+  // components (dedup_clusters) joined with the Gopher quality gate
+  // (Curation.qualityMetrics), one survivor per cluster by
+  // (quality_pass, n_words, lowest doc_id) — a fully deterministic
+  // order, so the argmax is oracle-exact. Docs outside any near-dup
+  // component are their own singleton cluster (coalesce to doc_id):
+  // the output PARTITIONS the corpus, which the spec pins. One extra
+  // broadcast-able join and one groupBy on top of the two proven ops —
+  // at 100 TB both inputs are already the scale-safe shapes
+  // (component labels from pointer-doubling, quality from one narrow
+  // pass), and the survivor argmax is a map-side-combinable max_by.
+
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    val q = graft.operators.Curation.qualityMetrics(
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))).drop("text")
+    q.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"),
+          struct(col("quality_pass").cast(IntegerType), col("n_words"),
+            -col("doc_id"))).as("keep_doc_id"),
+        count(lit(1)).as("n_members"),
+        sum(when(col("quality_pass"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("n_dropped", col("n_members") - 1)
+      .orderBy("cluster_id")
+  }
+
+  private val dedupKeepBestSql =
+    s"""WITH clusters AS (SELECT * FROM ($dedupClustersSql)),
+       |q AS (SELECT * FROM (${graft.operators.Curation.qualityGopherSql})),
+       |m AS (
+       |  SELECT q.*, COALESCE(c.cluster_id, q.doc_id) AS cluster_id
+       |  FROM q LEFT JOIN clusters c USING (doc_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_pass DESC, n_words DESC, doc_id ASC) AS rn
+       |  FROM m)
+       |SELECT cluster_id,
+       |       min(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       |       count(*) AS n_members,
+       |       CAST(sum(CASE WHEN quality_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |       count(*) - 1 AS n_dropped
+       |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // --- graph_pagerank: centrality over the near-dup graph --------------
   // Graph analytics on the similarity graph the dedup family builds:
   // damped PageRank (d = 0.85, 5 iterations) over the symmetric
@@ -786,5 +834,6 @@ object Dedup {
     Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     Op("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
+    Op("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)))
 }

@@ -147,6 +147,22 @@ class DedupSpec extends AnyFunSuite {
         s"query $q: multiprobe rank-1 ${mp((q, 1))} < single-probe ${sp((q, 1))}")
   }
 
+  test("keep-best dedup partitions the corpus and survivors belong to their cluster") {
+    val rows = Registry.queries("dedup_keep_best")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == docs,
+      "keep-best clusters must partition the corpus (singletons included)")
+    val clusterOf = Registry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap // doc -> component label
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val keep = r.getAs[Long]("keep_doc_id")
+      assert(clusterOf.getOrElse(keep, keep) == cid,
+        s"survivor $keep does not belong to cluster $cid")
+      assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("n_members") - 1)
+    }
+  }
+
   test("OPQ rotation is orthogonal, cosine-preserving, and recall-floored") {
     // the rotation constants must be EXACTLY what PQ assumes: an
     // orthonormal basis (else "rotation-invariant cosine" is false)
