@@ -147,6 +147,30 @@ class DedupSpec extends AnyFunSuite {
         s"query $q: multiprobe rank-1 ${mp((q, 1))} < single-probe ${sp((q, 1))}")
   }
 
+  test("fast-vs-exact dot drift stays far inside the 1e-6 sign-test margin") {
+    // the two-phase LSH signatures recompute exactly only where
+    // |fast| < 1e-6; bit-parity with the oracle rests on the fast
+    // double dot never drifting more than a sliver of that margin
+    // from the exact decimal reduction. Measure the actual max drift
+    // over the real corpus against a unit-norm double-vector family
+    // (the OPQ rotation rows — same construction as the LSH planes)
+    // and over all embedding×embedding pairs.
+    graft.plans.VecDotProduct.register(spark)
+    import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
+    val emb = Tables.embeddings(spark, sf)
+    val planes = operators.Similarity.opqRotation.take(8)
+    val planeDrift = emb.select(greatest(planes.map(p =>
+        abs(vec_dot(col("embedding"), typedLit(p.toSeq)) -
+          vec_dot_exact(col("embedding"), typedLit(p.toSeq)))): _*).as("d"))
+      .agg(max(col("d"))).head.getDouble(0)
+    assert(planeDrift < 1e-9, s"plane drift $planeDrift vs 1e-6 margin")
+    val pairDrift = emb.as("a").join(emb.as("b"), col("a.vec_id") <= col("b.vec_id"))
+      .select(abs(vec_dot(col("a.embedding"), col("b.embedding")) -
+        vec_dot_exact(col("a.embedding"), col("b.embedding"))).as("d"))
+      .agg(max(col("d"))).head.getDouble(0)
+    assert(pairDrift < 1e-9, s"pair drift $pairDrift vs 1e-6 margin")
+  }
+
   test("keep-best dedup partitions the corpus and survivors belong to their cluster") {
     val rows = Registry.queries("dedup_keep_best")(spark, sf).collect()
     val docs = Tables.documents(spark, sf).count()
