@@ -706,65 +706,154 @@ object MarketQueries {
       |   OR quantity IS NULL OR quantity <= 0
       |ORDER BY trade_id""".stripMargin
 
-  // --- Q16: sketched per-symbol quantiles (the 100 TB path) ------------
-  // q15 is exact but pays a per-symbol sort; this is the single-pass
-  // complement — percentile_approx's mergeable histogram sketch
-  // (bounded memory per partial, map-side combinable, no sort), the
-  // same exact-vs-sketch relationship q5 demonstrates for thresholds.
-  // Approximation is engine-specific, so the oracle is rows-only;
-  // QueriesSpec bounds the rank error against q15's exact answers.
+  // --- Q16/Q25 hybrid quantile router (exact below capacity) -----------
+  // The q23 pattern applied to quantiles: a declared per-group row
+  // capacity routes each symbol either through q15's exact
+  // rank-arithmetic (groups the engine can afford to sort — fully
+  // deterministic, hash-checkable) or through a mergeable sketch
+  // (groups above the cap, where a per-group sort at 100 TB is the
+  // thing the sketch exists to avoid). Routing needs only the
+  // symbol-bounded count table (broadcastable by the q21 argument);
+  // each branch scans only its own pruned groups. The capacity and the
+  // chosen regime are part of the output contract, so the oracle — the
+  // exact branch replayed in DuckDB — is valid at any scale where
+  // every group is below the cap (the driver's sf qualifies), while
+  // QueriesSpec forces the sketch regime with an aggressive cap and
+  // bounds its rank error. Default cap: 2²⁰ rows — a per-group sort
+  // that's always cheap, far above every driver sf group.
 
-  private def q16(s: SparkSession, dir: String): DataFrame =
-    trades(s, dir)
+  private[graft] val QuantileRowCap = 1L << 20
+
+  private def hybridQuantiles(t: DataFrame, cap: Long)(
+      sketchOf: DataFrame => DataFrame): DataFrame = {
+    val counts = t.groupBy("symbol").agg(count(lit(1)).as("n_trades"))
+    val flagged = t.select(col("symbol"), col("price"), col("trade_id"))
+      .join(broadcast(counts), Seq("symbol"))
+    val w = Window.partitionBy("symbol").orderBy(col("price"), col("trade_id"))
+    def at(p: Double) =
+      min(when(col("rn") === ceil(lit(p) * col("n_trades")), col("price")))
+    val exact = flagged.filter(col("n_trades") <= cap)
+      .withColumn("rn", row_number().over(w).cast(LongType))
       .groupBy("symbol")
-      .agg(count(lit(1)).as("n_trades"),
-        percentile_approx(col("price"), lit(0.50), lit(5000)).as("p50"),
-        percentile_approx(col("price"), lit(0.90), lit(5000)).as("p90"),
-        percentile_approx(col("price"), lit(0.99), lit(5000)).as("p99"))
-      .orderBy("symbol")
-
-  // --- Q25: t-digest per-symbol quantiles (mergeable, tail-accurate) ---
-  // The third custom TypedImperativeAggregate (plans.TDigestSketch),
-  // completing the sketch trio: SpaceSaving (heavy hitters), KMV
-  // (distincts), t-digest (quantiles). Same single-pass mergeable
-  // shape as q16's percentile_approx but with the k1 scale function's
-  // tail resolution — centroid capacity shrinks toward q→0/1, which is
-  // where p99 market queries live — and an explicitly pinned error
-  // contract (QueriesSpec bounds rank error vs q15's exact answers;
-  // DeterminismSpec bounds it under adversarial partitionings and pins
-  // exact min/max/total). Compression order is partition-order-
-  // dependent (inherent to every t-digest) ⇒ rows-only oracle, like
-  // q16: the BOUND, not the estimate, is the portable contract.
-
-  private def q25(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.TDigestSketch.register(s)
-    import graft.plans.TDigestSketch.tdigest_quantiles
-    trades(s, dir)
-      .groupBy("symbol")
-      .agg(count(lit(1)).as("n_trades"),
-        tdigest_quantiles(col("price").cast(DoubleType), 100,
-          Seq(0.50, 0.90, 0.99)).as("qs"))
-      .select(col("symbol"), col("n_trades"),
-        col("qs").getItem(0).as("p50"),
-        col("qs").getItem(1).as("p90"),
-        col("qs").getItem(2).as("p99"))
+      .agg(max("n_trades").as("n_trades"),
+        at(0.50).as("p50"), at(0.90).as("p90"), at(0.99).as("p99"))
+      .withColumn("regime", lit("exact"))
+    val sketch = sketchOf(flagged.filter(col("n_trades") > cap))
+      .withColumn("regime", lit("sketch"))
+    exact.unionByName(sketch)
+      .select(col("symbol"), col("n_trades"), lit(cap).as("capacity"),
+        col("regime"), col("p50"), col("p90"), col("p99"))
       .orderBy("symbol")
   }
 
-  // --- Q17: sketched distinct counts (HLL++) ---------------------------
-  // q7's audit pays an exact countDistinct (a shuffle of every distinct
-  // key); this is its 100 TB sibling — approx_count_distinct's
-  // HyperLogLog++ sketch: fixed bytes per group, map-side mergeable,
-  // no distinct shuffle. Estimate is engine-specific ⇒ rows-only
-  // oracle; QueriesSpec bounds the relative error against the exact
-  // count (rsd 0.02 ⇒ expect well within ±10%).
+  /** Shared oracle for the hybrid quantile queries: the exact branch
+    * (q15's rank arithmetic) plus the declared capacity/regime columns.
+    * Valid whenever every group is below the cap — the sketch regime is
+    * pinned by QueriesSpec's rank-error bounds instead. */
+  private def hybridQuantilesSql(cap: Long) =
+    s"""$cte, ranked AS (
+       |  SELECT symbol, price,
+       |         row_number() OVER (PARTITION BY symbol ORDER BY price, trade_id) AS rn,
+       |         count(*) OVER (PARTITION BY symbol) AS n
+       |  FROM trades)
+       |SELECT symbol, CAST(max(n) AS BIGINT) AS n_trades,
+       |       CAST($cap AS BIGINT) AS capacity, 'exact' AS regime,
+       |       min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN price END) AS p50,
+       |       min(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN price END) AS p90,
+       |       min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN price END) AS p99
+       |FROM ranked GROUP BY symbol ORDER BY symbol""".stripMargin
 
-  private def q17(s: SparkSession, dir: String): DataFrame =
+  // --- Q16: capacity-routed quantiles, percentile_approx above cap -----
+  // Above the cap: percentile_approx's mergeable histogram sketch
+  // (bounded memory per partial, map-side combinable, no per-group
+  // sort) — the 100 TB path q5 relies on, rank error ≤ n/5000.
+
+  private[graft] def q16At(cap: Long)(s: SparkSession, dir: String): DataFrame =
+    hybridQuantiles(trades(s, dir), cap) { big =>
+      big.groupBy("symbol").agg(
+        max("n_trades").as("n_trades"),
+        percentile_approx(col("price"), lit(0.50), lit(5000)).as("p50"),
+        percentile_approx(col("price"), lit(0.90), lit(5000)).as("p90"),
+        percentile_approx(col("price"), lit(0.99), lit(5000)).as("p99"))
+    }
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    q16At(QuantileRowCap)(s, dir)
+
+  private val q16Sql = hybridQuantilesSql(QuantileRowCap)
+
+  // --- Q25: capacity-routed quantiles, t-digest above cap --------------
+  // Above the cap: the custom TypedImperativeAggregate
+  // (plans.TDigestSketch), completing the sketch trio — SpaceSaving
+  // (heavy hitters), KMV (distincts), t-digest (quantiles) — with the
+  // k1 scale function's tail resolution (centroid capacity shrinks
+  // toward q→0/1, where p99 market queries live). Compression order is
+  // partition-order-dependent (inherent to every t-digest), which is
+  // exactly why the sketch regime sits above the declared cap: the
+  // driver hash-checks the exact regime, QueriesSpec/DeterminismSpec
+  // bound the sketch regime under adversarial partitionings.
+
+  private[graft] def q25At(cap: Long)(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TDigestSketch.register(s)
+    import graft.plans.TDigestSketch.tdigest_quantiles
+    hybridQuantiles(trades(s, dir), cap) { big =>
+      big.groupBy("symbol").agg(
+        max("n_trades").as("n_trades"),
+        tdigest_quantiles(col("price").cast(DoubleType), 100,
+          Seq(0.50, 0.90, 0.99)).as("qs"))
+        .select(col("symbol"), col("n_trades"),
+          col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p90"),
+          col("qs").getItem(2).as("p99"))
+    }
+  }
+
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    q25At(QuantileRowCap)(s, dir)
+
+  private val q25Sql = hybridQuantilesSql(QuantileRowCap)
+
+  // --- Q17: capacity-routed distinct counts (KMV exact / HLL++ above) --
+  // q7's audit pays an exact countDistinct (a shuffle of every
+  // distinct key); this is its 100 TB sibling, now hash-checkable via
+  // the q23 pattern: a KMV sketch at the declared capacity holds the
+  // FULL distinct set of portable md5-prefix hashes while the group's
+  // NDV is below the cap (bounded memory, map-side mergeable, no
+  // distinct shuffle — and 32-bit collisions replay identically in the
+  // oracle), and approx_count_distinct's HLL++ registers ride along in
+  // fixed bytes to serve groups above it. The oracle replays the exact
+  // regime (COUNT(DISTINCT h) per symbol); QueriesSpec forces the HLL
+  // regime with an aggressive cap and bounds its relative error.
+
+  private[graft] val NdvCap = 65536
+
+  private[graft] def q17At(cap: Int)(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.KmvSketch.register(s)
     trades(s, dir)
+      .withColumn("h", h32(col("trade_id").cast(StringType)))
       .groupBy("symbol")
       .agg(count(lit(1)).as("row_count"),
-        approx_count_distinct(col("trade_id"), 0.02).as("ndv_trades_approx"))
+        graft.plans.KmvSketch.kmv_sketch(col("h"), cap).as("sketch"),
+        approx_count_distinct(col("trade_id"), 0.02).as("hll"))
+      .select(col("symbol"), col("row_count"),
+        lit(cap.toLong).as("capacity"),
+        when(size(col("sketch")) < cap, lit("exact")).otherwise(lit("hll")).as("regime"),
+        when(size(col("sketch")) < cap, size(col("sketch")).cast(LongType))
+          .otherwise(col("hll")).as("ndv_trades"))
       .orderBy("symbol")
+  }
+
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    q17At(NdvCap)(s, dir)
+
+  private val q17Sql =
+    s"""$cte, h AS (
+       |  SELECT symbol, COUNT(*) AS row_count,
+       |         COUNT(DISTINCT CAST(('0x' || substr(md5(CAST(trade_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS ndv_h
+       |  FROM trades GROUP BY 1)
+       |SELECT symbol, row_count, CAST($NdvCap AS BIGINT) AS capacity,
+       |       'exact' AS regime, ndv_h AS ndv_trades
+       |FROM h ORDER BY symbol""".stripMargin
 
   // --- Q18: pattern scan — momentum streak detection -------------------
   // The MATCH_RECOGNIZE-style shape as composable windows: three
@@ -1138,8 +1227,8 @@ object MarketQueries {
     Op("q13_gapfill", q13, Some(q13Sql)),
     Op("q14_correlation_matrix", q14, Some(q14Sql)),
     Op("q15_quantiles", q15, Some(q15Sql)),
-    Op("q16_quantiles_sketch", q16, None),
-    Op("q17_distinct_sketch", q17, None),
+    Op("q16_quantiles_sketch", q16, Some(q16Sql)),
+    Op("q17_distinct_sketch", q17, Some(q17Sql)),
     Op("q18_pattern_scan", q18, Some(q18Sql)),
     Op("q19_funnel", q19, Some(q19Sql)),
     Op("q20_retention", q20, Some(q20Sql)),
@@ -1147,7 +1236,7 @@ object MarketQueries {
     Op("q22_bollinger", q22, Some(q22Sql)),
     Op("q23_kmv_distinct", q23, Some(q23Sql)),
     Op("q24_twap", q24, Some(q24Sql)),
-    Op("q25_tdigest_quantiles", q25, None))
+    Op("q25_tdigest_quantiles", q25, Some(q25Sql)))
 
 
 }

@@ -47,12 +47,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("q16 sketch quantiles sit within rank-error bound of q15 exact") {
+  test("q16 default capacity routes every driver-scale group exact (== q15)") {
     import org.apache.spark.sql.functions._
-    // percentile_approx(accuracy=5000) guarantees rank error ≤ n/5000;
-    // check the reported value's true rank is within that of ceil(p·n)
+    val q15 = Registry.queries("q15_quantiles")(spark, sf)
+      .select("symbol", "n_trades", "p50", "p90", "p99").collect()
+    val q16 = Registry.queries("q16_quantiles_sketch")(spark, sf)
+    assert(q16.select("regime").distinct().collect().map(_.getString(0)).toSeq == Seq("exact"))
+    val got = q16.select("symbol", "n_trades", "p50", "p90", "p99").collect()
+    assert(got.map(_.toSeq).toSeq == q15.map(_.toSeq).toSeq)
+  }
+
+  test("q16 sketch regime (aggressive cap) stays within percentile_approx rank bound") {
+    import org.apache.spark.sql.functions._
+    // cap=50 forces every sf0.001 group (~200 rows) through the sketch;
+    // percentile_approx(accuracy=5000) guarantees rank error ≤ n/5000
     val exactRanks = Registry.queries("q15_quantiles")(spark, sf)
-    val sketch = Registry.queries("q16_quantiles_sketch")(spark, sf)
+    val sketch = operators.MarketQueries.q16At(50)(spark, sf)
+    assert(sketch.select("regime").distinct().collect().map(_.getString(0)).toSeq == Seq("sketch"))
     val trades = Registry.queries("etl_normalize")(spark, sf)
       .select("symbol", "price")
     val joined = sketch.join(exactRanks.select(col("symbol"), col("n_trades").as("n_exact")), "symbol")
@@ -68,13 +79,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q25 t-digest quantiles sit within rank-error bound of q15 exact") {
+  test("q25 default capacity routes exact; aggressive cap bounds the t-digest") {
     import org.apache.spark.sql.functions._
-    // k1 scale at compression 100: centroid weight near the median is
-    // ~n/25 worst-case (rank error ≤ half of that); capacity shrinks
-    // toward the tails, so p99 is tighter than p50 by construction
+    // default cap: exact regime, bit-identical to q15
+    val q15 = Registry.queries("q15_quantiles")(spark, sf)
+      .select("symbol", "n_trades", "p50", "p90", "p99").collect()
+    val dflt = Registry.queries("q25_tdigest_quantiles")(spark, sf)
+    assert(dflt.select("regime").distinct().collect().map(_.getString(0)).toSeq == Seq("exact"))
+    assert(dflt.select("symbol", "n_trades", "p50", "p90", "p99").collect()
+      .map(_.toSeq).toSeq == q15.map(_.toSeq).toSeq)
+    // cap=50 forces the t-digest; k1 scale at compression 100: centroid
+    // weight near the median is ~n/25 worst-case (rank error ≤ half of
+    // that); capacity shrinks toward the tails, so p99 is tighter
     val exactRanks = Registry.queries("q15_quantiles")(spark, sf)
-    val sketch = Registry.queries("q25_tdigest_quantiles")(spark, sf)
+    val sketch = operators.MarketQueries.q25At(50)(spark, sf)
+    assert(sketch.select("regime").distinct().collect().map(_.getString(0)).toSeq == Seq("sketch"))
     val trades = Registry.queries("etl_normalize")(spark, sf)
       .select("symbol", "price")
     val joined = sketch.join(
@@ -92,15 +111,24 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q17 HLL distinct estimates land within relative-error bound of exact") {
+  test("q17 is exact below capacity and HLL-bounded above an aggressive cap") {
     import org.apache.spark.sql.functions._
-    val sketch = Registry.queries("q17_distinct_sketch")(spark, sf)
     val exact = Registry.queries("etl_normalize")(spark, sf)
       .groupBy("symbol").agg(countDistinct(col("trade_id")).as("ndv_exact"))
-    for (r <- sketch.join(exact, "symbol").collect()) {
-      val approx = r.getAs[Long]("ndv_trades_approx").toDouble
+    // default cap: exact regime — KMV holds the full distinct-hash set
+    // (32-bit collisions ≲1 expected at this scale, allow 2)
+    val dflt = Registry.queries("q17_distinct_sketch")(spark, sf)
+    for (r <- dflt.join(exact, "symbol").collect()) {
+      assert(r.getAs[String]("regime") == "exact")
+      assert(math.abs(r.getAs[Long]("ndv_trades") - r.getAs[Long]("ndv_exact")) <= 2,
+        s"${r.getAs[String]("symbol")}: kmv ${r.getAs[Long]("ndv_trades")} vs exact ${r.getAs[Long]("ndv_exact")}")
+    }
+    // cap=16 forces the HLL regime; rsd 0.02 ⇒ ±10% is a 5-sigma bound
+    val hll = operators.MarketQueries.q17At(16)(spark, sf)
+    for (r <- hll.join(exact, "symbol").collect()) {
+      assert(r.getAs[String]("regime") == "hll")
+      val approx = r.getAs[Long]("ndv_trades").toDouble
       val ex = r.getAs[Long]("ndv_exact").toDouble
-      // rsd 0.02 ⇒ ±10% is a 5-sigma bound
       assert(math.abs(approx - ex) / ex <= 0.10,
         s"${r.getAs[String]("symbol")}: approx $approx vs exact $ex")
     }
