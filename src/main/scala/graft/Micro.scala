@@ -40,6 +40,26 @@ object Micro {
       println(emb.as("a").join(emb.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(dotDec.cast(DoubleType).as("d")).filter(col("d") > 0.2).count()))
+    // t-digest reduce path: 10k partial merges into one accumulator.
+    // Cost must stay flat per merge (pre-sized splice); the earlier
+    // element-wise Array :+ made this O(centroids²) per merge.
+    val tdAgg = plans.TDigestSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0), 100, Seq(0.5))
+    time("tdigest 10k partial merges (δ=100, 400 points each)") {
+      val acc = new plans.TDigestBuffer(100)
+      var i = 0
+      while (i < 10000) {
+        val part = new plans.TDigestBuffer(100)
+        var j = 0
+        while (j < 400) {
+          part.add((((i * 400L + j) * 2654435761L) % 100000L).toDouble / 7.0)
+          j += 1
+        }
+        tdAgg.merge(acc, part)
+        i += 1
+      }
+      println(s"total=${acc.total} centroids=${acc.means.length}")
+    }
     spark.stop()
   }
 }

@@ -86,9 +86,13 @@ object DownloadLedger {
           .when(col("n_attempts") >= maxRetries, "exhausted")
           .otherwise("retry_pending"))
       .withColumn("due_at",
+        // microsecond arithmetic: unix_timestamp() would truncate a
+        // sub-second last_ts, making the retry eligible up to ~1s
+        // before base·2^(n−1) has fully elapsed
         when(col("status") === "retry_pending",
-          timestamp_seconds(unix_timestamp(col("last_ts"))
-            + lit(backoffBaseSec) * expr("shiftleft(1L, CAST(n_attempts - 1 AS INT))")))
+          timestamp_micros(unix_micros(col("last_ts").cast(TimestampType))
+            + lit(backoffBaseSec * 1000000L)
+              * expr("shiftleft(1L, CAST(n_attempts - 1 AS INT))")))
           .otherwise(lit(null).cast(TimestampType)))
       .drop("any_ok", "any_404")
   }

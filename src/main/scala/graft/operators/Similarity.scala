@@ -421,7 +421,7 @@ object Similarity {
   private val HotMaxSub = 4
 
   /** Hot-split kNN graph at explicit parameters; the registry entry
-    * pins (6 planes, cap 32, 4 sub-planes) for the oracle, ScaleProbe
+    * pins (6 planes, cap 12, 4 sub-planes) for the oracle, ScaleProbe
     * runs planes ∝ n with the same cap (`ann_knn_graph@hotSplit`) —
     * at 100 TB, `cap` is the knob that bounds the self-join group
     * size no matter how skewed the embedding space is. */

@@ -101,6 +101,16 @@ case class ImageMeta(child: Expression) extends UnaryExpression {
 
   override def nullable: Boolean = false
 
+  // nullable=false means a NULL payload still yields a (non-null)
+  // struct of null fields. The inherited interpreted eval would
+  // short-circuit NULL input to a NULL struct while the codegen path
+  // (which runs resultCode unconditionally when nullable=false) calls
+  // metaRow(null) — route both through metaRow so they agree.
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ImageDecode.metaRow(if (v == null) null else v.asInstanceOf[Array[Byte]])
+  }
+
   override def nullSafeEval(input: Any): Any =
     ImageDecode.metaRow(input.asInstanceOf[Array[Byte]])
 

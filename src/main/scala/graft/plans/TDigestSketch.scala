@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions.call_function
@@ -129,9 +129,12 @@ case class TDigestSketch(
     quantiles: Seq[Double],
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TDigestBuffer] {
+  extends TypedImperativeAggregate[TDigestBuffer] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  // the analyzer inserts the cast for INT/DECIMAL/… children instead of
+  // update() throwing a ClassCastException at runtime
+  override def inputTypes = Seq(DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -144,15 +147,22 @@ case class TDigestSketch(
   }
 
   override def merge(buf: TDigestBuffer, other: TDigestBuffer): TDigestBuffer = {
-    other.compress()
-    var i = 0
-    while (i < other.means.length) {
-      // centroids re-enter as weighted points via the arrays directly
-      buf.means = buf.means :+ other.means(i)
-      buf.weights = buf.weights :+ other.weights(i)
-      i += 1
+    other.compress() // also drains other.pending into its centroids
+    // centroids re-enter as weighted points: one pre-sized splice (an
+    // element-wise :+ would copy the whole array per centroid — O(c²)
+    // in the 100 TB reduce path)
+    val n = buf.means.length
+    val m = other.means.length
+    if (m > 0) {
+      val ms = new Array[Double](n + m)
+      val ws = new Array[Long](n + m)
+      System.arraycopy(buf.means, 0, ms, 0, n)
+      System.arraycopy(buf.weights, 0, ws, 0, n)
+      System.arraycopy(other.means, 0, ms, n, m)
+      System.arraycopy(other.weights, 0, ws, n, m)
+      buf.means = ms
+      buf.weights = ws
     }
-    other.pending.foreach(buf.pending += _)
     if (other.min < buf.min) buf.min = other.min
     if (other.max > buf.max) buf.max = other.max
     buf.total += other.total
@@ -209,11 +219,19 @@ object TDigestSketch {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tdigest_quantiles",
-      exprs => TDigestSketch(
-        exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray().toSeq).toAggregateExpression(),
+      exprs => {
+        require(exprs.length == 3,
+          "tdigest_quantiles(col, compression, array(p...)) takes 3 arguments")
+        require(exprs(1).foldable,
+          s"tdigest_quantiles: compression must be a literal, got ${exprs(1).sql}")
+        require(exprs(2).foldable,
+          s"tdigest_quantiles: quantile array must be a literal, got ${exprs(2).sql}")
+        TDigestSketch(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray().toSeq).toAggregateExpression()
+      },
       "built-in")
 
   def tdigest_quantiles(c: Column, compression: Int, ps: Seq[Double]): Column =

@@ -557,6 +557,18 @@ class EtlSpec extends AnyFunSuite {
     assert(s.getAs[Long]("total_bytes") == 1777L)
   }
 
+  test("download ledger backoff preserves sub-second attempt timestamps") {
+    import spark.implicits._
+    import graft.etl.DownloadLedger
+    // a failure at 100.5s with base 1s must come due at 101.5s, not
+    // 101.0s (unix_timestamp() truncation would shave the 500ms)
+    val attempts = Seq(("x/subsec", new java.sql.Timestamp(100500L), 503, 0L))
+      .toDF("file_key", "attempt_ts", "status_code", "bytes")
+    val rep = DownloadLedger.statusReport(attempts).head
+    assert(rep.getAs[String]("status") == "retry_pending")
+    assert(rep.getAs[java.sql.Timestamp]("due_at") == new java.sql.Timestamp(101500L))
+  }
+
   test("partition audit groups by lake partition columns") {
     val audit = MarketEtl.partitionAudit(
       MarketEtl.dqFilter(MarketEtl.normalize(MarketEtl.readTradesCsv(spark, base))))

@@ -70,6 +70,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(2), "text must fall back")
   }
 
+  test("image_meta of a NULL payload is a struct of nulls in both eval paths") {
+    import spark.implicits._
+    graft.plans.ImageMeta.register(spark)
+    val df = Seq((1L, Option.empty[Array[Byte]])).toDF("doc_id", "payload")
+      .select(graft.plans.ImageMeta.image_meta(col("payload")).as("m"))
+    // codegen'd projection path
+    val row = df.select(col("m").isNull.as("struct_null"), col("m.format")).head
+    assert(!row.getBoolean(0), "struct itself must be non-null (nullable=false)")
+    assert(row.isNullAt(1))
+    // interpreted path (constant folding / no-codegen fallback) must agree
+    val expr = graft.plans.ImageMeta(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.BinaryType))
+    assert(expr.eval(null) != null, "interpreted eval must return the struct-of-nulls")
+  }
+
   test("feature extraction routes image payloads through the decoder") {
     val (img, luma) = testImage(31, 7)
     val png = encode(img, "png")
