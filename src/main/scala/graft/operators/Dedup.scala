@@ -368,10 +368,21 @@ object Dedup {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("gram"))))
       .orderBy("id_a", "id_b")
 
-  /** The [[simhashHalves]]+[[simhashChunkPairs]] DuckDB replay as CTEs,
-    * appended after a `grams` CTE providing (doc_id, gram); ends at
-    * `chunks` — callers SELECT the pair join off it. */
-  private[operators] val simhashSqlCtes: String = {
+  /** Chunk-width step point: 4×16-bit bands (pigeonhole recall at
+    * hamming ≤ 3) while the corpus fits them — candidates per band are
+    * ~n²/2¹⁶, linear in n up to ~2¹⁴ docs — then 2×32-bit (multi-index
+    * hamming sizing: recall guarantee moves to hamming ≤ 1,
+    * verification unchanged). The former `@bandsPropN` remedy, now the
+    * default derivation for [[Multimodal.phashNeardupAt]]'s registry
+    * entry; integer compare, so the oracle's `wp` CTE replays it. */
+  private[operators] val ChunkWidenAt = 16384L
+
+  private[operators] def chunkBitsFor(nDocs: Long): Int =
+    if (nDocs <= ChunkWidenAt) 16 else 32
+
+  /** The [[simhashHalves]] signature replay as CTEs, appended after a
+    * `grams` CTE providing (doc_id, gram); ends at `sigs`. */
+  private[operators] val simhashSigCtes: String = {
     def votes(src: String) = (0 until 32).map { i =>
       s"SUM(CASE WHEN ($src >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v_${src}_$i"
     }.mkString(",\n         ")
@@ -390,14 +401,29 @@ object Dedup {
        |  FROM hashes GROUP BY doc_id),
        |sigs AS (
        |  SELECT doc_id, ${half("glo")} AS sim_lo, ${half("ghi")} AS sim_hi
-       |  FROM votes),
-       |chunkstructs AS (
-       |  SELECT doc_id, sim_lo, sim_hi, unnest([
-       |           {'chunk_idx': 0, 'chunk': sim_lo & 65535},
-       |           {'chunk_idx': 1, 'chunk': (sim_lo >> 16) & 65535},
-       |           {'chunk_idx': 2, 'chunk': sim_hi & 65535},
-       |           {'chunk_idx': 3, 'chunk': (sim_hi >> 16) & 65535}
-       |         ]) AS ch
+       |  FROM votes)""".stripMargin
+  }
+
+  private val chunkList16 =
+    """[
+      |           {'chunk_idx': 0, 'chunk': sim_lo & 65535},
+      |           {'chunk_idx': 1, 'chunk': (sim_lo >> 16) & 65535},
+      |           {'chunk_idx': 2, 'chunk': sim_hi & 65535},
+      |           {'chunk_idx': 3, 'chunk': (sim_hi >> 16) & 65535}
+      |         ]""".stripMargin
+
+  private val chunkList32 =
+    """[
+      |           {'chunk_idx': 0, 'chunk': sim_lo},
+      |           {'chunk_idx': 1, 'chunk': sim_hi}
+      |         ]""".stripMargin
+
+  /** Fixed-width chunk CTEs off `sigs` (the [[simhashChunkPairs]]
+    * replay at a pinned width); ends at `chunks`. */
+  private[operators] def simhashChunkCtes(chunkBits: Int): String = {
+    val lst = if (chunkBits == 16) chunkList16 else chunkList32
+    s"""chunkstructs AS (
+       |  SELECT doc_id, sim_lo, sim_hi, unnest($lst) AS ch
        |  FROM sigs),
        |chunks AS (
        |  SELECT doc_id, sim_lo, sim_hi,
@@ -405,6 +431,29 @@ object Dedup {
        |         CAST(ch.chunk AS BIGINT) AS chunk
        |  FROM chunkstructs)""".stripMargin
   }
+
+  /** Corpus-derived chunk CTEs off `sigs`: width from [[chunkBitsFor]]
+    * over `countFrom`'s cardinality (CTE `wp`), CASE-selecting the
+    * 4×16-bit or 2×32-bit band list; ends at `chunks`. */
+  private[operators] def simhashChunkCtesDerived(countFrom: String): String =
+    s"""wp AS (SELECT CASE WHEN count(*) <= $ChunkWidenAt THEN 16 ELSE 32 END AS w
+       |       FROM $countFrom),
+       |chunkstructs AS (
+       |  SELECT doc_id, sim_lo, sim_hi,
+       |         unnest(CASE WHEN (SELECT w FROM wp) = 16 THEN $chunkList16
+       |                ELSE $chunkList32 END) AS ch
+       |  FROM sigs),
+       |chunks AS (
+       |  SELECT doc_id, sim_lo, sim_hi,
+       |         CAST(ch.chunk_idx AS INTEGER) AS chunk_idx,
+       |         CAST(ch.chunk AS BIGINT) AS chunk
+       |  FROM chunkstructs)""".stripMargin
+
+  /** The [[simhashHalves]]+[[simhashChunkPairs]] DuckDB replay as CTEs,
+    * appended after a `grams` CTE providing (doc_id, gram); ends at
+    * `chunks` — callers SELECT the pair join off it. */
+  private[operators] val simhashSqlCtes: String =
+    s"$simhashSigCtes,\n${simhashChunkCtes(16)}"
 
   /** The chunk-equal pair join off [[simhashSqlCtes]]' `chunks`. */
   private[operators] val simhashPairSelectSql: String =
@@ -546,12 +595,12 @@ object Dedup {
 
   private val SemThreshold = 0.4
 
-  /** SemDeDup at an explicit cluster count. The registry entry pins
-    * k = 10 (the oracle replays that quantizer bit-for-bit); a
-    * deployment sizes k ∝ corpus so mean cluster size — and with it
-    * Σ|cluster|² pair volume per row — stays constant as data grows.
-    * ScaleProbe's `dedup_semantic@k∝n` row is the evidence: fixed k
-    * probes ~quadratic, scaled k probes linear. */
+  /** SemDeDup at an explicit cluster count. The registry entry derives
+    * k ∝ corpus ([[Similarity.derivedIvfK]]: k = max(10, ceil(n/200)),
+    * replayed by the oracle's `kp` CTE) so mean cluster size — and
+    * with it Σ|cluster|² pair volume per row — stays constant as data
+    * grows. ScaleProbe's `dedup_semantic@k∝n` row is the evidence:
+    * fixed k probes ~quadratic, scaled k probes linear. */
   def dedupSemanticAt(s: SparkSession, dir: String, k: Int): DataFrame = {
     import graft.plans.VecDotProduct.vec_dot
     graft.plans.VecDotProduct.register(s)
@@ -574,7 +623,7 @@ object Dedup {
   }
 
   private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
-    dedupSemanticAt(s, dir, Similarity.IvfK)
+    dedupSemanticAt(s, dir, Similarity.derivedIvfK(s, dir))
 
   private val dedupSemanticSql =
     s"""WITH ${Similarity.ivfQuantizerCtes},

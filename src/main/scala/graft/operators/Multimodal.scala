@@ -260,22 +260,24 @@ object Multimodal {
   // banded-phash tradeoff), reported at hamming ≤ 10. Reuses the
   // dedup_simhash machinery verbatim — the gram stream is the only
   // modality-specific piece. At 100 TB the shuffle carries 64-bit
-  // signatures, never payloads. Like r31's fixed bucket count, the
-  // band structure (4 × 16-bit chunks) is a parameter sized to the
-  // corpus: candidate volume within a chunk bucket is ~n²/2¹⁶, so a
-  // billion-item deployment widens/multiplies the bands (multi-index
-  // hamming sizing) to keep buckets bounded — the ×16 probe's
-  // superlinear mm_phash row is that saturation, not a plan defect
-  // (candidate recall semantics are unchanged by band sizing only for
-  // the pigeonhole-guaranteed hamming ≤ 3 band count).
+  // signatures, never payloads. Like r31's bucket count, the band
+  // structure is a parameter sized to the corpus: candidate volume
+  // within a chunk bucket is ~n²/2^chunkBits, so the registry entry
+  // derives the width from the document count (Dedup.chunkBitsFor —
+  // 4×16-bit while docs fit them, 2×32-bit above; multi-index hamming
+  // sizing) and the oracle's `wp` CTE replays the derivation. The
+  // recall semantics move with the width by design: pigeonhole
+  // guarantees hamming ≤ 3 at 4 bands, hamming ≤ 1 at 2.
 
   private val PhashHamming = 10
 
   /** pHash near-dup at an explicit chunk width — the registry entry
-    * pins the oracle's 4×16-bit bands; a deployment widens chunks as
-    * the corpus grows (candidates ~n²/2^chunkBits per band; the
-    * multi-index hamming sizing rule). ScaleProbe's
-    * `mm_phash_neardup@bandsPropN` row is the evidence. */
+    * derives the width from the corpus ([[Dedup.chunkBitsFor]]:
+    * 4×16-bit bands while docs ≤ 2¹⁴, 2×32-bit above — candidates
+    * ~n²/2^chunkBits per band; the multi-index hamming sizing rule),
+    * replayed by the oracle's `wp` CTE. ScaleProbe's
+    * `mm_phash_neardup@bandsPropN` row pins the fixed-vs-derived
+    * contrast. */
   def phashNeardupAt(s: SparkSession, dir: String, chunkBits: Int): DataFrame = {
     val grams = Tables.documents(s, dir)
       .withColumn("payload", payload)
@@ -288,8 +290,18 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  private val nDocCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+
+  /** Memoized documents cardinality — the one-row ANALYZE count the
+    * chunk-width derivation reads. */
+  private def docCount(s: SparkSession, dir: String): Long =
+    nDocCache.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir),
+      _ => Tables.documents(s, dir).count())
+
   private def mmPhashNeardup(s: SparkSession, dir: String): DataFrame =
-    phashNeardupAt(s, dir, 16)
+    phashNeardupAt(s, dir, Dedup.chunkBitsFor(docCount(s, dir)))
 
   private val mmPhashNeardupSql =
     s"""WITH grams AS (
@@ -297,7 +309,8 @@ object Multimodal {
        |  FROM (SELECT doc_id, text,
        |          unnest(generate_series(1, octet_length(encode(text)) - 3)) AS i
        |        FROM documents)),
-       |${Dedup.simhashSqlCtes}
+       |${Dedup.simhashSigCtes},
+       |${Dedup.simhashChunkCtesDerived("documents")}
        |SELECT * FROM (
        |${Dedup.simhashPairSelectSql}
        |) WHERE hamming <= $PhashHamming

@@ -924,20 +924,36 @@ object RelationalQueries {
   // (fill fraction — and with it prefilter power — degrades
   // gracefully, never correctness or memory).
 
-  private val BloomBuckets = 8192
+  /** Bucket sizing: ~16 buckets per distinct build-side key (≈6% fill
+    * → ≈6% false-positive pass rate), rounded up to a power of two,
+    * floored at the historical 8192. At sf0.1 (~410 urgent-1996
+    * orders) this derives the former pinned 8192; at the ×16 probe it
+    * derives 131072 — the `@bucketsPropN` remedy row's value, now the
+    * default. The result is bucket-count-independent (the exact join
+    * decides membership), so the oracle needs no derivation. */
+  private[graft] def bloomBucketsFor(buildKeys: Long): Int = {
+    val want = 16L * math.max(1L, buildKeys)
+    math.max(8192, java.lang.Long.highestOneBit(math.max(1L, want - 1)) << 1)
+      .min(1 << 26).toInt
+  }
 
-  /** r31 at an explicit bucket count. The registry pins the oracle's
-    * 8192; the bucket count is the filter's build-side parameter — the
-    * ×16 probe fills the fixed filter 5%→57% and its prefilter power
-    * degrades (gracefully, never correctness), while buckets ∝ build
-    * side (`r31_bloom_prune@bucketsPropN`) restore the selectivity at
-    * a broadcast cost that stays trivially small (≤ n_buckets ints). */
-  def bloomPruneAt(s: SparkSession, dir: String, nBuckets: Int): DataFrame = {
-    val o = Tables.orders(s, dir)
+  /** r31 at an explicit bucket count. The bucket count is the filter's
+    * build-side parameter — the ×16 probe fills a FIXED filter 5%→57%
+    * and its prefilter power degrades (gracefully, never correctness),
+    * while buckets ∝ build side keep the selectivity flat at a
+    * broadcast cost that stays trivially small (≤ n_buckets ints). The
+    * registry entry derives the count from the build-side key count at
+    * plan-build time (the one-row count is the ANALYZE step every
+    * runtime filter pays). */
+  private def urgentOrders1996(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT" &&
         col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
         col("o_orderdate") < ntz("1997-01-01 00:00:00"))
       .select("o_orderkey", "o_orderdate")
+
+  def bloomPruneAt(s: SparkSession, dir: String, nBuckets: Int): DataFrame = {
+    val o = urgentOrders1996(s, dir)
     val buckets = o.select(
       pmod(h32(col("o_orderkey").cast(StringType)), lit(nBuckets)).as("bkt")).distinct()
     Tables.lineitem(s, dir)
@@ -952,7 +968,7 @@ object RelationalQueries {
   }
 
   private def r31(s: SparkSession, dir: String): DataFrame =
-    bloomPruneAt(s, dir, BloomBuckets)
+    bloomPruneAt(s, dir, bloomBucketsFor(urgentOrders1996(s, dir).count()))
 
   private val r31Sql =
     s"""SELECT CAST(month(o_orderdate) AS INTEGER) AS m,

@@ -153,6 +153,39 @@ object Similarity {
 
   private val planes: Array[Array[Double]] = gaussianPlanes(6)
 
+  /** Plane-count sizing: the smallest p in [6, [[MaxPlanes]]] with
+    * n ≤ [[LshTargetPop]]·2^p — mean bucket population (and with it
+    * per-vector candidate count and self-join pair volume per row)
+    * stays ≤ ~32 as the corpus grows (the former `@planesPropN` probe
+    * row, now the default). Integer-threshold compares, never a
+    * floating log, so the oracle's CTE replays the derivation exactly
+    * ([[planesParamCte]]). At the driver sfs (500–2000 vectors) this
+    * derives p = 6 — the historical pin — and 10 at the ×16 probe
+    * corpus. [[MaxPlanes]] bounds the embedded oracle plane family
+    * (covers corpora to ~2M vectors; a larger deployment raises the
+    * constant — it is a literal table, not a design limit). */
+  private[operators] val LshTargetPop = 32
+  private[operators] val MaxPlanes = 16
+
+  private[operators] def planesFor(n: Long): Int = {
+    var p = planes.length
+    while (p < MaxPlanes && n > (LshTargetPop.toLong << p)) p += 1
+    p
+  }
+
+  /** Corpus-derived hyperplane count (one memoized count — the ANALYZE
+    * step of the LSH family sizing). */
+  def derivedPlanes(s: SparkSession, dir: String): Int =
+    planesFor(embCount(s, dir))
+
+  /** SQL twin of the plane-count derivation: CTE `pp(pl)`. The while
+    * loop linearizes to a sum of indicators because the thresholds are
+    * monotone: p = 6 + #{k in [6, MaxPlanes) : n > 32·2^k}. */
+  private[operators] val planesParamCte: String =
+    s"pp AS (SELECT 6 + ${(planes.length until MaxPlanes)
+      .map(k => s"(CASE WHEN count(*) > ${LshTargetPop.toLong << k} THEN 1 ELSE 0 END)")
+      .mkString(" + ")} AS pl FROM embeddings)"
+
   /** Sign-test margin: fast (double) vs exact (decimal) dot drift on
     * 64-dim O(1) vectors is ≤ ~4e-11 (64 products each rounded to 12dp
     * + double summation error), so a fast |dot| ≥ 1e-6 pins the exact
@@ -237,11 +270,14 @@ object Similarity {
 
   private val KnnK = 3
 
-  /** kNN graph at an explicit plane count. The registry entry pins the
-    * oracle's 6 planes; a deployment adds planes as the corpus grows
-    * (bucket population ~n/2^planes constant ⇒ per-vector candidate
-    * count — and recall — constant, pair volume linear). ScaleProbe's
-    * `ann_knn_graph@planesPropN` row is the evidence. */
+  /** kNN graph at an explicit plane count. The registry entry derives
+    * the count from the corpus ([[derivedPlanes]]: bucket population
+    * ~n/2^planes held ≤ ~[[LshTargetPop]] ⇒ per-vector candidate
+    * count — and recall — constant, pair volume linear; the oracle's
+    * `pp` CTE replays the same derivation over a masked
+    * [[MaxPlanes]]-plane family). ScaleProbe's
+    * `ann_knn_graph@planesPropN` row demonstrates the fixed-vs-derived
+    * contrast. */
   def knnGraphAt(s: SparkSession, dir: String, nPlanes: Int): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     val v = withNorm2(Tables.embeddings(s, dir))
@@ -256,13 +292,35 @@ object Similarity {
   }
 
   private def annKnnGraph(s: SparkSession, dir: String): DataFrame =
-    knnGraphAt(s, dir, planes.length)
+    knnGraphAt(s, dir, derivedPlanes(s, dir))
+
+  /** Per-plane exact-decimal dots `d0..d{MaxPlanes-1}` over the full
+    * embedded family, as SELECT-list SQL (the oracle computes all of
+    * them and the bucket assembly masks by the derived count — masked
+    * dots are wasted work only at oracle scale). */
+  private def planeDotsSql(fam: Array[Array[Double]], prefix: String): String =
+    fam.zipWithIndex.map { case (pl, i) =>
+      val lits = pl.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
+      s"""CAST(list_sum(list_transform(list_zip(embedding, $lits),
+         |  x -> CAST(CAST(x[1] AS DOUBLE) * x[2] AS DECIMAL(38,12)))) AS DOUBLE) AS $prefix$i""".stripMargin
+    }.mkString(",\n         ")
+
+  /** Bucket assembly off [[planeDotsSql]] columns, masked by the
+    * derived plane count `pl` (scalar subquery on CTE `pp`). */
+  private def maskedBucketSql(prefix: String): String =
+    (0 until MaxPlanes).map { i =>
+      s"(CASE WHEN $i < (SELECT pl FROM pp) AND $prefix$i > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   private val annKnnGraphSql =
-    s"""WITH v AS (
+    s"""WITH $planesParamCte,
+       |vd AS (
        |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
-       |         $bucketSql AS bucket
+       |         ${planeDotsSql(gaussianPlanes(MaxPlanes), "pd")}
        |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, embedding, n2, ${maskedBucketSql("pd")} AS bucket
+       |  FROM vd),
        |scored AS (
        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
        |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cos_raw
@@ -418,20 +476,39 @@ object Similarity {
   // population — a deployment cap sits in the skew TAIL, where the
   // only affected buckets are the ones that would straggle anyway)
   private val HotCap = 12
-  private val HotMaxSub = 4
+
+  /** Sub-plane budget ∝ plane count: maxSub = p/2 + 1 (4 at the
+    * derived 6 planes, 6 at the probe corpus's 10) — the deepest split
+    * a bucket can need grows with log(skew), which the plane-count
+    * derivation already ties to log(n). Bounded by the embedded
+    * secondary family ([[MaxPlanes]]/2 + 1 = 9 planes). */
+  private[operators] def maxSubFor(nPlanes: Int): Int = nPlanes / 2 + 1
+
+  /** Secondary (split) hyperplanes: an INDEPENDENT deterministic
+    * family (seed 43) — independent of the primary count, so the
+    * oracle can embed it as fixed literals while the primary count is
+    * corpus-derived. (Independence from the primary family is all the
+    * split needs; sharing seed 42's tail would re-tie the secondary
+    * literals to the derived primary count.) */
+  private def gaussianPlanesSec(n: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(43)
+    Array.fill(n)(Array.fill(64)(rnd.nextGaussian()))
+  }
 
   /** Hot-split kNN graph at explicit parameters; the registry entry
-    * pins (6 planes, cap 12, 4 sub-planes) for the oracle, ScaleProbe
-    * runs planes ∝ n with the same cap (`ann_knn_graph@hotSplit`) —
-    * at 100 TB, `cap` is the knob that bounds the self-join group
-    * size no matter how skewed the embedding space is. */
+    * derives planes from the corpus ([[derivedPlanes]]) with cap 12
+    * and maxSub = [[maxSubFor]](planes), all replayed by the oracle's
+    * `pp` CTE. ScaleProbe's `ann_knn_graph@hotSplit` row pins explicit
+    * parameterizations for the contrast. At 100 TB, `cap` is the knob
+    * that bounds the self-join group size no matter how skewed the
+    * embedding space is. */
   def knnGraphHotSplitAt(s: SparkSession, dir: String, nPlanes: Int,
-      cap: Int = HotCap, maxSub: Int = HotMaxSub): DataFrame = {
+      cap: Int = HotCap, maxSub0: Int = 0): DataFrame = {
     import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
     graft.plans.VecDotProduct.register(s)
-    val fam = gaussianPlanes(nPlanes + maxSub)
-    val primary = fam.take(nPlanes)
-    val secondary = fam.drop(nPlanes)
+    val maxSub = if (maxSub0 <= 0) maxSubFor(nPlanes) else maxSub0
+    val primary = gaussianPlanes(nPlanes)
+    val secondary = gaussianPlanesSec(maxSub)
     val v0 = withNorm2(Tables.embeddings(s, dir))
       .withColumn("bucket", bucketColFor(col("embedding"), primary))
     // bucket populations: ≤ 2^nPlanes rows — broadcast back to the scan
@@ -475,33 +552,35 @@ object Similarity {
   }
 
   private def annKnnHotsplit(s: SparkSession, dir: String): DataFrame =
-    knnGraphHotSplitAt(s, dir, planes.length)
+    knnGraphHotSplitAt(s, dir, derivedPlanes(s, dir))
+
+  /** Largest maxSub the oracle embeds: [[maxSubFor]] at [[MaxPlanes]]. */
+  private val MaxSubEmbedded = maxSubFor(MaxPlanes)
 
   private val annKnnHotsplitSql: String = {
-    val fam = gaussianPlanes(planes.length + HotMaxSub)
-    val secondary = fam.drop(planes.length)
-    val sdExprs = secondary.zipWithIndex.map { case (pl, i) =>
-      val lits = pl.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
-      s"""CAST(list_sum(list_transform(list_zip(embedding, $lits),
-         |  x -> CAST(CAST(x[1] AS DOUBLE) * x[2] AS DECIMAL(38,12)))) AS DOUBLE) AS sd$i""".stripMargin
-    }.mkString(",\n         ")
-    val dExpr = (0 until HotMaxSub)
-      .map(k => s"(CASE WHEN pop > ${HotCap.toLong << k} THEN 1 ELSE 0 END)")
+    val dExpr = (0 until MaxSubEmbedded)
+      .map(k => s"(CASE WHEN $k < (SELECT ms FROM ppm) AND pop > ${HotCap.toLong << k} THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")
-    val subExpr = (0 until HotMaxSub)
+    // no ms mask needed: d ≤ ms by construction, so terms with i ≥ ms
+    // are dead through d > i in both engines
+    val subExpr = (0 until MaxSubEmbedded)
       .map(i => s"(CASE WHEN d > $i AND sd$i > 0 THEN ${1 << i} ELSE 0 END)")
       .mkString("(", " + ", ")")
-    val probeExpr = (1 to HotMaxSub).map { dd =>
+    val probeExpr = (1 to MaxSubEmbedded).map { dd =>
       val flips = (0 until dd).map(i => s"xor(sub, ${1 << i})").mkString(", ")
       s"WHEN $dd THEN [sub, $flips]"
     }.mkString("CASE d WHEN 0 THEN [sub] ", " ", " END")
-    s"""WITH v0 AS (
+    s"""WITH $planesParamCte,
+       |ppm AS (SELECT pl, CAST(pl // 2 + 1 AS INTEGER) AS ms FROM pp),
+       |v0 AS (
        |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
-       |         ${bucketSqlFor(fam.take(planes.length))} AS bucket,
-       |         $sdExprs
+       |         ${planeDotsSql(gaussianPlanes(MaxPlanes), "pd")},
+       |         ${planeDotsSql(gaussianPlanesSec(MaxSubEmbedded), "sd")}
        |  FROM embeddings),
+       |vb AS (
+       |  SELECT *, ${maskedBucketSql("pd")} AS bucket FROM v0),
        |v1 AS (
-       |  SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS pop FROM v0),
+       |  SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS pop FROM vb),
        |v2 AS (SELECT *, $dExpr AS d FROM v1),
        |v AS (SELECT vec_id, embedding, n2, bucket, d, $subExpr AS sub FROM v2),
        |probes AS (
@@ -543,6 +622,37 @@ object Similarity {
   private[operators] val IvfK = 10
   private val IvfProbes = 2
   private val LloydIters = 5
+
+  /** Coarse-quantizer sizing: k = max(IvfK, ceil(n / IvfTargetList)) —
+    * mean posting-list (and SemDeDup cluster) length stays ~200 as the
+    * corpus grows, which is what keeps IVF probe cost and SemDeDup's
+    * Σ|cluster|² pair volume linear in n (the former `@kPropN` probe
+    * row, now the default). At the driver sfs (500–2000 vectors) this
+    * derives k = 10 — identical to the historical pin — and at the ×16
+    * probe corpus it derives 160. The oracle CTEs derive the same k
+    * from count(*) (see [[ivfQuantizerCtes]]). */
+  private[operators] val IvfTargetList = 200
+  private[operators] def ivfKFor(n: Long): Int =
+    math.max(IvfK, math.ceil(n / IvfTargetList.toDouble).toInt)
+
+  private val nEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+
+  /** Memoized corpus cardinality — the one-row ANALYZE count every
+    * corpus-derived capacity (IVF k, LSH plane count) reads. */
+  private[operators] def embCount(s: SparkSession, dir: String): Long =
+    nEmbCache.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir),
+      _ => Tables.embeddings(s, dir).count())
+
+  /** Corpus-derived coarse-quantizer k (one memoized count — the
+    * ANALYZE step of the index build). */
+  def derivedIvfK(s: SparkSession, dir: String): Int =
+    ivfKFor(embCount(s, dir))
+
+  /** SQL twin of the k derivation: CTE `kp(kk)`. */
+  private[operators] val ivfKParamCte =
+    s"kp AS (SELECT GREATEST($IvfK, CAST(ceil(count(*) / $IvfTargetList.0) AS BIGINT)) AS kk FROM embeddings)"
 
   /** score monotone in -||x-c||²: c·x − ||c||²/2 — reduced in
     * DECIMAL(38,12) (exact, order-free) so every argmax the quantizer
@@ -646,11 +756,13 @@ object Similarity {
     * diverge the candidate sets the moment a list is empty — besides
     * re-scanning the corpus-sized index for a k-row table.
     *
-    * `k` defaults to the oracle-pinned [[IvfK]]; a corpus-sized
-    * deployment passes k ∝ corpus (constant posting-list length) —
-    * what keeps IVF probes and SemDeDup's within-cluster pair volume
-    * linear as data grows (ScaleProbe demonstrates the k ∝ n row). */
-  def buildIvfIndex(s: SparkSession, dir: String, k: Int = IvfK): (DataFrame, DataFrame) =
+    * `k` defaults to the corpus-derived [[derivedIvfK]] (k ∝ n,
+    * constant posting-list length) — what keeps IVF probes and
+    * SemDeDup's within-cluster pair volume linear as data grows; pass
+    * an explicit k only to pin a configuration (probe exhibits,
+    * specs). */
+  def buildIvfIndex(s: SparkSession, dir: String, k0: Int = 0): (DataFrame, DataFrame) = {
+    val k = if (k0 <= 0) derivedIvfK(s, dir) else k0
     ivfCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir, k), _ => {
       graft.plans.VecDotProduct.register(s)
       graft.plans.TopKPerGroup.install(s)
@@ -665,6 +777,7 @@ object Similarity {
         .localCheckpoint()
       (cents, index)
     })
+  }
 
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
@@ -874,11 +987,13 @@ object Similarity {
     }.mkString(",\n")
     s"""v AS (
        |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS nn FROM embeddings),
+       |$ivfKParamCte,
        |samp AS (
        |  SELECT vec_id, embedding FROM v
-       |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < $IvfK),
+       |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < (SELECT kk FROM kp)),
        |c0 AS (
-       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cent FROM v WHERE vec_id < $IvfK),
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cent FROM v
+       |  WHERE vec_id < (SELECT kk FROM kp)),
        |$rounds,
        |assigned AS (
        |  SELECT vec_id, cid AS list_id FROM (
@@ -1384,11 +1499,13 @@ object Similarity {
     val fast = (0 until PqM).map(m => s"lut[${m * PqK} + codes[${m + 1}] + 1]").mkString(" + ")
     s"""WITH v AS (
        |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS nn FROM embeddings),
+       |$ivfKParamCte,
        |samp AS (
        |  SELECT vec_id, embedding FROM v
-       |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < $IvfK),
+       |  WHERE ${h32("CAST(vec_id AS VARCHAR)")} % 4 = 0 OR vec_id < (SELECT kk FROM kp)),
        |c0 AS (
-       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cent FROM v WHERE vec_id < $IvfK),
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, embedding AS cent FROM v
+       |  WHERE vec_id < (SELECT kk FROM kp)),
        |$ivfRounds,
        |assigned AS (
        |  SELECT vec_id, cid AS list_id FROM (
