@@ -88,6 +88,85 @@ object MarketEtl {
     writePartitioned(dqFilter(normalize(readTradesCsv(spark, inputPath))), outputPath)
 
   // -------------------------------------------------------------------
+  // klines (OHLCV bar) data type. The reference downloader
+  // parameterizes data_type through one URL/path template
+  // (glue_binance_downloader.py:59-76: trades | aggTrades | klines
+  // share the lake layout, differing only in filename and row schema)
+  // — so the engine ingests bars through the SAME partitioned-lake
+  // machinery: identical path-metadata extraction, partition audit and
+  // sink; only the schema, normalization and DQ predicate are
+  // bar-specific.
+  // -------------------------------------------------------------------
+
+  /** Binance monthly klines CSV schema (12 columns; the trailing
+    * `ignore` field is carried as string and dropped at normalize). */
+  val klinesCsvSchema: StructType = StructType(Seq(
+    StructField("open_time", LongType),
+    StructField("open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("close", DoubleType),
+    StructField("volume", DoubleType),
+    StructField("close_time", LongType),
+    StructField("quote_volume", DoubleType),
+    StructField("count", LongType),
+    StructField("taker_buy_volume", DoubleType),
+    StructField("taker_buy_quote_volume", DoubleType),
+    StructField("ignore", StringType)))
+
+  /** Schema'd klines CSV read over the same Hive-partitioned layout as
+    * [[readTradesCsv]] — the lake contract is data_type-independent. */
+  def readKlinesCsv(spark: SparkSession, inputPath: String): DataFrame = {
+    val df = spark.read
+      .option("recursiveFileLookup", "true")
+      .schema(klinesCsvSchema)
+      .csv(inputPath)
+      .withColumn("_input_file", input_file_name())
+    df.withColumn("symbol", regexp_extract(col("_input_file"), "symbol=([A-Z]+)/", 1))
+      .withColumn("year", regexp_extract(col("_input_file"), "year=(\\d+)/", 1).cast(IntegerType))
+      .withColumn("month", regexp_extract(col("_input_file"), "month=(\\d+)/", 1).cast(IntegerType))
+  }
+
+  /** Klines normalization: epoch-ms bar open/close → timestamps, day
+    * extraction, load date, Binance's `count` → `n_trades`, `ignore`
+    * dropped. Mirrors [[normalize]]'s shape so the two data types land
+    * in the lake with the same partition-column contract. */
+  def normalizeKlines(df: DataFrame): DataFrame =
+    df.withColumn("bar_time",
+        timestamp_micros(expr("open_time * 1000")).cast(TimestampNTZType))
+      .withColumn("bar_close_time",
+        timestamp_micros(expr("close_time * 1000")).cast(TimestampNTZType))
+      .withColumn("day", dayofmonth(col("bar_time")))
+      .withColumn("load_dt", to_date(col("bar_time")))
+      .select(
+        col("symbol"), col("bar_time"), col("bar_close_time"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("quote_volume"),
+        col("count").as("n_trades"),
+        col("taker_buy_volume"), col("taker_buy_quote_volume"),
+        col("load_dt"), col("year"), col("month"), col("day"))
+
+  /** Klines DQ gate: bar-internal OHLC coherence (high dominates,
+    * low is dominated), non-negative volumes/counts, calendar-valid
+    * partition values — the bar-shaped analogue of [[dqFilter]]. */
+  def dqFilterKlines(df: DataFrame): DataFrame =
+    df.filter(
+      col("bar_time").isNotNull &&
+      col("open").isNotNull && col("close").isNotNull &&
+      (col("high") >= col("open")) && (col("high") >= col("close")) &&
+      (col("high") >= col("low")) &&
+      (col("low") <= col("open")) && (col("low") <= col("close")) &&
+      (col("volume") >= 0) && (col("quote_volume") >= 0) &&
+      (col("n_trades") >= 0) &&
+      validCalendar(col("year"), col("month"), col("day")))
+
+  /** Full klines pipeline: CSV lake → clean partitioned parquet
+    * through the shared [[writePartitioned]] sink. */
+  def runKlines(spark: SparkSession, inputPath: String, outputPath: String): Unit =
+    writePartitioned(dqFilterKlines(normalizeKlines(readKlinesCsv(spark, inputPath))),
+      outputPath)
+
+  // -------------------------------------------------------------------
   // The same pipeline semantics over the driver's synthetic `events`
   // table (events ≈ trades: event_type≈symbol, value≈price, props.k≈
   // quantity). Used by every market-analytics query + its oracle.

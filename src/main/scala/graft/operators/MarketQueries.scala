@@ -44,6 +44,87 @@ object MarketQueries {
        |WHERE ${validCalendarSql("year", "month", "day")}
        |ORDER BY trade_id""".stripMargin
 
+  // --- etl_normalize_klines: the downloader's second data_type --------
+  // The reference parameterizes data_type through one URL/path
+  // template (glue_binance_downloader.py:59-76) — bars ride the same
+  // lake machinery as trades. Here the driver corpus is trades-shaped,
+  // so the registry entry BUILDS the klines input (deterministic
+  // minute bars: open/close by (time, id) row_number, exact-decimal
+  // volume sums) and then runs the REAL ingestion tier on it —
+  // MarketEtl.normalizeKlines (epoch-ms → timestamp, day/load_dt) +
+  // dqFilterKlines (OHLC coherence gate) — the code path a production
+  // klines feed enters through readKlinesCsv (EtlSpec-pinned).
+
+  private def etlNormalizeKlines(s: SparkSession, dir: String): DataFrame = {
+    val t = trades(s, dir)
+      .withColumn("bar_ts", date_trunc("minute", col("trade_time")).cast(TimestampNTZType))
+    val wa = Window.partitionBy("symbol", "bar_ts")
+      .orderBy(col("trade_time"), col("trade_id"))
+    val wz = Window.partitionBy("symbol", "bar_ts")
+      .orderBy(col("trade_time").desc, col("trade_id").desc)
+    val raw = t
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_z", row_number().over(wz))
+      .groupBy(col("symbol"), col("bar_ts"))
+      .agg(
+        max(when(col("rn_a") === 1, col("price"))).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max(when(col("rn_z") === 1, col("price"))).as("close"),
+        dsum(col("quantity")).as("volume"),
+        dsum(col("quote_qty")).as("quote_volume"),
+        count(lit(1)).as("count"),
+        dsum(when(!col("is_buyer_maker"), col("quantity")).otherwise(lit(0.0)))
+          .as("taker_buy_volume"),
+        dsum(when(!col("is_buyer_maker"), col("quote_qty")).otherwise(lit(0.0)))
+          .as("taker_buy_quote_volume"))
+      .withColumn("open_time", unix_millis(col("bar_ts").cast(TimestampType)))
+      .withColumn("close_time", col("open_time") + 59999)
+      .withColumn("year", year(col("bar_ts")))
+      .withColumn("month", month(col("bar_ts")))
+      .drop("bar_ts")
+    MarketEtl.dqFilterKlines(MarketEtl.normalizeKlines(raw))
+      .orderBy("symbol", "bar_time")
+  }
+
+  private val etlNormalizeKlinesSql =
+    s"""$cte,
+       |seq AS (
+       |  SELECT symbol, date_trunc('minute', trade_time) AS bar_ts,
+       |         price, quantity, quote_qty, is_buyer_maker,
+       |         row_number() OVER (PARTITION BY symbol, date_trunc('minute', trade_time)
+       |           ORDER BY trade_time, trade_id) AS rn_a,
+       |         row_number() OVER (PARTITION BY symbol, date_trunc('minute', trade_time)
+       |           ORDER BY trade_time DESC, trade_id DESC) AS rn_z
+       |  FROM trades),
+       |bars AS (
+       |  SELECT symbol, bar_ts,
+       |         MAX(CASE WHEN rn_a = 1 THEN price END) AS open,
+       |         MAX(price) AS high, MIN(price) AS low,
+       |         MAX(CASE WHEN rn_z = 1 THEN price END) AS close,
+       |         ${dsumSql("quantity")} AS volume,
+       |         ${dsumSql("quote_qty")} AS quote_volume,
+       |         COUNT(*) AS n_trades,
+       |         ${dsumSql("CASE WHEN NOT is_buyer_maker THEN quantity ELSE 0 END")} AS taker_buy_volume,
+       |         ${dsumSql("CASE WHEN NOT is_buyer_maker THEN quote_qty ELSE 0 END")} AS taker_buy_quote_volume
+       |  FROM seq GROUP BY 1, 2)
+       |SELECT symbol, bar_ts AS bar_time,
+       |       bar_ts + to_milliseconds(59999) AS bar_close_time,
+       |       open, high, low, close, volume, quote_volume, n_trades,
+       |       taker_buy_volume, taker_buy_quote_volume,
+       |       CAST(bar_ts AS DATE) AS load_dt,
+       |       CAST(year(bar_ts) AS INTEGER) AS year,
+       |       CAST(month(bar_ts) AS INTEGER) AS month,
+       |       CAST(day(bar_ts) AS INTEGER) AS day
+       |FROM bars
+       |WHERE bar_ts IS NOT NULL AND open IS NOT NULL AND close IS NOT NULL
+       |  AND high >= open AND high >= close AND high >= low
+       |  AND low <= open AND low <= close
+       |  AND volume >= 0 AND quote_volume >= 0 AND n_trades >= 0
+       |  AND ${validCalendarSql("CAST(year(bar_ts) AS INTEGER)",
+             "CAST(month(bar_ts) AS INTEGER)", "CAST(day(bar_ts) AS INTEGER)")}
+       |ORDER BY symbol, bar_time""".stripMargin
+
   private def etlPartitionAudit(s: SparkSession, dir: String): DataFrame =
     trades(s, dir).groupBy("year", "month", "day", "symbol")
       .agg(count(lit(1)).as("n"))
@@ -1206,6 +1287,7 @@ object MarketQueries {
 
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
+    Op("etl_normalize_klines", etlNormalizeKlines, Some(etlNormalizeKlinesSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
     Op("etl_incremental", etlIncremental, Some(etlIncrementalSql)),
     Op("etl_json_props", etlJsonProps, Some(etlJsonPropsSql)),

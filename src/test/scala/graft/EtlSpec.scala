@@ -57,6 +57,51 @@ class EtlSpec extends AnyFunSuite {
     assert(t == "2024-07-26 12:00:00")
   }
 
+  test("klines lake → normalizeKlines → DQ → partitioned parquet (second data_type)") {
+    // Binance monthly klines layout (12 cols, no header):
+    // open_time,open,high,low,close,volume,close_time,quote_volume,
+    // count,taker_buy_volume,taker_buy_quote_volume,ignore
+    val in = "target/tmp/etl-klines-lake"
+    rmrf(in)
+    val rows = Map(
+      "BTCUSDT" -> Seq(
+        "1721995200000,50000.0,50100.0,49900.0,50050.0,12.5,1721995259999,625625.0,42,5.5,275275.0,0",
+        "1721995260000,50050.0,50060.0,50040.0,50055.0,3.0,1721995319999,150150.0,7,1.0,50055.0,0",
+        // DQ: high below close — incoherent bar
+        "1721995320000,50055.0,50000.0,49990.0,50060.0,2.0,1721995379999,100100.0,5,1.0,50055.0,0",
+        // DQ: negative volume
+        "1721995380000,50060.0,50070.0,50050.0,50065.0,-1.0,1721995439999,100.0,3,0.5,25000.0,0",
+        // malformed numerics → null bar_time, dies at the gate
+        "garbage,a,b,c,d,e,f,g,h,i,j,k"),
+      "ETHUSDT" -> Seq(
+        "1721995200000,3000.0,3010.0,2995.0,3005.0,100.0,1721995259999,300250.0,60,40.0,120100.0,0"))
+    rows.foreach { case (sym, lines) =>
+      val dir = Paths.get(s"$in/symbol=$sym/year=2024/month=07")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(s"$sym-klines-2024-07.csv"), lines.mkString("\n"))
+    }
+    val out = "target/tmp/etl-klines-out"
+    rmrf(out)
+    MarketEtl.runKlines(spark, in, out)
+
+    val back = spark.read.parquet(out)
+    // 6 input rows: 2 DQ-violating bars + 1 malformed row dropped
+    assert(back.count() == 3)
+    assert(back.filter(col("symbol") === "BTCUSDT").count() == 2)
+    // same lake partition contract as trades
+    val parts = back.select("year", "month", "day", "symbol").distinct().collect()
+    assert(parts.forall(r => r.getInt(0) == 2024 && r.getInt(1) == 7))
+    // Binance `count` renamed, epoch-ms round-trip, close_time convention
+    assert(back.schema.fieldNames.contains("n_trades"))
+    val r0 = back.filter(col("symbol") === "ETHUSDT")
+      .select(date_format(col("bar_time"), "yyyy-MM-dd HH:mm:ss"),
+        date_format(col("bar_close_time"), "HH:mm:ss.SSS"), col("n_trades"))
+      .head
+    assert(r0.getString(0) == "2024-07-26 12:00:00")
+    assert(r0.getString(1) == "12:00:59.999")
+    assert(r0.getLong(2) == 60L)
+  }
+
   test("catalog: external table + partition discovery + pruned SQL scan") {
     // depends on the lake written by the round-trip test
     writeCsvLake()
