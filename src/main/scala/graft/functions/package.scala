@@ -61,6 +61,18 @@ package object functions {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
+  /** Portable 60-bit hash (first 15 md5 hex chars): the wide member of
+    * the family for NDV-style uses where 32-bit birthday collisions
+    * (~n²/2³³) would visibly undercount — 60 bits keeps the expected
+    * collision mass below 2⁻²⁹ even at 2¹⁶ distinct keys while still
+    * fitting a signed BIGINT in both engines (no bit-63 sign wrap). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB twin of [[h60]]. */
+  def h60Sql(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
   /** Calendar validity incl. leap years — the reference's DQ predicate
     * (glue_spark_trades_etl.py:135-171) as one codegen'd boolean. */
   def validCalendar(y: Column, m: Column, d: Column): Column = {

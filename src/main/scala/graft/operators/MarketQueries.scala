@@ -722,18 +722,34 @@ object MarketQueries {
   // parallel across symbols — the honest price of exactness; the
   // sketch-based path for approximate needs is q5's.
 
+  /** Quantile rank ceil((pct/100)·n) in pure INTEGER arithmetic —
+    * (pct·n + 99) div 100 — because neither engine's double path is
+    * portable: Spark's ceil(lit(0.90)·n) rounds 0.90 to binary
+    * (0.9·10 = 9.000000000000002, ceil = 10) while DuckDB's decimal
+    * literal gives exact 9.0 (ceil = 9), so group sizes on the wrong
+    * grid (n ≡ 0 mod 10 for p90) pick DIFFERENT rank elements. The
+    * double division by 100 here is safe: the true quotient sits on
+    * the k/100 grid, ≥ 0.01 from any other integer, far beyond one
+    * ulp, so floor never crosses a boundary. */
+  private def rankCeil(pct: Int, n: Column): Column =
+    floor((n * pct + lit(99)) / lit(100))
+
+  /** SQL twin of [[rankCeil]] — DuckDB `//` is exact BIGINT division. */
+  private def rankCeilSql(pct: Int, n: String): String =
+    s"(($pct * $n + 99) // 100)"
+
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy(col("price"), col("trade_id"))
     val wc = Window.partitionBy("symbol")
-    def at(p: Double) =
-      min(when(col("rn") === ceil(lit(p) * col("n")), col("price")))
+    def at(pct: Int) =
+      min(when(col("rn") === rankCeil(pct, col("n")), col("price")))
     trades(s, dir)
       .select(col("symbol"), col("price"), col("trade_id"))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .withColumn("n", count(lit(1)).over(wc))
       .groupBy("symbol")
       .agg(max("n").as("n_trades"),
-        at(0.50).as("p50"), at(0.90).as("p90"), at(0.99).as("p99"))
+        at(50).as("p50"), at(90).as("p90"), at(99).as("p99"))
       .orderBy("symbol")
   }
 
@@ -744,9 +760,9 @@ object MarketQueries {
        |         count(*) OVER (PARTITION BY symbol) AS n
        |  FROM trades)
        |SELECT symbol, CAST(max(n) AS BIGINT) AS n_trades,
-       |       min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN price END) AS p50,
-       |       min(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN price END) AS p90,
-       |       min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN price END) AS p99
+       |       min(CASE WHEN rn = ${rankCeilSql(50, "n")} THEN price END) AS p50,
+       |       min(CASE WHEN rn = ${rankCeilSql(90, "n")} THEN price END) AS p90,
+       |       min(CASE WHEN rn = ${rankCeilSql(99, "n")} THEN price END) AS p99
        |FROM ranked GROUP BY symbol ORDER BY symbol""".stripMargin
 
   // --- etl_dq_rejects: the DQ gate as an auditable rejects report ------
@@ -811,13 +827,13 @@ object MarketQueries {
     val flagged = t.select(col("symbol"), col("price"), col("trade_id"))
       .join(broadcast(counts), Seq("symbol"))
     val w = Window.partitionBy("symbol").orderBy(col("price"), col("trade_id"))
-    def at(p: Double) =
-      min(when(col("rn") === ceil(lit(p) * col("n_trades")), col("price")))
+    def at(pct: Int) =
+      min(when(col("rn") === rankCeil(pct, col("n_trades")), col("price")))
     val exact = flagged.filter(col("n_trades") <= cap)
       .withColumn("rn", row_number().over(w).cast(LongType))
       .groupBy("symbol")
       .agg(max("n_trades").as("n_trades"),
-        at(0.50).as("p50"), at(0.90).as("p90"), at(0.99).as("p99"))
+        at(50).as("p50"), at(90).as("p90"), at(99).as("p99"))
       .withColumn("regime", lit("exact"))
     val sketch = sketchOf(flagged.filter(col("n_trades") > cap))
       .withColumn("regime", lit("sketch"))
@@ -839,9 +855,9 @@ object MarketQueries {
        |  FROM trades)
        |SELECT symbol, CAST(max(n) AS BIGINT) AS n_trades,
        |       CAST($cap AS BIGINT) AS capacity, 'exact' AS regime,
-       |       min(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN price END) AS p50,
-       |       min(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN price END) AS p90,
-       |       min(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN price END) AS p99
+       |       min(CASE WHEN rn = ${rankCeilSql(50, "n")} THEN price END) AS p50,
+       |       min(CASE WHEN rn = ${rankCeilSql(90, "n")} THEN price END) AS p90,
+       |       min(CASE WHEN rn = ${rankCeilSql(99, "n")} THEN price END) AS p99
        |FROM ranked GROUP BY symbol ORDER BY symbol""".stripMargin
 
   // --- Q16: capacity-routed quantiles, percentile_approx above cap -----
@@ -899,19 +915,31 @@ object MarketQueries {
   // distinct key); this is its 100 TB sibling, now hash-checkable via
   // the q23 pattern: a KMV sketch at the declared capacity holds the
   // FULL distinct set of portable md5-prefix hashes while the group's
-  // NDV is below the cap (bounded memory, map-side mergeable, no
-  // distinct shuffle — and 32-bit collisions replay identically in the
-  // oracle), and approx_count_distinct's HLL++ registers ride along in
-  // fixed bytes to serve groups above it. The oracle replays the exact
-  // regime (COUNT(DISTINCT h) per symbol); QueriesSpec forces the HLL
-  // regime with an aggressive cap and bounds its relative error.
+  // hash-NDV is below the cap (bounded memory, map-side mergeable, no
+  // distinct shuffle — and any hash collision replays identically in
+  // the oracle), and approx_count_distinct's HLL++ registers ride
+  // along in fixed bytes to serve groups above it. The oracle replays
+  // the exact regime (COUNT(DISTINCT h) per symbol); QueriesSpec
+  // forces the HLL regime with an aggressive cap and bounds its
+  // relative error.
+  //
+  // Output contract: ndv_trades in the exact regime is the NDV of the
+  // 60-bit hash h60(trade_id) — the widest md5 prefix a signed BIGINT
+  // carries in both engines. Expected collision undercount is
+  // ~n²/2⁶¹ < 2⁻²⁹ keys at the 2¹⁶ cap, i.e. zero in practice (the
+  // former 32-bit family would lose a visible ~n²/2³³). Declared
+  // boundary: at hash-NDV exactly equal to the cap the sketch is in
+  // fact still the complete distinct set, but the regime flips to
+  // 'hll' — "exact" is claimed only STRICTLY below capacity, where
+  // completeness is provable from size(sketch) alone, and the oracle
+  // (valid only in the exact regime) follows the same rule.
 
   private[graft] val NdvCap = 65536
 
   private[graft] def q17At(cap: Int)(s: SparkSession, dir: String): DataFrame = {
     graft.plans.KmvSketch.register(s)
     trades(s, dir)
-      .withColumn("h", h32(col("trade_id").cast(StringType)))
+      .withColumn("h", h60(col("trade_id").cast(StringType)))
       .groupBy("symbol")
       .agg(count(lit(1)).as("row_count"),
         graft.plans.KmvSketch.kmv_sketch(col("h"), cap).as("sketch"),
@@ -930,7 +958,7 @@ object MarketQueries {
   private val q17Sql =
     s"""$cte, h AS (
        |  SELECT symbol, COUNT(*) AS row_count,
-       |         COUNT(DISTINCT CAST(('0x' || substr(md5(CAST(trade_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS ndv_h
+       |         COUNT(DISTINCT ${h60Sql("CAST(trade_id AS VARCHAR)")}) AS ndv_h
        |  FROM trades GROUP BY 1)
        |SELECT symbol, row_count, CAST($NdvCap AS BIGINT) AS capacity,
        |       'exact' AS regime, ndv_h AS ndv_trades

@@ -290,15 +290,13 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
-  private val nDocCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
-
-  /** Memoized documents cardinality — the one-row ANALYZE count the
-    * chunk-width derivation reads. */
+  /** Documents cardinality via the shared ANALYZE ledger
+    * ([[graft.etl.TableStats]] — snapshotted at first use per
+    * application; `TableStats.invalidate(dir)` re-ANALYZEs a
+    * regenerated lake). */
   private def docCount(s: SparkSession, dir: String): Long =
-    nDocCache.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir),
-      _ => Tables.documents(s, dir).count())
+    graft.etl.TableStats.rowCount(s, s"$dir#documents")(
+      Tables.documents(s, dir).count())
 
   private def mmPhashNeardup(s: SparkSession, dir: String): DataFrame =
     phashNeardupAt(s, dir, Dedup.chunkBitsFor(docCount(s, dir)))

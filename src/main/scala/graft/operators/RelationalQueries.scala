@@ -967,8 +967,16 @@ object RelationalQueries {
       .orderBy("m")
   }
 
+  /** Build-side key count via the shared ANALYZE ledger — one Spark
+    * job per (application, lake), not one per plan build (the count is
+    * bucket-count-independent, so snapshot staleness can never affect
+    * correctness, only prefilter selectivity). */
+  private def urgentOrderCount(s: SparkSession, dir: String): Long =
+    graft.etl.TableStats.rowCount(s, s"$dir#orders_urgent_1996")(
+      urgentOrders1996(s, dir).count())
+
   private def r31(s: SparkSession, dir: String): DataFrame =
-    bloomPruneAt(s, dir, bloomBucketsFor(urgentOrders1996(s, dir).count()))
+    bloomPruneAt(s, dir, bloomBucketsFor(urgentOrderCount(s, dir)))
 
   private val r31Sql =
     s"""SELECT CAST(month(o_orderdate) AS INTEGER) AS m,

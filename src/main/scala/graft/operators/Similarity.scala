@@ -635,15 +635,15 @@ object Similarity {
   private[operators] def ivfKFor(n: Long): Int =
     math.max(IvfK, math.ceil(n / IvfTargetList.toDouble).toInt)
 
-  private val nEmbCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
-
-  /** Memoized corpus cardinality — the one-row ANALYZE count every
-    * corpus-derived capacity (IVF k, LSH plane count) reads. */
+  /** Corpus cardinality via the shared ANALYZE ledger
+    * ([[graft.etl.TableStats]]) — the one-row count every
+    * corpus-derived capacity (IVF k, LSH plane count) reads.
+    * Snapshotted at first use per application (exactly when the
+    * derived capacities are fixed); `TableStats.invalidate(dir)`
+    * re-ANALYZEs a lake regenerated in-place. */
   private[operators] def embCount(s: SparkSession, dir: String): Long =
-    nEmbCache.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir),
-      _ => Tables.embeddings(s, dir).count())
+    graft.etl.TableStats.rowCount(s, s"$dir#embeddings")(
+      Tables.embeddings(s, dir).count())
 
   /** Corpus-derived coarse-quantizer k (one memoized count — the
     * ANALYZE step of the index build). */
