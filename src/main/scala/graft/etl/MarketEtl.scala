@@ -167,6 +167,78 @@ object MarketEtl {
       outputPath)
 
   // -------------------------------------------------------------------
+  // aggTrades data type — the downloader's third and last data_type
+  // (glue_binance_downloader.py:59-76: trades | aggTrades | klines all
+  // flow through the one URL/path template). Binance's published
+  // monthly aggTrades CSV: consecutive same-price same-side fills
+  // compacted to one row carrying the [first, last] trade-id range.
+  // Same lake contract as the other two: only schema, normalization
+  // and the DQ predicate are aggTrades-specific.
+  // -------------------------------------------------------------------
+
+  /** Binance monthly aggTrades CSV schema (8 columns, no header). */
+  val aggTradesCsvSchema: StructType = StructType(Seq(
+    StructField("agg_trade_id", LongType),
+    StructField("price", DoubleType),
+    StructField("quantity", DoubleType),
+    StructField("first_trade_id", LongType),
+    StructField("last_trade_id", LongType),
+    StructField("transact_time", LongType),
+    StructField("is_buyer_maker", BooleanType),
+    StructField("is_best_match", BooleanType)))
+
+  /** Schema'd aggTrades CSV read over the shared Hive-partitioned
+    * layout — path metadata extraction identical to [[readTradesCsv]]/
+    * [[readKlinesCsv]]. */
+  def readAggTradesCsv(spark: SparkSession, inputPath: String): DataFrame = {
+    val df = spark.read
+      .option("recursiveFileLookup", "true")
+      .schema(aggTradesCsvSchema)
+      .csv(inputPath)
+      .withColumn("_input_file", input_file_name())
+    df.withColumn("symbol", regexp_extract(col("_input_file"), "symbol=([A-Z]+)/", 1))
+      .withColumn("year", regexp_extract(col("_input_file"), "year=(\\d+)/", 1).cast(IntegerType))
+      .withColumn("month", regexp_extract(col("_input_file"), "month=(\\d+)/", 1).cast(IntegerType))
+  }
+
+  /** aggTrades normalization: epoch-ms transact_time → NTZ timestamp,
+    * derived notional (quote_qty = price·quantity, the same derivation
+    * [[normalize]] applies to trades), day extraction, load date —
+    * landing bars, trades and agg-trades in the lake with one
+    * partition-column contract. */
+  def normalizeAggTrades(df: DataFrame): DataFrame =
+    df.withColumn("trade_time",
+        timestamp_micros(expr("transact_time * 1000")).cast(TimestampNTZType))
+      .withColumn("day", dayofmonth(col("trade_time")))
+      .withColumn("load_dt", to_date(col("trade_time")))
+      .select(
+        col("agg_trade_id"), col("symbol"), col("trade_time"),
+        col("price"), col("quantity"),
+        (col("price") * col("quantity")).as("quote_qty"),
+        col("first_trade_id"), col("last_trade_id"),
+        col("is_buyer_maker"), col("is_best_match"),
+        col("load_dt"), col("year"), col("month"), col("day"))
+
+  /** aggTrades DQ gate: positive price/quantity, a coherent trade-id
+    * range (first ≤ last — the aggregation invariant), calendar-valid
+    * partition values. */
+  def dqFilterAggTrades(df: DataFrame): DataFrame =
+    df.filter(
+      col("trade_time").isNotNull &&
+      col("price").isNotNull && (col("price") > 0) &&
+      col("quantity").isNotNull && (col("quantity") > 0) &&
+      col("first_trade_id").isNotNull && col("last_trade_id").isNotNull &&
+      (col("first_trade_id") <= col("last_trade_id")) &&
+      validCalendar(col("year"), col("month"), col("day")))
+
+  /** Full aggTrades pipeline: CSV lake → clean partitioned parquet
+    * through the shared [[writePartitioned]] sink. */
+  def runAggTrades(spark: SparkSession, inputPath: String, outputPath: String): Unit =
+    writePartitioned(
+      dqFilterAggTrades(normalizeAggTrades(readAggTradesCsv(spark, inputPath))),
+      outputPath)
+
+  // -------------------------------------------------------------------
   // The same pipeline semantics over the driver's synthetic `events`
   // table (events ≈ trades: event_type≈symbol, value≈price, props.k≈
   // quantity). Used by every market-analytics query + its oracle.

@@ -125,6 +125,81 @@ object MarketQueries {
              "CAST(month(bar_ts) AS INTEGER)", "CAST(day(bar_ts) AS INTEGER)")}
        |ORDER BY symbol, bar_time""".stripMargin
 
+  // --- etl_normalize_aggtrades: the downloader's third data_type ------
+  // Binance aggTrades compact consecutive same-price same-side fills
+  // into one row carrying the [first, last] trade-id range
+  // (glue_binance_downloader.py:59-76 parameterizes the same template
+  // with data_type=aggTrades). The driver corpus is trades-shaped, so
+  // the entry BUILDS the aggTrades feed with the aggregation's own
+  // definition — a gaps-and-islands pass over the per-symbol
+  // (trade_time, trade_id) order, grouping maximal same-(price, side)
+  // runs — then runs the REAL ingestion tier on it:
+  // MarketEtl.normalizeAggTrades (epoch-ms → timestamp, notional
+  // derivation, day/load_dt) + dqFilterAggTrades (id-range coherence
+  // gate), the code path a production feed enters through
+  // readAggTradesCsv (EtlSpec-pinned). Quantities are whole numbers in
+  // this corpus (props.k), so SUM(quantity) is exact in double and
+  // engine-portable without the decimal machinery; quote_qty is a
+  // per-row IEEE product, identical in both engines.
+
+  private def etlNormalizeAggTrades(s: SparkSession, dir: String): DataFrame = {
+    val t = trades(s, dir)
+    val wAll = Window.partitionBy("symbol")
+      .orderBy(col("trade_time"), col("trade_id"))
+    val wRun = Window.partitionBy("symbol", "price", "is_buyer_maker")
+      .orderBy(col("trade_time"), col("trade_id"))
+    val raw = t
+      .withColumn("island", row_number().over(wAll) - row_number().over(wRun))
+      .groupBy(col("symbol"), col("price"), col("is_buyer_maker"), col("island"))
+      .agg(
+        min("trade_id").as("agg_trade_id"),
+        sum("quantity").as("quantity"),
+        min("trade_id").as("first_trade_id"),
+        max("trade_id").as("last_trade_id"),
+        max("trade_time").as("t_last"))
+      .withColumn("transact_time", unix_millis(col("t_last").cast(TimestampType)))
+      .withColumn("is_best_match", lit(true))
+      .withColumn("year", year(col("t_last")))
+      .withColumn("month", month(col("t_last")))
+      .select("agg_trade_id", "symbol", "price", "quantity",
+        "first_trade_id", "last_trade_id", "transact_time",
+        "is_buyer_maker", "is_best_match", "year", "month")
+    MarketEtl.dqFilterAggTrades(MarketEtl.normalizeAggTrades(raw))
+      .orderBy("symbol", "agg_trade_id")
+  }
+
+  private val etlNormalizeAggTradesSql =
+    s"""$cte,
+       |seq AS (
+       |  SELECT symbol, price, quantity, is_buyer_maker, trade_time, trade_id,
+       |         row_number() OVER (PARTITION BY symbol
+       |             ORDER BY trade_time, trade_id)
+       |       - row_number() OVER (PARTITION BY symbol, price, is_buyer_maker
+       |             ORDER BY trade_time, trade_id) AS island
+       |  FROM trades),
+       |runs AS (
+       |  SELECT symbol, price, is_buyer_maker, island,
+       |         MIN(trade_id) AS agg_trade_id,
+       |         SUM(quantity) AS quantity,
+       |         MIN(trade_id) AS first_trade_id,
+       |         MAX(trade_id) AS last_trade_id,
+       |         MAX(trade_time) AS t_last
+       |  FROM seq GROUP BY 1,2,3,4)
+       |SELECT agg_trade_id, symbol,
+       |       date_trunc('milliseconds', t_last) AS trade_time,
+       |       price, quantity, price * quantity AS quote_qty,
+       |       first_trade_id, last_trade_id, is_buyer_maker,
+       |       TRUE AS is_best_match,
+       |       CAST(date_trunc('milliseconds', t_last) AS DATE) AS load_dt,
+       |       CAST(year(t_last) AS INTEGER) AS year,
+       |       CAST(month(t_last) AS INTEGER) AS month,
+       |       CAST(day(t_last) AS INTEGER) AS day
+       |FROM runs
+       |WHERE price > 0 AND quantity > 0 AND first_trade_id <= last_trade_id
+       |  AND ${validCalendarSql("CAST(year(t_last) AS INTEGER)",
+             "CAST(month(t_last) AS INTEGER)", "CAST(day(t_last) AS INTEGER)")}
+       |ORDER BY symbol, agg_trade_id""".stripMargin
+
   private def etlPartitionAudit(s: SparkSession, dir: String): DataFrame =
     trades(s, dir).groupBy("year", "month", "day", "symbol")
       .agg(count(lit(1)).as("n"))
@@ -1316,6 +1391,7 @@ object MarketQueries {
   val ops: Seq[Op] = Seq(
     Op("etl_normalize", etlNormalize, Some(etlNormalizeSql)),
     Op("etl_normalize_klines", etlNormalizeKlines, Some(etlNormalizeKlinesSql)),
+    Op("etl_normalize_aggtrades", etlNormalizeAggTrades, Some(etlNormalizeAggTradesSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
     Op("etl_incremental", etlIncremental, Some(etlIncrementalSql)),
     Op("etl_json_props", etlJsonProps, Some(etlJsonPropsSql)),

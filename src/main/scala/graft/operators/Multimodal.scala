@@ -277,15 +277,44 @@ object Multimodal {
     * ~n²/2^chunkBits per band; the multi-index hamming sizing rule),
     * replayed by the oracle's `wp` CTE. ScaleProbe's
     * `mm_phash_neardup@bandsPropN` row pins the fixed-vs-derived
-    * contrast. */
-  def phashNeardupAt(s: SparkSession, dir: String, chunkBits: Int): DataFrame = {
-    val grams = Tables.documents(s, dir)
-      .withColumn("payload", payload)
+    * contrast.
+    *
+    * Two modality tiers feed ONE signature frame (doc_id, sim_lo,
+    * sim_hi): payloads an imageio reader claims get the REAL pHash —
+    * DCT-sign bits over decoded luminance ([[graft.plans.ImagePhash]];
+    * PNG/BMP/GIF/JPEG) — and everything else gets SimHash over sliding
+    * 4-byte grams of the raw bytes. Both are 64-bit
+    * hamming-comparable signatures, so banding, candidate join and the
+    * hamming gate downstream are modality-blind; image/text pairs
+    * never collide semantically because a DCT signature and a byte
+    * SimHash agreeing on a 16-bit band is pure chance, thinned by the
+    * same ≤ [[PhashHamming]] verification every candidate passes. The
+    * documents corpus carries no image bytes, so the oracle replays
+    * the gram tier only (MultimodalSpec pins the DCT tier on
+    * synthesized images). */
+  def phashNeardupAt(s: SparkSession, dir: String, chunkBits: Int): DataFrame =
+    phashPairsOf(s, Tables.documents(s, dir).withColumn("payload", payload), chunkBits)
+
+  /** The two-tier signature pipeline over any (doc_id, payload: binary)
+    * frame — split out so MultimodalSpec can drive real image payloads
+    * through the SAME code path the registry entry runs (the documents
+    * corpus's `text` column can't carry arbitrary image bytes). */
+  private[graft] def phashPairsOf(s: SparkSession, docsIn: DataFrame,
+      chunkBits: Int): DataFrame = {
+    graft.plans.ImagePhashFn.register(s)
+    val docs = docsIn
+      .withColumn("psig", graft.plans.ImagePhashFn.image_phash(col("payload")))
+    val imgSigs = docs.filter(col("psig").isNotNull)
+      .select(col("doc_id"),
+        col("psig").bitwiseAND(lit(0xFFFFFFFFL)).as("sim_lo"),
+        shiftrightunsigned(col("psig"), 32).as("sim_hi"))
+    val grams = docs.filter(col("psig").isNull)
       .withColumn("i", explode(
         when(length(col("payload")) >= 4, sequence(lit(1), length(col("payload")) - 3))
           .otherwise(array().cast(ArrayType(IntegerType)))))
       .select(col("doc_id"), col("payload").substr(col("i"), lit(4)).as("gram"))
-    Dedup.simhashChunkPairs(Dedup.simhashHalves(grams), chunkBits)
+    val sigs = Dedup.simhashHalves(grams).unionByName(imgSigs)
+    Dedup.simhashChunkPairs(sigs, chunkBits)
       .filter(col("hamming") <= PhashHamming)
       .orderBy("id_a", "id_b")
   }

@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Real image decode for the multimodal tier, on the JDK's pure-Java
-  * `javax.imageio` readers (PNG, BMP, GIF — no native codecs needed in
-  * the container). Returns the decoded luminance plane + typed
+/** Real image decode for the multimodal tier, on the JDK's bundled
+  * `javax.imageio` readers (PNG, BMP, GIF, JPEG — all ship with the
+  * JDK, no codecs to install). Returns the decoded luminance plane + typed
   * metadata; payloads that no reader claims (e.g. the documents
   * corpus's text bytes) decode to `None` and flow to the documented
   * deterministic fallback — the decode contract every payload passes

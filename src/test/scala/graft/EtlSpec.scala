@@ -102,6 +102,50 @@ class EtlSpec extends AnyFunSuite {
     assert(r0.getLong(2) == 60L)
   }
 
+  test("aggTrades lake → normalizeAggTrades → DQ → partitioned parquet (third data_type)") {
+    // Binance monthly aggTrades layout (8 cols, no header):
+    // agg_trade_id,price,quantity,first_trade_id,last_trade_id,
+    // transact_time,is_buyer_maker,is_best_match
+    val in = "target/tmp/etl-aggtrades-lake"
+    rmrf(in)
+    val rows = Map(
+      "BTCUSDT" -> Seq(
+        "100,50000.0,2.5,7000,7003,1721995200123,true,true",
+        "101,50001.0,1.0,7004,7004,1721995200456,false,true",
+        // DQ: incoherent id range (first > last)
+        "102,50002.0,1.0,7010,7005,1721995201000,true,true",
+        // DQ: non-positive price
+        "103,0.0,1.0,7011,7011,1721995201500,true,true",
+        // malformed numerics → null trade_time, dies at the gate
+        "garbage,a,b,c,d,e,f,g"),
+      "ETHUSDT" -> Seq(
+        "200,3000.0,10.0,9000,9009,1721995200789,false,true"))
+    rows.foreach { case (sym, lines) =>
+      val dir = Paths.get(s"$in/symbol=$sym/year=2024/month=07")
+      Files.createDirectories(dir)
+      Files.writeString(dir.resolve(s"$sym-aggTrades-2024-07.csv"), lines.mkString("\n"))
+    }
+    val out = "target/tmp/etl-aggtrades-out"
+    rmrf(out)
+    MarketEtl.runAggTrades(spark, in, out)
+
+    val back = spark.read.parquet(out)
+    // 6 input rows: 2 DQ-violating rows + 1 malformed row dropped
+    assert(back.count() == 3)
+    assert(back.filter(col("symbol") === "BTCUSDT").count() == 2)
+    // same lake partition contract as trades/klines
+    val parts = back.select("year", "month", "day", "symbol").distinct().collect()
+    assert(parts.forall(r => r.getInt(0) == 2024 && r.getInt(1) == 7))
+    // notional derivation + epoch-ms round trip + id-range carry
+    val r0 = back.filter(col("symbol") === "ETHUSDT")
+      .select(date_format(col("trade_time"), "yyyy-MM-dd HH:mm:ss.SSS"),
+        col("quote_qty"), col("first_trade_id"), col("last_trade_id"))
+      .head
+    assert(r0.getString(0) == "2024-07-26 12:00:00.789")
+    assert(r0.getDouble(1) == 30000.0)
+    assert(r0.getLong(2) == 9000L && r0.getLong(3) == 9009L)
+  }
+
   test("catalog: external table + partition discovery + pruned SQL scan") {
     // depends on the lake written by the round-trip test
     writeCsvLake()

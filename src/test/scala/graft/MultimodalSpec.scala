@@ -70,6 +70,126 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(2), "text must fall back")
   }
 
+  test("image payloads get the real DCT pHash; text falls back to NULL") {
+    import spark.implicits._
+    val (img, luma) = testImage(48, 32)
+    val png = encode(img, "png")
+    val bmp = encode(img, "bmp")
+    // JPEG comparison needs an image with DENSE low-frequency energy:
+    // every one of the 63 thresholded coefficients must sit well away
+    // from the AC median, or its sign bit is noise that any
+    // perturbation flips (a flat gradient concentrates energy in 2-3
+    // coefficients and leaves the rest ~0 — pHash's robustness is a
+    // statement about images with low-frequency structure, which is
+    // what natural photos are). Synthesize one straight from the DCT
+    // basis: grayscale 32×32 = 128 + Σ ±6·cos(u)·cos(v) over the 8×8
+    // block, deterministic signs.
+    val smooth = {
+      val im2 = new java.awt.image.BufferedImage(
+        32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        var s = 128.0
+        for (u <- 0 to 7; v <- 0 to 7; if u + v > 0) {
+          // DISTINCT spread amplitudes (a permutation of ~-8..8 ×0.25):
+          // every coefficient lands a separated distance from the AC
+          // median, so no sign bit sits within compression noise of
+          // the threshold
+          val k = v * 8 + u
+          val amp = (((k * 37) % 64) - 32) * 0.25
+          s += amp *
+            math.cos((2 * x + 1) * u * math.Pi / 64) *
+            math.cos((2 * y + 1) * v * math.Pi / 64)
+        }
+        val p = math.max(0, math.min(255, s.round.toInt))
+        im2.setRGB(x, y, (p << 16) | (p << 8) | p)
+      }
+      im2
+    }
+    val smoothPng = encode(smooth, "png")
+    // the JDK's bundled JPEG codec, explicit quality 0.9 (default 0.75
+    // quantization noise on a 32×32 image rivals small coefficients)
+    val smoothJpg = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.9f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(smooth, null, null), params)
+      ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    // inverted copy — structurally opposite image
+    val inv = {
+      val im2 = new java.awt.image.BufferedImage(
+        48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 48)
+        im2.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+      encode(im2, "png")
+    }
+    val txt = "plain text payload, long enough for grams".getBytes("UTF-8")
+    graft.plans.ImagePhashFn.register(spark)
+    val sigs = Seq((1L, png), (2L, bmp), (3L, smoothJpg), (4L, inv),
+        (5L, txt), (6L, smoothPng))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        graft.plans.ImagePhashFn.image_phash(col("payload")).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    // pinned: the expression's signature equals the DCT-sign bits of
+    // the ground-truth luminance plane computed INDEPENDENTLY of the
+    // decoder (testImage's integer ITU-R 601 luma)
+    val expected = graft.plans.ImagePhash.phash64(
+      luma.map(_.toByte), 48, 32)
+    assert(sigs(1L).contains(expected), s"png sig ${sigs(1L)} != $expected")
+    // lossless formats agree bit-for-bit
+    assert(sigs(2L).contains(expected), "bmp must produce the identical signature")
+    // JPEG is lossy but pHash is built to survive compression
+    val dJpg = java.lang.Long.bitCount(sigs(3L).get ^ sigs(6L).get)
+    assert(dJpg <= 10, s"jpeg drifted $dJpg bits from the lossless signature")
+    // an inverted image flips most DCT signs
+    val dInv = java.lang.Long.bitCount(sigs(4L).get ^ expected)
+    assert(dInv > 10, s"inverted image unexpectedly close: $dInv bits")
+    // DC sits above the AC median for any non-degenerate image
+    assert((expected & 1L) == 1L, "DC bit must be set")
+    assert(sigs(5L).isEmpty, "text must route to the gram fallback")
+  }
+
+  test("phash near-dup routes modalities through one signature frame") {
+    import spark.implicits._
+    val (img, _) = testImage(48, 32)
+    val png = encode(img, "png")
+    val bmp = encode(img, "bmp")
+    val inv = {
+      val im2 = new java.awt.image.BufferedImage(
+        48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 48)
+        im2.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+      encode(im2, "png")
+    }
+    // long texts (hundreds of grams) so a one-char edit moves only a
+    // few SimHash votes — the regime the gram tier is built for
+    val base = Seq.fill(12)("the quick brown fox jumps over the lazy dog and then naps by the warm fire").mkString(" ")
+    val txtA = base.getBytes("UTF-8")
+    val txtB = base.replaceFirst("naps", "nips").getBytes("UTF-8")
+    val docs = Seq((1L, png), (2L, bmp), (3L, inv), (4L, txtA), (5L, txtB))
+      .toDF("doc_id", "payload")
+    val pairs = operators.Multimodal.phashPairsOf(spark, docs, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // identical image, two lossless encodings → hamming 0 through the
+    // DCT tier (a byte-gram hash would see disjoint byte streams)
+    assert(pairs.get((1L, 2L)).contains(0), s"missing image pair: $pairs")
+    // near-identical text pair via the gram tier
+    assert(pairs.contains((4L, 5L)), s"missing text pair: $pairs")
+    // the inverted image matches nothing; modalities never cross
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.keySet.exists(p =>
+      (p._1 <= 3L && p._2 >= 4L) || (p._1 >= 4L && p._2 <= 3L)),
+      s"image/text cross pair: $pairs")
+  }
+
   test("image_meta of a NULL payload is a struct of nulls in both eval paths") {
     import spark.implicits._
     graft.plans.ImageMeta.register(spark)
