@@ -956,11 +956,20 @@ object RelationalQueries {
     val o = urgentOrders1996(s, dir)
     val buckets = o.select(
       pmod(h32(col("o_orderkey").cast(StringType)), lit(nBuckets)).as("bkt")).distinct()
-    Tables.lineitem(s, dir)
+    // exact-join side chosen from the SAME ledger statistic that sizes
+    // the bloom filter: one ANALYZE of the build side drives both the
+    // filter capacity and the join strategy. While urgent-1996 orders
+    // fit a broadcast the whole query is shuffle-free on the fact side;
+    // once the ledger says the build side grew past the limit, the
+    // exact join degrades to a shuffle join (the prefilter still cuts
+    // the shuffled fact rows to ~the matching set).
+    val prefiltered = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .withColumn("bkt", pmod(h32(col("l_orderkey").cast(StringType)), lit(nBuckets)))
       .join(broadcast(buckets), Seq("bkt"), "left_semi")
-      .join(o, col("l_orderkey") === col("o_orderkey"))
+    graft.plans.CostModel.statsJoin(s, prefiltered, o,
+      s"$dir#orders_urgent_1996",
+      col("l_orderkey") === col("o_orderkey"))(o.count())
       .groupBy(month(col("o_orderdate")).as("m"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
         count(lit(1)).as("n"))

@@ -125,6 +125,32 @@ class PlanSpec extends AnyFunSuite {
       s"semi (node $semiId) does not run before the exact join (node $innerId)")
   }
 
+  test("r31's exact-join strategy flips with the stats ledger (plan-time CBO)") {
+    // the CBO demonstration: the SAME ledger statistic that sizes the
+    // bloom filter chooses the exact-join side. While ANALYZE says the
+    // urgent-order build side fits, the plan carries a broadcast hint;
+    // re-ANALYZE reporting it grew past CostModel.BroadcastRowLimit
+    // must drop the hint (shuffle join) on the very next plan build —
+    // a plan-time decision, visible before AQE ever runs a stage.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import graft.etl.TableStats
+    def exactJoinHinted: Boolean =
+      Registry.queries("r31_bloom_prune")(spark, sf)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+        .exists(_.child.output.exists(_.name == "o_orderdate"))
+    try {
+      TableStats.invalidate(sf) // fresh ANALYZE of the true (tiny) count
+      assert(exactJoinHinted,
+        "build side under the row limit should carry a plan-time broadcast hint")
+      // simulate the nightly ANALYZE discovering the build side grew
+      TableStats.invalidate(sf)
+      TableStats.rowCount(spark, s"$sf#orders_urgent_1996")(
+        graft.plans.CostModel.BroadcastRowLimit + 1)
+      assert(!exactJoinHinted,
+        "build side past the row limit must degrade to a shuffle join")
+    } finally TableStats.invalidate(sf) // next consumer re-ANALYZEs the lake
+  }
+
   test("text_bm25_topk's global top-50 is TakeOrdered, not a corpus-wide sort") {
     // orderBy+limit must plan as TakeOrderedAndProject (per-partition
     // partial top-k); the only single-partition work after it is the
