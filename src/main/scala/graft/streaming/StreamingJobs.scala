@@ -110,6 +110,62 @@ object StreamingJobs {
         col("qs").getItem(2).as("p99"), col("qs").getItem(3).as("vmax"))
   }
 
+  /** Streaming klines: the bar builder behind etl_normalize_klines as
+    * a watermarked 1-minute streaming aggregation over a live trades
+    * feed. open/close are min_by/max_by on the (trade_time, trade_id)
+    * composite — the streamable equivalent of the batch row_number()
+    * first/last rows (same ordering, same unique tiebreak), so a
+    * closed streaming bar is cell-identical to the batch bar. Closed
+    * bars then run the REAL klines ingestion tier
+    * (MarketEtl.normalizeKlines + dqFilterKlines), exactly like a
+    * downloaded bar file entering through readKlinesCsv.
+    *
+    * Scale: state is one in-flight bar per (symbol, minute) inside the
+    * 10-minute lateness horizon — bounded by active symbols, not by
+    * history. Append mode emits each bar exactly once when the
+    * watermark closes its window, which is what lets the sink be an
+    * append-only partitioned lake ([[klinesLakeSink]]). */
+  def klinesStream(trades: DataFrame): DataFrame = {
+    val arrival = struct(col("trade_time"), col("trade_id"))
+    val bars = trades
+      .withWatermark("trade_time", "10 minutes")
+      .groupBy(col("symbol"), window(col("trade_time"), "1 minute"))
+      .agg(
+        min_by(col("price"), arrival).as("open"),
+        max(col("price")).as("high"),
+        min(col("price")).as("low"),
+        max_by(col("price"), arrival).as("close"),
+        dsum(col("quantity")).as("volume"),
+        dsum(col("quote_qty")).as("quote_volume"),
+        count(lit(1)).as("count"),
+        dsum(when(!col("is_buyer_maker"), col("quantity")).otherwise(lit(0.0)))
+          .as("taker_buy_volume"),
+        dsum(when(!col("is_buyer_maker"), col("quote_qty")).otherwise(lit(0.0)))
+          .as("taker_buy_quote_volume"))
+      .withColumn("open_time", unix_millis(col("window.start")))
+      .withColumn("close_time", col("open_time") + 59999L)
+      .withColumn("year", year(col("window.start")))
+      .withColumn("month", month(col("window.start")))
+      .drop("window")
+    graft.etl.MarketEtl.dqFilterKlines(graft.etl.MarketEtl.normalizeKlines(bars))
+  }
+
+  /** Streaming klines → the partitioned bar lake through the
+    * exactly-once parquet file sink: the sink's _spark_metadata commit
+    * log is the streaming analogue of the batch committer contract
+    * (readers only trust files the log lists), so a crash-replayed
+    * micro-batch can never double-land a bar. Each closed bar lands
+    * once under year=/month=/day=/symbol= — the same layout
+    * MarketEtl.writePartitioned gives the batch tier. */
+  def klinesLakeSink(trades: DataFrame, lakePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    klinesStream(trades).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("year", "month", "day", "symbol")
+      .format("parquet").option("path", lakePath)
+      .start()
+
   case class QuoteState(us: Long, event: Long, value: Double)
 
   case class AsofOut(trade_event: Long, user_id: Long,

@@ -351,6 +351,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == n, "an emitted window diverges from batch")
   }
 
+  test("streaming klines land in the partitioned lake and equal batch bars across a restart") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val root = "target/tmp/stream-klines"
+    val srcDir = s"$root/src"; val sinkDir = s"$root/lake"; val ckDir = s"$root/ck"
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    JFiles.createDirectories(JPaths.get(srcDir))
+
+    // the SAME derived trades the batch twin aggregates, fed in
+    // instant time for the watermark (UTC session: wall == instant)
+    val trades = graft.etl.MarketEtl.eventsAsTrades(Tables.events(spark, sf))
+      .select(col("trade_id"), col("trade_time").cast("timestamp").as("trade_time"),
+        col("symbol"), col("price"), col("quantity"), col("quote_qty"),
+        col("is_buyer_maker"))
+    val (minT, maxT) = {
+      val r = trades.selectExpr("min(trade_time)", "max(trade_time)").head
+      (r.getTimestamp(0), r.getTimestamp(1))
+    }
+    val mid = new java.sql.Timestamp((minT.getTime + maxT.getTime) / 2)
+    // a far-future sentinel advances the watermark past every real bar
+    // so append mode closes them all; its own bar stays open in state
+    // and never lands — the lake holds exactly the real-trade bars
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("trade_id"),
+      lit(new java.sql.Timestamp(maxT.getTime + 3600L * 1000)).as("trade_time"),
+      lit("ZZZSENTINEL").as("symbol"), lit(1.0).as("price"),
+      lit(1.0).as("quantity"), lit(1.0).as("quote_qty"),
+      lit(false).as("is_buyer_maker"))
+
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/tmp-$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      JFiles.copy(part.toPath, JPaths.get(srcDir, s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(trades.filter(col("trade_time") < mid), "a")
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("trade_id LONG, trade_time TIMESTAMP, symbol STRING, " +
+          "price DOUBLE, quantity DOUBLE, quote_qty DOUBLE, is_buyer_maker BOOLEAN")
+        .parquet(srcDir)
+      val q = StreamingJobs.klinesLakeSink(stream, sinkDir, ckDir)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(sinkDir).count()
+    // restart from the checkpoint with the second half (+ sentinel) arrived;
+    // bars straddling the split close from restored state
+    stage(trades.filter(col("trade_time") >= mid).unionByName(sentinel), "b")
+    runOnce()
+
+    val lake = spark.read.parquet(sinkDir)
+    assert(lake.count() > afterFirst,
+      s"restart made no progress ($afterFirst -> ${lake.count()})")
+    // exactly-once across the restart: one landed row per bar
+    assert(lake.select("symbol", "bar_time").distinct().count() == lake.count())
+    // every landed bar equals its batch twin cell-for-cell, and no bar
+    // is missing: the sentinel pushed the watermark past all real bars
+    val batch = Registry.queries("etl_normalize_klines")(spark, sf)
+    val streamed = lake.select(batch.columns.map(col).toSeq: _*)
+      .collect().map(_.toSeq).toSet
+    val batchSet = batch.collect().map(_.toSeq).toSet
+    assert(streamed == batchSet,
+      s"stream != batch: only-stream=${streamed.diff(batchSet).take(2)} " +
+        s"only-batch=${batchSet.diff(streamed).take(2)}")
+  }
+
   test("streaming CDC apply merges each micro-batch into the lake") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
