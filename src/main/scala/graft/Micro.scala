@@ -40,16 +40,19 @@ object Micro {
       println(emb.as("a").join(emb.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(dotDec.cast(DoubleType).as("d")).filter(col("d") > 0.2).count()))
-    // t-digest reduce path: 10k partial merges into one accumulator.
-    // Cost must stay flat per merge (pre-sized splice); the earlier
-    // element-wise Array :+ made this O(centroids²) per merge.
-    val tdAgg = plans.TDigestSketch(
-      org.apache.spark.sql.catalyst.expressions.Literal(0.0), 100, Seq(0.5))
-    time("tdigest 10k partial merges (δ=100, 400 points each)") {
-      val acc = new plans.TDigestBuffer(100)
+    // t-digest reduce path: 10k partial merges into one accumulator,
+    // swept over δ (centroid count ~2δ). Per-merge cost must scale
+    // LINEARLY in δ — the pre-sized splice is O(c) per merge; the
+    // earlier element-wise Array :+ was O(c²), which a δ sweep exposes
+    // as per-merge µs growing ~4× per δ doubling instead of ~2×.
+    for (delta <- Seq(100, 200, 400, 800)) {
+      val tdAgg = plans.TDigestSketch(
+        org.apache.spark.sql.catalyst.expressions.Literal(0.0), delta, Seq(0.5))
+      val t0 = System.nanoTime()
+      val acc = new plans.TDigestBuffer(delta)
       var i = 0
       while (i < 10000) {
-        val part = new plans.TDigestBuffer(100)
+        val part = new plans.TDigestBuffer(delta)
         var j = 0
         while (j < 400) {
           part.add((((i * 400L + j) * 2654435761L) % 100000L).toDouble / 7.0)
@@ -58,7 +61,9 @@ object Micro {
         tdAgg.merge(acc, part)
         i += 1
       }
-      println(s"total=${acc.total} centroids=${acc.means.length}")
+      val el = (System.nanoTime() - t0) / 1e9
+      println(f"[micro] tdigest 10k merges δ=$delta%-4d: $el%.2f s " +
+        f"(${el * 1e6 / 10000}%.1f µs/merge, centroids=${acc.means.length})")
     }
     spark.stop()
   }
