@@ -1,0 +1,152 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data-skipping index (the lakehouse "stats sidecar").
+  *
+  * The reference leans on Athena's partition pruning for selectivity
+  * (athena_sample_queries.sql:189-193 probes exactly that); a Hive
+  * layout only prunes its own partition columns. This module adds the
+  * Delta/Iceberg-style complement: one stats row per DATA FILE — row
+  * count, per-column min/max, and a small bit-packed bloom filter —
+  * so point lookups and range scans on NON-partition columns skip
+  * whole files before Spark ever plans a split for them. Z-order
+  * clustering ([[LakeMaintenance.zorderCluster]]) is what makes these
+  * per-file ranges tight; this index is what turns the tight ranges
+  * into skipped I/O at planning time.
+  *
+  * Scale notes (100 TB):
+  *  - ANALYZE is ONE distributed pass over the lake: group by
+  *    `_metadata.file_path`, aggregate min/max and the bloom words as
+  *    codegen'd `bit_or`s — no collect, no per-file driver loop. The
+  *    sidecar is one row per file (~1 M rows for a 100 TB lake of
+  *    100 MB files; with the default 1024-bit blooms that is ~130 B
+  *    of bloom per tracked column per row — megabytes, not data-scale).
+  *  - Pruning evaluates the predicate AGAINST THE SIDECAR (a tiny
+  *    parquet table) and collects only the surviving file paths — the
+  *    same driver-side footprint split planning already pays for the
+  *    file listing, and strictly less of it.
+  *  - Skipping is always a superset filter: a surviving file may still
+  *    contain no matching rows (bloom false positive, range overlap),
+  *    so callers keep the exact predicate on the pruned scan. Dropped
+  *    files provably contain no match — min/max are exact bounds and a
+  *    bloom has no false negatives — which is what makes the rewrite
+  *    semantically transparent (the etl_skipping_scan oracle checks
+  *    exactly this: pruned scan == plain SQL over the full table).
+  *  - The sidecar describes a specific file layout: any rewrite
+  *    (compaction, clustering, retention) invalidates it.
+  *    [[LakeMaintenance]] deletes it on every rewrite; re-ANALYZE is
+  *    part of the maintenance job, exactly like re-snapshotting.
+  */
+object DataSkipping {
+
+  val SidecarDir = "_skipping"
+
+  private def sidecarPath(lakeRoot: String) = s"$lakeRoot/$SidecarDir/stats.parquet"
+
+  /** Bloom word columns for `c`: `bits/64` longs per row, each the OR
+    * of this row's k hash positions that land in that word. Aggregated
+    * with `bit_or` they become the file's packed bloom filter. All
+    * codegen'd arithmetic (xxhash64 / pmod / shiftleft); NULL values
+    * hash to NULL positions and contribute no bits (a file of NULLs
+    * has an empty bloom, and min/max are NULL — any non-NULL probe
+    * correctly drops it). */
+  private def bloomWordSql(c: String, w: Int, bits: Int, k: Int): String =
+    (0 until k).map { j =>
+      val p = s"pmod(xxhash64(`$c`, $j), $bits)"
+      s"IF($p div 64 = $w, shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT)), CAST(0 AS BIGINT))"
+    }.mkString("(", " | ", ")")
+
+  /** One bit-test per hash: does the packed bloom in `bf_c` claim
+    * `valueSql` (a SQL literal rendered to the COLUMN'S exact type —
+    * xxhash64 is type-sensitive, so an INT literal probing a BIGINT
+    * column would hash differently and always miss)? Combined with the
+    * min/max band this is the full equality-prune condition. */
+  private def eqCondSql(c: String, valueSql: String, bits: Int, k: Int): String = {
+    val bloom = (0 until k).map { j =>
+      val p = s"pmod(xxhash64($valueSql, $j), $bits)"
+      s"(element_at(`bf_$c`, CAST($p div 64 AS INT) + 1) & " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) <> 0"
+    }.mkString(" AND ")
+    s"$bloom AND `mn_$c` <= $valueSql AND `mx_$c` >= $valueSql"
+  }
+
+  /** Builds (overwrites) the stats sidecar for `lakeRoot`, tracking
+    * `cols`. One distributed aggregation; returns the file count. */
+  def analyze(spark: SparkSession, lakeRoot: String, cols: Seq[String],
+      bits: Int = 1024, k: Int = 3): Long = {
+    require(bits % 64 == 0 && bits > 0, s"bits must be a positive multiple of 64: $bits")
+    val words = bits / 64
+    var df = spark.read.parquet(lakeRoot)
+      .select(col("*"), col("_metadata.file_path").as("__file"))
+    for (c <- cols; w <- 0 until words)
+      df = df.withColumn(s"__w_${c}_$w", expr(bloomWordSql(c, w, bits, k)))
+    val aggs =
+      cols.flatMap { c =>
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+          array((0 until words).map(w => expr(s"bit_or(`__w_${c}_$w`)")): _*).as(s"bf_$c"))
+      } :+ count(lit(1L)).as("n_rows")
+    val stats = df.groupBy(col("__file").as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bloom_bits", lit(bits))
+      .withColumn("bloom_hashes", lit(k))
+      // the sidecar must not appear inside its own lake listing: write
+      // it under an underscore-prefixed dir (Spark/Hadoop ignore those)
+      .localCheckpoint()
+    val n = stats.count()
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(sidecarPath(lakeRoot))
+    n
+  }
+
+  def hasStats(spark: SparkSession, lakeRoot: String): Boolean = {
+    val p = new Path(sidecarPath(lakeRoot))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Deletes the sidecar (called by every layout rewrite — the stats
+    * reference files that no longer exist after one). */
+  def invalidate(spark: SparkSession, lakeRoot: String): Unit = {
+    val p = new Path(s"$lakeRoot/$SidecarDir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def stats(spark: SparkSession, lakeRoot: String): DataFrame =
+    spark.read.parquet(sidecarPath(lakeRoot))
+
+  private def survivors(spark: SparkSession, lakeRoot: String, cond: String): Seq[String] =
+    stats(spark, lakeRoot).filter(expr(cond))
+      .select("file_path").collect().map(_.getString(0)).toSeq.sorted
+
+  /** Files that may contain rows with `c` in [lo, hi] (min/max band
+    * overlap). Everything dropped provably has no row in the range. */
+  def pruneRange(spark: SparkSession, lakeRoot: String, c: String,
+      loSql: String, hiSql: String): Seq[String] =
+    survivors(spark, lakeRoot, s"NOT (`mx_$c` < $loSql OR `mn_$c` > $hiSql)")
+
+  /** Files whose bloom + min/max admit `c = valueSql` (point lookup).
+    * `valueSql` must render to the column's exact type — see
+    * [[eqCondSql]]; use [[sqlLong]] / [[sqlString]]. */
+  def pruneEq(spark: SparkSession, lakeRoot: String, c: String,
+      valueSql: String): Seq[String] = {
+    val head = stats(spark, lakeRoot).select("bloom_bits", "bloom_hashes").head()
+    survivors(spark, lakeRoot, eqCondSql(c, valueSql, head.getInt(0), head.getInt(1)))
+  }
+
+  /** Renders a point-lookup literal for a BIGINT column. */
+  def sqlLong(v: Long): String = s"CAST($v AS BIGINT)"
+
+  /** Renders a point-lookup literal for a STRING column. */
+  def sqlString(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** The pruned scan: only the surviving files, with the lake's
+    * partition columns preserved via basePath. Callers re-apply the
+    * exact predicate — file skipping is a superset filter. */
+  def readPruned(spark: SparkSession, lakeRoot: String, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.read.parquet(lakeRoot).limit(0)
+    else
+      spark.read.option("basePath", lakeRoot).parquet(files: _*)
+}

@@ -75,11 +75,15 @@ object LakeMaintenance {
     fragmented.size
   }
 
-  /** A rewrite invalidates any snapshot referencing the old files:
-    * expire those and record the new layout as a fresh snapshot
-    * (VACUUM semantics — see Snapshots.reSnapshot). */
-  private def reSnapshot(spark: SparkSession, lakeRoot: String): Unit =
+  /** A rewrite invalidates any snapshot referencing the old files
+    * (expire + fresh snapshot, VACUUM semantics — see
+    * Snapshots.reSnapshot) and any data-skipping sidecar (its stats
+    * rows point at the replaced files; re-ANALYZE is part of the
+    * maintenance job, like re-snapshotting). */
+  private def reSnapshot(spark: SparkSession, lakeRoot: String): Unit = {
     Snapshots.reSnapshot(spark, lakeRoot)
+    DataSkipping.invalidate(spark, lakeRoot)
+  }
 
   /** Morton (Z-order) key: interleaves the low `bits` bits of each
     * already-normalized integer column — bit j of column i lands at

@@ -247,6 +247,57 @@ object MarketQueries {
        |                    AND l.month = i.month AND l.day = i.day)
        |ORDER BY symbol, year, month, day""".stripMargin
 
+  // --- etl_skipping_scan: file-level data-skipping ----------------------
+  // The reference's selectivity story is Athena partition pruning
+  // (athena_sample_queries.sql:189-193); partitioning only prunes its
+  // own columns. etl.DataSkipping adds the lakehouse stats-sidecar
+  // complement — per-file min/max + bloom — and this entry proves the
+  // whole cycle is semantically transparent: build a range-clustered
+  // lake, ANALYZE it, prune files against the sidecar, scan only the
+  // survivors, and the oracle (plain SQL over the full table, no
+  // skipping anywhere) must hash-match. The lake+sidecar build is a
+  // memoized maintenance step (the index build/serve split, same as
+  // the ANN index caches); the query path pays only sidecar-prune +
+  // pruned scan. Bounds derive from the memoized max-id statistic via
+  // the shared TableStats ledger, integer arithmetic on both engines.
+
+  private val skipLakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def skippingLake(s: SparkSession, dir: String): String =
+    skipLakeCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val root = s"target/tmp/skiplake-${Integer.toHexString(dir.hashCode)}"
+      trades(s, dir)
+        .repartitionByRange(8, col("trade_id"))
+        .sortWithinPartitions("trade_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(root)
+      graft.etl.DataSkipping.analyze(s, root, Seq("trade_id", "symbol"))
+      root
+    })
+
+  private def etlSkippingScan(s: SparkSession, dir: String): DataFrame = {
+    val root = skippingLake(s, dir)
+    val mx = graft.etl.TableStats.rowCount(s, s"$dir#max_trade_id")(
+      trades(s, dir).agg(max("trade_id")).head().getLong(0))
+    val lo = mx * 25 / 100
+    val hi = mx * 35 / 100
+    val files = graft.etl.DataSkipping.pruneRange(
+      s, root, "trade_id", lo.toString, hi.toString)
+    graft.etl.DataSkipping.readPruned(s, root, files)
+      // file skipping is a superset filter — the exact predicate stays
+      .filter(col("trade_id").between(lo, hi))
+      .groupBy("symbol")
+      .agg(count(lit(1)).as("n"), dsum(col("quote_qty")).as("value_scanned"))
+      .orderBy("symbol")
+  }
+
+  private val etlSkippingScanSql =
+    s"""$cte, mx AS (SELECT MAX(trade_id) AS m FROM trades)
+       |SELECT symbol, COUNT(*) AS n, ${dsumSql("quote_qty")} AS value_scanned
+       |FROM trades, mx
+       |WHERE trade_id BETWEEN (m * 25) // 100 AND (m * 35) // 100
+       |GROUP BY symbol ORDER BY symbol""".stripMargin
+
   // --- Q1: partition-pruned counts + volume (athena_sample_queries.sql:9-21)
 
   private def q1(s: SparkSession, dir: String): DataFrame =
@@ -1394,6 +1445,7 @@ object MarketQueries {
     Op("etl_normalize_aggtrades", etlNormalizeAggTrades, Some(etlNormalizeAggTradesSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
     Op("etl_incremental", etlIncremental, Some(etlIncrementalSql)),
+    Op("etl_skipping_scan", etlSkippingScan, Some(etlSkippingScanSql)),
     Op("etl_json_props", etlJsonProps, Some(etlJsonPropsSql)),
     Op("etl_upsert_latest", etlUpsertLatest, Some(etlUpsertLatestSql)),
     Op("etl_scd2_history", etlScd2, Some(etlScd2Sql)),

@@ -342,6 +342,65 @@ class EtlSpec extends AnyFunSuite {
     assert(after < before * 0.7, s"z-order didn't tighten file ranges: $before -> $after")
   }
 
+  test("data skipping: sidecar prunes files, scans stay exact, rewrites invalidate") {
+    import graft.etl.{DataSkipping, LakeMaintenance}
+    val lake = "target/tmp/skip-lake"
+    rmrf(lake)
+    // 800 rows, EVEN ids only (the odd gaps give the bloom something
+    // min/max can't prune), clustered into 8 disjoint id-range files;
+    // sym tracks the id range so each value lives in few files
+    spark.range(1, 401).select(
+        (col("id") * 2).as("id"),
+        concat(lit("s"), expr("(id * 2) div 100")).as("sym"),
+        (col("id") % 97).as("v"))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+      .write.parquet(lake)
+    val nFiles = DataSkipping.analyze(spark, lake, Seq("id", "sym"))
+    assert(nFiles == 8)
+    assert(DataSkipping.hasStats(spark, lake))
+
+    // range prune: [150, 250] spans ~1/8 of the id space → most of the
+    // 8 files provably contain no row and are dropped before planning
+    val ranged = DataSkipping.pruneRange(spark, lake, "id", "150", "250")
+    assert(ranged.nonEmpty && ranged.size <= 3, s"expected <=3 files, got $ranged")
+    val pruned = DataSkipping.readPruned(spark, lake, ranged)
+      .filter(col("id").between(150, 250))
+    val full = spark.read.parquet(lake).filter(col("id").between(150, 250))
+    assert(pruned.collect().toSet == full.collect().toSet)
+    assert(pruned.count() == 51) // 150,152,...,250
+
+    // point lookup, present: min/max + bloom agree on a small file set
+    val hit = DataSkipping.pruneEq(spark, lake, "id", DataSkipping.sqlLong(200))
+    assert(hit.nonEmpty && hit.size <= 2, s"point lookup should isolate: $hit")
+    assert(DataSkipping.readPruned(spark, lake, hit)
+      .filter(col("id") === 200).count() == 1)
+
+    // absent EVEN-range value but ODD id: inside every min/max band it
+    // overlaps, so only the bloom can prove absence — and it must
+    val miss = DataSkipping.pruneEq(spark, lake, "id", DataSkipping.sqlLong(201))
+    assert(miss.isEmpty, s"bloom failed to prove absence of 201: $miss")
+    assert(DataSkipping.readPruned(spark, lake, miss).count() == 0)
+
+    // string column: each sym value occupies a contiguous slice of files
+    val s3 = DataSkipping.pruneEq(spark, lake, "sym", DataSkipping.sqlString("s3"))
+    assert(s3.nonEmpty && s3.size <= 2, s"sym prune too wide: $s3")
+    assert(DataSkipping.readPruned(spark, lake, s3).filter(col("sym") === "s3")
+      .count() == spark.read.parquet(lake).filter(col("sym") === "s3").count())
+    assert(DataSkipping.pruneEq(spark, lake, "sym",
+      DataSkipping.sqlString("zz")).isEmpty)
+
+    // layout rewrites invalidate the sidecar (its rows name dead files)
+    LakeMaintenance.zorderCluster(spark, lake, Seq("id", "v"), outFiles = 4, bits = 8)
+    assert(!DataSkipping.hasStats(spark, lake),
+      "rewrite must drop the stale skipping sidecar")
+    // re-ANALYZE over the new layout works and stays exact
+    DataSkipping.analyze(spark, lake, Seq("id"))
+    val again = DataSkipping.pruneRange(spark, lake, "id", "150", "250")
+    assert(DataSkipping.readPruned(spark, lake, again)
+      .filter(col("id").between(150, 250)).count() == 51)
+  }
+
   test("CDC merge: latest-wins upserts, deletes, idempotent replay, emptied partitions") {
     import graft.etl.CdcMerge
     val in = "target/tmp/etl-cdc-in"
