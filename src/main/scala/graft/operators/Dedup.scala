@@ -122,8 +122,23 @@ object Dedup {
   private def bandHash(sigs: Seq[Column]): Column =
     sigs.foldLeft(lit(0L).cast(LongType))((acc, s) => pmod(acc * B + s, lit(P)))
 
-  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+  /** Banded MinHash rows — one (doc_id, band_idx, band_hash) per doc
+    * and band — for an arbitrary (doc_id, text) frame: the reusable
+    * half of dedup_minhash. Same codegen'd shingle windows, portable
+    * 64-perm signature, and 8×8 banding as the symmetric pair query;
+    * shared by it, the asymmetric admission gate (dedup_gate), and the
+    * streaming gate's corpus index
+    * (graft.streaming.StreamingJobs.nearDupIndex). */
+  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val sh = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("w1", lead("word", 1).over(w))
+      .withColumn("w2", lead("word", 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("word"), col("w1"), col("w2")).as("shingle"))
+      .distinct()
       .withColumn("h", pmod(portableHash(col("shingle")), lit(P)))
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
@@ -133,8 +148,13 @@ object Dedup {
       struct(lit(j).as("band_idx"),
         bandHash((0 until 8).map(r => col(s"sig_${j * 8 + r}"))).as("band_hash"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(Tables.documents(s, dir))
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -144,8 +164,10 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** DuckDB twin, generated from the same permutation constants. */
-  private val dedupMinhashSql: String = {
+  /** Shared oracle CTE chain ending in `bands` (doc_id, band_idx,
+    * band_hash) for every document — [[bandRows]]' DuckDB twin,
+    * generated from the same permutation constants. */
+  private val bandRowsCtes: String = {
     val sigExprs = perms.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $P) AS sig_$i"
     }.mkString(",\n         ")
@@ -155,7 +177,7 @@ object Dedup {
       }
       s"{'band_idx': $j, 'band_hash': $bh}"
     }.mkString(",\n           ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, source,
@@ -177,7 +199,11 @@ object Dedup {
        |bands AS (
        |  SELECT doc_id, CAST(b.band_idx AS INTEGER) AS band_idx,
        |         CAST(b.band_hash AS BIGINT) AS band_hash
-       |  FROM bandstructs),
+       |  FROM bandstructs)""".stripMargin
+  }
+
+  private val dedupMinhashSql: String =
+    s"""WITH $bandRowsCtes,
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_bands
        |  FROM bands a JOIN bands b
@@ -185,7 +211,66 @@ object Dedup {
        |   AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, n_shared_bands FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  // --- dedup_gate: asymmetric near-dup admission gate ------------------
+  // The INGESTION form of MinHash dedup — the decision a pipeline
+  // actually makes on every new crawl slice: not "which corpus pairs
+  // are near-dups" (dedup_minhash) but "which INCOMING docs collide
+  // with what the corpus already holds". Incoming slice = doc_id % 5
+  // = 4 (the "today's batch" stand-in); index = the banded signatures
+  // of everything else. One row per incoming doc: flag, distinct hit
+  // bands, earliest admitted partner. The join is banded on
+  // (band_idx, band_hash) — never incoming × corpus — so at 100 TB
+  // the cost is bucket-bounded exactly like dedup_minhash, and the
+  // index is 8 small rows per admitted doc, maintained incrementally
+  // (append the accepted docs' bands after each gate run). Streaming
+  // twin: StreamingJobs.nearDupGateStream runs this SAME verdict per
+  // micro-batch against the SAME static index.
+
+  /** Admission verdict for `docs` against a banded corpus index
+    * ([[bandRows]] output shape): is any of the doc's 8 band hashes
+    * already present? Batch core of the streaming gate — foreachBatch
+    * hands each micro-batch here unchanged, so stream and batch
+    * verdicts are definitionally the same computation. */
+  private[graft] def nearDupVerdict(docs: DataFrame, index: DataFrame): DataFrame = {
+    val hits = bandRows(docs)
+      .join(index.select(col("doc_id").as("corpus_doc_id"),
+        col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+      .groupBy("doc_id")
+      .agg(countDistinct("band_idx").as("n_hit_bands"),
+        min("corpus_doc_id").as("first_match"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_hit_bands").isNotNull.as("is_near_dup"),
+        coalesce(col("n_hit_bands"), lit(0L)).as("n_hit_bands"),
+        col("first_match"))
   }
+
+  private def dedupGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    nearDupVerdict(
+      docs.filter(col("doc_id") % 5 === 4),
+      bandRows(docs.filter(col("doc_id") % 5 =!= 4)))
+      .orderBy("doc_id")
+  }
+
+  private val dedupGateSql =
+    s"""WITH $bandRowsCtes,
+       |inc AS (SELECT doc_id, band_idx, band_hash FROM bands WHERE doc_id % 5 = 4),
+       |idx AS (SELECT doc_id AS corpus_doc_id, band_idx, band_hash FROM bands
+       |        WHERE doc_id % 5 <> 4),
+       |hits AS (
+       |  SELECT i.doc_id, COUNT(DISTINCT i.band_idx) AS n_hit_bands,
+       |         MIN(x.corpus_doc_id) AS first_match
+       |  FROM inc i JOIN idx x
+       |    ON i.band_idx = x.band_idx AND i.band_hash = x.band_hash
+       |  GROUP BY 1)
+       |SELECT d.doc_id, h.doc_id IS NOT NULL AS is_near_dup,
+       |       COALESCE(h.n_hit_bands, CAST(0 AS BIGINT)) AS n_hit_bands,
+       |       h.first_match
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+       |LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // --- dedup_minhash_est: sketch-based Jaccard estimation --------------
   // What the MinHash signatures are FOR at 100 TB: estimating Jaccard
@@ -878,6 +963,7 @@ object Dedup {
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Op("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql)),
+    Op("dedup_gate", dedupGate, Some(dedupGateSql)),
     Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),

@@ -240,6 +240,50 @@ object StreamingJobs {
       }
       .start()
 
+  /** Static corpus band index for the streaming near-dup gate: 8
+    * MinHash band-hash rows per admitted document, materialized once
+    * (at scale this is a maintained parquet table alongside the lake —
+    * append the accepted docs' bands after each gate run; here
+    * localCheckpoint stands in for that materialization so micro-
+    * batches don't re-shingle the corpus). */
+  def nearDupIndex(corpus: DataFrame): DataFrame =
+    graft.operators.Dedup.bandRows(corpus).localCheckpoint()
+
+  /** Streaming near-dup admission gate (dedup_gate's twin): every
+    * micro-batch of incoming documents is banded with the SAME
+    * codegen'd machinery as batch MinHash (foreachBatch hands a full
+    * batch DataFrame, so the window/groupBy signature path runs
+    * unchanged — no per-row reimplementation to drift) and checked
+    * against the static corpus index with a banded join; novel docs
+    * append to the training lake, flagged docs to quarantine with
+    * their hit count and earliest admitted partner. Stream-static, no
+    * cross-batch state — each doc is judged once, in its own batch,
+    * so the union of per-batch verdicts equals the batch gate on the
+    * whole feed (StreamingSpec pins exactly that, plus that the two
+    * sinks partition the feed). Parquet appends inherit the
+    * at-least-once-on-crash-retry caveat every foreachBatch file sink
+    * has; the landing is made idempotent the same way cdcApply's is
+    * (deterministic content, replay converges). */
+  def nearDupGateStream(docs: DataFrame, index: DataFrame,
+      novelPath: String, quarantinePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint()
+          val verdict = graft.operators.Dedup.nearDupVerdict(b, index)
+          val judged = b.join(verdict, Seq("doc_id")).localCheckpoint()
+          judged.filter(!col("is_near_dup"))
+            .drop("is_near_dup", "n_hit_bands", "first_match")
+            .write.mode("append").parquet(novelPath)
+          judged.filter(col("is_near_dup"))
+            .write.mode("append").parquet(quarantinePath)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming incremental view maintenance: each micro-batch is
     * appended to the snapshot-enabled lake (one new partition-dir
     * write + snapshot commit) and the materialized rollup is folded

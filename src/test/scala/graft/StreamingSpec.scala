@@ -462,6 +462,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate partitions the feed exactly like the batch verdict") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val novel = "target/tmp/neardup-novel"
+    val quar = "target/tmp/neardup-quar"
+    val ckpt = "target/tmp/neardup-ckpt"
+    Seq(novel, quar, ckpt).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    val docs = Tables.documents(spark, sf)
+    // corpus index = the admitted docs (dedup_gate's split); the feed =
+    // the incoming slice, plus one EXACT copy of an admitted doc (must
+    // quarantine — identical signature always collides) and one novel
+    // doc sharing no shingles (must pass)
+    val index = StreamingJobs.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 4))
+    val corpusDoc = docs.filter(col("doc_id") % 5 =!= 4)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val feed = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq ++ Seq(
+        (1000000L + corpusDoc.getLong(0), corpusDoc.getString(1)),
+        (2000000L, "zxqv wkjh pqrt mnbv asdf ghjk"))
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.nearDupGateStream(
+      source.toDF().toDF("doc_id", "text"), index, novel, quar, ckpt)
+    try {
+      val (b1, b2) = feed.splitAt(feed.size / 2)
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val novelIds = spark.read.parquet(novel).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val quarRows = spark.read.parquet(quar)
+      .select("doc_id", "n_hit_bands", "first_match")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val quarIds = quarRows.map(_._1)
+
+    // the two sinks partition the feed
+    assert((novelIds & quarIds).isEmpty)
+    assert(novelIds ++ quarIds == feed.map(_._1).toSet)
+    // verdicts equal the batch core on the whole feed (same machinery,
+    // judged per micro-batch — stream-static, no cross-batch state)
+    val expected = graft.operators.Dedup.nearDupVerdict(
+      feed.toDF("doc_id", "text"), index)
+    val expFlagged = expected.filter(col("is_near_dup"))
+      .select("doc_id", "n_hit_bands", "first_match")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(quarRows == expFlagged,
+      s"stream != batch: ${quarRows.diff(expFlagged).take(3)} vs ${expFlagged.diff(quarRows).take(3)}")
+    // the exact copy collides on every band with its source; the
+    // gibberish doc passes
+    assert(quarRows.contains(
+      (1000000L + corpusDoc.getLong(0), 8L, corpusDoc.getLong(0))))
+    assert(novelIds.contains(2000000L))
+  }
+
   test("streaming quality gate scores micro-batches like the batch op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
