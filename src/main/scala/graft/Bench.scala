@@ -67,6 +67,21 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    // Verdict-shaped queries (top = left-outer join with a unique,
+    // otherwise-unreferenced right side) are ELIMINATED under count():
+    // Catalyst correctly drops the join and the whole banded subtree,
+    // so count() would time a row count of the left table. These are
+    // timed through the noop sink, which materializes every column —
+    // the cost a real consumer of the verdicts pays.
+    val fullyMaterialized = Set("dedup_gate")
+    def timedFull(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeFor(name: String): ((org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) => Double =
+      if (fullyMaterialized(name)) timedFull else timed
     // Outlier re-measure: this box's throughput varies run-to-run under
     // hypervisor contention (rounds 5-6: individual queries inflated
     // 4-10x over the committed quiet-VM numbers, costing a round-trip
@@ -102,11 +117,11 @@ object Bench {
     def inflated(name: String, t: Double): Boolean =
       refMap.get(name).exists(r => r > 0 && t > 3 * r && t - r > 0.5)
     val firstPass = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timed(fn), timed(fn))
+      name -> math.min(timeFor(name)(fn), timeFor(name)(fn))
     }
     val remeasured = firstPass.map { case (name, t) =>
       if (inflated(name, t))
-        name -> math.min(t, timed(SparkEntry.queries(name)))
+        name -> math.min(t, timeFor(name)(SparkEntry.queries(name)))
       else name -> t
     }
     val etl0 = benchEtl(spark, sfDir)

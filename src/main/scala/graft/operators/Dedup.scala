@@ -26,10 +26,14 @@ object Dedup {
     * functions: HOFs run interpreted (no whole-stage codegen) and
     * measured ~3× slower here; the window variant is fully codegen'd
     * and its exchange is reusable across the self-join sides. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
+
+  /** Same shingling over an arbitrary (doc_id, source, text) frame. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("source"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
       .withColumn("w1", lead("word", 1).over(w))
@@ -98,6 +102,81 @@ object Dedup {
       |JOIN sizes sb ON sb.doc_id = id_b
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.02
       |ORDER BY id_a, id_b""".stripMargin
+
+  // --- dedup_containment: asymmetric shingle containment ---------------
+  // Broder's other resemblance measure: C(A,B) = |A∩B| / |A|. Symmetric
+  // Jaccard misses subsumption — a short doc quoted whole inside a long
+  // one has J ≈ |A|/|B| ≈ 0 but containment 1. This is the screen for
+  // boilerplate reuse and quotation chains: for every inverted-index
+  // candidate pair (same blocking as dedup_ngram_jaccard — docs sharing
+  // a shingle within a source block, never all-pairs) report the
+  // containment of the SMALLER side in the larger and flag ≥ 0.8.
+  // Same inverted-index shuffle shape as the Jaccard screen, so the
+  // 100 TB posture is identical: pair volume bounded by shared-shingle
+  // buckets, join keys are shingle strings (at scale: their hashes).
+
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    containmentOf(shingles(s, dir))
+
+  /** Containment screen over a prepared (doc_id, source, shingle)
+    * frame — split out so DedupSpec can pin the subsumption property
+    * (small doc inside big ⇒ containment 1.0 at low Jaccard) on a
+    * synthetic corpus. */
+  private[graft] def containmentOf(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      // containment of the smaller shingle set in the larger (ties →
+      // the a-side, the deterministic choice both engines make)
+      .withColumn("small_id",
+        when(col("na") <= col("nb"), col("id_a")).otherwise(col("id_b")))
+      .withColumn("big_id",
+        when(col("na") <= col("nb"), col("id_b")).otherwise(col("id_a")))
+      .withColumn("cont_raw",
+        col("c").cast(DoubleType) / least(col("na"), col("nb")).cast(DoubleType))
+      .filter(col("cont_raw") >= 0.5)
+      .select(col("small_id"), col("big_id"),
+        least(col("na"), col("nb")).as("n_small"),
+        col("c").as("n_shared"),
+        round6(col("cont_raw")).as("containment"),
+        (col("cont_raw") >= 0.8).as("is_subsumed"))
+      .orderBy("small_id", "big_id")
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+      |  FROM (SELECT doc_id, source, ts,
+      |          unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM sh a JOIN sh b
+      |    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+      |  GROUP BY 1,2),
+      |scored AS (
+      |  SELECT CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS small_id,
+      |         CASE WHEN sa.n <= sb.n THEN id_b ELSE id_a END AS big_id,
+      |         LEAST(sa.n, sb.n) AS n_small, c AS n_shared,
+      |         CAST(c AS DOUBLE) / LEAST(sa.n, sb.n) AS cont_raw
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b)
+      |SELECT small_id, big_id, n_small, n_shared,
+      |       ${round6Sql("cont_raw")} AS containment,
+      |       cont_raw >= 0.8 AS is_subsumed
+      |FROM scored WHERE cont_raw >= 0.5
+      |ORDER BY small_id, big_id""".stripMargin
 
   // --- dedup_minhash: MinHash signatures + LSH banding -----------------
   // k=64 permutations h_i(x) = (a_i·x + b_i) mod p over shingle hashes;
@@ -961,6 +1040,7 @@ object Dedup {
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Op("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql)),
     Op("dedup_gate", dedupGate, Some(dedupGateSql)),

@@ -307,4 +307,27 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"semantic recall $recall (${found.size}/${all.size}) " +
       "not well above the 0.1 random-blocking baseline")
   }
+
+  test("containment flags subsumption that symmetric Jaccard scores low") {
+    import spark.implicits._
+    // big = 30 distinct words; small = a 10-word contiguous excerpt ⇒
+    // every one of small's 8 shingles appears in big: containment 1.0,
+    // while Jaccard is 8/28 ≈ 0.29 — under every dedup threshold.
+    // unrelated shares nothing.
+    val words = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      (1L, "s", words.mkString(" ")),
+      (2L, "s", words.slice(5, 15).mkString(" ")),
+      (3L, "s", (1 to 10).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val rows = operators.Dedup.containmentOf(operators.Dedup.shinglesOf(docs))
+      .collect().map(r => (r.getAs[Long]("small_id"), r.getAs[Long]("big_id"),
+        r.getAs[Long]("n_small"), r.getAs[Long]("n_shared"),
+        r.getAs[Double]("containment"), r.getAs[Boolean]("is_subsumed")))
+    assert(rows.toSeq == Seq((2L, 1L, 8L, 8L, 1.0, true)),
+      s"expected exactly the subsumption row, got ${rows.toSeq}")
+    // the same pair under symmetric Jaccard sits far below 0.5 — the
+    // case class this screen exists for
+    assert(8.0 / (28 + 8 - 8) < 0.5)
+  }
 }
