@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Loaders for the driver-generated test lake (TESTDATA.md).
   *
   * Only projections/filters declared downstream reach Catalyst, so the
-  * parquet scans keep full pushdown/pruning. `events.ts` is written as
-  * parquet TIMESTAMP(NANOS) which Spark's vectorized reader rejects; we
-  * read it as raw nanos (`nanosAsLong`) and convert to a µs
-  * TIMESTAMP_NTZ — the same truncation DuckDB applies reading the file,
-  * so oracle comparisons line up exactly.
+  * parquet scans keep full pushdown/pruning. `events.ts` has shipped
+  * in two encodings across driver regenerations: parquet
+  * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read as
+  * raw nanos via `nanosAsLong` and truncate to µs, matching DuckDB's
+  * read of the same file) and plain TIMESTAMP(MICROS) (read natively
+  * as TIMESTAMP_NTZ, no conversion). [[events]] branches on the
+  * schema Spark actually loaded, so both lakes produce the identical
+  * µs TIMESTAMP_NTZ column and every oracle comparison lines up
+  * exactly either way.
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -27,27 +31,42 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events with `ts` as TIMESTAMP_NTZ(µs), matching DuckDB's read. */
+  /** events with `ts` as TIMESTAMP_NTZ(µs), matching DuckDB's read —
+    * adaptive to either on-disk encoding (nanos-as-long or µs). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 
   /** events restricted to a UTC instant range, with the bounds applied
-    * to the RAW nanosecond column *before* timestamp conversion — a
-    * predicate on the converted column can't reach the parquet scan
-    * (the cast blocks pushdown), whereas the long-range filter shows up
-    * in `PushedFilters` and prunes row groups / partitions. This is the
-    * path a time-sliced query must take at 100 TB. */
+    * to the RAW on-disk column *before* any conversion — a predicate on
+    * a converted column can't reach the parquet scan (the cast blocks
+    * pushdown), whereas a filter in the file's own domain (long nanos
+    * for the nanos encoding, an NTZ timestamp literal for the µs
+    * encoding) shows up in `PushedFilters` and prunes row groups /
+    * partitions. This is the path a time-sliced query must take at
+    * 100 TB. */
   def eventsRange(spark: SparkSession, dir: String,
       startUtc: String, endUtc: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def ns(s: String): Long =
-      java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
-        .getEpochSecond * 1000000000L
-    table(spark, dir, "events")
-      .filter(col("ts") >= ns(startUtc) && col("ts") < ns(endUtc))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        def ns(s: String): Long =
+          java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+            .getEpochSecond * 1000000000L
+        raw.filter(col("ts") >= ns(startUtc) && col("ts") < ns(endUtc))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ =>
+        def ldt(s: String) = lit(java.time.LocalDateTime.parse(s))
+        raw.filter(col("ts") >= ldt(startUtc) && col("ts") < ldt(endUtc))
+          .withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
 }
