@@ -39,8 +39,16 @@ object Tables {
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      case _ =>
+      case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case TimestampType =>
+        // instant-typed lake (isAdjustedToUTC=true): convert the instant
+        // to UTC wall time explicitly so the NTZ result is
+        // session-timezone-independent
+        raw.withColumn("ts", to_utc_timestamp(col("ts"),
+          spark.conf.get("spark.sql.session.timeZone")).cast(TimestampNTZType))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts encoding: $other")
     }
   }
 
@@ -58,15 +66,26 @@ object Tables {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        def ns(s: String): Long =
-          java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
-            .getEpochSecond * 1000000000L
+        def ns(s: String): Long = {
+          val i = java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+          i.getEpochSecond * 1000000000L + i.getNano
+        }
         raw.filter(col("ts") >= ns(startUtc) && col("ts") < ns(endUtc))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      case _ =>
+      case TimestampNTZType =>
         def ldt(s: String) = lit(java.time.LocalDateTime.parse(s))
         raw.filter(col("ts") >= ldt(startUtc) && col("ts") < ldt(endUtc))
           .withColumn("ts", col("ts").cast(TimestampNTZType))
+      case TimestampType =>
+        // instant-typed lake: bound in instant domain (pushable), then
+        // convert to UTC wall time session-independently as in [[events]]
+        def inst(s: String) = lit(java.sql.Timestamp.from(
+          java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)))
+        raw.filter(col("ts") >= inst(startUtc) && col("ts") < inst(endUtc))
+          .withColumn("ts", to_utc_timestamp(col("ts"),
+            spark.conf.get("spark.sql.session.timeZone")).cast(TimestampNTZType))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts encoding: $other")
     }
   }
 }

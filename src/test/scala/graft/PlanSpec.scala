@@ -15,10 +15,21 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
   test("q8 pushes its time-range predicate into the parquet scan") {
+    // the pushed literal's form follows the lake's on-disk ts encoding
+    // (nanos-as-long vs µs timestamp) — adapt exactly as Tables.events
+    // does rather than pinning one encoding
     val plan = formatted("q8_pruned_count")
-    assert(plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"),
-      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
-    assert(plan.contains("LessThan(ts,1706745600000000000)"))
+    val pushedLines = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    Tables.events(spark, sf).schema // force the nanosAsLong conf set
+    import org.apache.spark.sql.types.LongType
+    spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType match {
+      case LongType =>
+        assert(plan.contains("GreaterThanOrEqual(ts,1704067200000000000)"), pushedLines)
+        assert(plan.contains("LessThan(ts,1706745600000000000)"), pushedLines)
+      case _ =>
+        assert(plan.contains("GreaterThanOrEqual(ts,2024-01-01T00:00"), pushedLines)
+        assert(plan.contains("LessThan(ts,2024-02-01T00:00"), pushedLines)
+    }
   }
 
   test("q2 pushes the symbol filter into the parquet scan") {

@@ -12,6 +12,22 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  /** readStream over a staged events directory, adaptive to the lake's
+    * on-disk ts encoding (nanos-as-long vs µs timestamp) exactly like
+    * Tables.events, emitting ts as TIMESTAMP (instant) so watermarks
+    * work. `schema` must be the schema of the staged files. */
+  private def eventsFileStream(srcDir: String,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
   test("streaming candles match the batch window aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -48,10 +64,8 @@ class StreamingSpec extends AnyFunSuite {
       srcDir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsFileStream(srcDir.toString,
+      spark.read.parquet(s"$sf/events.parquet").schema)
     val q = graft.streaming.StreamingJobs.candles(stream)
       .writeStream.outputMode("complete")
       .format("memory").queryName("file_candles_out").start()
@@ -306,10 +320,14 @@ class StreamingSpec extends AnyFunSuite {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     JFiles.createDirectories(JPaths.get(srcDir))
 
-    // split the events file into two arrival batches by raw nanos ts
+    // split the events file into two arrival batches by the raw ts
+    // column in whatever type it loaded as (long nanos or µs NTZ) —
+    // the median is taken by sort, which is type-agnostic
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val mid = raw.selectExpr("percentile_approx(ts, 0.5)").head.getLong(0)
+    val nEv = raw.count()
+    val mid = lit(raw.select("ts").orderBy("ts")
+      .limit(((nEv / 2) max 1).toInt).collect().last.get(0))
     def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
       val tmp = s"$root/tmp-$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -321,10 +339,8 @@ class StreamingSpec extends AnyFunSuite {
     stage(raw.filter(col("ts") < mid), "a")
 
     def runOnce(): Unit = {
-      val stream = spark.readStream
-        .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-        .parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // staged files are re-written from `raw`, so they carry raw's schema
+      val stream = eventsFileStream(srcDir, raw.schema)
       val q = StreamingJobs.candles(stream)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckDir)
@@ -462,34 +478,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("streaming near-dup gate partitions the feed exactly like the batch verdict") {
+  test("streaming near-dup gate is self-admitting: sequential fold of the batch verdict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val novel = "target/tmp/neardup-novel"
-    val quar = "target/tmp/neardup-quar"
-    val ckpt = "target/tmp/neardup-ckpt"
-    Seq(novel, quar, ckpt).foreach { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-    }
+    val root = "target/tmp/neardup"
+    val idx = s"$root/index"; val novel = s"$root/novel"
+    val quar = s"$root/quar"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     val docs = Tables.documents(spark, sf)
-    // corpus index = the admitted docs (dedup_gate's split); the feed =
-    // the incoming slice, plus one EXACT copy of an admitted doc (must
+    // bootstrap index = the admitted docs (dedup_gate's split); batch 1
+    // = the incoming slice, plus one EXACT copy of a corpus doc (must
     // quarantine — identical signature always collides) and one novel
-    // doc sharing no shingles (must pass)
-    val index = StreamingJobs.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 4))
+    // gibberish doc (must pass and be ADMITTED into the index); batch 2
+    // = an exact copy of the gibberish doc — only a self-admitting
+    // gate quarantines it, a static-index gate waves it through
+    StreamingJobs.nearDupIndexInit(docs.filter(col("doc_id") % 5 =!= 4), idx)
     val corpusDoc = docs.filter(col("doc_id") % 5 =!= 4)
       .orderBy("doc_id").select("doc_id", "text").head()
-    val feed = docs.filter(col("doc_id") % 5 === 4)
-      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq ++ Seq(
-        (1000000L + corpusDoc.getLong(0), corpusDoc.getString(1)),
-        (2000000L, "zxqv wkjh pqrt mnbv asdf ghjk"))
+    val gibberish = "zxqv wkjh pqrt mnbv asdf ghjk"
+    val slice = docs.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val b1 = slice ++ Seq(
+      (1000000L + corpusDoc.getLong(0), corpusDoc.getString(1)),
+      (2000000L, gibberish))
+    val b2 = Seq((3000000L, gibberish))
 
     val source = MemoryStream[(Long, String)]
     val q = StreamingJobs.nearDupGateStream(
-      source.toDF().toDF("doc_id", "text"), index, novel, quar, ckpt)
+      source.toDF().toDF("doc_id", "text"), idx, novel, quar, ckpt)
     try {
-      val (b1, b2) = feed.splitAt(feed.size / 2)
       source.addData(b1); q.processAllAvailable()
       source.addData(b2); q.processAllAvailable()
     } finally q.stop()
@@ -503,21 +521,36 @@ class StreamingSpec extends AnyFunSuite {
 
     // the two sinks partition the feed
     assert((novelIds & quarIds).isEmpty)
-    assert(novelIds ++ quarIds == feed.map(_._1).toSet)
-    // verdicts equal the batch core on the whole feed (same machinery,
-    // judged per micro-batch — stream-static, no cross-batch state)
-    val expected = graft.operators.Dedup.nearDupVerdict(
-      feed.toDF("doc_id", "text"), index)
-    val expFlagged = expected.filter(col("is_near_dup"))
+    assert(novelIds ++ quarIds == (b1 ++ b2).map(_._1).toSet)
+    // verdicts equal the SEQUENTIAL fold of the batch core: batch 1
+    // against the bootstrap index, batch 2 against bootstrap + batch
+    // 1's admitted docs — same machinery, same admission order
+    val index0 = graft.operators.Dedup.bandRows(
+      docs.filter(col("doc_id") % 5 =!= 4)).localCheckpoint()
+    val v1 = graft.operators.Dedup.nearDupVerdict(b1.toDF("doc_id", "text"), index0)
+    val admitted1 = b1.toDF("doc_id", "text")
+      .join(v1.filter(!col("is_near_dup")).select("doc_id"), Seq("doc_id"))
+    val index1 = index0.union(graft.operators.Dedup.bandRows(admitted1))
+    val v2 = graft.operators.Dedup.nearDupVerdict(b2.toDF("doc_id", "text"), index1)
+    val expFlagged = v1.union(v2).filter(col("is_near_dup"))
       .select("doc_id", "n_hit_bands", "first_match")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(quarRows == expFlagged,
-      s"stream != batch: ${quarRows.diff(expFlagged).take(3)} vs ${expFlagged.diff(quarRows).take(3)}")
-    // the exact copy collides on every band with its source; the
-    // gibberish doc passes
+      s"stream != sequential batch fold: ${quarRows.diff(expFlagged).take(3)} vs ${expFlagged.diff(quarRows).take(3)}")
+    // the exact corpus copy collides on every band with its source;
+    // the gibberish doc passes in batch 1…
     assert(quarRows.contains(
       (1000000L + corpusDoc.getLong(0), 8L, corpusDoc.getLong(0))))
     assert(novelIds.contains(2000000L))
+    // …and its batch-2 twin is caught BY the batch-1 admission — the
+    // self-admitting property, impossible with a static index
+    assert(quarRows.contains((3000000L, 8L, 2000000L)))
+    // the index holds bootstrap + batch 0's admissions; batch 1
+    // admitted nothing, so it contributed no partition
+    val idxBatches = spark.read.parquet(idx)
+      .select(col("ingest_batch").cast("long")) // dir-name partition col infers INT
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(idxBatches == Set(-1L, 0L), s"index partitions: $idxBatches")
   }
 
   test("streaming quality gate scores micro-batches like the batch op") {
