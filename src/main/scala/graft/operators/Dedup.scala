@@ -207,7 +207,7 @@ object Dedup {
     * 64-perm signature, and 8×8 banding as the symmetric pair query;
     * shared by it, the asymmetric admission gate (dedup_gate), and the
     * streaming gate's corpus index
-    * (graft.streaming.StreamingJobs.nearDupIndex). */
+    * (graft.streaming.StreamingJobs.nearDupIndexInit). */
   private[graft] def bandRows(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -367,9 +367,28 @@ object Dedup {
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
     }
+    // ONE signature pass feeds the banding, the estimate columns and
+    // (via the candidate restriction) the audit — materialized because
+    // three consumers share it; re-deriving it per consumer would
+    // re-shingle the corpus twice for nothing
     val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    // candidate pairs from the banded join (the dedup_minhash output)
-    val cands = dedupMinhash(s, dir).select("id_a", "id_b")
+      .localCheckpoint()
+    val bandStructs = (0 until 8).map { j =>
+      struct(lit(j).as("band_idx"),
+        bandHash((0 until 8).map(r => col(s"sig_${j * 8 + r}"))).as("band_hash"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+    // candidate pairs from the banded join (dedup_minhash's pair set),
+    // materialized once — at scale this IS a materialized table (the
+    // screen's output), not a re-derivable subplan
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct().localCheckpoint()
     val matches = perms.indices.map(i =>
       when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -382,9 +401,18 @@ object Dedup {
     // the audit column: exact Jaccard from the inverted shingle index.
     // NOT source-blocked (unlike dedup_ngram_jaccard): the banded
     // candidates it audits come from all-source signatures, so a
-    // cross-source candidate must get its true Jaccard, not 0.
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    // cross-source candidate must get its true Jaccard, not 0. What it
+    // IS bounded by: the candidate set itself — only docs that appear
+    // in some banded pair enter the shingle self-join, so the audit
+    // costs O(candidate docs × shingle overlap), not O(corpus²) on hot
+    // shingles. (At 100 TB the candidate list is the op's own already-
+    // materialized output; here it re-expands in the DAG, which AQE
+    // dedups at the exchange.)
+    val candIds = cands.select(col("id_a").as("doc_id"))
+      .union(cands.select(col("id_b").as("doc_id"))).distinct()
+    val shc = sh.join(candIds, Seq("doc_id"), "left_semi")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shc.as("a").join(shc.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -446,10 +474,14 @@ object Dedup {
        |  FROM cands c
        |  JOIN sigs sa ON sa.doc_id = c.id_a
        |  JOIN sigs sb ON sb.doc_id = c.id_b),
-       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cand_ids AS (
+       |  SELECT id_a AS doc_id FROM cands UNION SELECT id_b FROM cands),
+       |shc AS (
+       |  SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM cand_ids)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-       |  FROM sh a JOIN sh b
+       |  FROM shc a JOIN shc b
        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1,2)
        |SELECT e.id_a, e.id_b, CAST(e.sig_matches AS INTEGER) AS sig_matches,
