@@ -240,45 +240,66 @@ object StreamingJobs {
       }
       .start()
 
-  /** Static corpus band index for the streaming near-dup gate: 8
-    * MinHash band-hash rows per admitted document, materialized once
-    * (at scale this is a maintained parquet table alongside the lake —
-    * append the accepted docs' bands after each gate run; here
-    * localCheckpoint stands in for that materialization so micro-
-    * batches don't re-shingle the corpus). */
-  def nearDupIndex(corpus: DataFrame): DataFrame =
-    graft.operators.Dedup.bandRows(corpus).localCheckpoint()
+  /** Bootstrap the streaming near-dup gate's band index: 8 MinHash
+    * band-hash rows per already-admitted document, landed as a parquet
+    * table partitioned by `ingest_batch` (the bootstrap corpus is
+    * partition -1; each micro-batch of the gate adds its own). The
+    * index is a real maintained lake table, not a driver-held frame —
+    * the gate reads it back per batch, so it survives restarts and is
+    * shared by any number of gate instances. */
+  def nearDupIndexInit(corpus: DataFrame, indexPath: String): Unit =
+    graft.operators.Dedup.bandRows(corpus)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(indexPath)
 
-  /** Streaming near-dup admission gate (dedup_gate's twin): every
-    * micro-batch of incoming documents is banded with the SAME
-    * codegen'd machinery as batch MinHash (foreachBatch hands a full
-    * batch DataFrame, so the window/groupBy signature path runs
+  /** Streaming near-dup admission gate (dedup_gate's twin), SELF-
+    * ADMITTING: every micro-batch of incoming documents is banded with
+    * the SAME codegen'd machinery as batch MinHash (foreachBatch hands
+    * a full batch DataFrame, so the window/groupBy signature path runs
     * unchanged — no per-row reimplementation to drift) and checked
-    * against the static corpus index with a banded join; novel docs
-    * append to the training lake, flagged docs to quarantine with
-    * their hit count and earliest admitted partner. Stream-static, no
-    * cross-batch state — each doc is judged once, in its own batch,
-    * so the union of per-batch verdicts equals the batch gate on the
-    * whole feed (StreamingSpec pins exactly that, plus that the two
-    * sinks partition the feed). Parquet appends inherit the
-    * at-least-once-on-crash-retry caveat every foreachBatch file sink
-    * has; the landing is made idempotent the same way cdcApply's is
-    * (deterministic content, replay converges). */
-  def nearDupGateStream(docs: DataFrame, index: DataFrame,
+    * against the maintained band index with a banded join; novel docs
+    * append to the training lake AND their band rows land in the
+    * index's own `ingest_batch=<N>` partition, so batch N+1's verdict
+    * sees every doc batch N admitted — two near-identical docs
+    * arriving in different micro-batches quarantine the second one.
+    *
+    * Replay semantics are exact, not best-effort: batch N judges
+    * against `ingest_batch < N` only (its own partition from a crashed
+    * earlier attempt is invisible, so a doc never collides with
+    * itself), and the index write is a dynamic partition OVERWRITE of
+    * partition N (a replayed batch rewrites, never duplicates). Within
+    * one micro-batch admission is atomic — docs are judged against the
+    * prior index, not each other — exactly the batch gate's semantics
+    * applied per arrival slice; the sequential fold over batches is
+    * what StreamingSpec pins. The novel/quarantine parquet appends
+    * inherit the at-least-once-on-crash-retry caveat every
+    * foreachBatch file sink has; their content is deterministic given
+    * the (exactly-once) index, so replay converges. */
+  def nearDupGateStream(docs: DataFrame, indexPath: String,
       novelPath: String, quarantinePath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
+          val s = batch.sparkSession
           val b = batch.localCheckpoint()
+          val index = s.read.parquet(indexPath)
+            .filter(col("ingest_batch") < batchId)
           val verdict = graft.operators.Dedup.nearDupVerdict(b, index)
           val judged = b.join(verdict, Seq("doc_id")).localCheckpoint()
-          judged.filter(!col("is_near_dup"))
+          val admitted = judged.filter(!col("is_near_dup"))
             .drop("is_near_dup", "n_hit_bands", "first_match")
-            .write.mode("append").parquet(novelPath)
+          admitted.write.mode("append").parquet(novelPath)
           judged.filter(col("is_near_dup"))
             .write.mode("append").parquet(quarantinePath)
+          // self-admission: the batch's accepted docs join the index,
+          // partition-exact so a replayed batch rewrites its own rows
+          graft.operators.Dedup.bandRows(admitted)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(indexPath)
           ()
         }
       }
