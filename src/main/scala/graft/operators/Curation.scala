@@ -151,8 +151,13 @@ object Curation {
     val evalSet = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select("shingle").distinct().withColumn("hit", lit(1))
     val fracRaw = col("n_contaminated").cast(DoubleType) / col("n_shingles")
-    sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
-      .join(broadcast(evalSet), Seq("shingle"), "left")
+    // the eval suite is tiny by construction, but "tiny" is a claim the
+    // stats ledger gets to revoke: broadcast only while the memoized
+    // ANALYZE of the benchmark shingle set stays under the row limit
+    graft.plans.CostModel.statsJoinUsing(s,
+      sh.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+      evalSet, s"$dir#contamination_evalset", Seq("shingle"), "left")(
+      evalSet.count())
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))

@@ -12,11 +12,26 @@ import graft.functions._
   * multi-agg scans, star joins (broadcast dims), windows, semi-joins,
   * rollups, as-of joins, skew-safe aggregation. Everything is a
   * declarative plan — Catalyst handles pushdown/pruning/join selection;
-  * `broadcast()` hints mark the dims that must never shuffle.
+  * the dims that should never shuffle are hinted through the stats
+  * ledger ([[dimJoin]]/CostModel.statsJoin), so the hint is revoked at
+  * plan time if a re-ANALYZE reports the "small" side grew.
   */
 object RelationalQueries {
 
   private def ntz(s: String): Column = lit(s).cast(TimestampNTZType)
+
+  /** Stats-driven dimension join ([[graft.plans.CostModel.statsJoin]]):
+    * the bounded dims (nation=25, region=5) and filtered key lists
+    * broadcast while the ANALYZE ledger says they still fit, and
+    * degrade to a shuffle join the moment a re-ANALYZE reports growth —
+    * a revocable version of the literal broadcast() hint these joins
+    * used to carry. One ledger key per dim per lake, so every call
+    * site agrees on the dim's size. */
+  private def dimJoin(s: SparkSession, dir: String, fact: DataFrame,
+      dim: DataFrame, statName: String, cond: Column,
+      joinType: String = "inner"): DataFrame =
+    graft.plans.CostModel.statsJoin(s, fact, dim, s"$dir#$statName", cond, joinType)(
+      dim.count())
 
   // --- r1: TPC-H Q1-style pricing summary -----------------------------
 
@@ -97,12 +112,14 @@ object RelationalQueries {
       .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
               col("o_orderdate") < ntz("1997-01-01 00:00:00"))
     val li = Tables.lineitem(s, dir)
-    // broadcast only the genuinely bounded dims (nation=25, region=5);
+    // broadcast only the genuinely bounded dims (nation=25, region=5),
+    // and only while the stats ledger agrees they are still bounded;
     // customer scales with SF → leave its join strategy to AQE
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    dimJoin(s, dir,
+      dimJoin(s, dir, base, n, "nation", col("c_nationkey") === col("n_nationkey")),
+      r, "region", col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
       .orderBy(col("revenue").desc, col("r_name"), col("n_name"))
@@ -431,11 +448,12 @@ object RelationalQueries {
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, dir)
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+    dimJoin(s, dir,
+      dimJoin(s, dir, base, n1, "nation", col("s_nationkey") === col("s_nk")),
+      n2, "nation", col("c_nationkey") === col("c_nk"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("ship_year"))
@@ -476,14 +494,16 @@ object RelationalQueries {
     val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
     val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     // part scales with SF → no broadcast hint (AQE decides); only the
-    // fixed-size nation/region dims are hinted
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // fixed-size nation/region dims are hinted, via the stats ledger
+    val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(p, col("l_partkey") === col("p_partkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-      .join(broadcast(r), col("c_rk") === col("r_regionkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+    val withCustDims = dimJoin(s, dir,
+      dimJoin(s, dir, base, n2, "nation", col("c_nationkey") === col("c_nk")),
+      r, "region_asia", col("c_rk") === col("r_regionkey"))
+    dimJoin(s, dir,
+      withCustDims.join(sup, col("l_suppkey") === col("s_suppkey")),
+      n1, "nation", col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         dsum(vol, 6).as("volume"),
@@ -560,16 +580,18 @@ object RelationalQueries {
   private def r19(s: SparkSession, dir: String): DataFrame = {
     val smallParts = Tables.part(s, dir)
       .filter(col("p_name").like("small%")).select("p_partkey")
-    val heavy = Tables.lineitem(s, dir)
-      .filter(col("l_shipdate") >= ntz("1995-01-01 00:00:00") &&
-        col("l_shipdate") < ntz("1996-01-01 00:00:00"))
-      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val heavy = dimJoin(s, dir,
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ntz("1995-01-01 00:00:00") &&
+          col("l_shipdate") < ntz("1996-01-01 00:00:00")),
+      smallParts, "part_small",
+      col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_suppkey", "l_partkey")
       .agg(sum(col("l_quantity").cast(DecimalType(38, 4))).as("sq"))
       .filter(col("sq") > 50)
       .select("l_suppkey").distinct()
-    Tables.supplier(s, dir)
-      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+    dimJoin(s, dir, Tables.supplier(s, dir),
+      Tables.nation(s, dir), "nation", col("s_nationkey") === col("n_nationkey"))
       .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select("s_name", "n_name")
       .orderBy("s_name")
@@ -792,10 +814,11 @@ object RelationalQueries {
     val o = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= ntz("1996-01-01 00:00:00") &&
         col("o_orderdate") < ntz("1996-04-01 00:00:00"))
-    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
-      .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+    dimJoin(s, dir,
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey")),
+      Tables.nation(s, dir), "nation", col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -885,13 +908,14 @@ object RelationalQueries {
   private def r30(s: SparkSession, dir: String): DataFrame = {
     val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
       lit(0.5) * col("p_retailprice") * col("l_quantity")
-    Tables.lineitem(s, dir)
-      .join(Tables.part(s, dir).filter(col("p_name").like("red%")),
-        col("p_partkey") === col("l_partkey"))
-      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+    dimJoin(s, dir,
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_name").like("red%")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey")),
+      Tables.nation(s, dir), "nation", col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
       .agg(dsum(profit, 6).as("sum_profit"), count(lit(1)).as("n_lines"))
       .orderBy(col("n_name"), col("o_year").desc)

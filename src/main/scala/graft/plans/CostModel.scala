@@ -50,4 +50,14 @@ object CostModel {
     if (broadcastable(n, limit)) fact.join(broadcast(build), cond, joinType)
     else fact.join(build, cond, joinType)
   }
+
+  /** [[statsJoin]] for USING-column joins (the join key appears once
+    * in the output) — same ledger-driven build-side decision. */
+  def statsJoinUsing(s: SparkSession, fact: DataFrame, build: DataFrame,
+      buildStatKey: String, usingCols: Seq[String], joinType: String = "inner",
+      limit: Long = BroadcastRowLimit)(buildCount: => Long): DataFrame = {
+    val n = TableStats.rowCount(s, buildStatKey)(buildCount)
+    if (broadcastable(n, limit)) fact.join(broadcast(build), usingCols, joinType)
+    else fact.join(build, usingCols, joinType)
+  }
 }

@@ -162,6 +162,35 @@ class PlanSpec extends AnyFunSuite {
     } finally TableStats.invalidate(sf) // next consumer re-ANALYZEs the lake
   }
 
+  test("dim broadcasts are stats-driven: re-ANALYZE growth drops every family's hint") {
+    // the same plan-time CBO that r31 demonstrates, applied to the
+    // star-join dims (nation/region), the filtered part key list, and
+    // text_contamination's benchmark shingle set: while ANALYZE says
+    // they fit, the plan carries broadcast hints; a re-ANALYZE
+    // reporting growth past CostModel.BroadcastRowLimit must drop them
+    // on the very next plan build.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import graft.etl.TableStats
+    val families = Seq("r3_revenue_by_region", "r16_nation_flow",
+      "r17_market_share", "r19_heavy_suppliers", "r27_returned_items",
+      "r30_nation_profit", "text_contamination")
+    def hinted(name: String): Boolean =
+      Registry.queries(name)(spark, sf).queryExecution.analyzed
+        .collect { case h: ResolvedHint => h }.nonEmpty
+    try {
+      TableStats.invalidate(sf) // fresh ANALYZE of the true (tiny) counts
+      for (f <- families) assert(hinted(f), s"$f should hint its dims while they fit")
+      // simulate the nightly ANALYZE discovering every build side grew
+      TableStats.invalidate(sf)
+      for (k <- Seq("nation", "region", "region_asia", "part_small",
+          "contamination_evalset"))
+        TableStats.rowCount(spark, s"$sf#$k")(
+          graft.plans.CostModel.BroadcastRowLimit + 1)
+      for (f <- families)
+        assert(!hinted(f), s"$f must degrade to shuffle joins after growth")
+    } finally TableStats.invalidate(sf) // next consumer re-ANALYZEs the lake
+  }
+
   test("text_bm25_topk's global top-50 is TakeOrdered, not a corpus-wide sort") {
     // orderBy+limit must plan as TakeOrderedAndProject (per-partition
     // partial top-k); the only single-partition work after it is the
