@@ -55,11 +55,42 @@ object CdcMerge {
 
   /** Applies `changes` to the lake at `lakePath`. `changes` must carry
     * the lake's columns plus `op` ('I'|'U'|'D') and a monotone `seq`.
-    * Returns (upserted, deleted) row counts. */
+    * Returns (upserted, deleted) row counts.
+    *
+    * When the data-skipping sidecar tracks the (single) key column,
+    * the merge is FILE-surgical instead of partition-surgical: only
+    * the files whose key range may contain a changed key are read and
+    * rewritten ([[DataSkipping.pruneRange]] — no false negatives, so
+    * every stored row for a changed key is guaranteed to be in the
+    * read set), and the other files of the affected partitions stay
+    * byte-for-byte. On a z-ordered lake that turns a partition rewrite
+    * into a few-file rewrite — the difference between re-writing a
+    * 100 GB partition and the 100 MB of files a point-update batch
+    * actually touches. The sidecar is then delta-refreshed
+    * ([[DataSkipping.refresh]]) so the next batch prunes against the
+    * post-merge layout. */
   def apply(spark: SparkSession, lakePath: String, changes: DataFrame,
       keyCols: Seq[String], seqCol: String = "seq"): (Long, Long) = {
     val latest = latestChanges(changes, keyCols, seqCol).cache()
     val affected = latest.select(partCols.map(col): _*).distinct().collect()
+    val counts =
+      if (keyCols.sizeIs == 1 && DataSkipping.tracks(spark, lakePath, keyCols.head) &&
+          keyRangeSql(latest, keyCols.head).isDefined)
+        mergeFiles(spark, lakePath, latest, keyCols, seqCol, affected)
+      else
+        mergePartitions(spark, lakePath, latest, keyCols, seqCol, affected)
+    latest.unpersist()
+    // the merge rewrote files: expire the snapshots it invalidated and
+    // commit the new layout, exactly as compaction/retention do
+    Snapshots.reSnapshot(spark, lakePath)
+    counts
+  }
+
+  /** The partition-level rewrite: every affected partition is read
+    * whole and dynamically overwritten. */
+  private def mergePartitions(spark: SparkSession, lakePath: String,
+      latest: DataFrame, keyCols: Seq[String], seqCol: String,
+      affected: Array[org.apache.spark.sql.Row]): (Long, Long) = {
     val current = spark.read.parquet(lakePath)
       .filter(partitionPredicate(affected))
     val upserts = latest.filter(col("op") =!= "D").drop("op", seqCol)
@@ -89,11 +120,76 @@ object CdcMerge {
         fs.delete(new org.apache.hadoop.fs.Path(root, dir), true)
       }
     }
-    val counts = (upserts.count(), latest.filter(col("op") === "D").count())
-    latest.unpersist()
-    // the merge rewrote files: expire the snapshots it invalidated and
-    // commit the new layout, exactly as compaction/retention do
-    Snapshots.reSnapshot(spark, lakePath)
-    counts
+    // a partition rewrite orphans any file-level stats describing it
+    DataSkipping.invalidate(spark, lakePath)
+    (upserts.count(), latest.filter(col("op") === "D").count())
+  }
+
+  /** SQL literals for the batch's key range, for the types the sidecar
+    * range probe can render exactly. None → fall back to the partition
+    * merge. */
+  private def keyRangeSql(latest: DataFrame, key: String): Option[(String, String)] = {
+    val r = latest.agg(min(col(key)), max(col(key))).head()
+    (r.get(0), r.get(1)) match {
+      case (lo: Long, hi: Long)     => Some((DataSkipping.sqlLong(lo), DataSkipping.sqlLong(hi)))
+      case (lo: Int, hi: Int)       => Some((s"CAST($lo AS INT)", s"CAST($hi AS INT)"))
+      case (lo: String, hi: String) => Some((DataSkipping.sqlString(lo), DataSkipping.sqlString(hi)))
+      case _                        => None
+    }
+  }
+
+  /** The file-level rewrite: read only the key-range survivors inside
+    * the affected partitions, rewrite them plus the upserts, leave
+    * every other file untouched. The commit is write-temp → delete
+    * rewritten → move in — the same no-atomic-rename contract as the
+    * object-store committer, with the same convergence story: the
+    * merge is latest-wins idempotent, so a crash mid-commit is
+    * repaired by replaying the batch. */
+  private def mergeFiles(spark: SparkSession, lakePath: String,
+      latest: DataFrame, keyCols: Seq[String], seqCol: String,
+      affected: Array[org.apache.spark.sql.Row]): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val key = keyCols.head
+    val Some((loSql, hiSql)) = keyRangeSql(latest, key)
+    val partDirs = affected.map(r =>
+      partCols.zip(r.toSeq).map { case (c, v) => s"$c=$v" }.mkString("/")).toSeq
+    val touched = DataSkipping.pruneRange(spark, lakePath, key, loSql, hiSql)
+      .filter(f => partDirs.exists(d => f.contains(s"/$d/")))
+    val current = DataSkipping.readPruned(spark, lakePath, touched)
+    val upserts = latest.filter(col("op") =!= "D").drop("op", seqCol)
+    val merged = current
+      .join(broadcast(latest.select(keyCols.map(col): _*)), keyCols, "left_anti")
+      .unionByName(upserts.select(current.columns.map(col): _*))
+      .repartition(partCols.map(col): _*)
+      .localCheckpoint()
+    val root = new Path(lakePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root, s"_merge_tmp_${java.util.UUID.randomUUID}")
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(tmp.toString)
+    touched.foreach(f => fs.delete(new Path(f), false))
+    // move the new data files into their partition dirs
+    def dataFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).filter(!_.getPath.getName.startsWith("_")).toSeq.flatMap { s =>
+        if (s.isDirectory) dataFiles(s.getPath) else Seq(s.getPath)
+      }
+    val tmpQualified = fs.makeQualified(tmp).toString
+    val added = dataFiles(tmp).map { f =>
+      val rel = fs.makeQualified(f).toString.stripPrefix(tmpQualified + "/")
+      val dest = new Path(root, rel)
+      fs.mkdirs(dest.getParent)
+      fs.rename(f, dest)
+      fs.makeQualified(dest).toString
+    }
+    fs.delete(tmp, true)
+    // an affected partition whose files were all rewritten away and
+    // whose merged output is empty is gone — drop its empty dir
+    partDirs.foreach { d =>
+      val p = new Path(root, d)
+      if (fs.exists(p) && dataFiles(p).isEmpty) fs.delete(p, true)
+    }
+    // fold the rewrite into the sidecar: next batch prunes against
+    // the post-merge layout without re-scanning the lake
+    DataSkipping.refresh(spark, lakePath, removed = touched, added = added)
+    (upserts.count(), latest.filter(col("op") === "D").count())
   }
 }

@@ -73,14 +73,13 @@ object DataSkipping {
     s"$bloom AND `mn_$c` <= $valueSql AND `mx_$c` >= $valueSql"
   }
 
-  /** Builds (overwrites) the stats sidecar for `lakeRoot`, tracking
-    * `cols`. One distributed aggregation; returns the file count. */
-  def analyze(spark: SparkSession, lakeRoot: String, cols: Seq[String],
-      bits: Int = 1024, k: Int = 3): Long = {
-    require(bits % 64 == 0 && bits > 0, s"bits must be a positive multiple of 64: $bits")
+  /** The per-file stats aggregation over an arbitrary slice of the
+    * lake — shared by the full [[analyze]] and the incremental
+    * [[refresh]] so both produce bit-identical sidecar rows. */
+  private def statsFor(slice: DataFrame, cols: Seq[String],
+      bits: Int, k: Int): DataFrame = {
     val words = bits / 64
-    var df = spark.read.parquet(lakeRoot)
-      .select(col("*"), col("_metadata.file_path").as("__file"))
+    var df = slice.select(col("*"), col("_metadata.file_path").as("__file"))
     for (c <- cols; w <- 0 until words)
       df = df.withColumn(s"__w_${c}_$w", expr(bloomWordSql(c, w, bits, k)))
     val aggs =
@@ -88,16 +87,53 @@ object DataSkipping {
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
           array((0 until words).map(w => expr(s"bit_or(`__w_${c}_$w`)")): _*).as(s"bf_$c"))
       } :+ count(lit(1L)).as("n_rows")
-    val stats = df.groupBy(col("__file").as("file_path"))
+    df.groupBy(col("__file").as("file_path"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("bloom_bits", lit(bits))
       .withColumn("bloom_hashes", lit(k))
+  }
+
+  /** Builds (overwrites) the stats sidecar for `lakeRoot`, tracking
+    * `cols`. One distributed aggregation; returns the file count. */
+  def analyze(spark: SparkSession, lakeRoot: String, cols: Seq[String],
+      bits: Int = 1024, k: Int = 3): Long = {
+    require(bits % 64 == 0 && bits > 0, s"bits must be a positive multiple of 64: $bits")
+    val stats = statsFor(spark.read.parquet(lakeRoot), cols, bits, k)
       // the sidecar must not appear inside its own lake listing: write
       // it under an underscore-prefixed dir (Spark/Hadoop ignore those)
       .localCheckpoint()
     val n = stats.count()
     stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(sidecarPath(lakeRoot))
     n
+  }
+
+  /** True iff the sidecar exists and tracks column `c`. */
+  def tracks(spark: SparkSession, lakeRoot: String, c: String): Boolean =
+    hasStats(spark, lakeRoot) && stats(spark, lakeRoot).columns.contains(s"mn_$c")
+
+  /** Folds a file-level rewrite into the sidecar WITHOUT re-scanning
+    * the lake: stats rows for `removed` files are dropped and freshly
+    * computed rows for `added` files are appended — the delta ANALYZE
+    * a per-batch merge needs (a full re-ANALYZE per CDC batch would
+    * read 100 TB to describe a few new files). No-op when no sidecar
+    * exists. Paths in `removed` must be in the sidecar's own
+    * `file_path` rendering (i.e. came out of a prune call). */
+  def refresh(spark: SparkSession, lakeRoot: String,
+      removed: Seq[String], added: Seq[String]): Unit = {
+    if (!hasStats(spark, lakeRoot)) return
+    val cur = stats(spark, lakeRoot)
+    val head = cur.select("bloom_bits", "bloom_hashes").head()
+    val (bits, k) = (head.getInt(0), head.getInt(1))
+    val cols = cur.columns.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_")).toSeq
+    val kept =
+      if (removed.isEmpty) cur
+      else cur.filter(!col("file_path").isin(removed: _*))
+    val next =
+      if (added.isEmpty) kept
+      else kept.unionByName(statsFor(
+        spark.read.option("basePath", lakeRoot).parquet(added: _*), cols, bits, k))
+    val materialized = next.localCheckpoint() // outlive the overwrite below
+    materialized.coalesce(1).write.mode(SaveMode.Overwrite).parquet(sidecarPath(lakeRoot))
   }
 
   def hasStats(spark: SparkSession, lakeRoot: String): Boolean = {

@@ -446,6 +446,61 @@ class EtlSpec extends AnyFunSuite {
       || new java.io.File(s"$lake/year=2024/month=7/day=26/symbol=ETHUSDT").list().isEmpty)
   }
 
+  test("CDC merge is file-surgical when the sidecar tracks the key") {
+    import graft.etl.{CdcMerge, DataSkipping}
+    val lake = "target/tmp/etl-cdc-skip"
+    rmrf(lake)
+    // one partition, two files with disjoint trade_id ranges — the
+    // shape zorderCluster produces; the batch below touches only the
+    // high range, so the low file must survive byte-for-byte
+    def slice(lo: Long, hi: Long) =
+      spark.range(lo, hi).selectExpr("id AS trade_id",
+        "CAST(id AS DOUBLE) AS price", "CAST(id AS DOUBLE) AS qty",
+        "2024 AS year", "7 AS month", "26 AS day", "'BTCUSDT' AS symbol")
+    slice(0, 100).coalesce(1).write
+      .partitionBy("year", "month", "day", "symbol").mode("append").parquet(lake)
+    slice(1000, 1100).coalesce(1).write
+      .partitionBy("year", "month", "day", "symbol").mode("append").parquet(lake)
+    DataSkipping.analyze(spark, lake, Seq("trade_id"))
+
+    val partDir = s"$lake/year=2024/month=7/day=26/symbol=BTCUSDT"
+    def listing = new java.io.File(partDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = listing
+    assert(before.size == 2)
+    val lowFiles = DataSkipping.pruneEq(spark, lake, "trade_id", DataSkipping.sqlLong(5L))
+    assert(lowFiles.size == 1)
+    val lowName = new org.apache.hadoop.fs.Path(lowFiles.head).getName
+
+    val changes = slice(1050, 1051).withColumn("price", lit(42.0))
+      .withColumn("op", lit("U")).withColumn("seq", lit(1L)).localCheckpoint()
+    val (nU, nD) = CdcMerge(spark, lake, changes, Seq("trade_id"))
+    assert((nU, nD) == (1L, 0L))
+
+    val after = listing
+    // the low-range file was neither rewritten nor deleted — same
+    // name, length, and mtime (a partition-level merge rewrites it)
+    assert(after.filter(_._1 == lowName) == before.filter(_._1 == lowName)
+      && after.exists(_._1 == lowName))
+    // the high-range file WAS replaced
+    val highName = (before.map(_._1) - lowName).head
+    assert(!after.map(_._1).contains(highName))
+    // and the merge result is exactly the partition-level result
+    val rows = spark.read.parquet(lake)
+    assert(rows.count() == 200)
+    assert(rows.filter(col("trade_id") === 1050).head.getAs[Double]("price") == 42.0)
+    assert(rows.filter(col("trade_id") === 1049).head.getAs[Double]("price") == 1049.0)
+    // the sidecar was delta-refreshed: one row per live file, and a
+    // post-merge point probe prunes to the new file only
+    assert(spark.read.parquet(s"$lake/_skipping/stats.parquet").count() ==
+      after.size.toLong)
+    val probe = DataSkipping.pruneEq(spark, lake, "trade_id", DataSkipping.sqlLong(1050L))
+    assert(!probe.contains(lowFiles.head))
+    assert(DataSkipping.readPruned(spark, lake, probe)
+      .filter(col("trade_id") === 1050).head.getAs[Double]("price") == 42.0)
+  }
+
   test("schema evolution: later partitions add columns, mergeSchema unifies") {
     val lake = "target/tmp/etl-evolve"
     rmrf(lake)
