@@ -110,6 +110,36 @@ object StreamingJobs {
         col("qs").getItem(2).as("p99"), col("qs").getItem(3).as("vmax"))
   }
 
+  /** Windowed streaming distinct-count monitor (q23's twin): the KMV
+    * `TypedImperativeAggregate` (graft.plans.KmvSketch) as a plain
+    * aggregate inside a watermarked window groupBy — per-(window,
+    * type) state is the k smallest distinct hashes (bounded, capacity
+    * rows max), merged across micro-batches by the engine like any agg
+    * buffer. Completes the sketch trio's streaming story next to
+    * [[heavyHittersStream]] and [[quantileStream]]: every
+    * bounded-memory aggregate in the engine runs unchanged under
+    * Structured Streaming. Same portable estimator as q23: below
+    * capacity the sketch IS the distinct hash set and the estimate is
+    * exact; above it the (k−1)·2³²/h_k estimate kicks in. A KMV
+    * sketch is a set of minima — union is commutative and idempotent —
+    * so unlike the t-digest the streamed estimate is bit-identical to
+    * the batch one in BOTH regimes, which is exactly what
+    * StreamingSpec pins. */
+  def distinctStream(events: DataFrame, capacity: Int = 256): DataFrame = {
+    graft.plans.KmvSketch.register(events.sparkSession)
+    events
+      .withColumn("h", h32(col("user_id").cast(StringType)))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(graft.plans.KmvSketch.kmv_sketch(col("h"), capacity).as("sketch"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        size(col("sketch")).as("sketch_size"),
+        when(size(col("sketch")) < capacity, size(col("sketch")).cast(DoubleType))
+          .otherwise(round(lit((capacity - 1) * 4294967296.0)
+            / element_at(col("sketch"), capacity), 6))
+          .as("ndv_est"))
+  }
+
   /** Streaming klines: the bar builder behind etl_normalize_klines as
     * a watermarked 1-minute streaming aggregation over a live trades
     * feed. open/close are min_by/max_by on the (trade_time, trade_id)

@@ -553,6 +553,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(idxBatches == Set(-1L, 0L), s"index partitions: $idxBatches")
   }
 
+  test("streaming KMV distinct counts equal batch bit-for-bit in both regimes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[StreamingJobs.Event].collect()
+    val batchDf = rows.toSeq.toDS().toDF()
+    // cap 65536 → every sketch stays under capacity (exact regime);
+    // cap 2 → saturated sketches (estimating regime; sf0.001's sparse
+    // 10-minute windows hold only a handful of distinct users each).
+    // A KMV sketch is a set of minima, so streamed == batch in both.
+    for (cap <- Seq(65536, 2)) {
+      val source = MemoryStream[StreamingJobs.Event]
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val q = StreamingJobs.distinctStream(source.toDF(), cap)
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(s"kmv_out_$cap").start()
+      try {
+        source.addData(b1.toSeq); q.processAllAvailable()
+        source.addData(b2.toSeq); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(s"kmv_out_$cap")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+      val batch = StreamingJobs.distinctStream(batchDf, cap)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"cap=$cap: only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+      if (cap == 65536) {
+        // under capacity the estimate IS the exact distinct count
+        val exact = batchDf
+          .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+          .agg(countDistinct("user_id").cast("double").as("ndv"))
+          .select(col("window.start"), col("event_type"), col("ndv"))
+          .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSet
+        assert(streamed.map(t => (t._1, t._2, t._4)) == exact)
+      } else {
+        // saturated: capacity bounds the state per (window, type)
+        assert(streamed.forall(_._3 <= cap))
+        assert(streamed.exists(_._3 == cap), "estimating regime never engaged")
+      }
+    }
+  }
+
   test("streaming quality gate scores micro-batches like the batch op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
