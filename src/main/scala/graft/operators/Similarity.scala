@@ -1347,6 +1347,25 @@ object Similarity {
         graft.plans.VecDotProduct.vec_dot_exact(col("embedding"), typedLit(r.toSeq))
           .cast(FloatType)): _*).as("embedding"))
 
+  /** The full PQ (rotate=false) / OPQ (rotate=true) pipeline over an
+    * arbitrary (vec_id, embedding) corpus, uncached — the measurement
+    * surface DedupSpec uses to pin OPQ's reason to exist on an
+    * ANISOTROPIC corpus. The registry corpus is near-isotropic, where
+    * the rotation is honestly recall-neutral; this entry point lets
+    * the spec build a skewed-variance corpus and measure the gap the
+    * published OPQ result predicts, instead of citing it. */
+  private[graft] def pqPipelineOver(s: SparkSession, corpus: DataFrame,
+      rotate: Boolean): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val idxSrc = if (rotate) rotated(corpus).localCheckpoint() else corpus
+    val subs = pqSubs(idxSrc)
+    val cents = trainPqCodebooks(subs)
+    val codes = collectCodes(pqAssign(subs, cents)).localCheckpoint()
+    pqServe(s, corpus, cents, codes,
+      lutSrc = if (rotate) Some(rotated(corpus.filter(col("vec_id") < 10))) else None)
+  }
+
   private def annOpq(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     def rot = rotated(Tables.embeddings(s, dir)).localCheckpoint()

@@ -217,6 +217,50 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"OPQ recall@5 $recall vs bruteforce")
   }
 
+  test("OPQ beats plain PQ on an anisotropic corpus (the rotation's reason to exist)") {
+    // The registry corpus is near-isotropic, so ann_opq_topk is
+    // honestly recall-neutral there. THIS corpus is not: the first PQ
+    // subspace (dims 0-7) is scaled 25x, so plain PQ must push almost
+    // all the signal through one 16-centroid (4-bit) codebook while
+    // the other seven encode noise. The fixed random rotation spreads
+    // that variance across all eight subspaces — the parametric-OPQ
+    // prediction — and the recall@5 gap vs exact search is what this
+    // test pins as a measurement.
+    import graft.operators.Similarity
+    val skewed = Tables.embeddings(spark, sf).select(col("vec_id"),
+      expr("transform(embedding, (x, i) -> CAST(x * IF(i < 8, 25.0, 1.0) AS FLOAT))")
+        .as("embedding"))
+      .localCheckpoint()
+    def resultSets(rotate: Boolean): Map[Long, Set[Long]] =
+      Similarity.pqPipelineOver(spark, skewed, rotate).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val pq = resultSets(rotate = false)
+    val opq = resultSets(rotate = true)
+    // exact top-5 per query, computed directly (driver-side — the
+    // corpus is test-sized; the pipelines under test stay distributed)
+    val vecs = skewed.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val queries = vecs.keys.filter(_ < 10).toSeq.sorted
+    val bf = queries.map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(res: Map[Long, Set[Long]]): Double =
+      queries.map(q => (bf(q) & res.getOrElse(q, Set.empty)).size).sum.toDouble /
+        (queries.size * 5)
+    val (rPq, rOpq) = (recall(pq), recall(opq))
+    info(s"anisotropic recall@5: PQ=$rPq OPQ=$rOpq")
+    assert(rOpq >= rPq + 0.1,
+      s"rotation should buy real recall on a skewed corpus: PQ=$rPq OPQ=$rOpq")
+  }
+
   test("hot-split kNN graph keeps near-full recall of the unsplit graph") {
     // splitting only bounds candidate sets; with Hamming-1 multiprobe
     // over the active secondary bits, a base-graph edge is lost only
