@@ -863,7 +863,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
-  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
+  /** Converged (doc_id, label) component assignment, memoized per
+    * (application, lake) like the ANN index builds: the cluster table
+    * is BUILD state (at 100 TB a materialized table the dedup stage
+    * writes once per corpus snapshot), and both its consumers —
+    * dedup_clusters' presentation and dedup_keep_best's survivor
+    * argmax — read the same materialization instead of re-running the
+    * propagation loop. The returned frame is localCheckpoint'd, so
+    * reuse is a scan, not a recompute. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusterCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir),
+      _ => buildClusterLabels(s, dir))
+
+  private def buildClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val pairs = jaccardPairs(s, dir, 0.03)
     val edges = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -901,9 +916,13 @@ object Dedup {
       s"dedup_clusters: label propagation still converging after " +
       s"$MaxRounds doubling rounds (graph diameter ~> 2^$MaxRounds); " +
       s"raise the round cap or pre-contract the graph")
-    labels.select(col("label").as("cluster_id"), col("doc_id"))
-      .orderBy("cluster_id", "doc_id")
+    labels
   }
+
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusterLabels(s, dir)
+      .select(col("label").as("cluster_id"), col("doc_id"))
+      .orderBy("cluster_id", "doc_id")
 
   private val dedupClustersSql =
     s"""WITH RECURSIVE toks AS (
@@ -949,7 +968,8 @@ object Dedup {
   // pass), and the survivor argmax is a map-side-combinable max_by.
 
   private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupClusters(s, dir)
+    val clusters = clusterLabels(s, dir)
+      .select(col("label").as("cluster_id"), col("doc_id"))
     val q = graft.operators.Curation.qualityMetrics(
       Tables.documents(s, dir).select(col("doc_id"), col("text"))).drop("text")
     q.join(clusters, Seq("doc_id"), "left")
