@@ -99,6 +99,68 @@ object Multimodal {
        |      FROM documents)
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // --- mm_resize: thumbnailing with modality routing -------------------
+  // The resize every multimodal ingest runs before anything shuffles:
+  // decodable payloads get the REAL tier — javax.imageio decode +
+  // integer-region area-average resample of the luminance plane to
+  // 8×8 (plans.ImageResize, codegen'd; the same deterministic resample
+  // pHash uses for its 32×32 stage) — and everything else routes to a
+  // deterministic byte-stride thumbnail (64 stride-sampled positions),
+  // exactly the two-tier frame mm_phash_neardup established. Output
+  // carries thumbnail digests and dimensions, never payloads: run this
+  // early and every downstream shuffle moves ~64-byte thumbnails
+  // instead of media. The documents corpus has no image bytes, so the
+  // registry rows all take the fallback (the oracle pins that, like
+  // mm_meta's NULL decode columns); MultimodalSpec pins the real tier
+  // on synthesized PNGs against the hand-computed area averages.
+
+  private val ThumbW = 8
+  private val ThumbH = 8
+  private val ThumbLen = 64
+
+  private def mmResize(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ImageResizeFn.register(s)
+    // stride sampling in integer arithmetic (i·len div 64), portable
+    // to the oracle's // division; ASCII corpus ⇒ char == byte offsets
+    val strideThumb = expr(
+      s"array_join(transform(sequence(0, ${ThumbLen - 1}), " +
+        s"i -> substr(text, CAST(i * length(text) div $ThumbLen AS INT) + 1, 1)), '')")
+    Tables.documents(s, dir)
+      .withColumn("payload", payload)
+      .withColumn("resized",
+        graft.plans.ImageResizeFn.image_resize(col("payload"), lit(ThumbW), lit(ThumbH)))
+      .withColumn("thumb", strideThumb)
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("orig_bytes"),
+        col("resized").isNotNull.as("is_image"),
+        when(col("resized").isNotNull, lit(ThumbW)).cast(IntegerType).as("thumb_w"),
+        when(col("resized").isNotNull, lit(ThumbH)).cast(IntegerType).as("thumb_h"),
+        when(col("resized").isNotNull, lit("luma_resample"))
+          .otherwise(lit("byte_stride")).as("method"),
+        when(col("resized").isNotNull, lit(ThumbLen))
+          .otherwise(length(col("thumb"))).cast(IntegerType).as("thumb_len"),
+        when(col("resized").isNotNull, md5(col("resized")))
+          .otherwise(md5(col("thumb"))).as("thumb_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val mmResizeSql =
+    s"""SELECT doc_id,
+       |       CAST(octet_length(encode(text)) AS INTEGER) AS orig_bytes,
+       |       FALSE AS is_image,
+       |       CAST(NULL AS INTEGER) AS thumb_w,
+       |       CAST(NULL AS INTEGER) AS thumb_h,
+       |       'byte_stride' AS method,
+       |       CAST(length(thumb) AS INTEGER) AS thumb_len,
+       |       md5(thumb) AS thumb_md5
+       |FROM (
+       |  SELECT doc_id, text,
+       |         array_to_string(list_transform(generate_series(0, ${ThumbLen - 1}),
+       |           i -> substr(text, CAST(i * length(text) // $ThumbLen AS INTEGER) + 1, 1)), '') AS thumb
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   // --- mm_dedup: content-digest dedup of media payloads ----------------
   // The exact-dedup every multimodal pipeline runs first: group the
   // opaque binary by its sha256, keep the lowest id. One hash groupBy —
@@ -348,6 +410,7 @@ object Multimodal {
     Op("mm_phash_neardup", mmPhashNeardup, Some(mmPhashNeardupSql)),
     Op("mm_scene_cut", mmSceneCut, Some(mmSceneCutSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    Op("mm_resize", mmResize, Some(mmResizeSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_feature_extract", mmFeatureExtract, Some(mmFeatureExtractSql)))
 }

@@ -70,6 +70,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(3L).isNullAt(1) && rows(3L).isNullAt(2), "text must fall back")
   }
 
+  test("image_resize area-averages the decoded plane; non-images route to fallback") {
+    import spark.implicits._
+    graft.plans.ImageResizeFn.register(spark)
+    val (img, luma) = testImage(32, 16)
+    val png = encode(img, "png")
+    val txt = "not an image at all".getBytes("UTF-8")
+    val rows = Seq((1L, png), (2L, txt)).toDF("doc_id", "payload")
+      .select(col("doc_id"),
+        graft.plans.ImageResizeFn.image_resize(col("payload"), lit(8), lit(8)).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[Array[Byte]]("r"))).toMap
+    assert(rows(2L).isEmpty, "text payload must route to the fallback tier")
+    val got = rows(1L).get
+    assert(got.length == 64)
+    // PNG is lossless, so every 8x8 cell must equal the hand-computed
+    // integer-region area average of the ground-truth luminance plane
+    for (ty <- 0 until 8; tx <- 0 until 8) {
+      val y0 = ty * 16 / 8; val y1 = math.max(y0 + 1, (ty + 1) * 16 / 8)
+      val x0 = tx * 32 / 8; val x1 = math.max(x0 + 1, (tx + 1) * 32 / 8)
+      val cell = for (y <- y0 until y1; x <- x0 until x1) yield luma(y * 32 + x)
+      val want = (cell.map(_.toLong).sum.toDouble / cell.size).toInt
+      assert((got(ty * 8 + tx) & 0xff) == want,
+        s"cell ($tx,$ty): ${got(ty * 8 + tx) & 0xff} != $want")
+    }
+    // the registry op routes every (imageless) document to byte_stride
+    val reg = Registry.queries("mm_resize")(spark, sf)
+    assert(reg.filter(col("method") =!= "byte_stride").count() == 0)
+    assert(reg.filter(col("thumb_md5").isNull).count() == 0)
+  }
+
   test("image payloads get the real DCT pHash; text falls back to NULL") {
     import spark.implicits._
     val (img, luma) = testImage(48, 32)
