@@ -110,7 +110,7 @@ object ScaleProbe {
       "q22_bollinger", "mm_scene_cut", "dedup_minhash_est", "q23_kmv_distinct",
       "q24_twap",
       "etl_normalize_klines", "etl_normalize_aggtrades",
-      "etl_skipping_scan", "dedup_gate", "dedup_containment")
+      "etl_skipping_scan", "dedup_gate", "dedup_containment", "mm_resize")
     // Verdict-shaped queries (top = left-outer join, unique right side)
     // are eliminated under count() — Catalyst drops the join and the
     // whole banded subtree — so they go through the noop sink, which
