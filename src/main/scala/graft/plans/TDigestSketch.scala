@@ -214,25 +214,38 @@ case class TDigestSketch(
 }
 
 object TDigestSketch {
+  /** SQL builder shared by [[register]] and the session-extensions
+    * path. The quantile array tolerates any numeric literal element —
+    * a bare SQL literal like `array(0.5, 0.99)` parses as DECIMAL,
+    * not DOUBLE, so `toDoubleArray` alone would class-cast. */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      "tdigest_quantiles(col, compression, array(p...)) takes 3 arguments")
+    require(exprs(1).foldable,
+      s"tdigest_quantiles: compression must be a literal, got ${exprs(1).sql}")
+    require(exprs(2).foldable,
+      s"tdigest_quantiles: quantile array must be a literal, got ${exprs(2).sql}")
+    val arr = exprs(2).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val elemType = exprs(2).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val ps = (0 until arr.numElements()).map { i =>
+      arr.get(i, elemType) match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: java.lang.Number                   => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"tdigest_quantiles: non-numeric quantile $other")
+      }
+    }
+    TDigestSketch(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue(), ps).toAggregateExpression()
+  }
+
   /** Registers `tdigest_quantiles(col, compression, array(p...))`;
     * idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tdigest_quantiles",
-      exprs => {
-        require(exprs.length == 3,
-          "tdigest_quantiles(col, compression, array(p...)) takes 3 arguments")
-        require(exprs(1).foldable,
-          s"tdigest_quantiles: compression must be a literal, got ${exprs(1).sql}")
-        require(exprs(2).foldable,
-          s"tdigest_quantiles: quantile array must be a literal, got ${exprs(2).sql}")
-        TDigestSketch(
-          exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue(),
-          exprs(2).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toDoubleArray().toSeq).toAggregateExpression()
-      },
-      "built-in")
+      "tdigest_quantiles", exprs => fromExprs(exprs), "built-in")
 
   def tdigest_quantiles(c: Column, compression: Int, ps: Seq[Double]): Column =
     call_function("tdigest_quantiles", c,

@@ -258,6 +258,26 @@ class PlanSpec extends AnyFunSuite {
         "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head.getDouble(0)
       assert(r == 11.0)
+      // the WHOLE custom surface resolves in plain SQL: exact decimal
+      // dot, the three bounded-memory aggregates, and the media tier
+      val exact = s2.sql(
+        "SELECT CAST(vec_dot_exact(array(CAST(1.5 AS FLOAT)), " +
+          "array(CAST(2.0 AS FLOAT))) AS DOUBLE)").head.getDouble(0)
+      assert(exact == 3.0)
+      val aggs = s2.sql(
+        "SELECT size(kmv_sketch(h, 16)), " +
+          "size(heavy_hitters(CAST(h AS STRING), 8)), " +
+          "tdigest_quantiles(CAST(h AS DOUBLE), 100, array(0.0, 1.0)) " +
+          "FROM (SELECT id % 10 AS h FROM range(100))").head
+      assert(aggs.getInt(0) == 10)   // 10 distinct hashes, all under k=16
+      assert(aggs.getInt(1) == 8)    // SpaceSaving capped at capacity 8
+      val qs = aggs.getSeq[Double](2)
+      assert(qs == Seq(0.0, 9.0))    // exact min/max
+      val img = s2.sql(
+        "SELECT image_meta(CAST('nope' AS BINARY)).format, " +
+          "image_phash(CAST('nope' AS BINARY)), " +
+          "image_resize(CAST('nope' AS BINARY), 8, 8)").head
+      assert(img.isNullAt(0) && img.isNullAt(1) && img.isNullAt(2))
     } finally {
       saved.foreach { s =>
         SparkSession.setDefaultSession(s)
