@@ -133,7 +133,13 @@ object DataSkipping {
       else kept.unionByName(statsFor(
         spark.read.option("basePath", lakeRoot).parquet(added: _*), cols, bits, k))
     val materialized = next.localCheckpoint() // outlive the overwrite below
-    materialized.coalesce(1).write.mode(SaveMode.Overwrite).parquet(sidecarPath(lakeRoot))
+    if (materialized.isEmpty)
+      // a rewrite that removed every indexed file leaves nothing to
+      // describe — an empty sidecar is indistinguishable from a
+      // corrupt one to probes, so drop it (re-ANALYZE is maintenance)
+      invalidate(spark, lakeRoot)
+    else
+      materialized.coalesce(1).write.mode(SaveMode.Overwrite).parquet(sidecarPath(lakeRoot))
   }
 
   def hasStats(spark: SparkSession, lakeRoot: String): Boolean = {
@@ -167,8 +173,10 @@ object DataSkipping {
     * [[eqCondSql]]; use [[sqlLong]] / [[sqlString]]. */
   def pruneEq(spark: SparkSession, lakeRoot: String, c: String,
       valueSql: String): Seq[String] = {
-    val head = stats(spark, lakeRoot).select("bloom_bits", "bloom_hashes").head()
-    survivors(spark, lakeRoot, eqCondSql(c, valueSql, head.getInt(0), head.getInt(1)))
+    val params = stats(spark, lakeRoot).select("bloom_bits", "bloom_hashes").head(1)
+    if (params.isEmpty) Seq.empty // no files described ⇒ nothing survives
+    else survivors(spark, lakeRoot,
+      eqCondSql(c, valueSql, params(0).getInt(0), params(0).getInt(1)))
   }
 
   /** Renders a point-lookup literal for a BIGINT column. */

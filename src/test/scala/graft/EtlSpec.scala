@@ -499,6 +499,17 @@ class EtlSpec extends AnyFunSuite {
     assert(!probe.contains(lowFiles.head))
     assert(DataSkipping.readPruned(spark, lake, probe)
       .filter(col("trade_id") === 1050).head.getAs[Double]("price") == 42.0)
+
+    // a batch that deletes EVERY remaining row rewrites every indexed
+    // file away: the partition dir must drop AND the sidecar must be
+    // invalidated (an empty sidecar would poison later probes), with
+    // the delete count intact
+    val wipe = spark.read.parquet(lake)
+      .withColumn("op", lit("D")).withColumn("seq", lit(9L)).localCheckpoint()
+    val (wU, wD) = CdcMerge(spark, lake, wipe, Seq("trade_id"))
+    assert((wU, wD) == (0L, 200L))
+    assert(!new java.io.File(partDir).exists())
+    assert(!DataSkipping.hasStats(spark, lake))
   }
 
   test("schema evolution: later partitions add columns, mergeSchema unifies") {
