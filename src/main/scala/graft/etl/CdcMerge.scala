@@ -153,8 +153,26 @@ object CdcMerge {
     val Some((loSql, hiSql)) = keyRangeSql(latest, key)
     val partDirs = affected.map(r =>
       partCols.zip(r.toSeq).map { case (c, v) => s"$c=$v" }.mkString("/")).toSeq
-    val touched = DataSkipping.pruneRange(spark, lakePath, key, loSql, hiSql)
+    val root = new Path(lakePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: Path): Seq[Path] =
+      fs.listStatus(p).filter(!_.getPath.getName.startsWith("_")).toSeq.flatMap { s =>
+        if (s.isDirectory) dataFiles(s.getPath) else Seq(s.getPath)
+      }
+    val pruned = DataSkipping.pruneRange(spark, lakePath, key, loSql, hiSql)
       .filter(f => partDirs.exists(d => f.contains(s"/$d/")))
+    // the prune's no-false-negatives guarantee covers only files the
+    // sidecar DESCRIBES: anything landed in an affected partition
+    // after the last ANALYZE (plain appends, streaming sinks) is
+    // invisible to the probe and must be read conservatively, or its
+    // rows for changed keys would escape the anti-join and duplicate
+    val tracked = DataSkipping.trackedPaths(spark, lakePath)
+    val untracked = partDirs
+      .map(d => new Path(root, d)).filter(fs.exists(_))
+      .flatMap(dataFiles)
+      .filterNot(f => tracked(fs.makeQualified(f).toUri.getPath))
+      .map(f => fs.makeQualified(f).toString)
+    val touched = pruned ++ untracked
     val current = DataSkipping.readPruned(spark, lakePath, touched)
     val upserts = latest.filter(col("op") =!= "D").drop("op", seqCol)
     val merged = current
@@ -162,16 +180,10 @@ object CdcMerge {
       .unionByName(upserts.select(current.columns.map(col): _*))
       .repartition(partCols.map(col): _*)
       .localCheckpoint()
-    val root = new Path(lakePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(root, s"_merge_tmp_${java.util.UUID.randomUUID}")
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(tmp.toString)
     touched.foreach(f => fs.delete(new Path(f), false))
     // move the new data files into their partition dirs
-    def dataFiles(p: Path): Seq[Path] =
-      fs.listStatus(p).filter(!_.getPath.getName.startsWith("_")).toSeq.flatMap { s =>
-        if (s.isDirectory) dataFiles(s.getPath) else Seq(s.getPath)
-      }
     val tmpQualified = fs.makeQualified(tmp).toString
     val added = dataFiles(tmp).map { f =>
       val rel = fs.makeQualified(f).toString.stripPrefix(tmpQualified + "/")

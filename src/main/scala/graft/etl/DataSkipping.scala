@@ -158,6 +158,15 @@ object DataSkipping {
   private def stats(spark: SparkSession, lakeRoot: String): DataFrame =
     spark.read.parquet(sidecarPath(lakeRoot))
 
+  /** URI paths (scheme-independent `/a/b/c` form) of every file the
+    * sidecar describes. Pruning guarantees hold ONLY for these files —
+    * a file written after the last ANALYZE is invisible to the probes,
+    * and a caller relying on no-false-negatives must treat any
+    * untracked file as a survivor (see CdcMerge.mergeFiles). */
+  def trackedPaths(spark: SparkSession, lakeRoot: String): Set[String] =
+    stats(spark, lakeRoot).select("file_path").collect()
+      .map(r => new Path(r.getString(0)).toUri.getPath).toSet
+
   private def survivors(spark: SparkSession, lakeRoot: String, cond: String): Seq[String] =
     stats(spark, lakeRoot).filter(expr(cond))
       .select("file_path").collect().map(_.getString(0)).toSeq.sorted

@@ -500,6 +500,20 @@ class EtlSpec extends AnyFunSuite {
     assert(DataSkipping.readPruned(spark, lake, probe)
       .filter(col("trade_id") === 1050).head.getAs[Double]("price") == 42.0)
 
+    // a file appended AFTER the last ANALYZE is invisible to the
+    // probes; a merge touching its keys must still read it (else its
+    // rows escape the anti-join and duplicate). Land an untracked
+    // slice, update a key inside it, and pin exactly-one-row.
+    slice(5000, 5010).coalesce(1).write
+      .partitionBy("year", "month", "day", "symbol").mode("append").parquet(lake)
+    val changes2 = slice(5005, 5006).withColumn("price", lit(7.0))
+      .withColumn("op", lit("U")).withColumn("seq", lit(2L)).localCheckpoint()
+    CdcMerge(spark, lake, changes2, Seq("trade_id"))
+    val afterUntracked = spark.read.parquet(lake)
+    assert(afterUntracked.count() == 210)
+    assert(afterUntracked.filter(col("trade_id") === 5005).count() == 1)
+    assert(afterUntracked.filter(col("trade_id") === 5005).head.getAs[Double]("price") == 7.0)
+
     // a batch that deletes EVERY remaining row rewrites every indexed
     // file away: the partition dir must drop AND the sidecar must be
     // invalidated (an empty sidecar would poison later probes), with
@@ -507,7 +521,7 @@ class EtlSpec extends AnyFunSuite {
     val wipe = spark.read.parquet(lake)
       .withColumn("op", lit("D")).withColumn("seq", lit(9L)).localCheckpoint()
     val (wU, wD) = CdcMerge(spark, lake, wipe, Seq("trade_id"))
-    assert((wU, wD) == (0L, 200L))
+    assert((wU, wD) == (0L, 210L))
     assert(!new java.io.File(partDir).exists())
     assert(!DataSkipping.hasStats(spark, lake))
   }
