@@ -138,9 +138,11 @@ object Curation {
   // The benchmark shingle set is small by construction → broadcast;
   // the corpus side is one distinct-shingle pass.
 
-  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+  /** Distinct (doc_id, shingle) rows of a (doc_id, text) frame — the
+    * 3-gram pass textContamination and its streaming twin share. */
+  private[graft] def docShingles(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val sh = Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
       .withColumn("w1", lead("word", 1).over(w))
       .withColumn("w2", lead("word", 2).over(w))
@@ -148,15 +150,21 @@ object Curation {
       .select(col("doc_id"),
         concat_ws(" ", col("word"), col("w1"), col("w2")).as("shingle"))
       .distinct()
-    val evalSet = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
-      .select("shingle").distinct().withColumn("hit", lit(1))
+  }
+
+  /** Per-doc contamination verdict of `docs` against a benchmark
+    * shingle set carrying (shingle, hit=1) — the batch core the
+    * registry query AND the streaming gate both run (foreachBatch
+    * hands micro-batches here unchanged). `statKey` drives the
+    * ledger-gated broadcast of the eval side. */
+  private[graft] def contaminationOf(s: SparkSession, docs: DataFrame,
+      evalSet: DataFrame, statKey: String): DataFrame = {
     val fracRaw = col("n_contaminated").cast(DoubleType) / col("n_shingles")
     // the eval suite is tiny by construction, but "tiny" is a claim the
     // stats ledger gets to revoke: broadcast only while the memoized
     // ANALYZE of the benchmark shingle set stays under the row limit
     graft.plans.CostModel.statsJoinUsing(s,
-      sh.filter(pmod(col("doc_id"), lit(50)) =!= 0),
-      evalSet, s"$dir#contamination_evalset", Seq("shingle"), "left")(
+      docShingles(docs), evalSet, statKey, Seq("shingle"), "left")(
       evalSet.count())
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
@@ -164,6 +172,16 @@ object Curation {
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         round6(fracRaw).as("contaminated_frac"),
         (fracRaw > 0.2).as("flag_contaminated"))
+  }
+
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(Tables.documents(s, dir))
+    val evalSet = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select("shingle").distinct().withColumn("hit", lit(1))
+    contaminationOf(s,
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select("doc_id", "text"),
+      evalSet, s"$dir#contamination_evalset")
       .orderBy("doc_id")
   }
 

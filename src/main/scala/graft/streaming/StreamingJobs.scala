@@ -110,6 +110,49 @@ object StreamingJobs {
         col("qs").getItem(2).as("p99"), col("qs").getItem(3).as("vmax"))
   }
 
+  /** Benchmark shingle index for the streaming decontamination gate:
+    * the distinct 3-gram set of the held-out eval suite, materialized
+    * once (vocabulary-bounded — MBs vs the TB-scale feed). */
+  def contaminationIndex(evalDocs: DataFrame): DataFrame =
+    graft.operators.Curation.docShingles(evalDocs)
+      .select("shingle").distinct()
+      .withColumn("hit", lit(1)).localCheckpoint()
+
+  /** Streaming benchmark-decontamination gate (text_contamination's
+    * twin, and the fourth admission control next to the quality gate,
+    * redaction, and the near-dup gate): each micro-batch of incoming
+    * documents runs the SAME batch core (Curation.contaminationOf —
+    * shingle pass, ledger-gated broadcast join against the static
+    * benchmark shingle index, per-doc aggregate) via foreachBatch;
+    * clean docs append to the training lake, flagged docs to
+    * quarantine with their shingle counts and contaminated fraction.
+    * Stream-static and stateless across batches — a doc's verdict
+    * depends only on the fixed eval suite, so the union of per-batch
+    * verdicts equals the batch op on the whole feed (StreamingSpec
+    * pins that). Same at-least-once parquet-append caveat as every
+    * foreachBatch file sink; content is deterministic, replay
+    * converges. */
+  def contaminationGateStream(docs: DataFrame, evalSet: DataFrame,
+      cleanPath: String, quarantinePath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.localCheckpoint()
+          val verdict = graft.operators.Curation.contaminationOf(
+            s, b, evalSet, "stream#contamination_evalset")
+          val judged = b.join(verdict, Seq("doc_id")).localCheckpoint()
+          judged.filter(!col("flag_contaminated"))
+            .write.mode("append").parquet(cleanPath)
+          judged.filter(col("flag_contaminated"))
+            .write.mode("append").parquet(quarantinePath)
+          ()
+        }
+      }
+      .start()
+
   /** Windowed streaming distinct-count monitor (q23's twin): the KMV
     * `TypedImperativeAggregate` (graft.plans.KmvSketch) as a plain
     * aggregate inside a watermarked window groupBy — per-(window,

@@ -597,6 +597,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination gate partitions the feed like the batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/decontam"
+    val clean = s"$root/clean"; val quar = s"$root/quar"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docs = Tables.documents(spark, sf)
+    // the registry op's split: every 50th doc plays the eval suite,
+    // the rest are the live feed
+    val evalSet = StreamingJobs.contaminationIndex(
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0).select("doc_id", "text"))
+    val feed = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.contaminationGateStream(
+      source.toDF().toDF("doc_id", "text"), evalSet, clean, quar, ckpt)
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def sunk(path: String) = spark.read.parquet(path)
+      .select("doc_id", "n_shingles", "n_contaminated", "contaminated_frac", "flag_contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val cleanRows = sunk(clean); val quarRows = sunk(quar)
+    assert(cleanRows.forall(!_._5) && quarRows.forall(_._5))
+    assert((cleanRows.map(_._1) & quarRows.map(_._1)).isEmpty)
+    val batch = Registry.queries("text_contamination")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    assert(cleanRows ++ quarRows == batch,
+      s"stream != batch: ${((cleanRows ++ quarRows) -- batch).take(3)} vs ${(batch -- (cleanRows ++ quarRows)).take(3)}")
+    // the sinks partition the whole feed
+    assert((cleanRows ++ quarRows).map(_._1) == feed.map(_._1).toSet)
+  }
+
   test("streaming quality gate scores micro-batches like the batch op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
