@@ -67,13 +67,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // Verdict-shaped queries (top = left-outer join with a unique,
-    // otherwise-unreferenced right side) are ELIMINATED under count():
-    // Catalyst correctly drops the join and the whole banded subtree,
-    // so count() would time a row count of the left table. These are
-    // timed through the noop sink, which materializes every column —
-    // the cost a real consumer of the verdicts pays.
-    val fullyMaterialized = Set("dedup_gate")
+    // Queries whose work is ELIMINATED under count() are timed through
+    // the noop sink, which materializes every column — the cost a real
+    // consumer pays. Two shapes qualify: verdict-shaped queries (a
+    // left-outer join with a unique, otherwise-unreferenced right
+    // side — Catalyst correctly drops the join and the whole banded
+    // subtree) and pure-projection queries (per-row transforms with no
+    // row-count-changing or aggregating stage — column pruning under
+    // count() deletes every computed expression, so count() times a
+    // bare scan).
+    val fullyMaterialized = Set("dedup_gate", "mm_resize", "mm_meta",
+      "mm_frame_sample", "doc_chunking", "text_pii_redact",
+      "embedding_quantize", "corpus_shuffle", "text_token_count",
+      "text_stats", "text_langid", "text_fingerprint",
+      "text_quality_gopher")
     def timedFull(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }

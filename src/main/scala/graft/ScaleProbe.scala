@@ -111,11 +111,17 @@ object ScaleProbe {
       "q24_twap",
       "etl_normalize_klines", "etl_normalize_aggtrades",
       "etl_skipping_scan", "dedup_gate", "dedup_containment", "mm_resize")
-    // Verdict-shaped queries (top = left-outer join, unique right side)
-    // are eliminated under count() — Catalyst drops the join and the
-    // whole banded subtree — so they go through the noop sink, which
-    // materializes every column (the cost a verdict consumer pays).
-    val fullyMaterialized = Set("dedup_gate")
+    // Queries whose work is eliminated under count() go through the
+    // noop sink (materializes every column — the cost a real consumer
+    // pays): verdict shapes (left-outer join, unique right side —
+    // Catalyst drops the whole banded subtree) and pure projections
+    // (column pruning under count() deletes every computed expression,
+    // leaving a bare scan).
+    val fullyMaterialized = Set("dedup_gate", "mm_resize", "mm_meta",
+      "mm_frame_sample", "doc_chunking", "text_pii_redact",
+      "embedding_quantize", "corpus_shuffle", "text_token_count",
+      "text_stats", "text_langid", "text_fingerprint",
+      "text_quality_gopher")
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       if (fullyMaterialized(name))

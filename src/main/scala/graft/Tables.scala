@@ -42,11 +42,13 @@ object Tables {
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampNTZType))
       case TimestampType =>
-        // instant-typed lake (isAdjustedToUTC=true): convert the instant
-        // to UTC wall time explicitly so the NTZ result is
-        // session-timezone-independent
-        raw.withColumn("ts", to_utc_timestamp(col("ts"),
-          spark.conf.get("spark.sql.session.timeZone")).cast(TimestampNTZType))
+        // instant-typed lake (isAdjustedToUTC=true): UTC wall time via
+        // pure epoch arithmetic on an NTZ base — timezone-function
+        // routes (to_utc_timestamp / convert_timezone) shift by the
+        // session zone's DST gaps/overlaps for one hour a year; adding
+        // epoch micros to the NTZ epoch cannot
+        raw.withColumn("ts", expr(
+          "timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
       case other =>
         throw new IllegalStateException(s"unsupported events.ts encoding: $other")
     }
@@ -82,8 +84,8 @@ object Tables {
         def inst(s: String) = lit(java.sql.Timestamp.from(
           java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)))
         raw.filter(col("ts") >= inst(startUtc) && col("ts") < inst(endUtc))
-          .withColumn("ts", to_utc_timestamp(col("ts"),
-            spark.conf.get("spark.sql.session.timeZone")).cast(TimestampNTZType))
+          .withColumn("ts", expr(
+            "timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
       case other =>
         throw new IllegalStateException(s"unsupported events.ts encoding: $other")
     }

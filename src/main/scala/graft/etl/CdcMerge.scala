@@ -73,12 +73,16 @@ object CdcMerge {
       keyCols: Seq[String], seqCol: String = "seq"): (Long, Long) = {
     val latest = latestChanges(changes, keyCols, seqCol).cache()
     val affected = latest.select(partCols.map(col): _*).distinct().collect()
-    val counts =
-      if (keyCols.sizeIs == 1 && DataSkipping.tracks(spark, lakePath, keyCols.head) &&
-          keyRangeSql(latest, keyCols.head).isDefined)
-        mergeFiles(spark, lakePath, latest, keyCols, seqCol, affected)
-      else
+    val keyRange =
+      if (keyCols.sizeIs == 1 && DataSkipping.tracks(spark, lakePath, keyCols.head))
+        keyRangeSql(latest, keyCols.head)
+      else None
+    val counts = keyRange match {
+      case Some(range) =>
+        mergeFiles(spark, lakePath, latest, keyCols, seqCol, affected, range)
+      case None =>
         mergePartitions(spark, lakePath, latest, keyCols, seqCol, affected)
+    }
     latest.unpersist()
     // the merge rewrote files: expire the snapshots it invalidated and
     // commit the new layout, exactly as compaction/retention do
@@ -141,16 +145,23 @@ object CdcMerge {
   /** The file-level rewrite: read only the key-range survivors inside
     * the affected partitions, rewrite them plus the upserts, leave
     * every other file untouched. The commit is write-temp → delete
-    * rewritten → move in — the same no-atomic-rename contract as the
-    * object-store committer, with the same convergence story: the
-    * merge is latest-wins idempotent, so a crash mid-commit is
-    * repaired by replaying the batch. */
+    * rewritten → move in. The sidecar is updated in two steps
+    * bracketing the file surgery: the touched files' rows are dropped
+    * BEFORE any file is deleted (a crash leaves the sidecar honest —
+    * the still-on-disk touched files simply read as untracked, i.e.
+    * conservatively, on replay), and the new files' rows are added
+    * after the move. The delete→move window itself is the
+    * no-atomic-rename gap every object-store committer has; the
+    * snapshot layer ([[Snapshots.reSnapshot]] at the end of [[apply]])
+    * is the recovery line for a crash inside it, exactly as for
+    * compaction. */
   private def mergeFiles(spark: SparkSession, lakePath: String,
       latest: DataFrame, keyCols: Seq[String], seqCol: String,
-      affected: Array[org.apache.spark.sql.Row]): (Long, Long) = {
+      affected: Array[org.apache.spark.sql.Row],
+      keyRange: (String, String)): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val key = keyCols.head
-    val Some((loSql, hiSql)) = keyRangeSql(latest, key)
+    val (loSql, hiSql) = keyRange
     val partDirs = affected.map(r =>
       partCols.zip(r.toSeq).map { case (c, v) => s"$c=$v" }.mkString("/")).toSeq
     val root = new Path(lakePath)
@@ -159,8 +170,14 @@ object CdcMerge {
       fs.listStatus(p).filter(!_.getPath.getName.startsWith("_")).toSeq.flatMap { s =>
         if (s.isDirectory) dataFiles(s.getPath) else Seq(s.getPath)
       }
-    val pruned = DataSkipping.pruneRange(spark, lakePath, key, loSql, hiSql)
+    // a sidecar row naming a file that no longer exists (a crashed
+    // earlier surgery's delete→refresh window, pre-hardening) must not
+    // reach readPruned — drop it here AND from the sidecar
+    val (pruned, stale) = DataSkipping.pruneRange(spark, lakePath, key, loSql, hiSql)
       .filter(f => partDirs.exists(d => f.contains(s"/$d/")))
+      .partition(f => fs.exists(new Path(f)))
+    if (stale.nonEmpty)
+      DataSkipping.refresh(spark, lakePath, removed = stale, added = Seq.empty)
     // the prune's no-false-negatives guarantee covers only files the
     // sidecar DESCRIBES: anything landed in an affected partition
     // after the last ANALYZE (plain appends, streaming sinks) is
@@ -182,6 +199,10 @@ object CdcMerge {
       .localCheckpoint()
     val tmp = new Path(root, s"_merge_tmp_${java.util.UUID.randomUUID}")
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(tmp.toString)
+    // step 1: the sidecar stops claiming the files about to die —
+    // BEFORE they die, so a crash anywhere below leaves every prune
+    // consumer correct (the surviving touched files read as untracked)
+    DataSkipping.refresh(spark, lakePath, removed = touched, added = Seq.empty)
     touched.foreach(f => fs.delete(new Path(f), false))
     // move the new data files into their partition dirs
     val tmpQualified = fs.makeQualified(tmp).toString
@@ -189,7 +210,8 @@ object CdcMerge {
       val rel = fs.makeQualified(f).toString.stripPrefix(tmpQualified + "/")
       val dest = new Path(root, rel)
       fs.mkdirs(dest.getParent)
-      fs.rename(f, dest)
+      require(fs.rename(f, dest),
+        s"CdcMerge: rename $f -> $dest failed; merged rows would be lost")
       fs.makeQualified(dest).toString
     }
     fs.delete(tmp, true)
@@ -199,9 +221,9 @@ object CdcMerge {
       val p = new Path(root, d)
       if (fs.exists(p) && dataFiles(p).isEmpty) fs.delete(p, true)
     }
-    // fold the rewrite into the sidecar: next batch prunes against
-    // the post-merge layout without re-scanning the lake
-    DataSkipping.refresh(spark, lakePath, removed = touched, added = added)
+    // step 2: describe the new layout — next batch prunes against it
+    // without re-scanning the lake
+    DataSkipping.refresh(spark, lakePath, removed = Seq.empty, added = added)
     (upserts.count(), latest.filter(col("op") === "D").count())
   }
 }

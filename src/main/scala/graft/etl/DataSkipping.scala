@@ -122,8 +122,9 @@ object DataSkipping {
       removed: Seq[String], added: Seq[String]): Unit = {
     if (!hasStats(spark, lakeRoot)) return
     val cur = stats(spark, lakeRoot)
-    val head = cur.select("bloom_bits", "bloom_hashes").head()
-    val (bits, k) = (head.getInt(0), head.getInt(1))
+    val params = cur.select("bloom_bits", "bloom_hashes").head(1)
+    if (params.isEmpty) { invalidate(spark, lakeRoot); return } // legacy empty sidecar
+    val (bits, k) = (params(0).getInt(0), params(0).getInt(1))
     val cols = cur.columns.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_")).toSeq
     val kept =
       if (removed.isEmpty) cur

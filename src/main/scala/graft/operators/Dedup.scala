@@ -863,8 +863,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  // keyed by applicationId like TableStats — stable for the life of a
+  // SparkContext and never reused after GC (an identity hash can be)
   private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Drops memoized cluster labels for lakes under `dirPrefix` — the
+    * re-ANALYZE hook for a lake regenerated within one application,
+    * mirroring [[graft.etl.TableStats.invalidate]]. */
+  private[graft] def invalidateClusters(dirPrefix: String): Unit = {
+    val it = clusterCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(dirPrefix)) it.remove()
+  }
 
   /** Converged (doc_id, label) component assignment, memoized per
     * (application, lake) like the ANN index builds: the cluster table
@@ -875,7 +885,7 @@ object Dedup {
     * propagation loop. The returned frame is localCheckpoint'd, so
     * reuse is a scan, not a recompute. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir),
+    clusterCache.computeIfAbsent((s.sparkContext.applicationId, dir),
       _ => buildClusterLabels(s, dir))
 
   private def buildClusterLabels(s: SparkSession, dir: String): DataFrame = {

@@ -140,15 +140,29 @@ object StreamingJobs {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val b = batch.localCheckpoint()
+          // persist (not localCheckpoint): no sink here reads a path
+          // the batch writes, so lineage truncation isn't needed, and
+          // persist gives a DETERMINISTIC unpersist at batch end — a
+          // long-lived stream must not accumulate per-batch blocks
+          val b = batch.persist()
           val verdict = graft.operators.Curation.contaminationOf(
             s, b, evalSet, "stream#contamination_evalset")
-          val judged = b.join(verdict, Seq("doc_id")).localCheckpoint()
-          judged.filter(!col("flag_contaminated"))
-            .write.mode("append").parquet(cleanPath)
-          judged.filter(col("flag_contaminated"))
-            .write.mode("append").parquet(quarantinePath)
-          ()
+          // LEFT join: a doc too short to shingle (< 3 tokens) has no
+          // verdict row but MUST still route — it carries no 3-gram,
+          // so it cannot be contaminated, and an admission gate that
+          // silently drops feed rows is data loss
+          val judged = b.join(verdict, Seq("doc_id"), "left")
+            .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+            .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+            .withColumn("contaminated_frac", coalesce(col("contaminated_frac"), lit(0.0)))
+            .withColumn("flag_contaminated", coalesce(col("flag_contaminated"), lit(false)))
+            .persist()
+          try {
+            judged.filter(!col("flag_contaminated"))
+              .write.mode("append").parquet(cleanPath)
+            judged.filter(col("flag_contaminated"))
+              .write.mode("append").parquet(quarantinePath)
+          } finally { judged.unpersist(); b.unpersist(); () }
         }
       }
       .start()
@@ -373,6 +387,11 @@ object StreamingJobs {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(indexPath)
+          // b/judged are localCheckpoint'd because judged's lineage
+          // must NOT reference the index parquet this batch overwrites
+          // (Spark rejects overwrite-of-a-read-path at analysis);
+          // their blocks are reclaimed by the ContextCleaner once the
+          // closure's references die at batch end
           ()
         }
       }

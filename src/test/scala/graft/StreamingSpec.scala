@@ -615,10 +615,14 @@ class StreamingSpec extends AnyFunSuite {
     val source = MemoryStream[(Long, String)]
     val q = StreamingJobs.contaminationGateStream(
       source.toDF().toDF("doc_id", "text"), evalSet, clean, quar, ckpt)
+    // a doc too short to shingle (< 3 tokens) yields no verdict row in
+    // the batch op, but an admission gate must still route it: no
+    // 3-gram ⇒ cannot be contaminated ⇒ clean with zero shingles
+    val shortDoc = (9000000L, "two words")
     try {
       val (b1, b2) = feed.splitAt(feed.length / 2)
       source.addData(b1.toSeq); q.processAllAvailable()
-      source.addData(b2.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq :+ shortDoc); q.processAllAvailable()
     } finally q.stop()
 
     def sunk(path: String) = spark.read.parquet(path)
@@ -628,13 +632,18 @@ class StreamingSpec extends AnyFunSuite {
     val cleanRows = sunk(clean); val quarRows = sunk(quar)
     assert(cleanRows.forall(!_._5) && quarRows.forall(_._5))
     assert((cleanRows.map(_._1) & quarRows.map(_._1)).isEmpty)
+    // the shingle-less doc routed clean with zero shingles…
+    assert(cleanRows.contains((9000000L, 0L, 0L, 0.0, false)),
+      s"short doc missing from clean sink: ${cleanRows.filter(_._1 == 9000000L)}")
+    // …and everything that CAN shingle matches the batch op exactly
     val batch = Registry.queries("text_contamination")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getBoolean(4))).toSet
-    assert(cleanRows ++ quarRows == batch,
-      s"stream != batch: ${((cleanRows ++ quarRows) -- batch).take(3)} vs ${(batch -- (cleanRows ++ quarRows)).take(3)}")
-    // the sinks partition the whole feed
-    assert((cleanRows ++ quarRows).map(_._1) == feed.map(_._1).toSet)
+    val shingled = (cleanRows ++ quarRows).filterNot(_._1 == 9000000L)
+    assert(shingled == batch,
+      s"stream != batch: ${(shingled -- batch).take(3)} vs ${(batch -- shingled).take(3)}")
+    // the sinks partition the whole feed, short doc included
+    assert((cleanRows ++ quarRows).map(_._1) == feed.map(_._1).toSet + 9000000L)
   }
 
   test("streaming quality gate scores micro-batches like the batch op") {
