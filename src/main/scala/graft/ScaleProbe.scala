@@ -140,9 +140,10 @@ object ScaleProbe {
     // ann_pq look 88× when its scan is actually linear
     // etl_skipping_scan's lake + stats sidecar build is likewise a
     // memoized maintenance job — warm it at ×N so the row measures the
-    // prune + pruned-scan query path
+    // prune + pruned-scan query path; the dedup cluster-label build is
+    // memoized the same way (round 8), so its rows get the same warm
     Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_opq_topk",
-      "etl_skipping_scan")
+      "etl_skipping_scan", "dedup_clusters", "dedup_keep_best")
       .filter(wanted).foreach(n => time(dst, n))
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"x$Factor"}%8s ${"ratio"}%6s")
     names.filter(wanted).foreach { n =>
