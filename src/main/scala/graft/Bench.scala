@@ -67,20 +67,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // Queries whose work is ELIMINATED under count() are timed through
-    // the noop sink, which materializes every column — the cost a real
-    // consumer pays. Two shapes qualify: verdict-shaped queries (a
-    // left-outer join with a unique, otherwise-unreferenced right
-    // side — Catalyst correctly drops the join and the whole banded
-    // subtree) and pure-projection queries (per-row transforms with no
-    // row-count-changing or aggregating stage — column pruning under
-    // count() deletes every computed expression, so count() times a
-    // bare scan).
-    val fullyMaterialized = Set("dedup_gate", "mm_resize", "mm_meta",
-      "mm_frame_sample", "doc_chunking", "text_pii_redact",
-      "embedding_quantize", "corpus_shuffle", "text_token_count",
-      "text_stats", "text_langid", "text_fingerprint",
-      "text_quality_gopher")
+    // the shared noop-sink list (see Registry.fullyMaterialized for
+    // the two query shapes that need it)
+    val fullyMaterialized = Registry.fullyMaterialized
     def timedFull(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }

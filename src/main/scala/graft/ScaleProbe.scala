@@ -111,17 +111,9 @@ object ScaleProbe {
       "q24_twap",
       "etl_normalize_klines", "etl_normalize_aggtrades",
       "etl_skipping_scan", "dedup_gate", "dedup_containment", "mm_resize")
-    // Queries whose work is eliminated under count() go through the
-    // noop sink (materializes every column — the cost a real consumer
-    // pays): verdict shapes (left-outer join, unique right side —
-    // Catalyst drops the whole banded subtree) and pure projections
-    // (column pruning under count() deletes every computed expression,
-    // leaving a bare scan).
-    val fullyMaterialized = Set("dedup_gate", "mm_resize", "mm_meta",
-      "mm_frame_sample", "doc_chunking", "text_pii_redact",
-      "embedding_quantize", "corpus_shuffle", "text_token_count",
-      "text_stats", "text_langid", "text_fingerprint",
-      "text_quality_gopher")
+    // the shared noop-sink list (see Registry.fullyMaterialized for
+    // the two query shapes that need it)
+    val fullyMaterialized = Registry.fullyMaterialized
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
       if (fullyMaterialized(name))

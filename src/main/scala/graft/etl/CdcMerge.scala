@@ -44,6 +44,17 @@ object CdcMerge {
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c")): _*)
   }
 
+  /** On-disk partition directory for one affected-partition row, with
+    * values escaped EXACTLY as Spark's writers escape them (space,
+    * ':', '%', … become %XX) — raw string rendering would miss the
+    * escaped dirs and the file-surgical path would neither read nor
+    * delete the stored rows (silent duplicates). */
+  private def partDirOf(r: org.apache.spark.sql.Row): String =
+    partCols.zipWithIndex.map { case (c, i) =>
+      s"$c=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(String.valueOf(r.get(i)))
+    }.mkString("/")
+
   /** Planning-time partition predicate for the affected partitions —
     * this reaches the scan as a PartitionFilters entry, so unaffected
     * partitions are never read. */
@@ -73,6 +84,10 @@ object CdcMerge {
       keyCols: Seq[String], seqCol: String = "seq"): (Long, Long) = {
     val latest = latestChanges(changes, keyCols, seqCol).cache()
     val affected = latest.select(partCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) { // empty poll window: no rewrite, no side effects
+      latest.unpersist()
+      return (0L, 0L)
+    }
     val keyRange =
       if (keyCols.sizeIs == 1 && DataSkipping.tracks(spark, lakePath, keyCols.head))
         keyRangeSql(latest, keyCols.head)
@@ -120,8 +135,7 @@ object CdcMerge {
       val root = new org.apache.hadoop.fs.Path(lakePath)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       emptied.foreach { r =>
-        val dir = partCols.zip(r.toSeq).map { case (c, v) => s"$c=$v" }.mkString("/")
-        fs.delete(new org.apache.hadoop.fs.Path(root, dir), true)
+        fs.delete(new org.apache.hadoop.fs.Path(root, partDirOf(r)), true)
       }
     }
     // a partition rewrite orphans any file-level stats describing it
@@ -162,14 +176,19 @@ object CdcMerge {
     import org.apache.hadoop.fs.Path
     val key = keyCols.head
     val (loSql, hiSql) = keyRange
-    val partDirs = affected.map(r =>
-      partCols.zip(r.toSeq).map { case (c, v) => s"$c=$v" }.mkString("/")).toSeq
+    val partDirs = affected.map(partDirOf).toSeq
     val root = new Path(lakePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(p: Path): Seq[Path] =
       fs.listStatus(p).filter(!_.getPath.getName.startsWith("_")).toSeq.flatMap { s =>
         if (s.isDirectory) dataFiles(s.getPath) else Seq(s.getPath)
       }
+    // snapshot the sidecar's parameters and tracked set BEFORE any
+    // mutation below — the stale-row refresh or step 1 may empty (and
+    // so drop) the sidecar, and step 2 must still be able to describe
+    // the new layout
+    val sidecarParams = DataSkipping.sidecarParams(spark, lakePath)
+    val tracked = DataSkipping.trackedPaths(spark, lakePath)
     // a sidecar row naming a file that no longer exists (a crashed
     // earlier surgery's delete→refresh window, pre-hardening) must not
     // reach readPruned — drop it here AND from the sidecar
@@ -183,7 +202,6 @@ object CdcMerge {
     // after the last ANALYZE (plain appends, streaming sinks) is
     // invisible to the probe and must be read conservatively, or its
     // rows for changed keys would escape the anti-join and duplicate
-    val tracked = DataSkipping.trackedPaths(spark, lakePath)
     val untracked = partDirs
       .map(d => new Path(root, d)).filter(fs.exists(_))
       .flatMap(dataFiles)
@@ -222,8 +240,13 @@ object CdcMerge {
       if (fs.exists(p) && dataFiles(p).isEmpty) fs.delete(p, true)
     }
     // step 2: describe the new layout — next batch prunes against it
-    // without re-scanning the lake
-    DataSkipping.refresh(spark, lakePath, removed = Seq.empty, added = added)
+    // without re-scanning the lake. describe (not refresh) because a
+    // touched set covering every tracked file leaves step 1's refresh
+    // having DROPPED the emptied sidecar; the pre-surgery parameter
+    // snapshot lets this re-create it for the new files
+    sidecarParams.foreach { case (cols, bits, k) =>
+      DataSkipping.describe(spark, lakePath, added, cols, bits, k)
+    }
     (upserts.count(), latest.filter(col("op") === "D").count())
   }
 }

@@ -111,6 +111,37 @@ object DataSkipping {
   def tracks(spark: SparkSession, lakeRoot: String, c: String): Boolean =
     hasStats(spark, lakeRoot) && stats(spark, lakeRoot).columns.contains(s"mn_$c")
 
+  /** (tracked columns, bloom bits, bloom hashes) of the live sidecar —
+    * None when absent or empty. Callers doing file surgery snapshot
+    * this BEFORE mutating, so [[describe]] can re-create the sidecar
+    * even if the surgery's removals emptied (and so dropped) it. */
+  def sidecarParams(spark: SparkSession, lakeRoot: String): Option[(Seq[String], Int, Int)] = {
+    if (!hasStats(spark, lakeRoot)) return None
+    val cur = stats(spark, lakeRoot)
+    val params = cur.select("bloom_bits", "bloom_hashes").head(1)
+    if (params.isEmpty) None
+    else Some((cur.columns.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_")).toSeq,
+      params(0).getInt(0), params(0).getInt(1)))
+  }
+
+  /** Appends stats rows for `added` files, CREATING the sidecar if it
+    * no longer exists — the second half of a file surgery whose
+    * removals covered every previously-tracked file (refresh drops an
+    * emptied sidecar; without this the new layout would stay
+    * undescribed until a full re-ANALYZE). Params come from the
+    * caller's pre-surgery [[sidecarParams]] snapshot. */
+  def describe(spark: SparkSession, lakeRoot: String, added: Seq[String],
+      cols: Seq[String], bits: Int, k: Int): Unit = {
+    if (added.isEmpty) return
+    val newStats = statsFor(
+      spark.read.option("basePath", lakeRoot).parquet(added: _*), cols, bits, k)
+    val combined =
+      if (hasStats(spark, lakeRoot)) stats(spark, lakeRoot).unionByName(newStats)
+      else newStats
+    val materialized = combined.localCheckpoint()
+    materialized.coalesce(1).write.mode(SaveMode.Overwrite).parquet(sidecarPath(lakeRoot))
+  }
+
   /** Folds a file-level rewrite into the sidecar WITHOUT re-scanning
     * the lake: stats rows for `removed` files are dropped and freshly
     * computed rows for `added` files are appended — the delta ANALYZE

@@ -34,11 +34,25 @@ object TableStats {
     cache.computeIfAbsent((s.sparkContext.applicationId, key),
       _ => compute).longValue()
 
+  private val invalidationHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  /** Registers a callback run on every [[invalidate]] with the same
+    * prefix — how OTHER per-lake memoizations (cluster labels, ANN
+    * index builds) join the one re-ANALYZE hook instead of growing
+    * private, unreachable invalidation APIs. Idempotence is the
+    * caller's concern (register once, from object init). */
+  def registerInvalidationHook(f: String => Unit): Unit =
+    invalidationHooks.add(f)
+
   /** Drop every cached statistic whose key starts with `keyPrefix`
     * (typically a lake directory) — the explicit re-ANALYZE hook for
-    * lakes regenerated within one application. */
+    * lakes regenerated within one application. Registered hooks fire
+    * with the same prefix, so every derived memoization drops with
+    * the stats it derived from. */
   def invalidate(keyPrefix: String): Unit = {
     val it = cache.keySet().iterator()
     while (it.hasNext) if (it.next()._2.startsWith(keyPrefix)) it.remove()
+    invalidationHooks.forEach(_(keyPrefix))
   }
 }

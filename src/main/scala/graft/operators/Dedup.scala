@@ -868,13 +868,16 @@ object Dedup {
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  /** Drops memoized cluster labels for lakes under `dirPrefix` — the
-    * re-ANALYZE hook for a lake regenerated within one application,
-    * mirroring [[graft.etl.TableStats.invalidate]]. */
+  /** Drops memoized cluster labels for lakes under `dirPrefix` —
+    * wired into [[graft.etl.TableStats.invalidate]] below, so the one
+    * established re-ANALYZE hook flushes this cache too. */
   private[graft] def invalidateClusters(dirPrefix: String): Unit = {
     val it = clusterCache.keySet().iterator()
     while (it.hasNext) if (it.next()._2.startsWith(dirPrefix)) it.remove()
   }
+  // object init runs before any cache fill (clusterLabels lives here),
+  // so registration can never miss an entry
+  graft.etl.TableStats.registerInvalidationHook(invalidateClusters)
 
   /** Converged (doc_id, label) component assignment, memoized per
     * (application, lake) like the ANN index builds: the cluster table

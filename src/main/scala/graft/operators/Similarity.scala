@@ -746,7 +746,21 @@ object Similarity {
     * localCheckpoint and memoized per (session, corpus); at scale it
     * would be a parquet table maintained alongside the lake. */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), (DataFrame, DataFrame)]()
+
+  /** All ANN index caches flush with the lake's re-ANALYZE hook
+    * ([[graft.etl.TableStats.invalidate]]) — an index built from a
+    * regenerated corpus must be rebuilt like any derived capacity.
+    * Registered at object init, before any cache can fill. */
+  graft.etl.TableStats.registerInvalidationHook { dirPrefix =>
+    def drop[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V], dirOf: K => String): Unit = {
+      val it = m.keySet().iterator()
+      while (it.hasNext) if (dirOf(it.next()).startsWith(dirPrefix)) it.remove()
+    }
+    drop(ivfCache, (k: (String, String, Int)) => k._2)
+    drop(pqCache, (k: (String, String)) => k._2)
+    drop(ivfPqCache, (k: (String, String)) => k._2)
+  }
 
   /** (trained centroid table with norms — the FULL k rows, even a
     * centroid whose posting list ends up empty — and the encoded
@@ -763,7 +777,7 @@ object Similarity {
     * specs). */
   def buildIvfIndex(s: SparkSession, dir: String, k0: Int = 0): (DataFrame, DataFrame) = {
     val k = if (k0 <= 0) derivedIvfK(s, dir) else k0
-    ivfCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir, k), _ => {
+    ivfCache.computeIfAbsent((s.sparkContext.applicationId, dir, k), _ => {
       graft.plans.VecDotProduct.register(s)
       graft.plans.TopKPerGroup.install(s)
       val v = withNorm2(Tables.embeddings(s, dir))
@@ -1145,11 +1159,11 @@ object Similarity {
     * (session, corpus): the codebook table (M×K rows) and the encoded
     * corpus (8 small ints per vector). */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
 
   private def buildPqIndexOver(s: SparkSession, key: String,
       base: => DataFrame): (DataFrame, DataFrame) =
-    pqCache.computeIfAbsent((System.identityHashCode(s.sparkContext), key), _ => {
+    pqCache.computeIfAbsent((s.sparkContext.applicationId, key), _ => {
       graft.plans.VecDotProduct.register(s)
       graft.plans.TopKPerGroup.install(s)
       val subs = pqSubs(base)
@@ -1407,12 +1421,12 @@ object Similarity {
     zip_with(a, b, (x, y) => (x.cast(DoubleType) - y.cast(DoubleType)).cast(FloatType))
 
   private val ivfPqCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (DataFrame, DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame, DataFrame)]()
 
   /** (residual-indexed corpus, residual codebooks, residual codes) —
     * built on top of [[buildIvfIndex]], memoized like it. */
   def buildIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    ivfPqCache.computeIfAbsent((System.identityHashCode(s.sparkContext), dir), _ => {
+    ivfPqCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
       graft.plans.VecDotProduct.register(s)
       graft.plans.TopKPerGroup.install(s)
       val index = buildIvfIndex(s, dir)._2

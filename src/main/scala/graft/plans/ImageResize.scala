@@ -52,14 +52,24 @@ object ImageResize {
     out
   }
 
+  /** Ceiling on target pixels: thumbnails are the point of this
+    * expression — a grid this size is already a 16 MB per-row
+    * allocation, far past any thumbnail and into
+    * crash-the-executor territory for a typo'd dimension. */
+  val MaxTargetPixels: Int = 16 * 1024 * 1024
+
   /** Decode attempt + resample; null when no reader claims the
     * payload. Static so generated code can call it. */
-  def resizeOrNull(payload: Array[Byte], tw: Int, th: Int): Array[Byte] =
+  def resizeOrNull(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    require(tw > 0 && th > 0 && tw.toLong * th <= MaxTargetPixels,
+      s"image_resize: target ${tw}x$th out of range (need positive dims, " +
+        s"at most $MaxTargetPixels pixels)")
     ImageDecode.decode(payload) match {
       case Some(d) if d.width > 0 && d.height > 0 =>
         areaResample(d.luma, d.width, d.height, tw, th)
       case _ => null
     }
+  }
 }
 
 /** `image_resize(binary, tw, th)` → nullable BINARY: the decoded

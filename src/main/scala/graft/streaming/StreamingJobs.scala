@@ -145,8 +145,11 @@ object StreamingJobs {
           // persist gives a DETERMINISTIC unpersist at batch end — a
           // long-lived stream must not accumulate per-batch blocks
           val b = batch.persist()
+          // the ledger key carries the gate's checkpoint identity: two
+          // gates with different eval suites in one application must
+          // not share a memoized eval-set count
           val verdict = graft.operators.Curation.contaminationOf(
-            s, b, evalSet, "stream#contamination_evalset")
+            s, b, evalSet, s"$checkpointDir#contamination_evalset")
           // LEFT join: a doc too short to shingle (< 3 tokens) has no
           // verdict row but MUST still route — it carries no 3-gram,
           // so it cannot be contaminated, and an admission gate that

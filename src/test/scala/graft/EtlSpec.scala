@@ -514,6 +514,30 @@ class EtlSpec extends AnyFunSuite {
     assert(afterUntracked.filter(col("trade_id") === 5005).count() == 1)
     assert(afterUntracked.filter(col("trade_id") === 5005).head.getAs[Double]("price") == 7.0)
 
+    // a batch spanning EVERY tracked file empties the sidecar when its
+    // rows drop (step 1); the pre-surgery parameter snapshot must
+    // re-create it for the new layout (step 2), not leave the lake
+    // permanently unindexed
+    val spanning = spark.read.parquet(lake)
+      .filter(col("trade_id").isin(5L, 1049L, 5005L))
+      .withColumn("price", lit(1.5))
+      .withColumn("op", lit("U")).withColumn("seq", lit(3L)).localCheckpoint()
+    CdcMerge(spark, lake, spanning, Seq("trade_id"))
+    assert(DataSkipping.hasStats(spark, lake), "sidecar lost after a spanning merge")
+    val live = new java.io.File(partDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(spark.read.parquet(s"$lake/_skipping/stats.parquet").count() == live.toLong)
+    assert(spark.read.parquet(lake).count() == 210)
+    assert(spark.read.parquet(lake)
+      .filter(col("trade_id") === 5L).head.getAs[Double]("price") == 1.5)
+
+    // an empty change batch is a complete no-op: no rewrite, and the
+    // sidecar survives (it used to be invalidated unconditionally)
+    val none = spark.read.parquet(lake).filter(lit(false))
+      .withColumn("op", lit("U")).withColumn("seq", lit(4L)).localCheckpoint()
+    assert(CdcMerge(spark, lake, none, Seq("trade_id")) == ((0L, 0L)))
+    assert(DataSkipping.hasStats(spark, lake), "empty batch dropped the sidecar")
+
     // a batch that deletes EVERY remaining row rewrites every indexed
     // file away: the partition dir must drop AND the sidecar must be
     // invalidated (an empty sidecar would poison later probes), with
