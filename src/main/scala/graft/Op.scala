@@ -26,20 +26,4 @@ object Registry {
 
   def oracleSql: Map[String, String] =
     ops.flatMap(o => o.oracle.map(o.name -> _)).toMap
-
-  /** Queries whose work is ELIMINATED under `count()` and must be
-    * timed through the noop sink (materializes every column — the
-    * cost a real consumer pays). Two shapes qualify: verdict shapes
-    * (a left-outer join with a unique, otherwise-unreferenced right
-    * side — Catalyst correctly drops the join and the whole banded
-    * subtree) and pure projections (per-row transforms with no
-    * row-count-changing or aggregating stage — column pruning under
-    * count() deletes every computed expression, leaving a bare scan).
-    * ONE list consumed by Bench AND ScaleProbe, so the two
-    * instruments can never time the same query differently. */
-  val fullyMaterialized: Set[String] = Set(
-    "dedup_gate", "mm_resize", "mm_meta", "mm_frame_sample",
-    "doc_chunking", "text_pii_redact", "embedding_quantize",
-    "corpus_shuffle", "text_token_count", "text_stats", "text_langid",
-    "text_fingerprint", "text_quality_gopher")
 }

@@ -111,15 +111,12 @@ object ScaleProbe {
       "q24_twap",
       "etl_normalize_klines", "etl_normalize_aggtrades",
       "etl_skipping_scan", "dedup_gate", "dedup_containment", "mm_resize")
-    // the shared noop-sink list (see Registry.fullyMaterialized for
-    // the two query shapes that need it)
-    val fullyMaterialized = Registry.fullyMaterialized
+    // uniform noop sink, same as Bench: materializes every output
+    // column so no query shape can under-measure under count()'s
+    // work elimination (the round-5-8 special-case list is gone)
     def time(dir: String, name: String): Double = {
       val t0 = System.nanoTime()
-      if (fullyMaterialized(name))
-        Registry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
-      else
-        Registry.queries(name)(spark, dir).count()
+      Registry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
     // warmup

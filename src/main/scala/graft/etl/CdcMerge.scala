@@ -179,8 +179,14 @@ object CdcMerge {
     val partDirs = affected.map(partDirOf).toSeq
     val root = new Path(lakePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Spark's default hidden-file filter skips both '_' and '.'
+    // prefixes; mirror it so checksum/staging files surfaced by the
+    // filesystem are never classified as untracked data files
     def dataFiles(p: Path): Seq[Path] =
-      fs.listStatus(p).filter(!_.getPath.getName.startsWith("_")).toSeq.flatMap { s =>
+      fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }.toSeq.flatMap { s =>
         if (s.isDirectory) dataFiles(s.getPath) else Seq(s.getPath)
       }
     // snapshot the sidecar's parameters and tracked set BEFORE any
@@ -221,7 +227,8 @@ object CdcMerge {
     // BEFORE they die, so a crash anywhere below leaves every prune
     // consumer correct (the surviving touched files read as untracked)
     DataSkipping.refresh(spark, lakePath, removed = touched, added = Seq.empty)
-    touched.foreach(f => fs.delete(new Path(f), false))
+    touched.foreach(f => require(fs.delete(new Path(f), false),
+      s"CdcMerge: delete $f failed; rewritten rows would duplicate"))
     // move the new data files into their partition dirs
     val tmpQualified = fs.makeQualified(tmp).toString
     val added = dataFiles(tmp).map { f =>

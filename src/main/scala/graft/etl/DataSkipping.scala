@@ -159,7 +159,14 @@ object DataSkipping {
     val cols = cur.columns.filter(_.startsWith("mn_")).map(_.stripPrefix("mn_")).toSeq
     val kept =
       if (removed.isEmpty) cur
-      else cur.filter(!col("file_path").isin(removed: _*))
+      else {
+        // left_anti against a DataFrame of removed paths, not an
+        // isin literal list — a surgery touching thousands of files
+        // would otherwise embed one literal per file in the plan and
+        // can hit codegen/expression-tree limits
+        import spark.implicits._
+        cur.join(removed.toDF("file_path"), Seq("file_path"), "left_anti")
+      }
     val next =
       if (added.isEmpty) kept
       else kept.unionByName(statsFor(

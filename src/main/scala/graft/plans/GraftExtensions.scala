@@ -42,13 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
-      exprs => HeavyHitters(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+      exprs => HeavyHitters.fromExprs(exprs)))
     e.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
-      exprs => KmvSketch(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+      exprs => KmvSketch.fromExprs(exprs)))
     e.injectFunction((
       FunctionIdentifier("tdigest_quantiles"),
       new ExpressionInfo(classOf[TDigestSketch].getName, "tdigest_quantiles"),

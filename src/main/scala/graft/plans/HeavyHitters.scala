@@ -138,13 +138,22 @@ case class HeavyHitters(
 }
 
 object HeavyHitters {
+  /** Builder shared by [[register]] and [[GraftExtensions]]: guards
+    * the capacity argument so a non-literal capacity in pure SQL
+    * fails with a usage message instead of an obscure eval error. */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      "heavy_hitters(col, capacity) takes 2 arguments")
+    require(exprs(1).foldable,
+      s"heavy_hitters: capacity must be a literal, got ${exprs(1).sql}")
+    HeavyHitters(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+  }
+
   /** Registers `heavy_hitters(col, capacity)`; idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "heavy_hitters",
-      exprs => HeavyHitters(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+      "heavy_hitters", fromExprs, "built-in")
 
   def heavy_hitters(c: Column, capacity: Int): Column =
     call_function("heavy_hitters", c, org.apache.spark.sql.functions.lit(capacity))

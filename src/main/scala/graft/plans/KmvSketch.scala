@@ -97,13 +97,21 @@ case class KmvSketch(
 }
 
 object KmvSketch {
+  /** Builder shared by [[register]] and [[GraftExtensions]]: guards
+    * the capacity argument so a non-literal `k` in pure SQL fails
+    * with a usage message instead of an obscure eval error. */
+  def fromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "kmv_sketch(col, k) takes 2 arguments")
+    require(exprs(1).foldable,
+      s"kmv_sketch: k must be a literal, got ${exprs(1).sql}")
+    KmvSketch(exprs(0),
+      exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()
+  }
+
   /** Registers `kmv_sketch(col, k)`; idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_sketch",
-      exprs => KmvSketch(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+      "kmv_sketch", fromExprs, "built-in")
 
   def kmv_sketch(c: Column, k: Int): Column =
     call_function("kmv_sketch", c, org.apache.spark.sql.functions.lit(k))

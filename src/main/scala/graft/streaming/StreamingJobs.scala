@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -338,7 +338,22 @@ object StreamingJobs {
     * the gate reads it back per batch, so it survives restarts and is
     * shared by any number of gate instances. */
   def nearDupIndexInit(corpus: DataFrame, indexPath: String): Unit =
-    graft.operators.Dedup.bandRows(corpus)
+    writeIndexBootstrap(graft.operators.Dedup.bandRows(corpus), indexPath)
+
+  /** Lake-corpus bootstrap through the MEMOIZED signature table
+    * ([[graft.operators.Dedup.corpusSigs]]): when the gate's admitted
+    * corpus is a doc-subset of the lake's documents table, the band
+    * rows are a filter over the one shared signature build — the
+    * batch dedup family and the streaming index bootstrap then charge
+    * the corpus sign exactly once per application. */
+  def nearDupIndexInit(spark: SparkSession, lakeDir: String,
+      corpusPred: Column, indexPath: String): Unit =
+    writeIndexBootstrap(
+      graft.operators.Dedup.corpusBands(spark, lakeDir).filter(corpusPred),
+      indexPath)
+
+  private def writeIndexBootstrap(bands: DataFrame, indexPath: String): Unit =
+    bands
       .withColumn("ingest_batch", lit(-1L))
       .write.partitionBy("ingest_batch").mode("overwrite").parquet(indexPath)
 

@@ -45,6 +45,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("signature table and similarity edges are memoized build state") {
+    import graft.operators.Dedup
+    // same (application, lake) key → the SAME materialized frame: the
+    // corpus sign / shingle self-join is charged once, every consumer
+    // (dedup_minhash, _est, _gate, index bootstrap; clusters, pagerank)
+    // serves from it
+    assert(Dedup.corpusSigs(spark, sf) eq Dedup.corpusSigs(spark, sf))
+    assert(Dedup.similarityEdges(spark, sf) eq Dedup.similarityEdges(spark, sf))
+    // the one established re-ANALYZE hook flushes them: a corpus
+    // change invalidates the build state, the next call rebuilds
+    val sigsBefore = Dedup.corpusSigs(spark, sf)
+    val edgesBefore = Dedup.similarityEdges(spark, sf)
+    graft.etl.TableStats.invalidate(sf)
+    assert(!(Dedup.corpusSigs(spark, sf) eq sigsBefore))
+    assert(!(Dedup.similarityEdges(spark, sf) eq edgesBefore))
+  }
+
   test("exact dedup keeps every distinct normalized text") {
     val docs = Tables.documents(spark, sf).count()
     val kept = Registry.queries("dedup_exact")(spark, sf)

@@ -493,7 +493,9 @@ class StreamingSpec extends AnyFunSuite {
     // gibberish doc (must pass and be ADMITTED into the index); batch 2
     // = an exact copy of the gibberish doc — only a self-admitting
     // gate quarantines it, a static-index gate waves it through
-    StreamingJobs.nearDupIndexInit(docs.filter(col("doc_id") % 5 =!= 4), idx)
+    // through the memoized-signature overload: the bootstrap is a
+    // filter over the one shared corpus signature build
+    StreamingJobs.nearDupIndexInit(spark, sf, col("doc_id") % 5 =!= 4, idx)
     val corpusDoc = docs.filter(col("doc_id") % 5 =!= 4)
       .orderBy("doc_id").select("doc_id", "text").head()
     val gibberish = "zxqv wkjh pqrt mnbv asdf ghjk"
