@@ -106,7 +106,7 @@ object ScaleProbe {
       // the fixed-plane saturation that the now-default derived plane
       // count remedies), and a standing ~12-minute row would dominate
       // probe runtime without new information.
-      "ann_knn_graph", "ann_knn_hotsplit", "graph_pagerank",
+      "ann_knn_graph", "ann_knn_hotsplit", "ann_knn_hotprobe", "graph_pagerank",
       "q22_bollinger", "mm_scene_cut", "dedup_minhash_est", "q23_kmv_distinct",
       "q24_twap",
       "etl_normalize_klines", "etl_normalize_aggtrades",

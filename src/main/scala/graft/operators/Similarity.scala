@@ -608,6 +608,185 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- ann_knn_hotprobe: hotsplit × multiprobe, the production default --
+  // ann_knn_hotsplit bounds every self-join group under cluster skew;
+  // ann_knn_multiprobe recovers recall across the primary boundary a
+  // query most plausibly sits on — but through round 8 no op did both.
+  // Composed candidate set: each query probes TWO primary buckets
+  // (home + the least-confident-plane flip, multiprobe's jstar) and,
+  // INSIDE each probed bucket, hotsplit's sub-bucket probe set at that
+  // bucket's OWN split depth — the query's secondary sign bits are
+  // bucket-independent, so probing a foreign bucket just re-masks them
+  // to its depth (sub = ssig & (2^d − 1)) and flips each active bit.
+  // The home-bucket half IS hotsplit's candidate set (superset by
+  // construction ⇒ rank-1 cosine can only improve); the flipped half
+  // restores multiprobe's boundary recall while staying bounded by the
+  // foreign bucket's own split depth. Pair volume ≤ 2·(d_max+1)·cap·n
+  // — linear with a log(skew) factor, like hotsplit, at ≤2× its
+  // constant. No pair dedup needed: the two primary probes always
+  // differ, a neighbor has exactly one home (bucket, sub), and the
+  // sub probes within one bucket are distinct values.
+  // All decisions replay in the oracle: masked-plane argmin with a
+  // 1e300 sentinel outside the derived count, integer depth/sub/flip
+  // arithmetic, two-phase exact dots (containment arguments as in the
+  // two components).
+
+  /** Composed hot-split × multi-probe kNN graph at explicit
+    * parameters; the registry entry derives planes from the corpus.
+    * At 100 TB this is the serve-path default: skew-bounded join
+    * groups AND boundary recall, one query-side explode of
+    * ≤ 2·(maxSub+1) probes. */
+  def knnGraphHotProbeAt(s: SparkSession, dir: String, nPlanes: Int,
+      cap: Int = HotCap, maxSub0: Int = 0): DataFrame = {
+    import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
+    graft.plans.VecDotProduct.register(s)
+    val maxSub = if (maxSub0 <= 0) maxSubFor(nPlanes) else maxSub0
+    val primary = gaussianPlanes(nPlanes)
+    val secondary = gaussianPlanesSec(maxSub)
+    // primary dots with VALUES (two-phase exact set — containment
+    // proof at annKnnMultiprobe): bucket signs AND the jstar argmin
+    val fasts = primary.zipWithIndex.map { case (pl, i) =>
+      vec_dot(col("embedding"), typedLit(pl.toSeq)).as(s"f$i")
+    }
+    val minAbsFast = least(primary.indices.map(i => abs(col(s"f$i"))): _*)
+    val dots = primary.zipWithIndex.map { case (pl, i) =>
+      when(abs(col(s"f$i")) < minAbsFast + SignEps,
+        vec_dot_exact(col("embedding"), typedLit(pl.toSeq)))
+        .otherwise(col(s"f$i")).as(s"d$i")
+    }
+    val v0 = withNorm2(Tables.embeddings(s, dir))
+      .select(col("*") +: fasts: _*)
+      .select((col("vec_id") +: col("embedding") +: col("n2") +: dots): _*)
+    val bucket = primary.indices.map(i =>
+      when(col(s"d$i") > 0, lit(1 << i)).otherwise(lit(0))).reduce(_ + _)
+    val minAbs = least(primary.indices.map(i => abs(col(s"d$i"))): _*)
+    val jstar = primary.indices.tail.foldLeft(
+        when(abs(col("d0")) === minAbs, lit(0))) { (acc, i) =>
+      acc.when(abs(col(s"d$i")) === minAbs, lit(i))
+    }
+    // full secondary sign bits, unmasked — per-vector and
+    // bucket-independent (depth masking happens per probed bucket)
+    val ssig = secondary.zipWithIndex.map { case (pl, i) =>
+      val plLit = typedLit(pl.toSeq)
+      val fast = vec_dot(col("embedding"), plLit)
+      val sd = when(abs(fast) < SignEps, vec_dot_exact(col("embedding"), plLit))
+        .otherwise(fast)
+      when(sd > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val vAll = v0.withColumn("bucket", bucket).withColumn("jstar", jstar)
+      .withColumn("ssig", ssig)
+      .select("vec_id", "embedding", "n2", "bucket", "jstar", "ssig")
+    // bucket populations → split depths: ≤ 2^nPlanes rows, broadcast
+    val pops = vAll.groupBy("bucket").agg(count(lit(1)).as("pop"))
+    val dCol = (0 until maxSub)
+      .map(k => when(col("pop") > (cap.toLong << k), 1).otherwise(0))
+      .reduce(_ + _)
+    val depths = pops.select(col("bucket"), dCol.as("d"))
+    // corpus side: home sub-key at the home bucket's depth
+    val v = vAll.join(broadcast(depths), "bucket")
+      .withColumn("sub", col("ssig").bitwiseAND(expr("shiftleft(1, d) - 1")))
+      .select("vec_id", "embedding", "n2", "bucket", "sub")
+    // query side: two primary probes, each re-masked to the PROBED
+    // bucket's depth (inner join on depths — an unpopulated flip
+    // bucket has no candidates to lose)
+    val qp = vAll.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("n2").as("qn2"),
+      col("ssig").as("q_ssig"),
+      explode(array(col("bucket"),
+        col("bucket").bitwiseXOR(expr("shiftleft(1, jstar)")))).as("pbucket"))
+    val q1 = qp.join(
+        broadcast(depths.select(col("bucket").as("pbucket"), col("d").as("pd"))),
+        "pbucket")
+      .withColumn("qsub", col("q_ssig").bitwiseAND(expr("shiftleft(1, pd) - 1")))
+    val probeArr = (1 to maxSub).foldLeft(
+        when(col("pd") === 0, array(col("qsub")))) { (acc, dd) =>
+      acc.when(col("pd") === dd,
+        array(col("qsub") +: (0 until dd).map(i =>
+          col("qsub").bitwiseXOR(lit(1 << i))): _*))
+    }
+    val q = q1.select(col("query_id"), col("q_emb"), col("qn2"),
+      col("pbucket"), explode(probeArr).as("probe"))
+    val pairs = v.join(q,
+        col("bucket") === col("pbucket") && col("sub") === col("probe") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, KnnK)
+  }
+
+  private def annKnnHotprobe(s: SparkSession, dir: String): DataFrame =
+    knnGraphHotProbeAt(s, dir, derivedPlanes(s, dir))
+
+  private val annKnnHotprobeSql: String = {
+    val dExpr = (0 until MaxSubEmbedded)
+      .map(k => s"(CASE WHEN $k < (SELECT ms FROM ppm) AND pop > ${HotCap.toLong << k} THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    // masked |pd_i| with a 1e300 sentinel outside the derived plane
+    // count — NULL-free so LEAST and the tie-to-lowest-index CASE
+    // chain replay Spark's argmin over exactly the derived planes
+    def mAbs(i: Int) =
+      s"(CASE WHEN $i < (SELECT pl FROM pp) THEN abs(pd$i) ELSE 1e300 END)"
+    val mExpr = s"LEAST(${(0 until MaxPlanes).map(mAbs).mkString(", ")})"
+    val jstarExpr = (0 until MaxPlanes).map(i => s"WHEN ${mAbs(i)} = m THEN $i")
+      .mkString("CASE ", " ", " END")
+    val ssigExpr = (0 until MaxSubEmbedded)
+      .map(i => s"(CASE WHEN $i < (SELECT ms FROM ppm) AND sd$i > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    val probeExpr = (1 to MaxSubEmbedded).map { dd =>
+      val flips = (0 until dd).map(i => s"xor(qsub, ${1 << i})").mkString(", ")
+      s"WHEN $dd THEN [qsub, $flips]"
+    }.mkString("CASE pd WHEN 0 THEN [qsub] ", " ", " END")
+    s"""WITH $planesParamCte,
+       |ppm AS (SELECT pl, CAST(pl // 2 + 1 AS INTEGER) AS ms FROM pp),
+       |v0 AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
+       |         ${planeDotsSql(gaussianPlanes(MaxPlanes), "pd")},
+       |         ${planeDotsSql(gaussianPlanesSec(MaxSubEmbedded), "sd")}
+       |  FROM embeddings),
+       |vb AS (
+       |  SELECT *, ${maskedBucketSql("pd")} AS bucket, $ssigExpr AS ssig
+       |  FROM v0),
+       |vj AS (
+       |  SELECT *, $jstarExpr AS jstar
+       |  FROM (SELECT *, $mExpr AS m FROM vb)),
+       |v1 AS (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS pop FROM vj),
+       |v2 AS (SELECT *, $dExpr AS d FROM v1),
+       |v AS (
+       |  SELECT vec_id, embedding, n2, bucket, jstar, ssig, d,
+       |         (ssig & ((1 << d) - 1)) AS sub
+       |  FROM v2),
+       |depths AS (SELECT bucket, ANY_VALUE(d) AS d FROM v GROUP BY bucket),
+       |qp AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS qn2,
+       |         ssig AS q_ssig,
+       |         unnest([bucket, xor(bucket, 1 << jstar)]) AS pbucket
+       |  FROM v),
+       |q1 AS (
+       |  SELECT qp.*, dp.d AS pd, (q_ssig & ((1 << dp.d) - 1)) AS qsub
+       |  FROM qp JOIN depths dp ON dp.bucket = qp.pbucket),
+       |probes AS (
+       |  SELECT query_id, q_emb, qn2, pbucket, unnest($probeExpr) AS probe
+       |  FROM q1),
+       |cand AS (
+       |  SELECT p.query_id, v.vec_id AS neighbor_id,
+       |         p.q_emb, v.embedding, p.qn2, v.n2
+       |  FROM v JOIN probes p
+       |    ON v.bucket = p.pbucket AND v.sub = p.probe
+       |   AND v.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= $KnnK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- ann_ivf_topk -----------------------------------------------------
   // IVF (inverted-file) index: k-means coarse quantizer → vectors
   // assigned to their nearest centroid's posting list → queries probe
@@ -1627,6 +1806,7 @@ object Similarity {
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
     Op("ann_knn_multiprobe", annKnnMultiprobe, Some(annKnnMultiprobeSql)),
     Op("ann_knn_hotsplit", annKnnHotsplit, Some(annKnnHotsplitSql)),
+    Op("ann_knn_hotprobe", annKnnHotprobe, Some(annKnnHotprobeSql)),
     Op("ann_ivf_topk", annIvf, Some(annIvfSql)),
     Op("ann_pq_topk", annPq, Some(annPqSql)),
     Op("ann_opq_topk", annOpq, Some(annOpqSql)),
