@@ -181,6 +181,26 @@ object DataSkipping {
       materialized.coalesce(1).write.mode(SaveMode.Overwrite).parquet(sidecarPath(lakeRoot))
   }
 
+  /** Fragmentation targets selected from the sidecar ALONE: (partition
+    * dir, its tracked files' sidecar paths) for every directory whose
+    * TRACKED file count exceeds `maxFiles`. One small-parquet read —
+    * no lake listing, no data-file I/O (at 100 TB an object-store LIST
+    * over every partition is itself a big job, and the sidecar already
+    * describes the layout). Files landed after the last ANALYZE are
+    * invisible here, so selection is a lower bound — a partition is
+    * only ever picked because tracked files genuinely fragment it, and
+    * the next ANALYZE surfaces the rest. Paths are the sidecar's own
+    * `file_path` rendering, directly consumable by
+    * [[refresh]](removed = ...). */
+  def fragmentedDirs(spark: SparkSession, lakeRoot: String,
+      maxFiles: Int): Seq[(String, Seq[String])] =
+    if (!hasStats(spark, lakeRoot)) Seq.empty
+    else stats(spark, lakeRoot).select("file_path").collect()
+      .map(_.getString(0))
+      .groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      .collect { case (d, files) if files.length > maxFiles => (d, files.toSeq) }
+      .toSeq.sortBy(_._1)
+
   def hasStats(spark: SparkSession, lakeRoot: String): Boolean = {
     val p = new Path(sidecarPath(lakeRoot))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -54,7 +54,72 @@ object LakeMaintenance {
     * partitions in one checkpoint would be the scale hazard the
     * batching avoids — and a crash between passes loses nothing. */
   def compact(spark: SparkSession, lakeRoot: String, maxFiles: Int = 1,
-      partitionsPerPass: Int = 64): Int = {
+      partitionsPerPass: Int = 64): Int =
+    DataSkipping.sidecarParams(spark, lakeRoot) match {
+      case Some((cols, bits, k)) =>
+        compactFromStats(spark, lakeRoot, maxFiles, partitionsPerPass, cols, bits, k)
+      case None =>
+        compactFromListing(spark, lakeRoot, maxFiles, partitionsPerPass)
+    }
+
+  /** Sidecar-aware compaction (round 9): fragmentation targets come
+    * from [[DataSkipping.fragmentedDirs]] — the sidecar's per-file
+    * rows, one small-parquet read — instead of a whole-lake listing,
+    * and the sidecar is folded forward DELTA-wise around each pass
+    * (the [[CdcMerge]] lifecycle: drop the doomed files' rows before
+    * the rewrite, describe the new files after), so post-compaction
+    * pruning works immediately without a full re-ANALYZE. At 100 TB
+    * both halves matter: the listing of every partition is itself a
+    * large job, and a re-ANALYZE after every maintenance pass would
+    * read the whole lake to describe a few new files. */
+  private def compactFromStats(spark: SparkSession, lakeRoot: String,
+      maxFiles: Int, partitionsPerPass: Int,
+      cols: Seq[String], bits: Int, k: Int): Int = {
+    val targets = DataSkipping.fragmentedDirs(spark, lakeRoot, maxFiles)
+    if (targets.isEmpty) return 0
+    val root = new Path(lakeRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partition columns from the target dirs' own k=v segments — the
+    // sidecar paths carry the layout, no listing needed
+    val partCols = targets.head._1.split("/")
+      .filter(_.contains("=")).map(_.split("=")(0)).toSeq
+    targets.grouped(partitionsPerPass).foreach { batch =>
+      // step 1 (CdcMerge's lifecycle): the sidecar stops claiming the
+      // files about to be rewritten BEFORE the overwrite commits — a
+      // crash leaves the surviving files untracked (read
+      // conservatively), never wrongly described
+      DataSkipping.refresh(spark, lakeRoot,
+        removed = batch.flatMap(_._2), added = Seq.empty)
+      spark.read
+        .option("basePath", lakeRoot)
+        .parquet(batch.map(_._1): _*)
+        .repartition(partCols.map(col): _*)
+        .localCheckpoint()
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*)
+        .parquet(lakeRoot)
+      // step 2: describe the rewritten layout — a listing of just this
+      // pass's partition dirs (bounded by the pass width, not the lake)
+      val added = batch.map(_._1).flatMap { d =>
+        val dir = new Path(d)
+        if (!fs.exists(dir)) Seq.empty[String]
+        else fs.listStatus(dir).filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.map(s => fs.makeQualified(s.getPath).toString).toSeq
+      }
+      DataSkipping.describe(spark, lakeRoot, added, cols, bits, k)
+    }
+    Snapshots.reSnapshot(spark, lakeRoot)
+    targets.size
+  }
+
+  /** Listing-driven fallback when no sidecar describes the lake; the
+    * rewrite invalidates nothing (there is no sidecar) beyond the
+    * snapshot chain. */
+  private def compactFromListing(spark: SparkSession, lakeRoot: String,
+      maxFiles: Int, partitionsPerPass: Int): Int = {
     val fragmented = partitionCensus(spark, lakeRoot).filter(_._2 > maxFiles)
     if (fragmented.isEmpty) return 0
     val partCols = partitionColumns(spark, lakeRoot)

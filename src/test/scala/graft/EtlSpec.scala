@@ -342,6 +342,53 @@ class EtlSpec extends AnyFunSuite {
     assert(after < before * 0.7, s"z-order didn't tighten file ranges: $before -> $after")
   }
 
+  test("compaction is sidecar-aware: stats-only targets + delta-refreshed pruning") {
+    import graft.etl.{DataSkipping, LakeMaintenance}
+    val lake = "target/tmp/compact-skip-lake"
+    rmrf(lake)
+    def slice(lo: Long, hi: Long, day: Int) =
+      spark.range(lo, hi).selectExpr("id", "id * 37 % 1000 AS value",
+        "2024 AS year", "1 AS month", s"$day AS day")
+    def land(lo: Long, hi: Long, day: Int): Unit =
+      slice(lo, hi, day).coalesce(1).write
+        .partitionBy("year", "month", "day").mode("append").parquet(lake)
+    def filesIn(day: Int): Int =
+      new java.io.File(s"$lake/year=2024/month=1/day=$day").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    // day=1: two tracked files (genuinely fragmented); day=2: one
+    land(0, 100, 1); land(100, 200, 1); land(200, 300, 2)
+    DataSkipping.analyze(spark, lake, Seq("id"))
+    // two UNTRACKED files land in day=2 AFTER the ANALYZE: a listing
+    // would call day=2 fragmented (3 files) — the sidecar knows 1
+    land(300, 400, 2); land(400, 500, 2)
+    assert(filesIn(2) == 3)
+
+    // target selection from stats only: exactly day=1 is compacted,
+    // the untracked fragmentation in day=2 is not selected
+    assert(LakeMaintenance.compact(spark, lake) == 1)
+    assert(filesIn(1) == 1, "selected partition must be compacted")
+    assert(filesIn(2) == 3, "untracked fragmentation must not be selected from stats")
+
+    // the sidecar SURVIVED the rewrite (no invalidate + full
+    // re-ANALYZE) and was folded forward delta-wise: one row per
+    // tracked live file (day=1's new compacted file + day=2's original)
+    assert(DataSkipping.hasStats(spark, lake), "sidecar lost by compaction")
+    assert(spark.read.parquet(s"$lake/_skipping/stats.parquet").count() == 2)
+
+    // post-compaction pruning is green immediately: range probe finds
+    // the compacted file and the pruned scan equals the plain scan
+    val probe = DataSkipping.pruneRange(spark, lake, "id", "50", "150")
+    assert(probe.nonEmpty)
+    val pruned = DataSkipping.readPruned(spark, lake, probe)
+      .filter(col("id").between(50, 150))
+    val full = spark.read.parquet(lake).filter(col("id").between(50, 150))
+    assert(pruned.collect().toSet == full.collect().toSet)
+    // layout-only: every row still present
+    assert(spark.read.parquet(lake).count() == 500)
+    // idempotent: no tracked fragmentation remains
+    assert(LakeMaintenance.compact(spark, lake) == 0)
+  }
+
   test("data skipping: sidecar prunes files, scans stay exact, rewrites invalidate") {
     import graft.etl.{DataSkipping, LakeMaintenance}
     val lake = "target/tmp/skip-lake"
