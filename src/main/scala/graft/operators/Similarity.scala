@@ -956,32 +956,56 @@ object Similarity {
     * specs). */
   def buildIvfIndex(s: SparkSession, dir: String, k0: Int = 0): (DataFrame, DataFrame) = {
     val k = if (k0 <= 0) derivedIvfK(s, dir) else k0
-    ivfCache.computeIfAbsent((s.sparkContext.applicationId, dir, k), _ => {
-      graft.plans.VecDotProduct.register(s)
-      graft.plans.TopKPerGroup.install(s)
-      val v = withNorm2(Tables.embeddings(s, dir))
-      val cents = withCentNorm(trainCentroids(v, k)).localCheckpoint()
-      // one row per vector: posting-list id + centroid geometry columns
-      // folded in (cid/cent/cn2 repeated per member keeps the index
-      // self-contained for probing)
-      val index = v.join(broadcast(assign(v, cents.drop("cn2"))), "vec_id")
-        .join(broadcast(cents
-          .select(col("cid").as("list_id"), col("cent"), col("cn2"))), "list_id")
-        .localCheckpoint()
-      (cents, index)
-    })
+    ivfCache.computeIfAbsent((s.sparkContext.applicationId, dir, k),
+      _ => buildIvfIndexOver(s, withNorm2(Tables.embeddings(s, dir)), k))
   }
 
-  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** The index build over an arbitrary norm'd corpus frame — the
+    * un-memoized core of [[buildIvfIndex]], also the bootstrap of the
+    * STREAMING index lake ([[graft.streaming.StreamingJobs.ivfIndexInit]]
+    * trains on the base corpus and lands these two frames as parquet
+    * tables). `k0 <= 0` derives k from the frame's own count. */
+  private[graft] def buildIvfIndexOver(s: SparkSession, v0: DataFrame,
+      k0: Int = 0): (DataFrame, DataFrame) = {
     graft.plans.VecDotProduct.register(s)
-    val v = withNorm2(Tables.embeddings(s, dir))
-    val (cents, index) = buildIvfIndex(s, dir)
+    graft.plans.TopKPerGroup.install(s)
+    val v = v0.localCheckpoint()
+    val k = if (k0 <= 0) ivfKFor(v.count()) else k0
+    val cents = withCentNorm(trainCentroids(v, k)).localCheckpoint()
+    // one row per vector: posting-list id + centroid geometry columns
+    // folded in (cid/cent/cn2 repeated per member keeps the index
+    // self-contained for probing)
+    val index = v.join(broadcast(assign(v, cents.drop("cn2"))), "vec_id")
+      .join(broadcast(cents
+        .select(col("cid").as("list_id"), col("cent"), col("cn2"))), "list_id")
+      .localCheckpoint()
+    (cents, index)
+  }
+
+  /** Assignment of arbitrary norm'd (vec_id, embedding, ...) rows to a
+    * FIXED trained centroid table (no cn2 column) — the serve-side
+    * half of the build/serve split. Assignment is per-vector, so the
+    * streaming append path is exactly this call on each micro-batch's
+    * rows against the unchanged quantizer. */
+  private[graft] def assignVectors(s: SparkSession, v: DataFrame,
+      cents: DataFrame): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    assign(v, cents)
+  }
+
+  /** IVF serve path over an explicit (centroids, posting rows) pair:
+    * each query probes its [[IvfProbes]] nearest centroid lists, then
+    * two-phase exact top-k over the probed lists' members. `index`
+    * needs (vec_id, embedding, n2, list_id); extra geometry columns
+    * are dropped. Shared by the memoized batch op and the streaming
+    * index lake's search. */
+  private[graft] def ivfServe(s: SparkSession, cents: DataFrame,
+      index: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
     val indexed = index.drop("cent", "cn2")
-    // each query probes its IvfProbes nearest centroid lists
     val pw = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("cid"))
-    val probes = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+    val probes = queries
       .crossJoin(broadcast(cents))
       .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
       .withColumn("pr", row_number().over(pw))
@@ -991,7 +1015,16 @@ object Similarity {
         col("list_id") === col("probe") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("q_emb"), col("embedding"), col("qn2"), col("n2"))
-    exactTopK(s, pairs, 5)
+    exactTopK(s, pairs, k)
+  }
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm2(Tables.embeddings(s, dir))
+    val (cents, index) = buildIvfIndex(s, dir)
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"))
+    ivfServe(s, cents, index, queries, 5)
   }
 
   // --- embedding_quantize: int8 scalar quantization --------------------

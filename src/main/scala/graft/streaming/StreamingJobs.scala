@@ -415,6 +415,77 @@ object StreamingJobs {
       }
       .start()
 
+  /** Bootstrap the streaming ANN index lake: train the IVF coarse
+    * quantizer on the base corpus (the one-time BUILD of the FAISS
+    * build/serve split — retraining stays a maintenance job) and land
+    * it as two parquet tables under `indexPath`: `centroids` (k rows,
+    * the fixed quantizer) and `postings` (one row per indexed vector),
+    * the latter partitioned by `ingest_batch` (bootstrap = -1) so the
+    * append stream maintains it replay-exactly like the near-dup band
+    * index. */
+  def ivfIndexInit(spark: SparkSession, lakeDir: String,
+      corpusPred: Column, indexPath: String): Unit = {
+    graft.plans.VecDotProduct.register(spark)
+    val v = graft.operators.Similarity
+      .withNorm2(graft.Tables.embeddings(spark, lakeDir)).filter(corpusPred)
+    val (cents, index) = graft.operators.Similarity.buildIvfIndexOver(spark, v)
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    index.select("vec_id", "embedding", "n2", "list_id")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** Streaming ANN index maintenance: per micro-batch of incoming
+    * (vec_id, embedding) rows, assign each vector to the EXISTING
+    * centroids (the same two-phase decimal argmax the batch build
+    * uses — the quantizer is fixed, so assignment is per-vector and
+    * order-free) and land the posting rows in the index's own
+    * `ingest_batch=<N>` partition. Dynamic partition overwrite keyed
+    * by batchId ⇒ a replayed batch rewrites its own rows, never
+    * duplicates — the maintained lake table stays exactly-once.
+    * Periodic re-train (centroid drift) remains a maintenance job on
+    * the batch path, exactly the FAISS build/serve split. */
+  def ivfAppendStream(vecs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // the micro-batch runs in a cloned session whose function
+          // registry may predate any batch-side register call
+          graft.plans.VecDotProduct.register(s)
+          val cents = s.read.parquet(s"$indexPath/centroids").localCheckpoint()
+          val v = graft.operators.Similarity
+            .withNorm2(batch.select("vec_id", "embedding")).localCheckpoint()
+          val assigned = v.join(
+            graft.operators.Similarity.assignVectors(s, v, cents.drop("cn2")),
+            "vec_id")
+          assigned.select("vec_id", "embedding", "n2", "list_id")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$indexPath/postings")
+          ()
+        }
+      }
+      .start()
+
+  /** Serve over the maintained streaming index: probe the fixed
+    * centroids, rank over bootstrap + every appended batch's posting
+    * rows — the same serve path as the batch op
+    * ([[graft.operators.Similarity.ivfServe]]), so stream-appended
+    * search is definitionally the batch search over the union corpus
+    * (StreamingSpec pins it). */
+  def ivfIndexSearch(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.VecDotProduct.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val postings = spark.read.parquet(s"$indexPath/postings").drop("ingest_batch")
+    graft.operators.Similarity.ivfServe(spark, cents, postings, queries, k)
+  }
+
   /** Streaming incremental view maintenance: each micro-batch is
     * appended to the snapshot-enabled lake (one new partition-dir
     * write + snapshot commit) and the materialized rollup is folded

@@ -478,6 +478,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF append: stream-maintained index == batch assignment over the union") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/ivfappend"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // bootstrap: quantizer trained on the base corpus (vec_id % 5 <> 4);
+    // the held-out slice arrives as a live feed in two micro-batches
+    StreamingJobs.ivfIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.ivfAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // every incoming vector is in exactly one posting list, base rows
+    // untouched
+    val postings = spark.read.parquet(s"$idx/postings")
+    assert(postings.filter(col("ingest_batch") >= 0).count() == incoming.length.toLong)
+    assert(postings.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val queries = Similarity.withNorm2(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"))
+    val streamServed = canon(StreamingJobs.ivfIndexSearch(spark, idx, queries))
+    // batch twin: the SAME fixed quantizer, one-shot assignment of the
+    // union corpus — the stream's sequential fold must land on exactly
+    // this index
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val union = Similarity.withNorm2(Tables.embeddings(spark, sf)).localCheckpoint()
+    val batchIndex = union.join(
+      Similarity.assignVectors(spark, union, cents.drop("cn2")), "vec_id")
+    val batchServed = canon(Similarity.ivfServe(spark, cents, batchIndex, queries))
+    assert(streamServed == batchServed,
+      s"stream != batch union serve: ${streamServed.diff(batchServed).take(3)} vs ${batchServed.diff(streamServed).take(3)}")
+    assert(streamServed.nonEmpty)
+  }
+
   test("streaming near-dup gate is self-admitting: sequential fold of the batch verdict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
