@@ -131,8 +131,13 @@ object ScaleProbe {
     // memoized maintenance job — warm it at ×N so the row measures the
     // prune + pruned-scan query path; the dedup cluster-label build is
     // memoized the same way (round 8), so its rows get the same warm
+    // dedup_clusters warms the memoized similarity-edge set too (its
+    // build sits one level below the labels — graph_pagerank then
+    // serves from it); dedup_minhash warms the memoized corpus
+    // signature table that _est, _gate and the index bootstrap serve
     Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_opq_topk",
-      "etl_skipping_scan", "dedup_clusters", "dedup_keep_best")
+      "etl_skipping_scan", "dedup_clusters", "dedup_keep_best",
+      "dedup_minhash")
       .filter(wanted).foreach(n => time(dst, n))
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"x$Factor"}%8s ${"ratio"}%6s")
     names.filter(wanted).foreach { n =>
