@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Op, Tables}
-import graft.functions.{round6, round6Sql}
+import graft.functions.{ratio, ratioSql, round6, round6Sql}
 
 /** Corpus-curation operators for a large-scale training-data pipeline,
   * over `documents`: quality filtering, repetition screening, benchmark
@@ -635,12 +635,96 @@ object Curation {
        |SELECT doc_id, reject_reason IS NULL AS keep, reject_reason
        |FROM j ORDER BY doc_id""".stripMargin
 
+  // --- corpus_dsir_weights: hashed n-gram importance weights -----------
+  // Data Selection via Importance Resampling (Xie et al. 2023): score
+  // every raw document by how target-like its hashed n-gram feature
+  // distribution is, so a quality corpus (here: the lang='en' slice —
+  // in production a curated reference set) steers sampling over a raw
+  // crawl. Features are bigram occurrences hashed into 1024 buckets
+  // (the paper's hashed n-gram feature map); per-bucket importance is
+  // the Laplace-smoothed target/raw frequency ratio in fixed point —
+  // floor(10⁴·(t_b+1)/(r_b+1)), pure integer arithmetic because the
+  // published log-ratio form needs ln(), which is not bit-portable
+  // (§4); summing per-feature fixed-point ratios instead of log-ratio
+  // terms keeps the score monotone per feature, and the constant
+  // normalizer (R+B)/(T+B) is uniform across buckets so dropping it
+  // only rescales every document identically. Scale shape: the
+  // importance table is BOUNDED at 1024 rows by construction —
+  // broadcast; the corpus side is one bigram pass (posexplode + lead,
+  // codegen'd — docShingles' shape) and two map-side-combinable
+  // aggregates (bucket counts, per-doc sums). No shuffle ever carries
+  // more than (doc, bucket) pairs.
+
+  private val DsirBuckets = 1024
+
+  /** Bigram OCCURRENCE rows (not per-doc distinct — DSIR counts
+    * feature occurrences) with their hashed feature bucket. */
+  private def bigramBuckets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), col("is_target"), posexplode(toks).as(Seq("pos", "word")))
+      .withColumn("w1", lead("word", 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("is_target"),
+        pmod(h32(concat_ws(" ", col("word"), col("w1"))), lit(DsirBuckets))
+          .as("bucket"))
+  }
+
+  /** The DSIR core over any (doc_id, text, is_target) frame — the
+    * registry op targets lang='en'; specs build synthetic corpora. */
+  private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame = {
+    val g = bigramBuckets(docs)
+    val rb = g.groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
+    val tb = g.filter(col("is_target")).groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    val imp = rb.join(tb, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr(s"((coalesce(t_cnt, 0L) + 1L) * 10000L) div (r_cnt + 1L)").as("imp"))
+    val per = g.join(broadcast(imp), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("imp").as("dsir_score"), count(lit(1)).as("n_feats"))
+    docs.select("doc_id", "is_target").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"),
+        ratio(col("dsir_score").cast(DoubleType), col("n_feats").cast(DoubleType))
+          .as("mean_imp"))
+      .orderBy("doc_id")
+  }
+
+  private def corpusDsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsOf(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("is_target")))
+
+  private val corpusDsirWeightsSql =
+    s"""WITH d AS (SELECT doc_id, text, lang = 'en' AS is_target FROM documents),
+       |toks AS (SELECT doc_id, is_target, string_split(text, ' ') AS ts FROM d),
+       |g AS (
+       |  SELECT doc_id, is_target,
+       |         CAST(('0x' || substr(md5(ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1]), 1, 8)) AS BIGINT) % $DsirBuckets AS bucket
+       |  FROM (SELECT doc_id, is_target, ts,
+       |          unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+       |rb AS (SELECT bucket, count(*) AS r_cnt FROM g GROUP BY 1),
+       |tb AS (SELECT bucket, count(*) AS t_cnt FROM g WHERE is_target GROUP BY 1),
+       |imp AS (
+       |  SELECT rb.bucket, ((COALESCE(t_cnt, 0) + 1) * 10000) // (r_cnt + 1) AS imp
+       |  FROM rb LEFT JOIN tb ON rb.bucket = tb.bucket),
+       |per AS (
+       |  SELECT doc_id, CAST(sum(imp) AS BIGINT) AS dsir_score, count(*) AS n_feats
+       |  FROM g JOIN imp USING (bucket) GROUP BY 1)
+       |SELECT d.doc_id, d.is_target,
+       |       COALESCE(n_feats, 0) AS n_feats,
+       |       COALESCE(dsir_score, 0) AS dsir_score,
+       |       ${ratioSql("CAST(dsir_score AS DOUBLE)", "CAST(n_feats AS DOUBLE)")} AS mean_imp
+       |FROM d LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("text_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("corpus_filter_pipeline", corpusFilterPipeline, Some(corpusFilterPipelineSql)),
     Op("text_contamination", textContamination, Some(textContaminationSql)),
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
+    Op("corpus_dsir_weights", corpusDsirWeights, Some(corpusDsirWeightsSql)),
     Op("corpus_temperature_mix", corpusTemperatureMix, Some(corpusTemperatureMixSql)),
     Op("doc_chunking", docChunking, Some(docChunkingSql)),
     Op("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),

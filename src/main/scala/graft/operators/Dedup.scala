@@ -1159,6 +1159,54 @@ object Dedup {
        |FROM r$PrIters ORDER BY doc_id""".stripMargin
   }
 
+  // --- corpus_split_leakfree: cluster-granular train/val/test split ----
+  // The split a training pipeline must make AFTER near-dup analysis:
+  // assigning train/val/test per DOCUMENT leaks — a near-duplicate of
+  // a training doc lands in the eval split and inflates every metric
+  // (the published contamination failure mode dedup exists to
+  // prevent). The atomic split unit is therefore the near-dup
+  // CONNECTED COMPONENT: every doc in a cluster draws the same hash
+  // ticket (seeded by the cluster label), so near-dups can never
+  // straddle a split boundary; unclustered docs are their own
+  // singleton unit (the dedup_keep_best convention — the split
+  // partitions the corpus). Spark shape: the memoized cluster-label
+  // build state (one scan — the propagation fixpoint already ran for
+  // dedup_clusters/keep_best) left-joined to the corpus, then a
+  // stateless portable hash ticket (the corpus_mix_sample machinery):
+  // no shuffle beyond the label join, any executor can evaluate any
+  // row, reproducible across runs and engines. 800/100/100 ‰ bands.
+
+  private def corpusSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val clusters = clusterLabels(s, dir)
+      .select(col("label").as("split_unit"), col("doc_id"))
+    val ticket = pmod(graft.functions.h32(
+      concat(lit("split:"), col("split_unit").cast(StringType))), lit(1000))
+    Tables.documents(s, dir).select("doc_id", "source")
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("split_unit", coalesce(col("split_unit"), col("doc_id")))
+      .withColumn("ticket", ticket)
+      .withColumn("split",
+        when(col("ticket") < 800, "train")
+          .when(col("ticket") < 900, "val")
+          .otherwise("test"))
+      .select("doc_id", "source", "split_unit", "split")
+      .orderBy("doc_id")
+  }
+
+  private val corpusSplitLeakfreeSql =
+    s"""WITH clusters AS (SELECT * FROM ($dedupClustersSql)),
+       |u AS (
+       |  SELECT d.doc_id, d.source, COALESCE(c.cluster_id, d.doc_id) AS split_unit
+       |  FROM documents d LEFT JOIN clusters c USING (doc_id)),
+       |t AS (
+       |  SELECT *, CAST(('0x' || substr(md5('split:' || CAST(split_unit AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS ticket
+       |  FROM u)
+       |SELECT doc_id, source, split_unit,
+       |       CASE WHEN ticket < 800 THEN 'train'
+       |            WHEN ticket < 900 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM t ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
@@ -1172,5 +1220,6 @@ object Dedup {
     Op("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
     Op("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
-    Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)))
+    Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    Op("corpus_split_leakfree", corpusSplitLeakfree, Some(corpusSplitLeakfreeSql)))
 }

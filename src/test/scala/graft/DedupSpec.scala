@@ -62,6 +62,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!(Dedup.similarityEdges(spark, sf) eq edgesBefore))
   }
 
+  test("leak-free split keeps every near-dup pair inside one split") {
+    val rows = Registry.queries("corpus_split_leakfree")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    // the split partitions the corpus: exactly one row per document
+    assert(rows.length.toLong == nDocs)
+    val split = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    // the leakage property: both endpoints of every similarity edge
+    // (the dedup_clusters threshold) land in the SAME split
+    val pairs = jaccardPairs.filter(_._2 >= 0.03).keySet
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) straddles splits")
+    }
+    // all three splits are populated near the 800/100/100 permil bands
+    val frac = rows.groupBy(_.getString(3)).view
+      .mapValues(_.length.toDouble / rows.length).toMap
+    assert(frac.getOrElse("train", 0.0) > 0.6, s"train frac $frac")
+    assert(frac.getOrElse("val", 0.0) > 0.02 && frac.getOrElse("test", 0.0) > 0.02,
+      s"eval splits underpopulated: $frac")
+  }
+
   test("exact dedup keeps every distinct normalized text") {
     val docs = Tables.documents(spark, sf).count()
     val kept = Registry.queries("dedup_exact")(spark, sf)

@@ -143,6 +143,31 @@ class QueriesSpec extends AnyFunSuite {
       s"small=${smallest} large=${largest}")
   }
 
+  test("DSIR weights separate target-like docs from off-distribution docs") {
+    import spark.implicits._
+    // two disjoint vocabularies: the target slice writes A-words, the
+    // off-distribution docs B-words; doc 3 is a RAW doc written in the
+    // target's vocabulary — DSIR's whole point is that it outranks the
+    // off-distribution raw docs for selection
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta alpha beta", true),
+      (2L, "beta gamma delta alpha beta gamma delta alpha beta gamma", true),
+      (3L, "alpha beta gamma delta epsilon alpha beta gamma", false),
+      (4L, "zig zag zorro quux zig zag zorro quux zig zag", false),
+      (5L, "zorro quux zig zag quux zorro zag zig zig zag", false)
+    ).toDF("doc_id", "text", "is_target")
+    val w = graft.operators.Curation.dsirWeightsOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // feature count = bigram occurrences = n_tokens - 1
+    assert(w(1L).getAs[Long]("n_feats") == 9)
+    val mean = w.view.mapValues(_.getAs[Double]("mean_imp")).toMap
+    assert(mean(3L) > mean(4L) && mean(3L) > mean(5L),
+      s"target-vocabulary raw doc must outscore off-distribution docs: $mean")
+    // smoothing floor: a bucket never seen in the target still gets a
+    // positive fixed-point weight, so scores stay strictly positive
+    assert(w(4L).getAs[Long]("dsir_score") > 0)
+  }
+
   test("q23 KMV estimate is exact below capacity and within bound above it") {
     // sf0.001: ~200 distinct per symbol < k=256 ⇒ the sketch is the
     // exact distinct-hash set
