@@ -306,15 +306,22 @@ object Curation {
   // The only single-partition window runs over #shards rows (bounded
   // metadata), never over documents.
 
-  private val PackBlock = 64
+  private[graft] val PackBlock = 64
   private val ShardWidth = 100
 
   /** Every doc's global token offset in the concatenated corpus via the
     * distributed prefix sum (shared by token_pack and
     * pack_attention_mask — see the token_pack comment for why the only
     * single-partition window runs over #shards rows). */
-  private def packedDocs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  private def packedDocs(s: SparkSession, dir: String): DataFrame =
+    packedDocsOf(Tables.documents(s, dir))
+
+  /** The distributed prefix sum over any (doc_id, text) frame — shared
+    * by the registry ops and the streaming packer
+    * (StreamingJobs.packStream), which adds a carried cross-batch base
+    * on top of these within-frame offsets. */
+  private[graft] def packedDocsOf(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), size(toks).as("n_tokens"),
         expr(s"doc_id div $ShardWidth").as("pk"))
     val wLocal = Window.partitionBy("pk").orderBy("doc_id")

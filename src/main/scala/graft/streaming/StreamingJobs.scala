@@ -486,6 +486,91 @@ object StreamingJobs {
     graft.operators.Similarity.ivfServe(spark, cents, postings, queries, k)
   }
 
+  /** IVF index-lake compaction — the maintenance leg of the FAISS
+    * build/serve/maintain split. A long-running append stream leaves
+    * one small `ingest_batch=N` partition per micro-batch; serve cost
+    * and file counts grow with stream age, not corpus size. This job
+    * folds every appended partition back into the bootstrap partition
+    * (-1), clustering rows by `list_id` on the way so posting lists
+    * land contiguously in files. Staged write + require-checked rename
+    * swap (CdcMerge's loud-failure convention): the combined index is
+    * fully written to a sibling dir before the two renames, so a crash
+    * leaves either the old index intact, a loudly-missing dir (the
+    * narrow window between renames — never silently halved), or the
+    * new index; it never double-counts. Run it between stream
+    * generations (stop stream → compact → restart with a fresh
+    * checkpoint so batch ids restart cleanly above the folded state —
+    * appended partitions are judged `< batchId` and -1 is below every
+    * batch id, so search and replay semantics are unchanged either
+    * way). Returns the number of appended partitions folded. */
+  def ivfCompactPostings(spark: SparkSession, indexPath: String): Int = {
+    val postings = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
+    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appended = fs.listStatus(postings).filter { d =>
+      val n = d.getPath.getName
+      d.isDirectory && n.startsWith("ingest_batch=") && n != "ingest_batch=-1"
+    }
+    if (appended.isEmpty) return 0
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/postings_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$indexPath/postings_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    spark.read.parquet(postings.toString)
+      .drop("ingest_batch").withColumn("ingest_batch", lit(-1L))
+      .repartition(col("list_id"))
+      .write.partitionBy("ingest_batch").mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(postings, old),
+      s"ivfCompactPostings: rename $postings -> $old failed; index unchanged")
+    require(fs.rename(tmp, postings),
+      s"ivfCompactPostings: rename $tmp -> $postings failed; " +
+      s"old index preserved at $old — restore it by renaming back")
+    fs.delete(old, true)
+    appended.length
+  }
+
+  /** Quantization-drift report over the maintained IVF index — the
+    * signal that schedules the periodic RE-TRAIN (the one maintenance
+    * step the fixed-quantizer append path defers): per posting list,
+    * member counts and mean member↔centroid cosine for the bootstrap
+    * segment vs the stream-appended segments. A healthy list's
+    * appended members fit the trained centroid about as well as the
+    * bootstrap members did; a list whose appended mean falls well
+    * below its bootstrap mean is quantizing new data badly —
+    * `drifted` flags a 0.05 cosine gap. Means are DECIMAL(38,12)
+    * sums over per-row cosines (partition-order independent, §4).
+    * One narrow scan of the posting table joined to the k-row
+    * centroid table — maintenance-priced at any scale. */
+  def ivfDriftReport(spark: SparkSession, indexPath: String): DataFrame = {
+    import graft.plans.VecDotProduct.vec_dot
+    graft.plans.VecDotProduct.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cid").as("list_id"), col("cent"), col("cn2"))
+    val cos = vec_dot(col("embedding"), col("cent")) /
+      (sqrt(col("n2")) * sqrt(col("cn2")))
+    val seg = spark.read.parquet(s"$indexPath/postings")
+      .join(broadcast(cents), "list_id")
+      .withColumn("segment",
+        when(col("ingest_batch") === -1L, "base").otherwise("appended"))
+      .groupBy("list_id", "segment")
+      .agg(count(lit(1)).as("n"),
+        sum(cos.cast(DecimalType(38, 12))).as("cos_sum"))
+      .withColumn("mean_cos",
+        round6((col("cos_sum") / col("n")).cast(DoubleType)))
+    val base = seg.filter(col("segment") === "base")
+      .select(col("list_id"), col("n").as("n_base"),
+        col("mean_cos").as("mean_cos_base"))
+    val app = seg.filter(col("segment") === "appended")
+      .select(col("list_id"), col("n").as("n_appended"),
+        col("mean_cos").as("mean_cos_appended"))
+    base.join(app, Seq("list_id"), "full")
+      .select(col("list_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_appended"), lit(0L)).as("n_appended"),
+        col("mean_cos_base"), col("mean_cos_appended"),
+        (coalesce(col("mean_cos_appended"), lit(1.0))
+          < coalesce(col("mean_cos_base"), lit(-1.0)) - 0.05).as("drifted"))
+      .orderBy("list_id")
+  }
+
   /** Streaming incremental view maintenance: each micro-batch is
     * appended to the snapshot-enabled lake (one new partition-dir
     * write + snapshot commit) and the materialized rollup is folded
@@ -533,6 +618,64 @@ object StreamingJobs {
       graft.etl.IncrementalAgg.refresh(s, lakePath, aggPath, spec)
     ()
   }
+
+  /** Streaming sequence packing (token_pack's twin): keeps the
+    * GPT-style concat-and-chunk mapping live as the corpus grows. Each
+    * micro-batch runs the SAME distributed prefix sum as the batch op
+    * ([[graft.operators.Curation.packedDocsOf]] — per-shard local
+    * windows, shard totals broadcast back) for its WITHIN-batch
+    * offsets, then adds the carried cross-batch base: the summed token
+    * totals of every batch that ran before this one, read from a tiny
+    * per-batch totals ledger (one row per batch — metadata-scale, like
+    * the snapshot manifests). The base is DERIVED state judged at
+    * `ingest_batch < N` (the near-dup gate's replay convention): a
+    * crash-replayed batch N re-reads the same earlier ledger rows —
+    * its own partial attempt is invisible — and both its writes are
+    * dynamic partition overwrites of partition N, so replay rewrites
+    * instead of duplicating and global offsets stay exactly-once.
+    * Contract: the feed delivers corpus slices in corpus (doc_id)
+    * order — the ingestion convention that makes "concatenated corpus"
+    * well-defined — under which the unioned stream output is
+    * cell-identical to batch token_pack over the whole corpus
+    * (StreamingSpec pins it). */
+  def packStream(docs: DataFrame, packPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.localCheckpoint()
+          val totalsPath = s"$packPath/totals"
+          val fs = new org.apache.hadoop.fs.Path(totalsPath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          // one-row driver read of the bounded ledger (CdcMerge's
+          // metadata-collect footprint), absent before the first batch
+          val base =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(totalsPath))) 0L
+            else s.read.parquet(totalsPath)
+              .filter(col("ingest_batch") < batchId)
+              .agg(coalesce(sum("total_tokens"), lit(0L))).head.getLong(0)
+          val local = graft.operators.Curation.packedDocsOf(b).localCheckpoint()
+          val blk = graft.operators.Curation.PackBlock
+          local
+            .withColumn("token_offset", col("token_offset") + lit(base))
+            .withColumn("start_block", expr(s"token_offset div $blk"))
+            .withColumn("end_block", expr(s"(token_offset + n_tokens - 1) div $blk"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$packPath/packed")
+          local
+            .agg(coalesce(sum(col("n_tokens").cast("long")), lit(0L)).as("total_tokens"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(totalsPath)
+          ()
+        }
+      }
+      .start()
 
   /** Streaming corpus curation: the Gopher-style quality gate applied
     * to a live document feed. The gate is stateless and narrow

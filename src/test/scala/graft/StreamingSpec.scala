@@ -529,6 +529,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamServed.nonEmpty)
   }
 
+  test("IVF maintenance: compaction preserves search, drift report segments the lake") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/ivfmaint"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.ivfIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.ivfAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // drift report BEFORE compaction: segments cover the whole lake,
+    // every appended member is counted, cosines are in range
+    val drift = StreamingJobs.ivfDriftReport(spark, idx).collect()
+    assert(drift.map(_.getAs[Long]("n_appended")).sum == incoming.length.toLong)
+    val nPost = spark.read.parquet(s"$idx/postings").count()
+    assert(drift.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_appended")).sum == nPost)
+    drift.foreach { r =>
+      Seq("mean_cos_base", "mean_cos_appended").foreach { c =>
+        if (!r.isNullAt(r.fieldIndex(c))) {
+          val v = r.getAs[Double](c)
+          assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9, s"$c=$v out of range")
+        }
+      }
+    }
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val queries = Similarity.withNorm2(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"))
+    val before = canon(StreamingJobs.ivfIndexSearch(spark, idx, queries))
+
+    // compaction folds the appended partitions into the bootstrap one
+    // and changes NOTHING the serve path can observe
+    val folded = StreamingJobs.ivfCompactPostings(spark, idx)
+    assert(folded == 2, s"expected 2 appended partitions folded, got $folded")
+    val batches = spark.read.parquet(s"$idx/postings")
+      .select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L), s"post-compaction partitions: $batches")
+    assert(spark.read.parquet(s"$idx/postings").count() == nPost)
+    val after = canon(StreamingJobs.ivfIndexSearch(spark, idx, queries))
+    assert(after == before, "search changed across compaction")
+    // idempotent when there is nothing to fold
+    assert(StreamingJobs.ivfCompactPostings(spark, idx) == 0)
+  }
+
   test("streaming near-dup gate is self-admitting: sequential fold of the batch verdict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -604,6 +664,42 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("ingest_batch").cast("long")) // dir-name partition col infers INT
       .distinct().collect().map(_.getLong(0)).toSet
     assert(idxBatches == Set(-1L, 0L), s"index partitions: $idxBatches")
+  }
+
+  test("streaming token packing equals batch token_pack over the ordered feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/packstream"
+    val pack = s"$root/pack"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // the stream contract: corpus slices arrive in doc_id order
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val batches = docs.grouped((docs.length + 2) / 3).toSeq
+    assert(batches.length == 3)
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.packStream(
+      source.toDF().toDF("doc_id", "text"), pack, ckpt)
+    try batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // carried-base offsets make the unioned stream output CELL-equal
+    // to the batch op over the whole corpus
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "token_offset", "start_block", "end_block")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = canon(spark.read.parquet(s"$pack/packed"))
+    val want = canon(Registry.queries("token_pack")(spark, sf))
+    assert(got == want,
+      s"stream pack != batch pack: ${got.diff(want).take(3)} vs ${want.diff(got).take(3)}")
+    // the totals ledger carries one metadata row per batch and
+    // conserves the corpus token count
+    val totals = spark.read.parquet(s"$pack/totals")
+    assert(totals.count() == batches.length.toLong)
+    val corpusTokens = want.toSeq.map(_._2.toLong).sum
+    assert(totals.agg(sum("total_tokens")).head.getLong(0) == corpusTokens)
   }
 
   test("streaming KMV distinct counts equal batch bit-for-bit in both regimes") {
