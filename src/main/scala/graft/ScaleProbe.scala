@@ -110,7 +110,8 @@ object ScaleProbe {
       "q22_bollinger", "mm_scene_cut", "dedup_minhash_est", "q23_kmv_distinct",
       "q24_twap",
       "etl_normalize_klines", "etl_normalize_aggtrades",
-      "etl_skipping_scan", "dedup_gate", "dedup_containment", "mm_resize")
+      "etl_skipping_scan", "dedup_gate", "dedup_containment", "mm_resize",
+      "corpus_split_leakfree", "corpus_dsir_weights")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)
