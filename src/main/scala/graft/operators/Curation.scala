@@ -725,6 +725,197 @@ object Curation {
        |FROM d LEFT JOIN per USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- corpus_epoch_plan: multi-epoch data-recipe execution ------------
+  // The step between a mixing recipe and a training run: published
+  // recipes repeat small high-quality sources for MULTIPLE epochs while
+  // large crawls run fractional ones (LLaMA's 2.45-epoch Wikipedia).
+  // Given a global token budget (= one corpus-size worth of tokens,
+  // re-allocated by sqrt-temperature shares — the corpus_mix lineage),
+  // each source gets target_tokens = (T·√n_i) div Σ√n, realized as
+  // full_epochs = target div n_i whole passes plus a fractional pass
+  // that admits docs by the SAME stateless h32 permil ticket as
+  // corpus_mix_sample — so the materialization (explode(sequence(1,
+  // copies)) per doc) is deterministic, shuffle-free, and any executor
+  // can compute any doc's copy count from the broadcast 20-row plan.
+  // All plan arithmetic is integer (div/%, floor(sqrt) — bit-portable
+  // per §4); at 100 TB the T·√n product exceeds int64, so the same
+  // cross-multiply moves to DECIMAL(38) like corpus_temperature_mix's
+  // note. The op returns the per-source plan with its realized
+  // doc-instance and token counts — the audit a recipe run commits
+  // alongside the lake.
+
+  /** The epoch-plan core over any (doc_id, text, source) frame. */
+  private[graft] def epochPlanOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"),
+      size(toks).cast(LongType).as("n_tok"))
+    val stats = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("sqrt_w", floor(sqrt(col("n_tokens").cast(DoubleType))).cast(LongType))
+    val tot = stats.agg(sum("n_tokens").as("t_total"), sum("sqrt_w").as("sw_total"))
+    val plan = stats.crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("(t_total * sqrt_w) div sw_total"))
+      .withColumn("full_epochs", expr("target_tokens div n_tokens"))
+      .withColumn("frac_permil", expr("((target_tokens % n_tokens) * 1000) div n_tokens"))
+      .select("source", "n_docs", "n_tokens", "target_tokens",
+        "full_epochs", "frac_permil")
+    val ticket = pmod(
+      h32(concat(col("doc_id").cast(StringType), lit(":"), col("source"))), lit(1000))
+    val realized = d.join(broadcast(plan), "source")
+      .withColumn("copies",
+        col("full_epochs") + when(ticket < col("frac_permil"), lit(1L)).otherwise(lit(0L)))
+      .groupBy("source").agg(
+        sum("copies").as("planned_docs"),
+        sum(col("copies") * col("n_tok")).as("planned_tokens"))
+    plan.join(realized, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("target_tokens"),
+        col("full_epochs"), col("frac_permil"),
+        coalesce(col("planned_docs"), lit(0L)).as("planned_docs"),
+        coalesce(col("planned_tokens"), lit(0L)).as("planned_tokens"),
+        ratio(col("planned_tokens").cast(DoubleType), col("target_tokens").cast(DoubleType))
+          .as("achieved_ratio"))
+      .orderBy("source")
+  }
+
+  private def corpusEpochPlan(s: SparkSession, dir: String): DataFrame =
+    epochPlanOf(Tables.documents(s, dir).select("doc_id", "text", "source"))
+
+  private val corpusEpochPlanSql = {
+    val h32t = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |stats AS (
+       |  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |         CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS BIGINT) AS sqrt_w
+       |  FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+       |               CAST(sum(sqrt_w) AS BIGINT) AS sw_total FROM stats),
+       |plan AS (
+       |  SELECT source, n_docs, n_tokens,
+       |         (t_total * sqrt_w) // sw_total AS target_tokens,
+       |         ((t_total * sqrt_w) // sw_total) // n_tokens AS full_epochs,
+       |         ((((t_total * sqrt_w) // sw_total) % n_tokens) * 1000) // n_tokens AS frac_permil
+       |  FROM stats, tot),
+       |realized AS (
+       |  SELECT d.source,
+       |         CAST(sum(p.full_epochs + CASE WHEN ($h32t % 1000) < p.frac_permil
+       |                                  THEN 1 ELSE 0 END) AS BIGINT) AS planned_docs,
+       |         CAST(sum((p.full_epochs + CASE WHEN ($h32t % 1000) < p.frac_permil
+       |                                   THEN 1 ELSE 0 END) * d.n_tok) AS BIGINT) AS planned_tokens
+       |  FROM d JOIN plan p USING (source) GROUP BY 1)
+       |SELECT p.source, p.n_docs, p.n_tokens, p.target_tokens,
+       |       p.full_epochs, p.frac_permil,
+       |       COALESCE(planned_docs, 0) AS planned_docs,
+       |       COALESCE(planned_tokens, 0) AS planned_tokens,
+       |       ${ratioSql("CAST(planned_tokens AS DOUBLE)", "CAST(target_tokens AS DOUBLE)")} AS achieved_ratio
+       |FROM plan p LEFT JOIN realized USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  // --- text_perplexity: bigram-LM fluency filter (CCNet lineage) -------
+  // The perplexity quality gate CCNet/RedPajama/FineWeb run: a language
+  // model trained on a trusted reference corpus scores every raw
+  // document, and incoherent text (scrambled order, boilerplate soup,
+  // non-language) surfaces as high perplexity. The model here is a
+  // hashed-bigram CONDITIONAL model — distinct from corpus_dsir_weights,
+  // which weighs a target/raw density RATIO for importance resampling;
+  // this op models the target's transition structure p(w2|w1) =
+  // count(w1 w2) / count(w1 ·), so text whose transitions never occur
+  // in the reference (scrambled word order, gibberish) craters even
+  // when its vocabulary looks target-like. Both counts come from the
+  // target slice only (lang='en' stands in for the curated reference
+  // corpus). Engine-portable form (§4): true
+  // perplexity needs exp/ln, so each bigram gets a FIXED-POINT
+  // Laplace-smoothed conditional — floor(10⁶·(c_bi+1)/(c_ctx+B)) with
+  // B = 8192 hashed-bigram vocabulary cells — and the document score is
+  // the mean (fluency: higher = more target-like; the monotone inverse
+  // of perplexity) plus the out-of-vocabulary bigram fraction (the
+  // unseen-transition signal). Scale shape: both model tables are
+  // BOUNDED by construction (≤1024 context cells, ≤8192 bigram cells) →
+  // broadcast; the corpus side is one bigram pass and one
+  // map-side-combinable per-doc aggregate. No shuffle carries more than
+  // (doc, bucket) pairs; the model is buildable once and served
+  // stream-static exactly like the rarity rank table.
+
+  private val PplCtxBuckets = 1024
+  private val PplBiBuckets = 8192
+
+  /** Bigram rows with both hashed model coordinates: the context cell
+    * (preceding word) and the transition cell (the bigram). */
+  private def pplBigrams(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), col("is_target"), posexplode(toks).as(Seq("pos", "word")))
+      .withColumn("w1", lead("word", 1).over(w))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("is_target"),
+        pmod(h32(col("word")), lit(PplCtxBuckets)).as("cb"),
+        pmod(h32(concat_ws(" ", col("word"), col("w1"))), lit(PplBiBuckets)).as("bb"))
+  }
+
+  /** The perplexity core over any (doc_id, text, is_target) frame — the
+    * registry op targets lang='en'; specs build synthetic corpora. */
+  private[graft] def perplexityOf(docs: DataFrame): DataFrame = {
+    val g = pplBigrams(docs)
+    val ctx = g.filter(col("is_target")).groupBy("cb").agg(count(lit(1)).as("c_ctx"))
+    val bi = g.filter(col("is_target")).groupBy("bb").agg(count(lit(1)).as("c_bi"))
+    val scored = g
+      .join(broadcast(ctx), Seq("cb"), "left")
+      .join(broadcast(bi), Seq("bb"), "left")
+      .select(col("doc_id"),
+        expr(s"((coalesce(c_bi, 0L) + 1L) * 1000000L) div (coalesce(c_ctx, 0L) + ${PplBiBuckets}L)")
+          .as("fp"),
+        when(coalesce(col("c_bi"), lit(0L)) === 0L, lit(1L)).otherwise(lit(0L)).as("oov"))
+    val per = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum("fp").as("lm_score"),
+      sum("oov").as("n_oov"))
+    docs.select("doc_id", "is_target").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_target"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"),
+        ratio(col("lm_score").cast(DoubleType), col("n_bigrams").cast(DoubleType))
+          .as("mean_fluency"),
+        ratio(col("n_oov").cast(DoubleType), col("n_bigrams").cast(DoubleType))
+          .as("oov_frac"))
+      .orderBy("doc_id")
+  }
+
+  private def textPerplexity(s: SparkSession, dir: String): DataFrame =
+    perplexityOf(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("is_target")))
+
+  private val textPerplexitySql = {
+    def h32s(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, text, lang = 'en' AS is_target FROM documents),
+       |toks AS (SELECT doc_id, is_target, string_split(text, ' ') AS ts FROM d),
+       |g AS (
+       |  SELECT doc_id, is_target,
+       |         ${h32s("ts[CAST(i AS INTEGER)]")} % $PplCtxBuckets AS cb,
+       |         ${h32s("ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1]")} % $PplBiBuckets AS bb
+       |  FROM (SELECT doc_id, is_target, ts,
+       |          unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+       |ctx AS (SELECT cb, count(*) AS c_ctx FROM g WHERE is_target GROUP BY 1),
+       |bi AS (SELECT bb, count(*) AS c_bi FROM g WHERE is_target GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ((COALESCE(c_bi, 0) + 1) * 1000000) // (COALESCE(c_ctx, 0) + $PplBiBuckets) AS fp,
+       |         CASE WHEN COALESCE(c_bi, 0) = 0 THEN 1 ELSE 0 END AS oov
+       |  FROM g LEFT JOIN ctx USING (cb) LEFT JOIN bi USING (bb)),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |         CAST(sum(fp) AS BIGINT) AS lm_score,
+       |         CAST(sum(oov) AS BIGINT) AS n_oov
+       |  FROM scored GROUP BY 1)
+       |SELECT d.doc_id, d.is_target,
+       |       COALESCE(n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(lm_score, 0) AS lm_score,
+       |       ${ratioSql("CAST(lm_score AS DOUBLE)", "CAST(n_bigrams AS DOUBLE)")} AS mean_fluency,
+       |       ${ratioSql("CAST(n_oov AS DOUBLE)", "CAST(n_bigrams AS DOUBLE)")} AS oov_frac
+       |FROM d LEFT JOIN per USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("text_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
@@ -732,6 +923,8 @@ object Curation {
     Op("text_contamination", textContamination, Some(textContaminationSql)),
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
     Op("corpus_dsir_weights", corpusDsirWeights, Some(corpusDsirWeightsSql)),
+    Op("text_perplexity", textPerplexity, Some(textPerplexitySql)),
+    Op("corpus_epoch_plan", corpusEpochPlan, Some(corpusEpochPlanSql)),
     Op("corpus_temperature_mix", corpusTemperatureMix, Some(corpusTemperatureMixSql)),
     Op("doc_chunking", docChunking, Some(docChunkingSql)),
     Op("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),

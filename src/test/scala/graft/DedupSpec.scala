@@ -470,4 +470,22 @@ class DedupSpec extends AnyFunSuite {
     // case class this screen exists for
     assert(8.0 / (28 + 8 - 8) < 0.5)
   }
+
+  test("graph-ANN beam search walks the kNN graph to true near neighbors") {
+    val gs = Registry.queries("ann_graph_search")(spark, sf).collect()
+    // per-query structure: at most beam-final top-3, contiguous ranks
+    for ((_, rows) <- gs.groupBy(_.getLong(0))) {
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(2)).sorted.sameElements(1 to rows.length))
+    }
+    // precision vs the exact top-5 (ann_bruteforce over the same
+    // queries): how many returned neighbors are genuine — the measure
+    // that catches a walk stuck near its entry point
+    val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = gs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val precision = found.count(brute.contains).toDouble / found.size
+    info(s"graph-search precision vs exact top-5: $precision (${found.size} pairs)")
+    assert(precision >= 0.8, s"beam search stuck near entry: $precision")
+  }
 }

@@ -168,6 +168,58 @@ class QueriesSpec extends AnyFunSuite {
     assert(w(4L).getAs[Long]("dsir_score") > 0)
   }
 
+  test("epoch plan upsamples small sources into whole repeat epochs, downsamples big ones") {
+    import spark.implicits._
+    // one dominant crawl + one small curated source, 10:1 in tokens:
+    // sqrt-temperature must hand the small source MORE than one epoch
+    // and the big one less than one
+    val big = (1L to 100L).map(i => (i, "w w w w w w w w w w", "crawl"))
+    val small = (101L to 110L).map(i => (i, "q q q q q q q q q q", "curated"))
+    val plan = graft.operators.Curation.epochPlanOf(
+      (big ++ small).toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val (c, k) = (plan("crawl"), plan("curated"))
+    assert(c.getAs[Long]("full_epochs") == 0 && c.getAs[Long]("frac_permil") < 1000,
+      s"big source must run a fractional epoch: $c")
+    assert(k.getAs[Long]("full_epochs") >= 2, s"small source must repeat: $k")
+    // realized copies are bounded by the plan on every source
+    for (r <- plan.values) {
+      val lo = r.getAs[Long]("full_epochs") * r.getAs[Long]("n_tokens")
+      val hi = (r.getAs[Long]("full_epochs") + 1) * r.getAs[Long]("n_tokens")
+      val got = r.getAs[Long]("planned_tokens")
+      assert(got >= lo && got <= hi, s"realized tokens outside epoch band: $r")
+    }
+    // the budget is conserved: Σ target_tokens ≤ Σ n_tokens (div floors)
+    assert(plan.values.map(_.getAs[Long]("target_tokens")).sum
+      <= plan.values.map(_.getAs[Long]("n_tokens")).sum)
+  }
+
+  test("perplexity model is order-sensitive: scrambled text craters, fluent text doesn't") {
+    import spark.implicits._
+    // the target corpus establishes the transition structure a b c d e
+    // (cyclic); doc 3 is raw text IN that structure, doc 4 the same
+    // vocabulary REVERSED — every one of its transitions is unseen, the
+    // signature of scrambled/machine-mangled text a perplexity filter
+    // exists to catch
+    val docs = Seq(
+      (1L, "a b c d e a b c d e a b c d e", true),
+      (2L, "c d e a b c d e a b c d e a b", true),
+      (3L, "a b c d e a b c d e", false),
+      (4L, "e d c b a e d c b a", false)
+    ).toDF("doc_id", "text", "is_target")
+    val p = graft.operators.Curation.perplexityOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(p(3L).getAs[Long]("n_bigrams") == 9)
+    assert(p(3L).getAs[Double]("oov_frac") == 0.0,
+      s"in-structure doc has no unseen transitions: ${p(3L)}")
+    assert(p(4L).getAs[Double]("oov_frac") >= 0.8,
+      s"reversed doc's transitions are unseen: ${p(4L)}")
+    assert(p(3L).getAs[Double]("mean_fluency") > 3 * p(4L).getAs[Double]("mean_fluency"),
+      s"fluency must separate: fluent=${p(3L)} scrambled=${p(4L)}")
+    // the smoothing floor keeps every score strictly positive
+    assert(p(4L).getAs[Long]("lm_score") > 0)
+  }
+
   test("q23 KMV estimate is exact below capacity and within bound above it") {
     // sf0.001: ~200 distinct per symbol < k=256 ⇒ the sketch is the
     // exact distinct-hash set
