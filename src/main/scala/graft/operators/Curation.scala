@@ -401,6 +401,50 @@ object Curation {
        |         THEN off - block_id * $PackBlock + 1 ELSE 0 END) AS BIGINT) AS boundary_checksum
        |FROM blocks GROUP BY 1 ORDER BY block_id""".stripMargin
 
+  // --- corpus_shard_manifest: training-export shard planning -----------
+  // The WebDataset / streaming-loader export step: the packed corpus is
+  // cut into fixed-token-budget shards and a MANIFEST (shard → doc
+  // range, token span, offsets) is committed alongside, so a resumable
+  // training loader can seek to any shard without scanning the lake.
+  // A doc belongs to the shard its FIRST token lands in — the same
+  // deterministic rule every worker can evaluate locally from the
+  // prefix sum, no coordination. Derived from token_pack's DISTRIBUTED
+  // prefix sum (packedDocsOf — the only single-partition window runs
+  // over #doc-shards rows of metadata, never over documents); the
+  // manifest aggregate is map-side combinable and its output is
+  // BOUNDED at total_tokens/ShardTokens rows. At 100 TB with 1e12
+  // tokens and 2^22-token shards that is ~250k manifest rows — driver-
+  // safe metadata, exactly the artifact a dataset release publishes.
+
+  private[graft] val ShardTokens = 512
+
+  private def corpusShardManifest(s: SparkSession, dir: String): DataFrame =
+    packedDocs(s, dir)
+      .withColumn("shard_id", expr(s"token_offset div $ShardTokens"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_docs"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        sum(col("n_tokens").cast(LongType)).as("n_tokens"),
+        min("token_offset").as("start_offset"),
+        max(col("token_offset") + col("n_tokens")).as("end_offset"))
+      .orderBy("shard_id")
+
+  private val corpusShardManifestSql =
+    s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+       |o AS (SELECT doc_id, n,
+       |        COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+       |      FROM d)
+       |SELECT CAST(off // $ShardTokens AS BIGINT) AS shard_id,
+       |       CAST(count(*) AS INTEGER) AS n_docs,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |       CAST(sum(n) AS BIGINT) AS n_tokens,
+       |       CAST(min(off) AS BIGINT) AS start_offset,
+       |       CAST(max(off + n) AS BIGINT) AS end_offset
+       |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   // --- text_pii_redact: pattern-driven redaction + audit counts --------
   // The privacy/compliance scrub a corpus pipeline runs before
   // training: a chain of codegen'd regexp_replace passes (email, phone,
@@ -929,6 +973,7 @@ object Curation {
     Op("doc_chunking", docChunking, Some(docChunkingSql)),
     Op("corpus_shuffle", corpusShuffle, Some(corpusShuffleSql)),
     Op("token_pack", tokenPack, Some(tokenPackSql)),
+    Op("corpus_shard_manifest", corpusShardManifest, Some(corpusShardManifestSql)),
     Op("pack_attention_mask", packAttentionMask, Some(packAttentionMaskSql)),
     Op("text_pii_redact", textPiiRedact, Some(textPiiRedactSql)),
     Op("text_rarity_score", textRarityScore, Some(textRarityScoreSql)),

@@ -1996,8 +1996,232 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- ann_recall_report: index quality audit --------------------------
+  // The QA loop every production ANN deployment runs before swapping an
+  // index into serving (and the batch twin of the streaming drift
+  // report): per-query recall@5 of each approximate serve path against
+  // the exact brute-force baseline. At 100 TB the baseline is computed
+  // for a SAMPLED query panel only (here: the same 10-query panel every
+  // ANN op serves) — the exact scan cost is per-panel-query, never
+  // per-corpus-vector, and the verdict table is bounded at
+  // #methods × #panel rows. Recall is pure integer arithmetic
+  // (hits·1000 div k) — bit-portable, no float ratio. Reuses each
+  // op's own serve path, so the report measures exactly what serving
+  // would return (memoized builds included), not a re-derivation.
+
+  private val RecallK = 5
+
+  private def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforce(s, dir).select("query_id", "neighbor_id")
+    val methods = Seq(
+      "graph" -> annGraphSearch(s, dir),
+      "ivf" -> annIvf(s, dir),
+      "lsh" -> annLsh(s, dir))
+    methods.map { case (name, approx) =>
+      exact
+        .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("hits"))
+        .select(lit(name).as("method"), col("query_id"), col("hits"))
+    }.reduce(_.union(_))
+      .withColumn("recall_permil", expr(s"(CAST(hits AS BIGINT) * 1000) div $RecallK"))
+      .orderBy("method", "query_id")
+  }
+
+  private def annRecallReportSql: String =
+    s"""WITH exact AS (SELECT query_id, neighbor_id FROM ($annBruteforceSql)),
+       |m_graph AS (SELECT query_id, neighbor_id FROM ($annGraphSearchSql)),
+       |m_ivf AS (SELECT query_id, neighbor_id FROM ($annIvfSql)),
+       |m_lsh AS (SELECT query_id, neighbor_id FROM ($annLshSql)),
+       |approx AS (
+       |  SELECT 'graph' AS method, * FROM m_graph
+       |  UNION ALL SELECT 'ivf' AS method, * FROM m_ivf
+       |  UNION ALL SELECT 'lsh' AS method, * FROM m_lsh),
+       |hits AS (
+       |  SELECT ms.method, e.query_id,
+       |         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS hits
+       |  FROM exact e
+       |  CROSS JOIN (SELECT unnest(['graph', 'ivf', 'lsh']) AS method) ms
+       |  LEFT JOIN approx a ON a.method = ms.method
+       |    AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1, 2)
+       |SELECT method, query_id, hits,
+       |       CAST((CAST(hits AS BIGINT) * 1000) // $RecallK AS BIGINT) AS recall_permil
+       |FROM hits ORDER BY method, query_id""".stripMargin
+
+  // --- retrieval_rrf: hybrid sparse+dense retrieval ---------------------
+  // The RAG serve shape: every query runs BOTH a sparse (BM25 over an
+  // inverted index) and a dense (embedding cosine) retrieval, and the
+  // two rankings fuse by Reciprocal Rank Fusion (Cormack et al. 2009)
+  // — rrf(d) = Σ_side 1/(K + rank_side(d)) — which needs no score
+  // calibration between the two spaces. Query panel = docs 0-4, whose
+  // embeddings are the dense queries (doc_id ≡ vec_id in this lake)
+  // and whose [[RrfTerms]] RAREST distinct tokens (global df ASC — the
+  // WAND-style query-term pruning every sparse engine applies) are the
+  // sparse queries. Scale shape: the sparse side is a POSTING-LIST
+  // join — query terms against the (word, doc, tf) inverted index, so
+  // cost is Σ_t df(t) over 8 deliberately-rare terms, never a corpus
+  // scan per query; the dense side reuses the two-phase exact top-k
+  // (broadcast panel, codegen'd fast dot, decimal rescore of ≤64
+  // survivors); fusion joins two bounded top-[[RrfPoolK]] pools.
+  // Portability (§4): per-(query,doc) BM25 term contributions are cast
+  // DECIMAL(38,12) per row and summed exactly — term-arrival order
+  // (which a distributed groupBy cannot fix) never perturbs the
+  // double; idf is text_bm25's log-free rational form; the RRF scores
+  // themselves are pure integer arithmetic — floor(10⁶/(K+rank)).
+
+  private val RrfPanel = 5     // query docs 0..4
+  private val RrfTerms = 8     // rarest distinct tokens per query
+  private val RrfPoolK = 20    // per-side candidate pool depth
+  private val RrfDamp = 60     // the published K = 60 dampening constant
+  private val RrfTopK = 10
+  private val RrfK1 = 1.2
+  private val RrfB = 0.75
+
+  private def retrievalRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+
+    // dense side: exact two-phase top-RrfPoolK for the panel embeddings
+    val v = withNorm2(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") < RrfPanel)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+    val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    val dense = exactTopK(s, pairs, RrfPoolK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+
+    // sparse side: posting-list join over the inverted index. Join
+    // directions are the 100 TB ones: the corpus-sized artifacts (the
+    // (word, doc, tf) postings, the vocabulary-sized df table, the
+    // per-doc dl column) NEVER shuffle — the bounded panel/candidate
+    // side broadcasts into each of them. `dl` is a narrow projection of
+    // the documents scan (no explode, no aggregate); `tf`/`dfreq` are
+    // the op's index build — at scale a maintained lake table like the
+    // near-dup band index, built once and served many times.
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dl = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast(DoubleType).as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .select("n_docs", "avgdl")
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy("query_id").orderBy(col("df"), col("word"))
+    val qtok = Tables.documents(s, dir).filter(col("doc_id") < RrfPanel)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+    val qterms = dfreq.join(broadcast(qtok), "word")
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= RrfTerms)
+      .select("query_id", "word", "df")
+    val idf = (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val contrib = idf * (col("tf") * lit(RrfK1 + 1.0)) /
+      (col("tf") + lit(RrfK1) * (lit(1.0 - RrfB) + lit(RrfB) * col("dl") / col("avgdl")))
+    val ws = Window.partitionBy("query_id").orderBy(col("bm25_raw").desc, col("doc_id"))
+    val candidates = tf.join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+    val sparse = dl.join(broadcast(candidates), "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contrib.cast(DecimalType(38, 12))).cast(DoubleType).as("bm25_raw"))
+      .withColumn(s"${mk}rs", row_number().over(ws).cast(IntegerType))
+      .filter(col(s"${mk}rs") <= RrfPoolK)
+      .select(col("query_id"), col("doc_id"), col(s"${mk}rs").as("rank_sparse"))
+
+    // reciprocal-rank fusion over the two bounded pools
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf_score").desc, col("doc_id"))
+    dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", expr(
+        s"coalesce(1000000L div (${RrfDamp}L + rank_dense), 0L) + " +
+          s"coalesce(1000000L div (${RrfDamp}L + rank_sparse), 0L)"))
+      .withColumn("rrf_rank", row_number().over(wf).cast(IntegerType))
+      .filter(col("rrf_rank") <= RrfTopK)
+      .select(col("query_id"), col("doc_id"), col("rank_dense"),
+        col("rank_sparse"), col("rrf_score"), col("rrf_rank"))
+      .orderBy("query_id", "rrf_rank")
+  }
+
+  private def retrievalRrfSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+       |dscored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+       |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cos_raw
+       |  FROM v q JOIN v ON q.vec_id < $RrfPanel AND v.vec_id <> q.vec_id),
+       |dense AS (
+       |  SELECT query_id, doc_id, rank_dense FROM (
+       |    SELECT query_id, doc_id,
+       |           CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_raw DESC, doc_id) AS INTEGER) AS rank_dense
+       |    FROM dscored)
+       |  WHERE rank_dense <= $RrfPoolK),
+       |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dl),
+       |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |qtok AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(string_split(text, ' '))) AS word
+       |  FROM documents WHERE doc_id < $RrfPanel),
+       |qterms AS (
+       |  SELECT query_id, word, df FROM (
+       |    SELECT q.query_id, q.word, f.df,
+       |           row_number() OVER (PARTITION BY q.query_id
+       |             ORDER BY f.df, q.word) AS rn
+       |    FROM qtok q JOIN dfreq f USING (word))
+       |  WHERE rn <= $RrfTerms),
+       |contrib AS (
+       |  SELECT t.query_id, p.doc_id,
+       |         CAST(((CAST(n_docs AS DOUBLE) - t.df + 0.5) / (t.df + 0.5)) *
+       |              (p.tf * CAST(${RrfK1 + 1.0} AS DOUBLE)) /
+       |              (p.tf + CAST($RrfK1 AS DOUBLE) *
+       |                ((1.0 - $RrfB) + $RrfB * d.dl / s.avgdl))
+       |           AS DECIMAL(38,12)) AS c
+       |  FROM qterms t JOIN tf p USING (word)
+       |       JOIN dl d ON d.doc_id = p.doc_id, stats s
+       |  WHERE p.doc_id <> t.query_id),
+       |sscored AS (
+       |  SELECT query_id, doc_id, CAST(SUM(c) AS DOUBLE) AS bm25_raw
+       |  FROM contrib GROUP BY 1, 2),
+       |sparse AS (
+       |  SELECT query_id, doc_id, rank_sparse FROM (
+       |    SELECT query_id, doc_id,
+       |           CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY bm25_raw DESC, doc_id) AS INTEGER) AS rank_sparse
+       |    FROM sscored)
+       |  WHERE rank_sparse <= $RrfPoolK),
+       |fused AS (
+       |  SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+       |         COALESCE(d.doc_id, s.doc_id) AS doc_id,
+       |         d.rank_dense, s.rank_sparse,
+       |         CAST(COALESCE(1000000 // ($RrfDamp + d.rank_dense), 0) +
+       |              COALESCE(1000000 // ($RrfDamp + s.rank_sparse), 0) AS BIGINT) AS rrf_score
+       |  FROM dense d FULL JOIN sparse s
+       |    ON d.query_id = s.query_id AND d.doc_id = s.doc_id),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rrf_rank
+       |  FROM fused)
+       |SELECT query_id, doc_id, rank_dense, rank_sparse, rrf_score, rrf_rank
+       |FROM ranked WHERE rrf_rank <= $RrfTopK
+       |ORDER BY query_id, rrf_rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
+    Op("ann_recall_report", annRecallReport, Some(annRecallReportSql)),
+    Op("retrieval_rrf", retrievalRrf, Some(retrievalRrfSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
     Op("ann_knn_multiprobe", annKnnMultiprobe, Some(annKnnMultiprobeSql)),

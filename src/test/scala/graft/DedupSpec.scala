@@ -91,6 +91,49 @@ class DedupSpec extends AnyFunSuite {
     assert(copies == docs)
   }
 
+  test("recall report matches independently recomputed intersections") {
+    val exact = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val methods = Map(
+      "graph" -> "ann_graph_search", "ivf" -> "ann_ivf_topk", "lsh" -> "ann_lsh_topk")
+    val report = Registry.queries("ann_recall_report")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+    // one verdict row per (method, panel query), even at zero recall
+    assert(report.size == methods.size * 10)
+    methods.foreach { case (m, op) =>
+      val approx = Registry.queries(op)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0L until 10L).foreach { q =>
+        val want = exact.filter(_._1 == q).count(approx.contains)
+        val (hits, permil) = report((m, q))
+        assert(hits == want, s"$m q$q hits $hits != recomputed $want")
+        assert(permil == hits * 1000L / 5)
+      }
+    }
+  }
+
+  test("RRF fusion scores derive from ranks and surface dual-pool docs") {
+    val rows = Registry.queries("retrieval_rrf")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 10))
+    // every fused score is exactly Σ_side floor(1e6/(60+rank)), 0 when
+    // the side missed the doc — the pure-integer RRF recurrence
+    def side(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) 0L else 1000000L / (60L + r.getInt(i))
+    rows.foreach { r =>
+      assert(r.getLong(4) == side(r, 2) + side(r, 3), s"score mismatch: $r")
+    }
+    // the hybrid's reason to exist: docs BOTH retrievers surface exist
+    // and fuse ahead of same-rank single-pool docs
+    val dual = rows.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+    assert(dual.nonEmpty, "no dual-pool doc on the spec corpus")
+    // fused order is the (rrf_score DESC, doc_id) contract
+    byQ.values.foreach { qs =>
+      val sorted = qs.sortBy(r => (-r.getLong(4), r.getLong(1)))
+      assert(sorted.map(_.getInt(5)).toSeq == (1 to qs.length))
+    }
+  }
+
   test("IVF ANN recalls a solid share of exact top-5 neighbors") {
     val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

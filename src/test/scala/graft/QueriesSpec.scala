@@ -220,6 +220,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(p(4L).getAs[Long]("lm_score") > 0)
   }
 
+  test("shard manifest conserves the corpus and tiles it contiguously") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val totTokens = docs.select(sum(size(split(col("text"), " "))).cast("long"))
+      .collect()(0).getLong(0)
+    val m = Registry.queries("corpus_shard_manifest")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    // conservation: every doc and every token lands in exactly one shard
+    assert(m.map(_.getInt(1).toLong).sum == nDocs)
+    assert(m.map(_.getLong(4)).sum == totTokens)
+    val st = graft.operators.Curation.ShardTokens
+    m.foreach { r =>
+      // a shard's first token offset lies inside its own token window
+      val (sid, so) = (r.getLong(0), r.getLong(5))
+      assert(so >= sid * st && so < (sid + 1) * st, s"shard $sid offset $so")
+    }
+    // doc ranges tile: assignment is monotone in doc_id, so consecutive
+    // shards meet exactly at a doc boundary (resumable-loader contract)
+    m.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.getLong(3) + 1 == b.getLong(2),
+          s"gap between shards ${a.getLong(0)} and ${b.getLong(0)}")
+        assert(a.getLong(6) == b.getLong(5), "offset spans must abut")
+      case _ =>
+    }
+  }
+
   test("q23 KMV estimate is exact below capacity and within bound above it") {
     // sf0.001: ~200 distinct per symbol < k=256 ⇒ the sketch is the
     // exact distinct-hash set
