@@ -897,6 +897,50 @@ object Curation {
         pmod(h32(concat_ws(" ", col("word"), col("w1"))), lit(PplBiBuckets)).as("bb"))
   }
 
+  /** The Laplace fixed-point conditional and the OOV indicator — ONE
+    * definition shared by the batch op and the streaming gate's scorer,
+    * so the two can never drift. */
+  private def pplFp: Column =
+    expr(s"((coalesce(c_bi, 0L) + 1L) * 1000000L) div (coalesce(c_ctx, 0L) + ${PplBiBuckets}L)")
+  private def pplOov: Column =
+    when(coalesce(col("c_bi"), lit(0L)) === 0L, lit(1L)).otherwise(lit(0L))
+
+  /** Bigram-LM model tables trained on a reference corpus: the bounded
+    * (≤[[PplCtxBuckets]] ctx / ≤[[PplBiBuckets]] bigram cells) broadcast
+    * artifacts the streaming gate serves from. Materialized once
+    * (localCheckpoint) — the build/serve split: one training pass, then
+    * every micro-batch scores against the fixed tables. */
+  private[graft] def pplModel(refDocs: DataFrame): (DataFrame, DataFrame) = {
+    val g = pplBigrams(refDocs
+      .select(col("doc_id"), col("text"), lit(true).as("is_target")))
+    (g.groupBy("cb").agg(count(lit(1)).as("c_ctx")).localCheckpoint(),
+      g.groupBy("bb").agg(count(lit(1)).as("c_bi")).localCheckpoint())
+  }
+
+  /** Score any (doc_id, text) frame against a FIXED model — the same
+    * fixed-point recurrence as [[perplexityOf]] (shared [[pplFp]]/
+    * [[pplOov]] expressions), used by the streaming admission gate. */
+  private[graft] def pplScore(docs: DataFrame, ctx: DataFrame, bi: DataFrame): DataFrame = {
+    val g = pplBigrams(docs
+      .select(col("doc_id"), col("text"), lit(false).as("is_target")))
+    val scored = g
+      .join(broadcast(ctx), Seq("cb"), "left")
+      .join(broadcast(bi), Seq("bb"), "left")
+      .select(col("doc_id"), pplFp.as("fp"), pplOov.as("oov"))
+    val per = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      sum("fp").as("lm_score"),
+      sum("oov").as("n_oov"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lm_score"), lit(0L)).as("lm_score"),
+        ratio(col("lm_score").cast(DoubleType), col("n_bigrams").cast(DoubleType))
+          .as("mean_fluency"),
+        ratio(col("n_oov").cast(DoubleType), col("n_bigrams").cast(DoubleType))
+          .as("oov_frac"))
+  }
+
   /** The perplexity core over any (doc_id, text, is_target) frame — the
     * registry op targets lang='en'; specs build synthetic corpora. */
   private[graft] def perplexityOf(docs: DataFrame): DataFrame = {
@@ -906,10 +950,7 @@ object Curation {
     val scored = g
       .join(broadcast(ctx), Seq("cb"), "left")
       .join(broadcast(bi), Seq("bb"), "left")
-      .select(col("doc_id"),
-        expr(s"((coalesce(c_bi, 0L) + 1L) * 1000000L) div (coalesce(c_ctx, 0L) + ${PplBiBuckets}L)")
-          .as("fp"),
-        when(coalesce(col("c_bi"), lit(0L)) === 0L, lit(1L)).otherwise(lit(0L)).as("oov"))
+      .select(col("doc_id"), pplFp.as("fp"), pplOov.as("oov"))
     val per = scored.groupBy("doc_id").agg(
       count(lit(1)).as("n_bigrams"),
       sum("fp").as("lm_score"),

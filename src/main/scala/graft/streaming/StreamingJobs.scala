@@ -170,6 +170,54 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming perplexity admission gate (text_perplexity's twin — the
+    * FIFTH admission control next to the quality gate, redaction, the
+    * near-dup gate and the decontamination gate): the bigram LM is
+    * trained ONCE on the reference corpus
+    * ([[graft.operators.Curation.pplModel]] — bounded model tables,
+    * localCheckpointed; the same build/serve split the rarity table and
+    * contamination index follow) and each micro-batch scores its docs
+    * against the FIXED model (one bigram pass + two broadcast joins +
+    * a map-side-combinable per-doc aggregate). Docs below the fluency
+    * floor or above the OOV ceiling land in quarantine with their
+    * scores; the rest append to the training lake. Stream-static and
+    * stateless across batches — a doc's verdict depends only on the
+    * fixed model, so the union of per-batch verdicts equals the batch
+    * op over the whole feed (StreamingSpec pins cell equality). A doc
+    * too short to form a bigram carries no fluency evidence and routes
+    * clean (the decontamination gate's no-evidence convention). Same
+    * at-least-once parquet-append caveat as every foreachBatch file
+    * sink; content is deterministic, replay converges. */
+  def perplexityGateStream(docs: DataFrame, refDocs: DataFrame,
+      cleanPath: String, quarantinePath: String, checkpointDir: String,
+      minFluency: Double = 1000.0, maxOov: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (ctx, bi) = graft.operators.Curation.pplModel(refDocs)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          val verdict = graft.operators.Curation.pplScore(
+            b.select("doc_id", "text"), ctx, bi)
+          // n_bigrams = 0 ⇒ fluency is null ⇒ the AND below is false ⇒
+          // clean: no evidence is not low quality
+          val judged = b.join(verdict, Seq("doc_id"), "left")
+            .withColumn("flag_lowquality",
+              col("n_bigrams") > 0L &&
+                (col("mean_fluency") < minFluency || col("oov_frac") > maxOov))
+            .persist()
+          try {
+            judged.filter(!col("flag_lowquality"))
+              .write.mode("append").parquet(cleanPath)
+            judged.filter(col("flag_lowquality"))
+              .write.mode("append").parquet(quarantinePath)
+          } finally { judged.unpersist(); b.unpersist(); () }
+        }
+      }
+      .start()
+  }
+
   /** Windowed streaming distinct-count monitor (q23's twin): the KMV
     * `TypedImperativeAggregate` (graft.plans.KmvSketch) as a plain
     * aggregate inside a watermarked window groupBy — per-(window,

@@ -795,6 +795,66 @@ class StreamingSpec extends AnyFunSuite {
     assert((cleanRows ++ quarRows).map(_._1) == feed.map(_._1).toSet + 9000000L)
   }
 
+  test("streaming perplexity gate quarantines gibberish, admits the fluent feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/pplgate"
+    val clean = s"$root/clean"; val quar = s"$root/quar"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docs = Tables.documents(spark, sf)
+    val ref = docs.filter(col("lang") === "en").select("doc_id", "text")
+    val feed = docs.select("doc_id", "text").as[(Long, String)].collect()
+    // poison doc: pure gibberish — every transition unseen (oov 1.0,
+    // fluency at the smoothing floor). Order-sensitivity of the SHARED
+    // scoring core (pplFp/pplOov) is pinned by QueriesSpec on a
+    // structured corpus; this corpus is a word-bag, so reversal is
+    // in-distribution by construction and can't be a poison here.
+    // One bigram-less doc exercises the no-evidence route.
+    val gib = (9100000L, "zq wv xk jq vx qz kx jw vq zx")
+    val short = (9200000L, "lone")
+    // self-calibrating floor: half the least-fluent real doc, so the
+    // assertion tracks the model rather than a magic constant
+    val batch = Registry.queries("text_perplexity")(spark, sf)
+      .select("doc_id", "n_bigrams", "lm_score", "mean_fluency", "oov_frac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    val floor = batch.filter(_._2 > 0).map(_._4).min * 0.5
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.perplexityGateStream(
+      source.toDF().toDF("doc_id", "text"), ref, clean, quar, ckpt,
+      minFluency = floor, maxOov = 0.5)
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      source.addData(b1.toSeq: _*); q.processAllAvailable()
+      source.addData((b2.toSeq :+ gib :+ short): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    def sunk(p: String) = spark.read.parquet(p)
+      .select("doc_id", "n_bigrams", "lm_score", "mean_fluency", "oov_frac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    val cleanRows = sunk(clean); val quarRows = sunk(quar)
+    // exactly the poison doc quarantines; the whole real feed admits
+    assert(quarRows.map(_._1).toSet == Set(gib._1),
+      s"quarantine: ${quarRows.map(_._1).toSet}")
+    assert(cleanRows.map(_._1).toSet ==
+      feed.map(_._1).toSet + short._1)
+    // the bigram-less doc routed clean with zero evidence
+    val shortRow = cleanRows.find(_._1 == short._1).get
+    assert(shortRow._2 == 0L && shortRow._3 == 0L &&
+      shortRow._4.isNaN && shortRow._5.isNaN)
+    // and the streamed verdicts equal the batch op cell-for-cell on
+    // the real feed (union across micro-batches == one batch pass)
+    val streamed = cleanRows.filter(_._1 < 9000000L)
+      .map(t => (t._1, t._2, t._3, t._4, t._5)).toSet
+    assert(streamed == batch.toSet,
+      s"stream != batch: ${(streamed -- batch.toSet).take(3)} vs ${(batch.toSet -- streamed).take(3)}")
+  }
+
   test("streaming quality gate scores micro-batches like the batch op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
