@@ -551,25 +551,52 @@ object StreamingJobs {
     * appended partitions are judged `< batchId` and -1 is below every
     * batch id, so search and replay semantics are unchanged either
     * way). Returns the number of appended partitions folded. */
-  def ivfCompactPostings(spark: SparkSession, indexPath: String): Int = {
-    val postings = new org.apache.hadoop.fs.Path(s"$indexPath/postings")
-    val fs = postings.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val appended = fs.listStatus(postings).filter { d =>
+  def ivfCompactPostings(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, s"$indexPath/postings", Seq("list_id"))
+
+  /** Near-dup band-index compaction — the same maintenance leg for the
+    * OTHER maintained index lake: the self-admitting gate leaves one
+    * `ingest_batch=N` partition per micro-batch, so the banded
+    * admission join's file count grows with stream age. Folds every
+    * appended partition into the bootstrap partition (-1), clustering
+    * rows by `(band_idx, band_hash)` — the gate's join key — so a
+    * bucket's rows land contiguously. Same staged-rename swap and
+    * stream-generation protocol as [[ivfCompactPostings]]; gate
+    * verdicts are unchanged because the gate judges `ingest_batch <
+    * batchId` and -1 is below every batch id. Returns the number of
+    * appended partitions folded. */
+  def nearDupIndexCompact(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, indexPath, Seq("band_idx", "band_hash"))
+
+  /** Fold every appended `ingest_batch=N` partition of a maintained
+    * index table into the bootstrap partition (-1), clustering rows by
+    * `clusterCols` so serve-side join keys land contiguously in files.
+    * Staged write + require-checked rename swap (CdcMerge's
+    * loud-failure convention): the combined table is fully written to
+    * a sibling dir before the two renames, so a crash leaves either
+    * the old table intact, a loudly-missing dir (the narrow window
+    * between renames — never silently halved), or the new table; it
+    * never double-counts. */
+  private def compactIngestPartitions(spark: SparkSession,
+      tableDir: String, clusterCols: Seq[String]): Int = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appended = fs.listStatus(table).filter { d =>
       val n = d.getPath.getName
       d.isDirectory && n.startsWith("ingest_batch=") && n != "ingest_batch=-1"
     }
     if (appended.isEmpty) return 0
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexPath/postings_compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$indexPath/postings_old")
+    val tmp = new org.apache.hadoop.fs.Path(s"$tableDir" + "_compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$tableDir" + "_old")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(postings.toString)
+    spark.read.parquet(table.toString)
       .drop("ingest_batch").withColumn("ingest_batch", lit(-1L))
-      .repartition(col("list_id"))
+      .repartition(clusterCols.map(col): _*)
       .write.partitionBy("ingest_batch").mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(postings, old),
-      s"ivfCompactPostings: rename $postings -> $old failed; index unchanged")
-    require(fs.rename(tmp, postings),
-      s"ivfCompactPostings: rename $tmp -> $postings failed; " +
+    require(fs.rename(table, old),
+      s"compactIngestPartitions: rename $table -> $old failed; index unchanged")
+    require(fs.rename(tmp, table),
+      s"compactIngestPartitions: rename $tmp -> $table failed; " +
       s"old index preserved at $old — restore it by renaming back")
     fs.delete(old, true)
     appended.length

@@ -666,6 +666,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(idxBatches == Set(-1L, 0L), s"index partitions: $idxBatches")
   }
 
+  test("near-dup index maintenance: compaction preserves gate verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/neardupmaint"
+    val idx = s"$root/index"; val novel = s"$root/novel"
+    val quar = s"$root/quar"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docs = Tables.documents(spark, sf)
+    // bootstrap on half the corpus; stream the other half in two
+    // admitting batches so two appended partitions exist to fold
+    StreamingJobs.nearDupIndexInit(spark, sf, col("doc_id") % 2 === 0, idx)
+    val slice = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val (b1, b2) = slice.splitAt(slice.length / 2)
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.nearDupGateStream(
+      source.toDF().toDF("doc_id", "text"), idx, novel, quar, ckpt)
+    try {
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    def indexRows = spark.read.parquet(idx)
+      .select("doc_id", "band_idx", "band_hash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // probe: an exact corpus copy (must collide) and a novel doc
+    val corpusDoc = docs.orderBy("doc_id").select("doc_id", "text").head()
+    val probe = Seq(
+      (5000000L + corpusDoc.getLong(0), corpusDoc.getString(1)),
+      (6000000L, "zxqv wkjh pqrt mnbv asdf ghjk")).toDF("doc_id", "text")
+    def verdict = graft.operators.Dedup
+      .nearDupVerdict(probe, spark.read.parquet(idx))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val rowsBefore = indexRows; val verdictBefore = verdict
+    val nAppended = spark.read.parquet(idx)
+      .filter(col("ingest_batch").cast("long") =!= -1L).count()
+    assert(nAppended > 0, "stream admitted nothing — test setup broken")
+
+    // fold: partition set collapses, every band row survives, the gate
+    // verdict is unchanged, and a second run is a no-op
+    val folded = StreamingJobs.nearDupIndexCompact(spark, idx)
+    assert(folded == 2, s"expected 2 appended partitions folded, got $folded")
+    val batches = spark.read.parquet(idx)
+      .select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L), s"post-compaction partitions: $batches")
+    assert(indexRows == rowsBefore, "band rows changed across compaction")
+    assert(verdict == verdictBefore, "gate verdict changed across compaction")
+    assert(StreamingJobs.nearDupIndexCompact(spark, idx) == 0)
+  }
+
   test("streaming token packing equals batch token_pack over the ordered feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
