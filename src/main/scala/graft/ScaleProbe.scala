@@ -111,7 +111,9 @@ object ScaleProbe {
       "q24_twap",
       "etl_normalize_klines", "etl_normalize_aggtrades",
       "etl_skipping_scan", "dedup_gate", "dedup_containment", "mm_resize",
-      "corpus_split_leakfree", "corpus_dsir_weights")
+      "corpus_split_leakfree", "corpus_dsir_weights",
+      "text_perplexity", "corpus_epoch_plan", "ann_graph_search",
+      "retrieval_rrf", "ann_recall_report", "corpus_shard_manifest")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)
@@ -138,7 +140,7 @@ object ScaleProbe {
     // signature table that _est, _gate and the index bootstrap serve
     Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_opq_topk",
       "etl_skipping_scan", "dedup_clusters", "dedup_keep_best",
-      "dedup_minhash")
+      "dedup_minhash", "ann_graph_search")
       .filter(wanted).foreach(n => time(dst, n))
     println(f"${"query"}%-22s ${"sf0.1"}%8s ${s"x$Factor"}%8s ${"ratio"}%6s")
     names.filter(wanted).foreach { n =>
