@@ -347,6 +347,18 @@ object Similarity {
   // DuckDB oracle replays probe selection bit-for-bit.
 
   private def annKnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    // register BEFORE building withNorm2 — DataFrame construction
+    // analyzes eagerly, so vec_dot_exact must already resolve
+    graft.plans.VecDotProduct.register(s)
+    knnMultiprobeOver(s, withNorm2(Tables.embeddings(s, dir)))
+  }
+
+  /** The multiprobe kNN graph over any withNorm2'd (vec_id, embedding,
+    * n2) frame — the reusable build core: the registry op runs it on
+    * the lake table, the streaming graph-index bootstrap
+    * ([[graft.streaming.StreamingJobs.graphIndexInit]]) on a corpus
+    * subset. */
+  private[graft] def knnMultiprobeOver(s: SparkSession, vn: DataFrame): DataFrame = {
     import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
     graft.plans.VecDotProduct.register(s)
     // Two-phase plane dots (the multiprobe needs VALUES, not just
@@ -370,7 +382,7 @@ object Similarity {
         vec_dot_exact(col("embedding"), typedLit(pl.toSeq)))
         .otherwise(col(s"f$i")).as(s"d$i")
     }
-    val v0 = withNorm2(Tables.embeddings(s, dir))
+    val v0 = vn
       .select(col("*") +: fasts: _*)
       .select((col("vec_id") +: col("embedding") +: col("n2") +: dots): _*)
     val bucket = planes.indices.map(i =>
@@ -841,28 +853,43 @@ object Similarity {
 
   def knnEdges(s: SparkSession, dir: String): DataFrame =
     knnEdgeCache.computeIfAbsent((s.sparkContext.applicationId, dir), { _ =>
-      val g = annKnnMultiprobe(s, dir)
-        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-      g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().localCheckpoint()
+      graft.plans.VecDotProduct.register(s)
+      knnEdgesOver(s, withNorm2(Tables.embeddings(s, dir))).localCheckpoint()
     })
 
-  private def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized multiprobe kNN edges over any withNorm2'd frame — the
+    * graph index's adjacency build core, shared by the memoized
+    * session cache above and the streaming index bootstrap
+    * ([[graft.streaming.StreamingJobs.graphIndexInit]]). */
+  private[graft] def knnEdgesOver(s: SparkSession, vn: DataFrame): DataFrame = {
+    val g = knnMultiprobeOver(s, vn)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Attach the LSH home bucket (the walk's coarse-routing layer). */
+  private[graft] def withBucket(vn: DataFrame): DataFrame =
+    vn.withColumn("bucket", bucketCol(col("embedding")))
+
+  /** The beam-search walk over a prebuilt neighbor graph — the graph
+    * index's SERVE core, shared by the registry op and the maintained
+    * index lake ([[graft.streaming.StreamingJobs.graphIndexSearch]],
+    * whose APPEND path is also this walk — HNSW's insert-by-search).
+    * `corpus` carries (vec_id, embedding, n2); `edges` (src, dst);
+    * `entry` (query_id, node) the per-query walk start; `q`
+    * (query_id, q_emb, qn2). [[SearchHops]] rounds of
+    * expand-score-prune with beam width [[SearchBeam]]; every round is
+    * one bounded join (beam × degree edges) + one exact-decimal
+    * scoring pass + one per-query top-B window — all deterministic
+    * (decimal cosines, vec_id tiebreaks). The frontier never exceeds
+    * |Q|·beam·(1 + degree) rows, queries broadcast, and the only
+    * corpus-sized access is the per-hop id-equijoin fetching candidate
+    * vectors. */
+  private[graft] def graphWalk(s: SparkSession, corpus: DataFrame,
+      edges: DataFrame, entry: DataFrame, q: DataFrame, k: Int): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     import graft.plans.VecDotProduct.vec_dot_exact
-    val v = withNorm2(Tables.embeddings(s, dir))
-      .withColumn("bucket", bucketCol(col("embedding")))
-    val q = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("n2").as("qn2"), col("bucket").as("q_bucket"))
-    val edges = knnEdges(s, dir)
-    val corpus = v.select(col("vec_id"), col("embedding"), col("n2"))
-    // entry point: the home bucket's lowest corpus id (never the query
-    // itself — a member query must WALK to its neighbors, not read its
-    // own adjacency row)
-    val entry = v.join(broadcast(q),
-        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
-      .groupBy("query_id").agg(min("vec_id").as("node"))
     def scoreNodes(nodes: DataFrame): DataFrame =
       nodes.join(corpus, col("node") === col("vec_id"))
         .join(broadcast(q.select("query_id", "q_emb", "qn2")), "query_id")
@@ -892,10 +919,26 @@ object Similarity {
       if (h % 2 == 0 && h < SearchHops) beam = beam.localCheckpoint()
     }
     beam.withColumn("rank", row_number().over(bw))
-      .filter(col("rank") <= KnnK)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("node").as("neighbor_id"), col("rank"),
         round6(col("cos_raw")).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  private def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val v = withBucket(withNorm2(Tables.embeddings(s, dir)))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("bucket").as("q_bucket"))
+    // entry point: the home bucket's lowest corpus id (never the query
+    // itself — a member query must WALK to its neighbors, not read its
+    // own adjacency row)
+    val entry = v.join(broadcast(q),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id").agg(min("vec_id").as("node"))
+    graphWalk(s, v.select("vec_id", "embedding", "n2"), knnEdges(s, dir),
+      entry, q.select("query_id", "q_emb", "qn2"), KnnK)
   }
 
   private val annGraphSearchSql: String = {

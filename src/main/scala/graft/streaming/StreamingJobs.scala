@@ -646,6 +646,127 @@ object StreamingJobs {
       .orderBy("list_id")
   }
 
+  /** Bootstrap the streaming GRAPH index lake — the second maintained
+    * index family next to IVF (the HNSW/NSG build/serve/maintain
+    * split): `nodes` = (vec_id, embedding, n2, bucket) over the base
+    * corpus, `edges` = the symmetrized multiprobe kNN graph over it
+    * ([[graft.operators.Similarity.knnEdgesOver]] — the same build
+    * core the batch op memoizes), both parquet tables partitioned by
+    * `ingest_batch` (bootstrap -1) so the append stream maintains them
+    * replay-exactly like the IVF posting lake. */
+  def graphIndexInit(spark: SparkSession, lakeDir: String,
+      corpusPred: Column, indexPath: String): Unit = {
+    graft.plans.VecDotProduct.register(spark)
+    val vn = graft.operators.Similarity
+      .withNorm2(graft.Tables.embeddings(spark, lakeDir)).filter(corpusPred)
+      .select("vec_id", "embedding", "n2").localCheckpoint()
+    graft.operators.Similarity.withBucket(vn)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .parquet(s"$indexPath/nodes")
+    graft.operators.Similarity.knnEdgesOver(spark, vn)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .parquet(s"$indexPath/edges")
+  }
+
+  /** Entry-point + walk over the maintained graph tables: entry = the
+    * query's home-bucket's lowest node id, falling back to the GLOBAL
+    * lowest node id when the home bucket holds no indexed member — an
+    * external query (or an insert landing in an empty bucket) must
+    * never be left without a walk start. The registry op keeps its
+    * no-fallback entry: its queries are corpus members, whose home
+    * bucket is never empty. */
+  private def graphSearchNodes(s: SparkSession, nodes: DataFrame,
+      edges: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val bucketEntry = nodes
+      .join(broadcast(q.select("query_id", "q_bucket")),
+        col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
+      .groupBy("query_id").agg(min("vec_id").as("bnode"))
+    val globalMin = nodes.agg(min("vec_id").as("gnode"))
+    val entry = q.select("query_id")
+      .join(bucketEntry, Seq("query_id"), "left")
+      .crossJoin(broadcast(globalMin))
+      .select(col("query_id"), coalesce(col("bnode"), col("gnode")).as("node"))
+    graft.operators.Similarity.graphWalk(s,
+      nodes.select("vec_id", "embedding", "n2"), edges, entry,
+      q.select("query_id", "q_emb", "qn2"), k)
+  }
+
+  /** Streaming graph-index maintenance — HNSW's insert-by-search as a
+    * micro-batch job: each incoming vector SEARCHES the current graph
+    * (the same beam walk serving runs — the insert path and the serve
+    * path are one algorithm) for its `degree` nearest indexed
+    * neighbors and links to them SYMMETRICALLY, so new vectors are
+    * immediately reachable from the old graph and vice versa. Within
+    * one micro-batch, inserts are judged against the PRIOR graph (the
+    * near-dup gate's atomic-arrival-slice convention); node and edge
+    * rows land in the tables' own `ingest_batch=<N>` partitions via
+    * dynamic partition overwrite ⇒ a replayed batch rewrites its own
+    * rows, never duplicates. Periodic full re-build (graph quality
+    * drift as the corpus doubles) stays a maintenance job on the batch
+    * path — the same split as IVF re-training; both tables compact
+    * with [[compactIngestPartitions]] semantics via
+    * [[graphIndexCompact]]. */
+  def graphAppendStream(vecs: DataFrame, indexPath: String,
+      checkpointDir: String, degree: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.plans.VecDotProduct.register(s)
+          // localCheckpoint: the lineage must not reference the parquet
+          // dirs this batch overwrites (the near-dup gate's rule)
+          val nodes = s.read.parquet(s"$indexPath/nodes")
+            .drop("ingest_batch").localCheckpoint()
+          val edges = s.read.parquet(s"$indexPath/edges")
+            .drop("ingest_batch").localCheckpoint()
+          val vn = graft.operators.Similarity.withBucket(
+            graft.operators.Similarity.withNorm2(
+              batch.select("vec_id", "embedding"))).localCheckpoint()
+          val nn = graphSearchNodes(s, nodes, edges,
+            vn.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              col("n2").as("qn2"), col("bucket").as("q_bucket")), degree)
+          val e = nn.select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+          e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct()
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$indexPath/edges")
+          vn.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$indexPath/nodes")
+          ()
+        }
+      }
+      .start()
+
+  /** Serve over the maintained graph index: the same beam walk as the
+    * batch op, over bootstrap + every appended batch's nodes and
+    * edges. `queries` carries (query_id, embedding). */
+  def graphIndexSearch(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = 3): DataFrame = {
+    graft.plans.VecDotProduct.register(spark)
+    val nodes = spark.read.parquet(s"$indexPath/nodes").drop("ingest_batch")
+    val edges = spark.read.parquet(s"$indexPath/edges").drop("ingest_batch")
+    val qn = graft.operators.Similarity.withBucket(
+      graft.operators.Similarity.withNorm2(
+        queries.select(col("query_id"), col("embedding"))))
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("bucket").as("q_bucket"))
+    graphSearchNodes(spark, nodes, edges, qn, k)
+  }
+
+  /** Fold both maintained graph tables' appended partitions into their
+    * bootstrap partitions — nodes clustered by `bucket` (the entry
+    * lookup key), edges by `src` (the walk's expansion key). Returns
+    * the number of appended partitions folded across both tables. */
+  def graphIndexCompact(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, s"$indexPath/nodes", Seq("bucket")) +
+      compactIngestPartitions(spark, s"$indexPath/edges", Seq("src"))
+
   /** Streaming incremental view maintenance: each micro-batch is
     * appended to the snapshot-enabled lake (one new partition-dir
     * write + snapshot commit) and the materialized rollup is folded

@@ -718,6 +718,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingJobs.nearDupIndexCompact(spark, idx) == 0)
   }
 
+  test("graph index maintenance: insert-by-search keeps appends reachable") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/graphmaint"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.graphIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.graphAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // exactly-once maintenance: every corpus vector is a node exactly
+    // once, batches landed in their own partitions
+    val nodes = spark.read.parquet(s"$idx/nodes")
+    assert(nodes.count() == Tables.embeddings(spark, sf).count())
+    assert(nodes.select("vec_id").distinct().count() == nodes.count())
+    val nodeBatches = nodes.select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(nodeBatches == Set(-1L, 0L, 1L), s"node partitions: $nodeBatches")
+    // the edge set stays closed under reversal (HNSW's symmetric
+    // insert), and every appended vector is linked
+    val edges = spark.read.parquet(s"$idx/edges")
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.map(_.swap) == edges, "edge set not symmetric")
+    val linked = edges.map(_._1)
+    incoming.foreach { case (id, _) =>
+      assert(linked.contains(id), s"appended vector $id has no edges") }
+
+    // reachability: searching each appended vector's own embedding
+    // (fresh query ids, so the member-exclusion rule doesn't fire)
+    // returns that vector at rank 1 with cosine 1 — insert-by-search
+    // wired it into the walkable graph, across batches
+    val queries = incoming.toSeq.toDF("vec_id", "embedding")
+      .select((col("vec_id") + 10000000L).as("query_id"), col("embedding"))
+    val got = StreamingJobs.graphIndexSearch(spark, idx, queries)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) - 10000000L -> (r.getLong(1), r.getDouble(3))).toMap
+    incoming.foreach { case (id, _) =>
+      val (top1, cos) = got(id)
+      assert(top1 == id && cos == 1.0,
+        s"appended vector $id not its own top-1: got $top1 (cos $cos)")
+    }
+
+    // compaction: both tables fold, search is unchanged, no-op after
+    def search() = StreamingJobs.graphIndexSearch(spark, idx, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val before = search()
+    val folded = StreamingJobs.graphIndexCompact(spark, idx)
+    assert(folded == 4, s"expected 2 node + 2 edge partitions folded, got $folded")
+    assert(search() == before, "search changed across compaction")
+    assert(StreamingJobs.graphIndexCompact(spark, idx) == 0)
+  }
+
   test("streaming token packing equals batch token_pack over the ordered feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
