@@ -2261,10 +2261,97 @@ object Similarity {
        |FROM ranked WHERE rrf_rank <= $RrfTopK
        |ORDER BY query_id, rrf_rank""".stripMargin
 
+  // --- corpus_coreset_kcenter: greedy k-center coreset selection -------
+  // The DIVERSITY leg of the data-selection family (SemDeDup removes
+  // redundancy, DSIR matches a target distribution; k-center coverage
+  // picks maximally-spread exemplars — the classic coreset/active-
+  // learning selection, Gonzalez 1985 with its 2-approximation
+  // guarantee): K rounds of "select the vector farthest from the
+  // current set", distance = cosine distance, maintained as a per-
+  // vector running minimum. Scale shape: each round is ONE narrow scan
+  // (update mind against the single broadcast new center) + ONE
+  // TakeOrdered(1) argmax — never a pairwise matrix; the loop
+  // localCheckpoints per round (the pagerank convention) so K rounds
+  // don't nest into one mega-plan; nothing is collected to the driver
+  // — the selected-center frames are 1-row DataFrames joined back in.
+  // Determinism (§4): distances are exact-decimal cosines, argmax ties
+  // break on vec_id, so the DuckDB oracle unrolls the K rounds as
+  // chained CTEs (the IVF-Lloyd replay pattern) bit-for-bit.
+
+  private val CoresetK = 8
+
+  private def corpusCoreset(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    import graft.plans.VecDotProduct.vec_dot_exact
+    val v = withNorm2(Tables.embeddings(s, dir))
+      .select("vec_id", "embedding", "n2")
+    def distTo(cEmb: Column, cN2: Column): Column =
+      lit(1.0) - cosine(vec_dot_exact(col("embedding"), cEmb), col("n2"), cN2)
+    // round 1: the minimum vec_id (the conventional arbitrary start)
+    val c1 = v.orderBy("vec_id").limit(1).localCheckpoint()
+    var selected = List(c1.select(col("vec_id"),
+      lit(1).as("sel_round"), lit(null).cast(DoubleType).as("radius")))
+    var lastCenter = c1
+    var cur = v // acquires `mind` after round 1's update
+    for (r <- 2 to CoresetK) {
+      val c = lastCenter
+        .select(col("embedding").as("c_emb"), col("n2").as("cn2"))
+      val d = distTo(col("c_emb"), col("cn2"))
+      cur = cur.crossJoin(broadcast(c))
+        .withColumn("mind",
+          if (r == 2) d else least(col("mind"), d))
+        .drop("c_emb", "cn2")
+        .localCheckpoint()
+      val next = cur
+        .orderBy(col("mind").desc, col("vec_id")).limit(1).localCheckpoint()
+      selected ::= next.select(col("vec_id"),
+        lit(r).as("sel_round"), round6(col("mind")).as("radius"))
+      lastCenter = next
+    }
+    selected.reverse.reduce(_.unionByName(_))
+      .select("sel_round", "vec_id", "radius")
+      .orderBy("sel_round")
+  }
+
+  private def corpusCoresetSql: String = {
+    def dist(ve: String, vn: String, ce: String, cn: String) =
+      s"1.0 - ${ddotSql(ve, ce)} / (sqrt($vn) * sqrt($cn))"
+    val rounds = (2 to CoresetK).map { r =>
+      val prev = if (r == 2)
+        s"""m2 AS (
+           |  SELECT v.vec_id, v.embedding, v.n2,
+           |         ${dist("v.embedding", "v.n2", "c.embedding", "c.n2")} AS mind
+           |  FROM v, c1 c)"""
+      else
+        s"""m$r AS (
+           |  SELECT m.vec_id, m.embedding, m.n2,
+           |         least(m.mind,
+           |           ${dist("m.embedding", "m.n2", "cv.embedding", "cv.n2")}) AS mind
+           |  FROM m${r - 1} m,
+           |       (SELECT v.* FROM v JOIN c${r - 1} USING (vec_id)) cv)"""
+      val pick =
+        s"""c$r AS (
+           |  SELECT vec_id, mind FROM m$r ORDER BY mind DESC, vec_id LIMIT 1)"""
+      s"${prev.stripMargin},\n${pick.stripMargin}"
+    }.mkString(",\n")
+    val out = (2 to CoresetK).map(r =>
+      s"UNION ALL SELECT $r AS sel_round, vec_id, ${round6Sql("mind")} AS radius FROM c$r")
+      .mkString("\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+       |c1 AS (SELECT vec_id, embedding, n2 FROM v ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |SELECT * FROM (
+       |SELECT 1 AS sel_round, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1
+       |$out)
+       |ORDER BY sel_round""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_recall_report", annRecallReport, Some(annRecallReportSql)),
     Op("retrieval_rrf", retrievalRrf, Some(retrievalRrfSql)),
+    Op("corpus_coreset_kcenter", corpusCoreset, Some(corpusCoresetSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
     Op("ann_knn_multiprobe", annKnnMultiprobe, Some(annKnnMultiprobeSql)),

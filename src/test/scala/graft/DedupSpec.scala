@@ -134,6 +134,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("k-center coreset: radii non-increasing, centers mutually spread") {
+    val rows = Registry.queries("corpus_coreset_kcenter")(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).distinct.length == 8, "centers must be distinct")
+    // greedy selects the farthest point each round, so selection radii
+    // can never increase
+    val radii = rows.filter(!_.isNullAt(2)).sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(radii.length == 7)
+    radii.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-12, s"radius rose: $a -> $b")
+      case _ =>
+    }
+    // the Gonzalez spread property: each center was >= its selection
+    // radius from all PRIOR centers and radii are non-increasing, so
+    // every center pair sits at least the LAST radius apart
+    val sel = rows.map(_.getLong(1)).toSet
+    val embs = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id").isin(sel.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cosDist(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      1.0 - dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (x <- sel; y <- sel if x < y)
+      assert(cosDist(embs(x), embs(y)) >= radii.last - 1e-6,
+        s"centers $x,$y closer than the coverage radius")
+  }
+
   test("IVF ANN recalls a solid share of exact top-5 neighbors") {
     val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
