@@ -767,6 +767,49 @@ object StreamingJobs {
     compactIngestPartitions(spark, s"$indexPath/nodes", Seq("bucket")) +
       compactIngestPartitions(spark, s"$indexPath/edges", Seq("src"))
 
+  /** Edge-quality drift report over the maintained graph index —
+    * [[ivfDriftReport]]'s twin, the signal that schedules the periodic
+    * full RE-BUILD the insert-by-search append path defers: per ingest
+    * segment (bootstrap vs stream-appended), edge counts and the mean
+    * src↔dst cosine. Insert-by-search links each new vector to its
+    * walk-found nearest neighbors, so a healthy appended segment's
+    * links are about as strong as the bootstrap kNN edges; a segment
+    * whose mean falls well below bootstrap is inserting into a graph
+    * that no longer routes well — `drifted` flags a 0.05 cosine gap.
+    * Means are DECIMAL(38,12) sums over per-edge cosines
+    * (partition-order independent, §4); one scan of the edge table
+    * with two id-equijoins into the node table. */
+  def graphDriftReport(spark: SparkSession, indexPath: String): DataFrame = {
+    import graft.plans.VecDotProduct.vec_dot
+    graft.plans.VecDotProduct.register(spark)
+    val nodes = spark.read.parquet(s"$indexPath/nodes")
+      .select("vec_id", "embedding", "n2")
+    val edges = spark.read.parquet(s"$indexPath/edges")
+    val cos = vec_dot(col("s_emb"), col("d_emb")) /
+      (sqrt(col("s_n2")) * sqrt(col("d_n2")))
+    val seg = edges
+      .join(nodes.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+        col("n2").as("s_n2")), "src")
+      .join(nodes.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
+        col("n2").as("d_n2")), "dst")
+      .withColumn("segment",
+        when(col("ingest_batch") === -1L, "base").otherwise("appended"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(cos.cast(DecimalType(38, 12))).as("cos_sum"))
+      .withColumn("mean_cos",
+        round6((col("cos_sum") / col("n_edges")).cast(DoubleType)))
+      .select("segment", "n_edges", "mean_cos")
+    val base = seg.filter(col("segment") === "base")
+      .select(col("n_edges").as("n_base"), col("mean_cos").as("mean_cos_base"))
+    val app = seg.filter(col("segment") === "appended")
+      .select(col("n_edges").as("n_appended"), col("mean_cos").as("mean_cos_appended"))
+    base.crossJoin(app)
+      .select(col("n_base"), col("n_appended"),
+        col("mean_cos_base"), col("mean_cos_appended"),
+        (col("mean_cos_appended") < col("mean_cos_base") - 0.05).as("drifted"))
+  }
+
   /** Streaming incremental view maintenance: each micro-batch is
     * appended to the snapshot-enabled lake (one new partition-dir
     * write + snapshot commit) and the materialized rollup is folded

@@ -771,6 +771,20 @@ class StreamingSpec extends AnyFunSuite {
         s"appended vector $id not its own top-1: got $top1 (cos $cos)")
     }
 
+    // drift report: one verdict row, every edge counted into a
+    // segment, means are valid cosines (appended links come from the
+    // same walk that serves, so they shouldn't crater vs bootstrap)
+    val drift = StreamingJobs.graphDriftReport(spark, idx).collect()
+    assert(drift.length == 1)
+    val dr = drift(0)
+    assert(dr.getAs[Long]("n_base") + dr.getAs[Long]("n_appended") ==
+      spark.read.parquet(s"$idx/edges").count())
+    assert(dr.getAs[Long]("n_appended") > 0)
+    Seq("mean_cos_base", "mean_cos_appended").foreach { c =>
+      val cv = dr.getAs[Double](c)
+      assert(cv >= -1.0 - 1e-9 && cv <= 1.0 + 1e-9, s"$c=$cv out of range")
+    }
+
     // compaction: both tables fold, search is unchanged, no-op after
     def search() = StreamingJobs.graphIndexSearch(spark, idx, queries)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
