@@ -88,7 +88,8 @@ object Curation {
   // Boilerplate/spam shows up as one word dominating the doc or
   // repeated 3-gram runs. top-word fraction needs a per-(doc, word)
   // count (bounded by per-doc vocabulary); duplicate-shingle fraction
-  // reuses the codegen'd posexplode+lead shingler.
+  // reuses the codegen'd row-local NgramArray shingler (no token
+  // shuffle; both per-doc aggregates are map-side combinable).
 
   private def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -96,13 +97,10 @@ object Curation {
       .select(col("doc_id"), explode(toks).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_words"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    graft.plans.NgramArray.register(s)
     val sh = docs
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
-      .withColumn("w1", lead("word", 1).over(w))
-      .withColumn("w2", lead("word", 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("word"), col("w1"), col("w2")).as("shingle"))
+      .select(col("doc_id"),
+        explode(graft.plans.NgramArray.ngrams(toks, 3)).as("shingle"))
     val shstats = sh.groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
     val topRaw = col("top_c").cast(DoubleType) / col("n_words")
@@ -141,14 +139,10 @@ object Curation {
   /** Distinct (doc_id, shingle) rows of a (doc_id, text) frame — the
     * 3-gram pass textContamination and its streaming twin share. */
   private[graft] def docShingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    graft.plans.NgramArray.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "word")))
-      .withColumn("w1", lead("word", 1).over(w))
-      .withColumn("w2", lead("word", 2).over(w))
-      .filter(col("w2").isNotNull)
       .select(col("doc_id"),
-        concat_ws(" ", col("word"), col("w1"), col("w2")).as("shingle"))
+        explode(graft.plans.NgramArray.ngrams(toks, 3)).as("shingle"))
       .distinct()
   }
 
@@ -701,8 +695,8 @@ object Curation {
   // normalizer (R+B)/(T+B) is uniform across buckets so dropping it
   // only rescales every document identically. Scale shape: the
   // importance table is BOUNDED at 1024 rows by construction —
-  // broadcast; the corpus side is one bigram pass (posexplode + lead,
-  // codegen'd — docShingles' shape) and two map-side-combinable
+  // broadcast; the corpus side is one row-local bigram pass (the
+  // codegen'd NgramArray — no token shuffle) and two map-side-combinable
   // aggregates (bucket counts, per-doc sums). No shuffle ever carries
   // more than (doc, bucket) pairs.
 
@@ -711,14 +705,12 @@ object Curation {
   /** Bigram OCCURRENCE rows (not per-doc distinct — DSIR counts
     * feature occurrences) with their hashed feature bucket. */
   private def bigramBuckets(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    graft.plans.NgramArray.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), col("is_target"), posexplode(toks).as(Seq("pos", "word")))
-      .withColumn("w1", lead("word", 1).over(w))
-      .filter(col("w1").isNotNull)
       .select(col("doc_id"), col("is_target"),
-        pmod(h32(concat_ws(" ", col("word"), col("w1"))), lit(DsirBuckets))
-          .as("bucket"))
+        explode(graft.plans.NgramArray.ngrams(toks, 2)).as("bigram"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(h32(col("bigram")), lit(DsirBuckets)).as("bucket"))
   }
 
   /** The DSIR core over any (doc_id, text, is_target) frame — the
@@ -887,14 +879,13 @@ object Curation {
   /** Bigram rows with both hashed model coordinates: the context cell
     * (preceding word) and the transition cell (the bigram). */
   private def pplBigrams(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    graft.plans.NgramArray.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), col("is_target"), posexplode(toks).as(Seq("pos", "word")))
-      .withColumn("w1", lead("word", 1).over(w))
-      .filter(col("w1").isNotNull)
       .select(col("doc_id"), col("is_target"),
-        pmod(h32(col("word")), lit(PplCtxBuckets)).as("cb"),
-        pmod(h32(concat_ws(" ", col("word"), col("w1"))), lit(PplBiBuckets)).as("bb"))
+        explode(graft.plans.NgramArray.ngrams(toks, 2)).as("bigram"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(h32(substring_index(col("bigram"), " ", 1)), lit(PplCtxBuckets)).as("cb"),
+        pmod(h32(col("bigram")), lit(PplBiBuckets)).as("bb"))
   }
 
   /** The Laplace fixed-point conditional and the OOV indicator — ONE

@@ -21,26 +21,25 @@ object Dedup {
 
   // --- shared shingling ------------------------------------------------
 
-  /** 3-word shingles, deduplicated per doc. Built with posexplode +
-    * lead windows instead of `transform`/`element_at` higher-order
-    * functions: HOFs run interpreted (no whole-stage codegen) and
-    * measured ~3× slower here; the window variant is fully codegen'd
-    * and its exchange is reusable across the self-join sides. */
+  /** 3-word shingles, deduplicated per doc. Built with the codegen'd
+    * row-local [[graft.plans.NgramArray]] expression (round 9): the
+    * earlier posexplode + lead-window formulation forced an
+    * Exchange(doc_id) + per-doc Sort of the whole corpus token stream
+    * before a single shingle existed — the dedup stage's largest
+    * shuffle at 100 TB, moving data that never needed to leave its
+    * input row. (The interpreted HOF variant was measured ~3× slower
+    * than even the windows, which is why a native expression, not
+    * `transform`, replaces them — see NgramArray's scaladoc.) */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(s, dir))
 
   /** Same shingling over an arbitrary (doc_id, source, text) frame. */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    graft.plans.NgramArray.register(docs.sparkSession)
     docs
       .select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .withColumn("w1", lead("word", 1).over(w))
-      .withColumn("w2", lead("word", 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("source"),
-        concat_ws(" ", col("word"), col("w1"), col("w2")).as("shingle"))
+        explode(graft.plans.NgramArray.ngrams(split(col("text"), " "), 3))
+          .as("shingle"))
       .distinct()
   }
 
@@ -203,19 +202,25 @@ object Dedup {
 
   /** MinHash signature rows — (doc_id, sig_0..sig_63) — for an
     * arbitrary (doc_id, text) frame: the expensive half of the MinHash
-    * family (shingle windows + 64-way min-aggregate). Split from the
-    * banding projection so [[corpusSigs]] can memoize THIS as the
-    * shared build artifact. */
+    * family. Split from the banding projection so [[corpusSigs]] can
+    * memoize THIS as the shared build artifact.
+    *
+    * Round-9 shape: shingles come from the codegen'd row-local
+    * [[graft.plans.NgramArray]] (no token shuffle, no per-doc sort —
+    * see shinglesOf), and the per-doc `.distinct()` the window
+    * formulation carried is GONE because `min` is duplicate-
+    * insensitive: min over a multiset equals min over its support set,
+    * so repeated shingles cannot change any of the 64 signature
+    * minima. The only Exchange left in the whole signature build is
+    * the groupBy itself, and map-side partial aggregation reduces its
+    * payload to 64 partial minima per (doc, input partition) — the
+    * token stream and the shingle stream never cross the wire. */
   private[graft] def signaturesOf(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    graft.plans.NgramArray.register(docs.sparkSession)
     val sh = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .withColumn("w1", lead("word", 1).over(w))
-      .withColumn("w2", lead("word", 2).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("word"), col("w1"), col("w2")).as("shingle"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(graft.plans.NgramArray.ngrams(split(col("text"), " "), 3))
+          .as("shingle"))
       .withColumn("h", pmod(portableHash(col("shingle")), lit(P)))
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
@@ -238,7 +243,7 @@ object Dedup {
 
   /** Banded MinHash rows — one (doc_id, band_idx, band_hash) per doc
     * and band — for an arbitrary (doc_id, text) frame: the reusable
-    * half of dedup_minhash. Same codegen'd shingle windows, portable
+    * half of dedup_minhash. Same codegen'd row-local shingler, portable
     * 64-perm signature, and 8×8 banding as the symmetric pair query;
     * shared by it, the asymmetric admission gate (dedup_gate), and the
     * streaming gate's corpus index
@@ -751,8 +756,10 @@ object Dedup {
   // position whose 8-token window recurs ANYWHERE in the corpus, then
   // merge consecutive duplicated positions into maximal spans — the
   // character ranges a training pipeline would cut. Spark-first shape:
-  // the window stream is the proven posexplode + lead-chain (codegen'd,
-  // one doc_id shuffle); occurrence counting groups by the gram's md5
+  // the window stream is the codegen'd row-local NgramArray (round 9 —
+  // the old 7-lead window chain shuffled AND sorted the whole token
+  // stream before any gram existed; now zero pre-aggregation
+  // exchanges); occurrence counting groups by the gram's md5
   // (bounded 16-byte key instead of an arbitrary-length token string —
   // at 50-token windows this is what makes the shuffle narrow), with
   // map-side partial aggregation absorbing boilerplate grams that
@@ -765,17 +772,12 @@ object Dedup {
   private val SpanGram = 8
 
   private def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos0")
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
-    val withLeads = (1 until SpanGram).foldLeft(toks) { (df, j) =>
-      df.withColumn(s"w$j", lead("word", j).over(w))
-    }
-    val win = withLeads
-      .filter(col(s"w${SpanGram - 1}").isNotNull)
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
-        md5(concat_ws(" ", col("word") +: (1 until SpanGram).map(j => col(s"w$j")): _*)).as("gh"))
+    graft.plans.NgramArray.register(s)
+    val win = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.plans.NgramArray.ngrams(split(col("text"), " "), SpanGram))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), md5(col("gram")).as("gh"))
     val freq = win.groupBy("gh").agg(count(lit(1)).as("n")).filter(col("n") > 1)
     val dup = win.join(freq, "gh").select("doc_id", "pos")
     val iw = org.apache.spark.sql.expressions.Window

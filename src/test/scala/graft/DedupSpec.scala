@@ -559,4 +559,34 @@ class DedupSpec extends AnyFunSuite {
     info(s"graph-search precision vs exact top-5: $precision (${found.size} pairs)")
     assert(precision >= 0.8, s"beam search stuck near entry: $precision")
   }
+
+  test("NgramArray equals the lead-window n-gram stream, edge cases included") {
+    // the round-9 row-local shingler must reproduce the old
+    // posexplode+lead derivation exactly: same (doc_id, pos, gram)
+    // rows — including short docs, the empty string, and the empty
+    // tokens a double space produces under split(' ')
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "x"), (3L, ""), (4L, "p q"), (5L, "p q r"),
+      (6L, "a  b c"), (7L, "r r r r")).toDF("doc_id", "text")
+    graft.plans.NgramArray.register(spark)
+    for (n <- Seq(2, 3, 8)) {
+      val got = docs.select(col("doc_id"),
+        posexplode(graft.plans.NgramArray.ngrams(split(col("text"), " "), n))
+          .as(Seq("pos", "g")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val base = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val withLeads = (1 until n).foldLeft(base) { (df, j) =>
+        df.withColumn(s"w$j", lead("word", j).over(w))
+      }
+      val want = withLeads.filter(col(s"w${n - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("word") +: (1 until n).map(j => col(s"w$j")): _*).as("g"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == want, s"n=$n: ${got.diff(want)} vs ${want.diff(got)}")
+    }
+  }
 }

@@ -242,6 +242,33 @@ class PlanSpec extends AnyFunSuite {
       "occurrence count should shuffle on the bounded hash key")
   }
 
+  test("minhash signature build is window-free: one Exchange, map-side partial mins") {
+    // the round-9 NgramArray rewrite: shingles form row-locally (no
+    // posexplode+lead Window, so no Exchange(doc_id)+Sort of the token
+    // stream) and the duplicate-insensitive min aggregation needs no
+    // distinct — the ONLY Exchange in the whole signature build is the
+    // groupBy itself, with partial_min payload per (doc, partition).
+    val plan = operators.Dedup.signaturesOf(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.linesIterator.forall(!_.matches("""\(\d+\) Window.*""")),
+      plan.take(1600))
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Exchange""")) == 1,
+      plan.take(1600))
+    assert(plan.contains("partial_min"), plan.take(1600))
+    assert(plan.contains("ngrams("), plan.take(1600))
+  }
+
+  test("substring-span gram stream is generator-based: no token Window/Sort") {
+    val plan = formatted("dedup_substring_spans")
+    // Windows remain ONLY for the islands merge over duplicated
+    // positions (a tiny, already-filtered stream); the 8-gram
+    // derivation itself must be a Generate over the codegen'd ngrams
+    // call, never a 7-lead window chain over every token
+    assert(plan.contains("ngrams("), plan.take(2000))
+    assert(!plan.contains("lead("), plan.take(2000))
+  }
+
   test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
