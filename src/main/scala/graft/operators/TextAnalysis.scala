@@ -153,13 +153,10 @@ object TextAnalysis {
   // pairs after map-side combine — corpus-scale safe.
 
   private def textNgramFreq(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    graft.plans.NgramArray.register(s)
     Tables.documents(s, dir)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-      .withColumn("w1", lead("word", 1).over(w))
-      .filter(col("w1").isNotNull)
-      .select(concat_ws(" ", col("word"), col("w1")).as("bigram"))
+      .select(explode(
+        graft.plans.NgramArray.ngrams(split(col("text"), " "), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(50)
@@ -307,7 +304,268 @@ object TextAnalysis {
        |FROM ranked WHERE rnk <= 50 ORDER BY rnk""".stripMargin
   }
 
+  // --- tokenizer_bpe_train: distributed BPE merge learning ------------
+  // The tokenizer-training step of a training-data pipeline (Sennrich
+  // et al. 2016; the GPT-2/Llama byte-pair lineage): learn the first K
+  // merge rules by repeatedly fusing the corpus's most frequent
+  // adjacent symbol pair. Scale shape: the ONLY corpus-touching stage
+  // is the word-frequency pass — a map-side-combinable groupBy plus a
+  // TakeOrdered(V) vocabulary cut, exactly how production BPE trainers
+  // run (they train on the word-count table, never the raw corpus);
+  // the K merge rounds then iterate on a vocab-BOUNDED (≤V words ×
+  // word-length) symbol table with per-round localCheckpoint (the
+  // pagerank/Lloyd convention). Greedy left-to-right overlap semantics
+  // (aaa + (a,a) → [aa, a]) are resolved set-wise with the islands
+  // trick: adjacent matches can only chain when lhs = rhs, runs merge
+  // at odd in-run ranks — deterministic, so the DuckDB oracle replays
+  // every round as unrolled CTEs (the kcenter/Lloyd pattern). Pair
+  // counts weight by word frequency; ties break lexicographically.
+
+  private val BpeMerges = 6
+  private val BpeVocabWords = 256
+
+  private def bpeState0(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(toks).as("word"))
+      // pre-tokenizer: lowercase alphanumeric words of length >= 2 (the
+      // normalization a real BPE trainer applies before counting)
+      .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .orderBy(col("wc").desc, col("word"))
+      .limit(BpeVocabWords)
+    words
+      .select(col("word"), col("wc"),
+        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      .localCheckpoint()
+  }
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainOf(Tables.documents(s, dir))
+
+  /** One greedy BPE fuse round over a (word, …, pos, sym) symbol
+    * stream: merge every adjacent (lhs, rhs) occurrence left-to-right.
+    * Pure window arithmetic over the word partition — no joins: a run
+    * of consecutive matches (only possible when lhs = rhs) fuses at
+    * odd in-run offset (run start = last non-matching position, dense
+    * positions make offset ≡ in-run rank), the right neighbor of a
+    * fused position is consumed, and positions re-sequence densely for
+    * the next round. Join-free matters for [[bpeApplyOf]]: its state is
+    * the FULL distinct-word table, where a kept-positions side would
+    * not be broadcastable. */
+  private def bpeFuse(state: DataFrame, lhs: Column, rhs: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("word").orderBy("pos")
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val carried = state.columns.filterNot(Set("pos", "sym")).map(col).toSeq
+    state
+      .withColumn("nxt", lead("sym", 1).over(w))
+      .withColumn("m",
+        coalesce(col("sym") === lhs && col("nxt") === rhs, lit(false)))
+      .withColumn("run0",
+        coalesce(max(when(!col("m"), col("pos"))).over(wCum), lit(-1)))
+      .withColumn("keep", col("m") && (col("pos") - col("run0")) % 2 === 1)
+      .withColumn("consumed", coalesce(lag("keep", 1).over(w), lit(false)))
+      .filter(!col("consumed"))
+      .select(carried ++ Seq(col("pos"),
+        when(col("keep"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym")): _*)
+      .withColumn("pos", (row_number().over(w) - 1).cast(IntegerType))
+  }
+
+  /** The learned merge rules as driver values — (round, lhs, rhs,
+    * weighted pair count). K one-row collects, the same metadata-scale
+    * driver traffic as MLlib centroid iteration; everything heavy
+    * stays distributed. Stops early if a round finds no pair. */
+  private[graft] def bpeTrainMerges(docs: DataFrame): Seq[(Int, String, String, Long)] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("word").orderBy("pos")
+    var state = bpeState0(docs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= BpeMerges && !exhausted) {
+      val top = state.withColumn("nxt", lead("sym", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r, l, rr, c))
+        state = bpeFuse(state, lit(l), lit(rr)).localCheckpoint()
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** The BPE trainer over any frame with a `text` column — the
+    * registry op feeds `documents`; specs feed hand-computable
+    * corpora. */
+  private[graft] def bpeTrainOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainMerges(docs)
+      .map { case (r, l, rr, c) => (r, l, rr, l + rr, c) }
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  // --- tokenizer_bpe_apply: segment the corpus with learned merges ----
+  // The serve half of the tokenizer: apply the K learned merge rules to
+  // every document and report whitespace-token vs BPE-symbol counts
+  // (the token-budget numbers a training run plans with). Scale shape:
+  // identical words segment identically, so the fuse rounds run over
+  // the DISTINCT-word table (vocab-scale, ≪ corpus) and results join
+  // back to per-(doc, word) occurrence counts — the corpus itself is
+  // touched by exactly two map-side-combinable passes (distinct words,
+  // occurrence counts), never by the iteration. The fuse itself is the
+  // join-free window formulation ([[bpeFuse]]) shared with training,
+  // so train/apply semantics cannot drift.
+
+  private def bpeApply(s: SparkSession, dir: String): DataFrame =
+    bpeApplyOf(Tables.documents(s, dir))
+
+  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
+    val rules = bpeTrainMerges(docs)
+    val words = docs.select(explode(toks).as("word")).distinct()
+    var state = words
+      .select(col("word"), posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      .localCheckpoint()
+    for ((_, l, rr, _) <- rules)
+      state = bpeFuse(state, lit(l), lit(rr)).localCheckpoint()
+    val seg = state.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    docs.select(col("doc_id"), explode(toks).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n_occ"))
+      .join(seg, "word")
+      .groupBy("doc_id").agg(
+        sum("n_occ").as("n_tokens_ws"),
+        sum(col("n_occ") * col("n_syms")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_tokens_ws"), col("n_bpe_tokens"),
+        ratio(col("n_bpe_tokens").cast(DoubleType), col("n_tokens_ws").cast(DoubleType))
+          .as("syms_per_word"))
+      .orderBy("doc_id")
+  }
+
+  /** The train replay's CTE chain — shared prefix of the train and
+    * apply oracles. Every CTE is MATERIALIZED: each round's state
+    * feeds three consumers (pair count, match set, rewrite), and
+    * DuckDB's default inline-per-reference expansion makes a K-deep
+    * branching chain re-evaluate the whole history exponentially
+    * (measured: minutes for K=6 over 256 words; milliseconds
+    * materialized). */
+  private def bpeTrainCtes: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""q$r AS MATERIALIZED (
+         |  SELECT word, wc, pos, sym,
+         |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM s${r - 1}),
+         |t$r AS MATERIALIZED (
+         |  SELECT sym AS lhs, nxt AS rhs, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM q$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |k$r AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |           row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rnk
+         |    FROM (
+         |      SELECT q.word, q.pos,
+         |             q.pos - row_number() OVER (PARTITION BY q.word ORDER BY q.pos) AS grp
+         |      FROM q$r q, t$r t WHERE q.sym = t.lhs AND q.nxt = t.rhs))
+         |  WHERE rnk % 2 = 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT word, wc,
+         |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INTEGER) AS pos,
+         |         sym
+         |  FROM (
+         |    SELECT q.word, q.wc, q.pos,
+         |           CASE WHEN k.pos IS NOT NULL THEN q.sym || q.nxt ELSE q.sym END AS sym
+         |    FROM q$r q
+         |    LEFT JOIN k$r k  ON q.word = k.word  AND q.pos = k.pos
+         |    LEFT JOIN k$r kc ON q.word = kc.word AND q.pos = kc.pos + 1
+         |    WHERE kc.pos IS NULL))""".stripMargin
+    }.mkString(",\n")
+    s"""wcnt AS MATERIALIZED (
+       |  SELECT word, count(*) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+${"$"}')
+       |  GROUP BY 1 ORDER BY wc DESC, word LIMIT $BpeVocabWords),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, wc, CAST(i - 1 AS INTEGER) AS pos,
+       |         cs[CAST(i AS INTEGER)] AS sym
+       |  FROM (SELECT word, wc, string_split(word, '') AS cs,
+       |          unnest(generate_series(1, length(word))) AS i FROM wcnt)),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainSql: String = {
+    val out = (1 to BpeMerges).map(r =>
+      s"SELECT $r AS merge_round, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM t$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeTrainCtes
+       |SELECT * FROM ($out)
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  /** Apply oracle: replays [[bpeFuse]]'s offset arithmetic (run start
+    * = last non-matching position, fuse at odd offsets, right neighbor
+    * consumed) over the distinct-word table, against the train chain's
+    * learned rules. `LEFT JOIN t ON TRUE` mirrors the Spark side's
+    * skip-empty-rule semantics: a rule-less round leaves the state
+    * untouched instead of annihilating it. */
+  private def bpeApplySql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""f$r AS MATERIALIZED (
+         |  SELECT a.word, a.pos, a.sym,
+         |         lead(a.sym) OVER (PARTITION BY a.word ORDER BY a.pos) AS nxt,
+         |         t.lhs, t.rhs
+         |  FROM a${r - 1} a LEFT JOIN t$r t ON TRUE),
+         |h$r AS MATERIALIZED (
+         |  SELECT word, pos, sym, nxt, m,
+         |         COALESCE(MAX(CASE WHEN NOT m THEN pos END) OVER
+         |           (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING), -1) AS run0
+         |  FROM (SELECT word, pos, sym, nxt,
+         |          COALESCE(sym = lhs AND nxt = rhs, FALSE) AS m FROM f$r)),
+         |j$r AS MATERIALIZED (
+         |  SELECT word, pos, sym, nxt, keep,
+         |         COALESCE(lag(keep) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+         |  FROM (SELECT word, pos, sym, nxt,
+         |          (m AND (pos - run0) % 2 = 1) AS keep FROM h$r)),
+         |a$r AS MATERIALIZED (
+         |  SELECT word,
+         |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INTEGER) AS pos,
+         |         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+         |  FROM j$r WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |vocab AS MATERIALIZED (
+       |  SELECT DISTINCT word
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)),
+       |a0 AS MATERIALIZED (
+       |  SELECT word, CAST(i - 1 AS INTEGER) AS pos,
+       |         cs[CAST(i AS INTEGER)] AS sym
+       |  FROM (SELECT word, string_split(word, '') AS cs,
+       |          unnest(generate_series(1, greatest(length(word), 1))) AS i FROM vocab)),
+       |$rounds,
+       |seg AS (SELECT word, count(*) AS n_syms FROM a$BpeMerges GROUP BY 1),
+       |occ AS (
+       |  SELECT doc_id, word, count(*) AS n_occ
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT o.doc_id,
+       |       CAST(sum(n_occ) AS BIGINT) AS n_tokens_ws,
+       |       CAST(sum(n_occ * n_syms) AS BIGINT) AS n_bpe_tokens,
+       |       ${ratioSql("CAST(sum(n_occ * n_syms) AS DOUBLE)", "CAST(sum(n_occ) AS DOUBLE)")} AS syms_per_word
+       |FROM occ o JOIN seg USING (word)
+       |GROUP BY 1 ORDER BY o.doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
+    Op("tokenizer_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    Op("tokenizer_bpe_apply", bpeApply, Some(bpeApplySql)),
     Op("text_bm25_topk", textBm25, Some(textBm25Sql)),
     Op("text_stats", textStats, Some(textStatsSql)),
     Op("text_ngram_freq", textNgramFreq, Some(textNgramFreqSql)),

@@ -134,6 +134,39 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE trainer: hand-computed merges, greedy overlap, frequency weighting") {
+    import spark.implicits._
+    // vocabulary after the pre-tokenizer: "aaa" (wc 2), "bb" (wc 5);
+    // "Z$" fails the [a-z0-9]+ normalizer and "b" the length floor
+    val docs = Seq("aaa aaa bb bb bb", "bb bb Z$ b").toDF("text")
+    val m = operators.TextAnalysis.bpeTrainOf(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // round 1: (b,b) weighted 5 beats (a,a) weighted 2·2=4
+    // round 2: (a,a) — greedy left-to-right merges ONLY pos 0 of
+    //          a-a-a (the overlap at pos 1 is consumed) → [aa, a]
+    // round 3: (aa,a) completes the word; rounds 4-6 find no pairs
+    assert(m.toSeq == Seq(
+      (1, "b", "b", "bb", 5L),
+      (2, "a", "a", "aa", 4L),
+      (3, "aa", "a", "aaa", 2L)), m.toSeq.toString)
+  }
+
+  test("BPE apply segments every word (OOV included) with the learned merges") {
+    import spark.implicits._
+    val docs = Seq((0L, "aaa aaa bb bb bb"), (1L, "bb bb Z$ b"))
+      .toDF("doc_id", "text")
+    val m = operators.TextAnalysis.bpeApplyOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // rules (b,b), (a,a), (aa,a) fully fuse the vocabulary words;
+    // "Z$" never entered training (pre-tokenizer) yet still segments —
+    // to its 2 raw chars; the 1-char word "b" is a single symbol
+    assert(m.toSeq == Seq(
+      (0L, 5L, 5L, 1.0),   // aaa→1, bb→1: 2·1 + 3·1 over 5 words
+      (1L, 4L, 5L, 1.25)), // bb→1, Z$→2, b→1: 2+2+1 over 4 words
+      m.toSeq.toString)
+  }
+
   test("temperature mix flattens: smallest source sampled at >= the largest's rate") {
     val rows = Registry.queries("corpus_temperature_mix")(spark, sf).collect()
     assert(rows.length > 1)
