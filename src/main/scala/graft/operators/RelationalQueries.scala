@@ -1022,36 +1022,47 @@ object RelationalQueries {
 
   // --- r32: catalog statistics collection (ANALYZE TABLE) --------------
   // The statistics a cost-based optimizer feeds on — per-column NDV,
-  // null counts, min/max, row count — collected in ONE pass over the
-  // fact table (the multiple exact distincts plan through Spark's
-  // Expand, still a single scan + one shuffle), then pivoted to the
-  // one-row-per-column catalog shape with a generator. At 100 TB this
-  // is the nightly ANALYZE job; a per-column loop of scans would read
-  // the lake N times.
+  // null counts, min/max, row count — as a UNION of per-column stat
+  // jobs, one column-pruned scan each. This deliberately replaces the
+  // rounds-4-8 "one pass, all distincts in one agg" formulation: with
+  // N>1 exact distincts Spark must plan through Expand (every row
+  // multiplied N+1 times through the first hash aggregate) and funnel
+  // the full Σ-NDV (gid, value) stream into a SINGLE-partition final
+  // aggregate — measured 9.3 s at sf0.1, the registry's slowest row,
+  // and the single reducer only worsens with scale. Per-column
+  // branches read each stat column exactly once (columnar pruning
+  // makes the 'N scans read the lake N times' objection wrong — the
+  // bytes touched are the SAME stat columns either way, minus every
+  // non-stat column the full-row pass also decoded), each single
+  // distinct plans Expand-free two-level dedup with map-side partial
+  // aggregation, and no stage ever sees more than one column's NDV.
 
   private val StatNumCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val StatStrCols = Seq("l_returnflag", "l_linestatus")
 
   private def r32(s: SparkSession, dir: String): DataFrame = {
-    val aggs = Seq(count(lit(1)).as("n_rows")) ++
-      (StatNumCols ++ StatStrCols).flatMap(c => Seq(
-        countDistinct(col(c)).as(s"ndv_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))) ++
-      StatNumCols.flatMap(c => Seq(
-        min(col(c)).cast(DoubleType).as(s"min_$c"),
-        max(col(c)).cast(DoubleType).as(s"max_$c"))) ++
-      StatStrCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
-    val rows =
-      StatNumCols.map(c => struct(lit(c).as("col_name"), col("n_rows"),
-        col(s"ndv_$c").as("ndv"), col(s"nulls_$c").as("n_nulls"),
-        col(s"min_$c").as("min_num"), col(s"max_$c").as("max_num"),
-        lit(null).cast(StringType).as("min_str"), lit(null).cast(StringType).as("max_str"))) ++
-      StatStrCols.map(c => struct(lit(c).as("col_name"), col("n_rows"),
-        col(s"ndv_$c").as("ndv"), col(s"nulls_$c").as("n_nulls"),
-        lit(null).cast(DoubleType).as("min_num"), lit(null).cast(DoubleType).as("max_num"),
-        col(s"min_$c").as("min_str"), col(s"max_$c").as("max_str")))
-    one.select(explode(array(rows: _*)).as("s")).select("s.*").orderBy("col_name")
+    val li = Tables.lineitem(s, dir)
+    def branch(c: String, isNum: Boolean): DataFrame = {
+      val mins =
+        if (isNum) Seq(min(col(c)).cast(DoubleType).as("min_num"),
+          max(col(c)).cast(DoubleType).as("max_num"),
+          lit(null).cast(StringType).as("min_str"),
+          lit(null).cast(StringType).as("max_str"))
+        else Seq(lit(null).cast(DoubleType).as("min_num"),
+          lit(null).cast(DoubleType).as("max_num"),
+          min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+      li.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        (countDistinct(col(c)).as("ndv") +:
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls") +: mins): _*)
+        .select(lit(c).as("col_name"), col("n_rows"), col("ndv"),
+          col("n_nulls"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    }
+    (StatNumCols.map(branch(_, isNum = true)) ++
+      StatStrCols.map(branch(_, isNum = false)))
+      .reduce(_.unionByName(_))
+      .orderBy("col_name")
   }
 
   private val r32Sql: String = {

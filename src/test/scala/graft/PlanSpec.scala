@@ -269,6 +269,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("lead("), plan.take(2000))
   }
 
+  test("r32 catalog stats is Expand-free: per-column branches, no row multiplication") {
+    // N>1 exact distincts in one aggregate plan through Expand (rows
+    // ×N+1 through the first hash aggregate, Σ-NDV values into one
+    // reducer); the union-of-column-jobs shape must keep every branch
+    // a single-distinct two-level aggregate over a one-column scan
+    val plan = formatted("r32_catalog_stats")
+    assert(!plan.contains("Expand"), plan.take(1600))
+    assert(plan.contains("Union"), plan.take(1600))
+  }
+
   test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
