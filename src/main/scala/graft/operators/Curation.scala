@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Op, Tables}
-import graft.functions.{ratio, ratioSql, round6, round6Sql}
+import graft.functions.{h60Sql, ratio, ratioSql, round6, round6Sql}
 
 /** Corpus-curation operators for a large-scale training-data pipeline,
   * over `documents`: quality filtering, repetition screening, benchmark
@@ -98,9 +98,13 @@ object Curation {
       .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n_words"))
     graft.plans.NgramArray.register(s)
+    // h60 gram keys: the countDistinct's two-level aggregate shuffles
+    // (doc, 8-byte hash) rows, not (doc, 3-word string) — oracle
+    // replays the same hash
     val sh = docs
       .select(col("doc_id"),
-        explode(graft.plans.NgramArray.ngrams(toks, 3)).as("shingle"))
+        explode(graft.plans.NgramArray.ngrams(toks, 3)).as("gram"))
+      .select(col("doc_id"), graft.functions.h60(col("gram")).as("shingle"))
     val shstats = sh.groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"), countDistinct(col("shingle")).as("n_dist"))
     val topRaw = col("top_c").cast(DoubleType) / col("n_words")
@@ -119,7 +123,7 @@ object Curation {
        |wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
        |wstats AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_words FROM wc GROUP BY 1),
        |sh AS (
-       |  SELECT doc_id, ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+       |  SELECT doc_id, ${h60Sql("ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2]")} AS shingle
        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
        |shstats AS (SELECT doc_id, count(*) AS n_sh, count(DISTINCT shingle) AS n_dist FROM sh GROUP BY 1)
        |SELECT w.doc_id,
@@ -137,12 +141,21 @@ object Curation {
   // the corpus side is one distinct-shingle pass.
 
   /** Distinct (doc_id, shingle) rows of a (doc_id, text) frame — the
-    * 3-gram pass textContamination and its streaming twin share. */
+    * 3-gram pass textContamination and its streaming twin share.
+    * `shingle` is the portable 60-bit gram hash (round 9, the
+    * Dedup.shinglesOf convention): the distinct and the eval-set join
+    * carry 8-byte keys instead of 3-word strings, and the PERSISTED
+    * benchmark index (contaminationIndex's lake) shrinks the same way.
+    * Oracles replay the identical h60 — hash parity, not
+    * approximation. */
   private[graft] def docShingles(docs: DataFrame): DataFrame = {
     graft.plans.NgramArray.register(docs.sparkSession)
     docs
       .select(col("doc_id"),
-        explode(graft.plans.NgramArray.ngrams(toks, 3)).as("shingle"))
+        explode(graft.plans.NgramArray.ngrams(toks, 3)).as("gram"))
+      .select(col("doc_id"), graft.functions.h60(col("gram")).as("shingle"))
+      // plain distinct (the shinglesOf convention): map-side partial
+      // dedup shrinks the hashed rows before the one exchange
       .distinct()
   }
 
@@ -182,7 +195,7 @@ object Curation {
   private val textContaminationSql =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
        |sh AS (
-       |  SELECT DISTINCT doc_id, ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2] AS shingle
+       |  SELECT DISTINCT doc_id, ${h60Sql("ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2]")} AS shingle
        |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
        |eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
        |hits AS (
@@ -716,7 +729,11 @@ object Curation {
   /** The DSIR core over any (doc_id, text, is_target) frame — the
     * registry op targets lang='en'; specs build synthetic corpora. */
   private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame = {
-    val g = bigramBuckets(docs)
+    // one materialization for the three consumers — AQE does not
+    // collapse the identical derivation branches (the shingleCache
+    // finding), and the checkpoint keeps bigramBuckets' doc_id
+    // partitioning so the per-doc sum shuffles nothing further
+    val g = bigramBuckets(docs).localCheckpoint()
     val rb = g.groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
     val tb = g.filter(col("is_target")).groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
     val imp = rb.join(tb, Seq("bucket"), "left")
@@ -904,6 +921,7 @@ object Curation {
   private[graft] def pplModel(refDocs: DataFrame): (DataFrame, DataFrame) = {
     val g = pplBigrams(refDocs
       .select(col("doc_id"), col("text"), lit(true).as("is_target")))
+      .localCheckpoint() // one reference pass feeds both model tables
     (g.groupBy("cb").agg(count(lit(1)).as("c_ctx")).localCheckpoint(),
       g.groupBy("bb").agg(count(lit(1)).as("c_bi")).localCheckpoint())
   }
@@ -935,7 +953,9 @@ object Curation {
   /** The perplexity core over any (doc_id, text, is_target) frame — the
     * registry op targets lang='en'; specs build synthetic corpora. */
   private[graft] def perplexityOf(docs: DataFrame): DataFrame = {
-    val g = pplBigrams(docs)
+    // three consumers (ctx counts, bigram counts, scoring) — one
+    // materialized bigram pass, same rationale as dsirWeightsOf
+    val g = pplBigrams(docs).localCheckpoint()
     val ctx = g.filter(col("is_target")).groupBy("cb").agg(count(lit(1)).as("c_ctx"))
     val bi = g.filter(col("is_target")).groupBy("bb").agg(count(lit(1)).as("c_bi"))
     val scored = g
@@ -992,7 +1012,64 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --- corpus_datacard: the per-source release report ------------------
+  // The summary table a dataset release ships (the "data card"): per
+  // source, volume (docs/tokens), composition (language share), and
+  // hygiene (exact-dup rate, short-doc rate, token-length envelope).
+  // Scale shape: ONE pass, one groupBy(source) — every aggregate is
+  // map-side combinable, the single exact distinct (content hashes for
+  // the dup rate) plans Expand-free two-level dedup keyed by (source,
+  // hash), and the output is bounded at #sources rows. Rates are
+  // integer per-mil (1000·x div n) — portable division, no float
+  // drift; mean length is the one ratio() double.
+
+  private def corpusDatacard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("source"), col("lang"),
+      size(toks).as("n_toks"),
+      md5(lower(trim(col("text")))).as("h"))
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        countDistinct(col("h")).as("ndv_h"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("n_toks") < 50, 1L).otherwise(0L)).as("n_short"),
+        min("n_toks").as("min_tokens"),
+        max("n_toks").as("max_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        ratio(col("n_tokens").cast(DoubleType), col("n_docs").cast(DoubleType))
+          .as("mean_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        expr("1000L * n_en div n_docs").as("en_permil"),
+        expr("1000L * n_short div n_docs").as("short_permil"),
+        expr("1000L * (n_docs - ndv_h) div n_docs").as("dup_permil"))
+      .orderBy("source")
+  }
+
+  private val corpusDatacardSql =
+    s"""WITH d AS (
+       |  SELECT source, lang,
+       |         len(string_split(text, ' ')) AS n_toks,
+       |         md5(lower(trim(text))) AS h
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |         count(DISTINCT h) AS ndv_h,
+       |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+       |         sum(CASE WHEN n_toks < 50 THEN 1 ELSE 0 END) AS n_short,
+       |         CAST(min(n_toks) AS INTEGER) AS min_tokens,
+       |         CAST(max(n_toks) AS INTEGER) AS max_tokens
+       |  FROM d GROUP BY 1)
+       |SELECT source, n_docs, n_tokens,
+       |       ${ratioSql("CAST(n_tokens AS DOUBLE)", "CAST(n_docs AS DOUBLE)")} AS mean_tokens,
+       |       min_tokens, max_tokens,
+       |       CAST(1000 * n_en // n_docs AS BIGINT) AS en_permil,
+       |       CAST(1000 * n_short // n_docs AS BIGINT) AS short_permil,
+       |       CAST(1000 * (n_docs - ndv_h) // n_docs AS BIGINT) AS dup_permil
+       |FROM g ORDER BY source""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("corpus_datacard", corpusDatacard, Some(corpusDatacardSql)),
     Op("text_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("corpus_filter_pipeline", corpusFilterPipeline, Some(corpusFilterPipelineSql)),

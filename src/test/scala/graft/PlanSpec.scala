@@ -235,11 +235,18 @@ class PlanSpec extends AnyFunSuite {
     assert(partitionings >= 3, s"expected the three stage aggregates keyed on user_id:\n$plan")
   }
 
-  test("substring-span counting groups on the md5 gram key, not the raw gram text") {
-    val plan = formatted("dedup_substring_spans")
-    assert(plan.contains("md5("), "gram key should be hashed")
-    assert("hashpartitioning\\(gh".r.findFirstIn(plan).isDefined,
-      "occurrence count should shuffle on the bounded hash key")
+  test("substring-span gram derivation: generator-based, hashed key, shuffle-free") {
+    // the derivation plan (pre-checkpoint): row-local ngrams generator
+    // over the scan — no token Window/Sort, no Exchange at all; the
+    // gram key is the bounded h60 hash
+    val plan = operators.Dedup.spanGrams(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("ngrams("), plan.take(1600))
+    assert(plan.contains("md5("), "gram key should be hashed (h60 family)")
+    assert(plan.linesIterator.forall(!_.matches("""\(\d+\) Window.*""")),
+      plan.take(1600))
+    assert(plan.linesIterator.forall(!_.matches("""\(\d+\) Exchange.*""")),
+      plan.take(1600))
   }
 
   test("minhash signature build is window-free: one Exchange, map-side partial mins") {
@@ -259,13 +266,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ngrams("), plan.take(1600))
   }
 
-  test("substring-span gram stream is generator-based: no token Window/Sort") {
+  test("substring-span op windows only the islands merge, never the token stream") {
     val plan = formatted("dedup_substring_spans")
-    // Windows remain ONLY for the islands merge over duplicated
-    // positions (a tiny, already-filtered stream); the 8-gram
-    // derivation itself must be a Generate over the codegen'd ngrams
-    // call, never a 7-lead window chain over every token
-    assert(plan.contains("ngrams("), plan.take(2000))
+    // exactly ONE Window — the islands merge over duplicated positions
+    // (a tiny, already-filtered stream); the 8-gram derivation sits
+    // behind the checkpointed gram stream, pinned generator-based by
+    // the derivation test above
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 1,
+      plan.take(2000))
     assert(!plan.contains("lead("), plan.take(2000))
   }
 

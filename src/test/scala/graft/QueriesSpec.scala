@@ -167,6 +167,20 @@ class QueriesSpec extends AnyFunSuite {
       m.toSeq.toString)
   }
 
+  test("datacard conserves the corpus and keeps every rate in-range") {
+    val rows = Registry.queries("corpus_datacard")(spark, sf).collect()
+    val total = Registry.queries("text_stats")(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("min_tokens") <= r.getAs[Double]("mean_tokens"))
+      assert(r.getAs[Double]("mean_tokens") <= r.getAs[Int]("max_tokens"))
+      for (c <- Seq("en_permil", "short_permil", "dup_permil")) {
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= 1000, s"$c = $v out of per-mil range")
+      }
+    }
+  }
+
   test("temperature mix flattens: smallest source sampled at >= the largest's rate") {
     val rows = Registry.queries("corpus_temperature_mix")(spark, sf).collect()
     assert(rows.length > 1)
