@@ -38,9 +38,9 @@ object CdcMerge {
     * idempotent-replay guarantee). */
   private def latestChanges(changes: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
     val valueCols = changes.columns.filterNot(c => keyCols.contains(c))
-    val orderCols = col(seqCol) +: valueCols.filterNot(_ == seqCol).map(col)
-    changes.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(valueCols.map(col): _*), struct(orderCols: _*)).as("v"))
+    val orderCols = col(seqCol) +: valueCols.filterNot(_ == seqCol).toIndexedSeq.map(col)
+    changes.groupBy(keyCols.toIndexedSeq.map(col): _*)
+      .agg(max_by(struct(valueCols.toIndexedSeq.map(col): _*), struct(orderCols: _*)).as("v"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"v.$c")): _*)
   }
 
@@ -83,7 +83,7 @@ object CdcMerge {
   def apply(spark: SparkSession, lakePath: String, changes: DataFrame,
       keyCols: Seq[String], seqCol: String = "seq"): (Long, Long) = {
     val latest = latestChanges(changes, keyCols, seqCol).cache()
-    val affected = latest.select(partCols.map(col): _*).distinct().collect()
+    val affected = latest.select(partCols.toIndexedSeq.map(col): _*).distinct().collect()
     if (affected.isEmpty) { // empty poll window: no rewrite, no side effects
       latest.unpersist()
       return (0L, 0L)
@@ -114,9 +114,9 @@ object CdcMerge {
       .filter(partitionPredicate(affected))
     val upserts = latest.filter(col("op") =!= "D").drop("op", seqCol)
     val merged = current
-      .join(broadcast(latest.select(keyCols.map(col): _*)), keyCols, "left_anti")
-      .unionByName(upserts.select(current.columns.map(col): _*))
-      .repartition(partCols.map(col): _*)
+      .join(broadcast(latest.select(keyCols.toIndexedSeq.map(col): _*)), keyCols, "left_anti")
+      .unionByName(upserts.select(current.columns.toIndexedSeq.map(col): _*))
+      .repartition(partCols.toIndexedSeq.map(col): _*)
       // materialize BEFORE the overwrite: the rewrite reads the same
       // files it replaces, so the merged rows must leave the source
       // lineage first (this also lifts Spark's read-write-conflict ban)
@@ -128,7 +128,7 @@ object CdcMerge {
     // dynamic overwrite only replaces partitions present in the output:
     // a partition whose every row was deleted emits nothing and must be
     // dropped explicitly
-    val remaining = merged.select(partCols.map(col): _*).distinct()
+    val remaining = merged.select(partCols.toIndexedSeq.map(col): _*).distinct()
       .collect().map(_.toSeq).toSet
     val emptied = affected.filterNot(r => remaining(r.toSeq))
     if (emptied.nonEmpty) {
@@ -217,9 +217,9 @@ object CdcMerge {
     val current = DataSkipping.readPruned(spark, lakePath, touched)
     val upserts = latest.filter(col("op") =!= "D").drop("op", seqCol)
     val merged = current
-      .join(broadcast(latest.select(keyCols.map(col): _*)), keyCols, "left_anti")
-      .unionByName(upserts.select(current.columns.map(col): _*))
-      .repartition(partCols.map(col): _*)
+      .join(broadcast(latest.select(keyCols.toIndexedSeq.map(col): _*)), keyCols, "left_anti")
+      .unionByName(upserts.select(current.columns.toIndexedSeq.map(col): _*))
+      .repartition(partCols.toIndexedSeq.map(col): _*)
       .localCheckpoint()
     val tmp = new Path(root, s"_merge_tmp_${java.util.UUID.randomUUID}")
     merged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(tmp.toString)

@@ -45,7 +45,7 @@ object DownloadLedger {
   def ledgerPath(root: String): String = s"$root/_download_attempts"
 
   def append(spark: SparkSession, root: String, attempts: DataFrame): Unit =
-    attempts.select(attemptSchema.fieldNames.map(col): _*)
+    attempts.select(attemptSchema.fieldNames.toIndexedSeq.map(col): _*)
       .write.mode(SaveMode.Append).parquet(ledgerPath(root))
 
   def read(spark: SparkSession, root: String): DataFrame = {

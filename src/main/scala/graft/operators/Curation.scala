@@ -51,7 +51,7 @@ object Curation {
       .withColumn("mean_raw", meanRaw)
       .withColumn("distinct_raw", distinctRaw)
       .withColumn("stop_raw", stopRaw)
-      .select(docs.columns.map(col) :+ col("n_words") :+
+      .select(docs.columns.toIndexedSeq.map(col) :+ col("n_words") :+
         round6(col("mean_raw")).as("mean_word_len") :+
         round6(col("distinct_raw")).as("distinct_ratio") :+
         round6(col("stop_raw")).as("stopword_frac") :+
@@ -1023,8 +1023,14 @@ object Curation {
   // integer per-mil (1000·x div n) — portable division, no float
   // drift; mean length is the one ratio() double.
 
-  private def corpusDatacard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("source"), col("lang"),
+  private def corpusDatacard(s: SparkSession, dir: String): DataFrame =
+    datacardOf(Tables.documents(s, dir))
+
+  /** The datacard core over any (source, lang, text) frame — the
+    * registry op feeds `documents`; the streaming ledger's spec
+    * compares its served card against this on the unioned feed. */
+  private[graft] def datacardOf(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("lang"),
       size(toks).as("n_toks"),
       md5(lower(trim(col("text")))).as("h"))
     d.groupBy("source").agg(

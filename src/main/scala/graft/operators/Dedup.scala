@@ -260,7 +260,7 @@ object Dedup {
     val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"sig_$i")
     }
-    sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy("doc_id").agg(sigCols.head, sigCols.toIndexedSeq.tail: _*)
   }
 
   /** 8×8 banding of a signature frame into (doc_id, band_idx,
@@ -1018,7 +1018,7 @@ object Dedup {
     // convergence certificate — one aggregate per round instead of a
     // change-detection join.
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum("label")).head.getLong(0)
+    var curSum = labels.agg(sum("label")).head().getLong(0)
     var iter = 0
     val MaxRounds = 20
     while (curSum < prevSum && iter < MaxRounds) {
@@ -1036,7 +1036,7 @@ object Dedup {
           least(merged("label"), coalesce(col("jl"), merged("label"))).as("label"))
         .localCheckpoint()
       prevSum = curSum
-      curSum = labels.agg(sum("label")).head.getLong(0)
+      curSum = labels.agg(sum("label")).head().getLong(0)
       iter += 1
     }
     // a silent cap-out would emit split clusters as if converged —

@@ -894,7 +894,7 @@ object StreamingJobs {
             if (!fs.exists(new org.apache.hadoop.fs.Path(totalsPath))) 0L
             else s.read.parquet(totalsPath)
               .filter(col("ingest_batch") < batchId)
-              .agg(coalesce(sum("total_tokens"), lit(0L))).head.getLong(0)
+              .agg(coalesce(sum("total_tokens"), lit(0L))).head().getLong(0)
           val local = graft.operators.Curation.packedDocsOf(b).localCheckpoint()
           val blk = graft.operators.Curation.PackBlock
           local
@@ -915,6 +915,86 @@ object StreamingJobs {
         }
       }
       .start()
+
+  /** Streaming corpus datacard maintenance (corpus_datacard's twin —
+    * the live corpus-health monitor): each micro-batch appends
+    * per-(source, batch) MERGEABLE partials to a bounded ledger lake —
+    * doc/token/language/short-doc counts and the token-length envelope
+    * fold trivially; the one non-mergeable exact statistic, the
+    * content-hash NDV behind the dup rate, is carried as its mergeable
+    * KMV sketch state instead (the q17/q23 exact-below-capacity /
+    * estimate-above contract). Replay-exact under the near-dup gate's
+    * convention: per-batch dynamic partition overwrite keyed by
+    * ingest_batch, so a crash-replayed micro-batch lands identically.
+    * Ledger bounded at #sources × #batches rows × (capacity+7) longs.
+    */
+  def datacardLedgerStream(docs: DataFrame, ledgerDir: String,
+      checkpointDir: String, capacity: Int = 256)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.plans.KmvSketch.register(s)
+          batch
+            .select(col("source"), col("lang"),
+              size(split(col("text"), " ")).as("n_toks"),
+              h60(md5(lower(trim(col("text"))))).as("h"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum("n_toks").as("n_tokens"),
+              graft.plans.KmvSketch.kmv_sketch(col("h"), capacity).as("sketch"),
+              sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+              sum(when(col("n_toks") < 50, 1L).otherwise(0L)).as("n_short"),
+              min("n_toks").as("min_tokens"),
+              max("n_toks").as("max_tokens"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(ledgerDir)
+          ()
+        }
+      }
+      .start()
+
+  /** Folds the datacard ledger into the released card — the same
+    * column set as batch corpus_datacard. Counts/sums/min/max merge
+    * exactly; the KMV sketches merge by re-aggregating their union
+    * (KMV merge ≡ k smallest of the union), so below capacity the
+    * served dup_permil equals the batch op's EXACT rate (modulo the
+    * h60 hashing of content hashes the sketch rides on) and above it
+    * degrades to the estimator. */
+  def datacardServe(s: SparkSession, ledgerDir: String,
+      capacity: Int = 256): DataFrame = {
+    graft.plans.KmvSketch.register(s)
+    val led = s.read.parquet(ledgerDir)
+    val sums = led.groupBy("source").agg(
+      sum("n_docs").as("n_docs"),
+      sum("n_tokens").as("n_tokens"),
+      sum("n_en").as("n_en"),
+      sum("n_short").as("n_short"),
+      min("min_tokens").as("min_tokens"),
+      max("max_tokens").as("max_tokens"))
+    val nd = led.select(col("source"), explode(col("sketch")).as("h"))
+      .groupBy("source")
+      .agg(graft.plans.KmvSketch.kmv_sketch(col("h"), capacity).as("sk"))
+      .select(col("source"),
+        when(size(col("sk")) < capacity, size(col("sk")).cast(LongType))
+          // kth-smallest estimator over the h60 domain (2^60)
+          .otherwise(round(lit((capacity - 1).toDouble * (1L << 60).toDouble)
+            / element_at(col("sk"), capacity)).cast(LongType))
+          .as("ndv_h"))
+    sums.join(nd, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        ratio(col("n_tokens").cast(DoubleType), col("n_docs").cast(DoubleType))
+          .as("mean_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        expr("1000L * n_en div n_docs").as("en_permil"),
+        expr("1000L * n_short div n_docs").as("short_permil"),
+        expr("1000L * (n_docs - least(ndv_h, n_docs)) div n_docs").as("dup_permil"))
+      .orderBy("source")
+  }
 
   /** Streaming corpus curation: the Gopher-style quality gate applied
     * to a live document feed. The gate is stateless and narrow

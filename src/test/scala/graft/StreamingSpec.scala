@@ -1088,4 +1088,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == closedBatch,
       s"diff: only-stream=${streamed.diff(closedBatch).take(3)} only-batch=${closedBatch.diff(streamed).take(3)}")
   }
+
+  test("streaming datacard ledger serves the exact batch card below sketch capacity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/datacard"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docsDf = Tables.documents(spark, sf).select("source", "lang", "text")
+    val docs = docsDf.as[(String, String, String)].collect()
+
+    val source = MemoryStream[(String, String, String)]
+    val q = StreamingJobs.datacardLedgerStream(
+      source.toDF().toDF("source", "lang", "text"),
+      s"$root/ledger", s"$root/ckpt")
+    try {
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 3)
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+      source.addData(b3.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4), r.getInt(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSet
+    // below capacity the KMV merge is exact, so the three-batch ledger
+    // folds into the SAME card the batch op computes on the union —
+    // dup rate included, cell for cell
+    val served = canon(StreamingJobs.datacardServe(spark, s"$root/ledger"))
+    val batch = canon(operators.Curation.datacardOf(docsDf))
+    assert(served == batch,
+      s"only-served=${(served -- batch).take(3)} only-batch=${(batch -- served).take(3)}")
+
+    // aggressively saturated re-serve (the same ledger re-cut at k=4:
+    // the 4 smallest of the union is a valid KMV state): the card must
+    // stay shape-sane — conservation holds on the mergeable columns,
+    // the estimated dup rate stays a per-mil
+    val sat = StreamingJobs.datacardServe(spark, s"$root/ledger", capacity = 4)
+      .collect()
+    assert(sat.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    sat.foreach { r =>
+      val d = r.getAs[Long]("dup_permil")
+      assert(d >= 0 && d <= 1000, s"dup_permil $d out of range")
+    }
+  }
 }
