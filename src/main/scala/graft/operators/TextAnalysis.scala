@@ -339,8 +339,37 @@ object TextAnalysis {
       .localCheckpoint()
   }
 
-  private def bpeTrain(s: SparkSession, dir: String): DataFrame =
-    bpeTrainOf(Tables.documents(s, dir))
+  // keyed by applicationId like the Dedup caches — stable for the life
+  // of a SparkContext and never reused after GC
+  private val bpeRulesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Seq[(Int, String, String, Long)]]()
+
+  /** The learned merge table, memoized per (application, lake): the
+    * tokenizer artifact is BUILD state (trained once per corpus
+    * snapshot, then served by every consumer — the train presentation,
+    * the apply segmentation, and the streaming segmenter), exactly the
+    * signatures/edges/labels convention. Flushed by the re-ANALYZE
+    * invalidation hook. */
+  private[graft] def bpeRules(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] =
+    bpeRulesCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => bpeTrainMerges(Tables.documents(s, dir)))
+
+  private[graft] def invalidateBpe(dirPrefix: String): Unit = {
+    val it = bpeRulesCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(dirPrefix)) it.remove()
+  }
+  // object init runs before any cache fill, so registration can never
+  // miss an entry
+  graft.etl.TableStats.registerInvalidationHook(invalidateBpe)
+
+  private def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    bpeRules(s, dir)
+      .map { case (r, l, rr, c) => (r, l, rr, l + rr, c) }
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
 
   /** One greedy BPE fuse round over a (word, …, pos, sym) symbol
     * stream: merge every adjacent (lhs, rhs) occurrence left-to-right.
@@ -427,10 +456,16 @@ object TextAnalysis {
   // so train/apply semantics cannot drift.
 
   private def bpeApply(s: SparkSession, dir: String): DataFrame =
-    bpeApplyOf(Tables.documents(s, dir))
+    bpeApplyWith(Tables.documents(s, dir), bpeRules(s, dir))
 
-  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame = {
-    val rules = bpeTrainMerges(docs)
+  /** Self-contained train+apply over one frame (specs). */
+  private[graft] def bpeApplyOf(docs: DataFrame): DataFrame =
+    bpeApplyWith(docs, bpeTrainMerges(docs))
+
+  /** Segment `docs` with an ALREADY-LEARNED rule table — the serve
+    * path the registry op and the streaming segmenter share. */
+  private[graft] def bpeApplyWith(docs: DataFrame,
+      rules: Seq[(Int, String, String, Long)]): DataFrame = {
     val words = docs.select(explode(toks).as("word")).distinct()
     var state = words
       .select(col("word"), posexplode(split(col("word"), "")).as(Seq("pos", "sym")))

@@ -996,6 +996,35 @@ object StreamingJobs {
       .orderBy("source")
   }
 
+  /** Streaming BPE segmentation (tokenizer_bpe_apply's twin): the
+    * tokenizer's serve path over a live ingest. The merge-rule table
+    * is BUILD state — trained once on the reference corpus
+    * (TextAnalysis.bpeRules, the memoized artifact the batch ops also
+    * serve from) and passed in as plain driver values (K ≤ 6 rules);
+    * each micro-batch then segments via the SAME fuse rounds as the
+    * batch op, over the batch's own distinct-word table (vocab-scale
+    * per batch). Stream-static, stateless across batches; per-batch
+    * dynamic partition overwrite keeps replays exact. This is how a
+    * training pipeline keeps token budgets live while docs stream in:
+    * rules stay frozen between tokenizer retrains (a maintenance
+    * job), segmentation rides the ingest. */
+  def bpeSegmentStream(docs: DataFrame,
+      rules: Seq[(Int, String, String, Long)], outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextAnalysis.bpeApplyWith(batch, rules)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outDir)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming corpus curation: the Gopher-style quality gate applied
     * to a live document feed. The gate is stateless and narrow
     * (identical expressions to the batch text_quality_gopher), so it

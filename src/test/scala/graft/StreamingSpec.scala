@@ -1089,6 +1089,37 @@ class StreamingSpec extends AnyFunSuite {
       s"diff: only-stream=${streamed.diff(closedBatch).take(3)} only-batch=${closedBatch.diff(streamed).take(3)}")
   }
 
+  test("streaming BPE segmentation equals the batch apply under frozen rules") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/bpestream"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docsDf = Tables.documents(spark, sf).select("doc_id", "text")
+    // rules trained once on the whole corpus = the frozen build state
+    val rules = operators.TextAnalysis.bpeRules(spark, sf)
+    assert(rules.nonEmpty, "corpus should yield at least one merge")
+    val feed = docsDf.as[(Long, String)].collect()
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.bpeSegmentStream(
+      source.toDF().toDF("doc_id", "text"), rules, s"$root/seg", s"$root/ckpt")
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens_ws", "n_bpe_tokens", "syms_per_word")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = canon(spark.read.parquet(s"$root/seg"))
+    val batch = canon(operators.TextAnalysis.bpeApplyWith(docsDf, rules))
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming datacard ledger serves the exact batch card below sketch capacity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
