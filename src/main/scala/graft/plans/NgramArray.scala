@@ -96,26 +96,30 @@ case class NgramArray(child: Expression, n: Int)
 }
 
 object NgramArray {
+  /** Expression builder shared by [[register]] and the
+    * SparkSessionExtensions SQL surface. */
+  def fromExprs(exprs: Seq[Expression]): NgramArray = {
+    require(exprs.length == 2,
+      "ngrams(tokens, n) expects exactly two arguments")
+    require(exprs(1).foldable,
+      "ngrams(tokens, n): n must be a literal integer, e.g. ngrams(ts, 3)")
+    val n = exprs(1).eval() match {
+      case i: Int   => i
+      case l: Long  => l.toInt
+      case s: Short => s.toInt
+      case b: Byte  => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"ngrams(tokens, n): n must be an integer literal, got $other")
+    }
+    NgramArray(exprs(0), n)
+  }
+
   /** Registers `ngrams` in the session's function registry (the public
     * extension path — Column construction from a raw Expression is
     * private[sql] in Spark 4). Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngrams", exprs => {
-        require(exprs.length == 2,
-          "ngrams(tokens, n) expects exactly two arguments")
-        require(exprs(1).foldable,
-          "ngrams(tokens, n): n must be a literal integer, e.g. ngrams(ts, 3)")
-        val n = exprs(1).eval() match {
-          case i: Int   => i
-          case l: Long  => l.toInt
-          case s: Short => s.toInt
-          case b: Byte  => b.toInt
-          case other => throw new IllegalArgumentException(
-            s"ngrams(tokens, n): n must be an integer literal, got $other")
-        }
-        NgramArray(exprs(0), n)
-      }, "built-in")
+      "ngrams", fromExprs, "built-in")
 
   /** Column-level API. Requires [[register]] on the session first. */
   def ngrams(tokens: Column, n: Int): Column =

@@ -323,6 +323,9 @@ class PlanSpec extends AnyFunSuite {
           "image_phash(CAST('nope' AS BINARY)), " +
           "image_resize(CAST('nope' AS BINARY), 8, 8)").head
       assert(img.isNullAt(0) && img.isNullAt(1) && img.isNullAt(2))
+      val grams = s2.sql(
+        "SELECT ngrams(split('a b c d', ' '), 3)").head.getSeq[String](0)
+      assert(grams == Seq("a b c", "b c d"))
     } finally {
       saved.foreach { s =>
         SparkSession.setDefaultSession(s)
