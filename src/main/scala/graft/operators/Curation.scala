@@ -1074,7 +1074,43 @@ object Curation {
        |       CAST(1000 * (n_docs - ndv_h) // n_docs AS BIGINT) AS dup_permil
        |FROM g ORDER BY source""".stripMargin
 
+  // --- corpus_curriculum_order: curriculum phases + traversal key ------
+  // Curriculum learning's data-ordering step (Bengio et al. 2009
+  // lineage): feed easy documents first. Difficulty proxy = whitespace
+  // token count (the classic short-to-long curriculum); phases are
+  // fixed integer bands; within a phase the traversal order is the
+  // stateless portable hash ticket (corpus_shuffle's convention) —
+  // reproducible on any engine, no RNG state. Scale shape: the op
+  // emits the ORDERING KEY (phase, ticket), not materialized ranks — a
+  // loader range-reads it like a sort key; materializing a global
+  // per-phase rank would funnel each phase through one reducer. One
+  // narrow pass; the presentation sort is the only exchange.
+
+  private def corpusCurriculum(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks).as("difficulty"),
+        pmod(h32(concat(col("doc_id").cast(StringType), lit(":cur"))),
+          lit(1000000)).as("ticket"))
+      .withColumn("phase",
+        when(col("difficulty") < 30, 1).when(col("difficulty") < 60, 2)
+          .when(col("difficulty") < 90, 3).otherwise(4))
+      .select("doc_id", "difficulty", "phase", "ticket")
+      .orderBy("phase", "ticket", "doc_id")
+
+  private val corpusCurriculumSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS INTEGER) AS difficulty,
+       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cur'), 1, 8)) AS BIGINT) % 1000000 AS ticket
+       |  FROM documents)
+       |SELECT doc_id, difficulty,
+       |       CASE WHEN difficulty < 30 THEN 1 WHEN difficulty < 60 THEN 2
+       |            WHEN difficulty < 90 THEN 3 ELSE 4 END AS phase,
+       |       ticket
+       |FROM d ORDER BY phase, ticket, doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
+    Op("corpus_curriculum_order", corpusCurriculum, Some(corpusCurriculumSql)),
     Op("corpus_datacard", corpusDatacard, Some(corpusDatacardSql)),
     Op("text_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),

@@ -167,6 +167,20 @@ class QueriesSpec extends AnyFunSuite {
       m.toSeq.toString)
   }
 
+  test("curriculum order: difficulty bands partition the corpus, phases monotone") {
+    val rows = Registry.queries("corpus_curriculum_order")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.map(_._1).distinct.length == rows.length, "every doc exactly once")
+    assert(rows.map(_._3).distinct.sorted.toSeq == Seq(1, 2, 3, 4),
+      "test corpus should populate all four phases")
+    rows.foreach { case (_, d, p, _) =>
+      val want = if (d < 30) 1 else if (d < 60) 2 else if (d < 90) 3 else 4
+      assert(p == want, s"difficulty $d banded to $p")
+    }
+    assert(rows.map(_._3).sliding(2).forall(s => s.head <= s.last),
+      "output must stream phases in order")
+  }
+
   test("datacard conserves the corpus and keeps every rate in-range") {
     val rows = Registry.queries("corpus_datacard")(spark, sf).collect()
     val total = Registry.queries("text_stats")(spark, sf).count()
