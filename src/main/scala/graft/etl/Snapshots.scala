@@ -17,11 +17,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * count, the same listing split planning does) and snapshot reads
   * pass the explicit file list to the parquet source — no directory
   * scan at all, and partition columns still parse from the paths via
-  * `basePath`. Contract: valid under append-style evolution
-  * (ingestion, CDC inserts of new partitions); compaction/retention
-  * REWRITE files and invalidate older snapshots — production table
-  * formats version the rewrite itself, which is out of scope here and
-  * enforced by `rollback` failing loudly when a manifest file is gone.
+  * `basePath`. Contract: append-style evolution (ingestion, CDC
+  * inserts of new partitions) commits via the walking [[commit]];
+  * rewrites (index compaction) VERSION THEMSELVES via
+  * [[commitEntries]] — stage new files, PUT one manifest object
+  * naming exactly them, vacuum the superseded files after — which is
+  * the object-store committer contract (atomic single-object PUT,
+  * never a rename; see StreamingJobs.compactIngestPartitions). A
+  * rewrite that bypasses commitEntries invalidates older snapshots,
+  * enforced by `rollback`/`readVersion` failing loudly when a
+  * manifest file is gone.
   */
 object Snapshots {
 
@@ -66,9 +71,20 @@ object Snapshots {
 
   /** Records the current file set as the next snapshot version and
     * returns its number. */
-  def commit(spark: SparkSession, lakeRoot: String): Int = {
+  def commit(spark: SparkSession, lakeRoot: String): Int =
+    commitEntries(spark, lakeRoot, dataFiles(spark, lakeRoot))
+
+  /** Records an EXPLICIT file set as the next snapshot version — the
+    * single-object-PUT commit of a staged rewrite (index compaction)
+    * or of a streaming append on the object-store model, where the
+    * committed set must differ from "whatever a directory walk sees"
+    * (staged-but-uncommitted files stay invisible to every manifest
+    * reader until this one object lands). Paths are relative to
+    * `lakeRoot`. Returns the new version. */
+  def commitEntries(spark: SparkSession, lakeRoot: String,
+      entries: Seq[(String, Long)]): Int = {
     val v = maxEverVersion(spark, lakeRoot) + 1
-    val manifest = dataFiles(spark, lakeRoot)
+    val manifest = entries
       .map { case (p, len) => s"$p\t$len" }.sorted.mkString("\n")
     val d = snapDir(lakeRoot)
     val f = fs(spark, d)
@@ -77,6 +93,31 @@ object Snapshots {
     out.write(manifest.getBytes("UTF-8")); out.close()
     v
   }
+
+  /** Relative (path, length) listing of one subtree — how a staged
+    * rewrite or a just-written append partition enumerates exactly its
+    * OWN output for [[commitEntries]] (a writer-side bounded listing
+    * of files it created, never a read-path scan of the table). */
+  def filesUnder(spark: SparkSession, lakeRoot: String,
+      subdir: String): Seq[(String, Long)] = {
+    val root = new Path(lakeRoot)
+    val f = fs(spark, root)
+    val rootUri = f.makeQualified(root).toString
+    val sub = new Path(root, subdir)
+    if (!f.exists(sub)) return Seq.empty
+    def walk(p: Path): Seq[(String, Long)] =
+      f.listStatus(p).filter(!_.getPath.getName.startsWith("_")).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq((f.makeQualified(s.getPath).toString.stripPrefix(rootUri + "/"), s.getLen))
+      }
+    walk(sub)
+  }
+
+  /** The version number the NEXT commit will use (never reuses live or
+    * expired numbers) — lets a staged rewrite name its staging dir
+    * after the version it is about to commit. */
+  def nextVersion(spark: SparkSession, lakeRoot: String): Int =
+    maxEverVersion(spark, lakeRoot) + 1
 
   def manifest(spark: SparkSession, lakeRoot: String, version: Int): Seq[(String, Long)] = {
     val p = new Path(snapDir(lakeRoot), s"v$version.manifest")

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The corpus INVERTED INDEX as memoized build state — the one
+  * derivation every sparse-retrieval surface reads.
+  *
+  * A RAG/BM25 serve path cannot re-tokenize the corpus per query: at
+  * 100 TB the (word, doc, tf) posting table, the vocabulary-sized
+  * document-frequency table, the per-doc length column and the one-row
+  * corpus stats are maintained lake tables — built once per corpus
+  * snapshot (like compaction output or the MinHash signature table,
+  * [[Dedup.corpusSigs]]) and served to every query. Locally they are
+  * localCheckpoint'd DataFrames memoized per (application, lake), the
+  * same convention as the ANN index caches, and they flush with the
+  * lake's re-ANALYZE hook ([[graft.etl.TableStats.invalidate]]) so a
+  * regenerated corpus rebuilds them like any derived capacity.
+  *
+  * Consumers: `retrieval_rrf`'s sparse side (posting-list joins) and
+  * `text_bm25_topk` (term lookups + corpus stats) — ONE index
+  * definition, two BM25 surfaces that cannot drift. The tokenizer is
+  * the engine-wide whitespace split; every derived number is integer
+  * (tf, df, dl, n_docs) except `avgdl`, computed as an exact long sum
+  * cast to double then divided — bit-portable to the DuckDB oracles,
+  * which replay this derivation from the raw `documents` table.
+  */
+object CorpusIndex {
+
+  /** (postings, docLengths, docFreq, stats) per (applicationId, lake)
+    * — see [[graft.etl.TableStats]] for the keying rationale. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame, DataFrame, DataFrame)]()
+
+  graft.etl.TableStats.registerInvalidationHook { dirPrefix =>
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(dirPrefix)) it.remove()
+  }
+
+  private def built(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    cache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val docs = Tables.documents(s, dir)
+      // postings: one row per (doc, distinct word) with its term count
+      // — THE corpus-sized index table. One explode + one map-side-
+      // combinable aggregate; partitioned by word at scale so a query
+      // term's posting list is one partition-pruned read.
+      val postings = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      // per-doc length: a narrow projection of the scan (no explode)
+      val dl = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("dl"))
+        .localCheckpoint()
+      // document frequency: vocabulary-sized, derived from postings
+      val dfreq = postings.groupBy("word").agg(count(lit(1)).as("df"))
+        .localCheckpoint()
+      // one-row corpus stats (N, avgdl): exact long sum → double
+      val stats = dl
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).cast(DoubleType).as("sum_dl"))
+        .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+        .select("n_docs", "avgdl")
+        .localCheckpoint()
+      (postings, dl, dfreq, stats)
+    })
+
+  /** (doc_id, word, tf) — the posting table. */
+  private[graft] def postings(s: SparkSession, dir: String): DataFrame =
+    built(s, dir)._1
+
+  /** (doc_id, dl) — per-document token count, LongType. */
+  private[graft] def docLengths(s: SparkSession, dir: String): DataFrame =
+    built(s, dir)._2
+
+  /** (word, df) — number of documents containing each word. */
+  private[graft] def docFreq(s: SparkSession, dir: String): DataFrame =
+    built(s, dir)._3
+
+  /** One row: (n_docs, avgdl) — the BM25 corpus constants. */
+  private[graft] def stats(s: SparkSession, dir: String): DataFrame =
+    built(s, dir)._4
+}

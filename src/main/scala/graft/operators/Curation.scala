@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Op, Tables}
-import graft.functions.{h60Sql, ratio, ratioSql, round6, round6Sql}
+import graft.functions.{h60, h60Sql, ratio, ratioSql, round6, round6Sql}
 
 /** Corpus-curation operators for a large-scale training-data pipeline,
   * over `documents`: quality filtering, repetition screening, benchmark
@@ -731,8 +731,11 @@ object Curation {
   private[graft] def dsirWeightsOf(docs: DataFrame): DataFrame = {
     // one materialization for the three consumers — AQE does not
     // collapse the identical derivation branches (the shingleCache
-    // finding), and the checkpoint keeps bigramBuckets' doc_id
-    // partitioning so the per-doc sum shuffles nothing further
+    // finding), so without it the bigram pass would run three times.
+    // (The checkpoint does NOT pre-shape partitioning: the row-local
+    // NgramArray derivation is scan-partitioned, and the per-doc sum
+    // below still plans its own Exchange — that shuffle carries only
+    // (doc, bucket) pairs and is the op's one unavoidable exchange.)
     val g = bigramBuckets(docs).localCheckpoint()
     val rb = g.groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
     val tb = g.filter(col("is_target")).groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
@@ -1021,7 +1024,11 @@ object Curation {
   // the dup rate) plans Expand-free two-level dedup keyed by (source,
   // hash), and the output is bounded at #sources rows. Rates are
   // integer per-mil (1000·x div n) — portable division, no float
-  // drift; mean length is the one ratio() double.
+  // drift; mean length is the one ratio() double. The content hash is
+  // h60(md5(text)) — 8 bytes on the dedup shuffle instead of a 32-char
+  // hex string, and the SAME domain the streaming ledger's KMV sketch
+  // rides on, so the served card equals this op EXACTLY below sketch
+  // capacity (one contract, not "equal modulo a second hash").
 
   private def corpusDatacard(s: SparkSession, dir: String): DataFrame =
     datacardOf(Tables.documents(s, dir))
@@ -1032,7 +1039,7 @@ object Curation {
   private[graft] def datacardOf(docs: DataFrame): DataFrame = {
     val d = docs.select(col("source"), col("lang"),
       size(toks).as("n_toks"),
-      md5(lower(trim(col("text")))).as("h"))
+      h60(md5(lower(trim(col("text"))))).as("h"))
     d.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("n_toks").as("n_tokens"),
@@ -1055,7 +1062,7 @@ object Curation {
     s"""WITH d AS (
        |  SELECT source, lang,
        |         len(string_split(text, ' ')) AS n_toks,
-       |         md5(lower(trim(text))) AS h
+       |         ${h60Sql("md5(lower(trim(text)))")} AS h
        |  FROM documents),
        |g AS (
        |  SELECT source, count(*) AS n_docs,

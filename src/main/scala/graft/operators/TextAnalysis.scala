@@ -227,27 +227,40 @@ object TextAnalysis {
   // across engines (§4), and within a term the log is monotone, so the
   // rational form preserves per-term ordering while staying
   // bit-identical; every remaining op is IEEE +,×,/ evaluated in the
-  // same order on both sides. Corpus stats (N, avgdl, per-term df) are
-  // ONE row — broadcast — and term frequencies come from conditional
-  // sums in the per-doc aggregate (codegen'd, no HOF in the scan).
+  // same order on both sides. All corpus-derived numbers come from the
+  // MAINTAINED inverted index ([[CorpusIndex]] — the same build state
+  // retrieval_rrf's sparse side serves from, so the two BM25 surfaces
+  // share one definition): per-doc term frequencies are posting-list
+  // lookups for the 3 query terms (at scale: 3 partition-pruned
+  // posting reads, never a corpus re-tokenize), dl is the index's
+  // length column, and (N, avgdl, per-term df) are ONE broadcast row.
 
   private val Bm25Terms = Seq("customer", "query", "window")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
   private def textBm25(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(toks).as("word"))
+    // term lookups: only the 3 query terms' posting lists leave the
+    // index; docs missing a term get tf 0 via the left join + coalesce
     val tfAggs = Bm25Terms.map(t =>
-      sum(when(col("word") === t, 1L).otherwise(0L)).cast(IntegerType).as(s"tf_$t"))
-    val tf = words.groupBy("doc_id")
-      .agg(count(lit(1)).cast(IntegerType).as("dl"), tfAggs: _*)
-    val dfAggs =
-      sum(col("dl").cast(LongType)).cast(DoubleType).as("sum_dl") +:
+      sum(when(col("word") === t, col("tf")).otherwise(0L)).as(s"tf0_$t"))
+    val termTf = CorpusIndex.postings(s, dir)
+      .filter(col("word").isin(Bm25Terms: _*))
+      .groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val tf = CorpusIndex.docLengths(s, dir)
+      .join(termTf, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("dl").cast(IntegerType).as("dl") +:
         Bm25Terms.map(t =>
-          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-    val stats = tf.agg(count(lit(1)).as("n_docs"), dfAggs: _*)
-      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+          coalesce(col(s"tf0_$t"), lit(0L)).cast(IntegerType).as(s"tf_$t")): _*)
+    // per-term df from the vocabulary-sized df table; coalesce covers
+    // a term absent from the corpus (empty filter → null sum)
+    val dfAggs = Bm25Terms.map(t =>
+      coalesce(sum(when(col("word") === t, col("df")).otherwise(0L)), lit(0L))
+        .as(s"df_$t"))
+    val dfRow = CorpusIndex.docFreq(s, dir)
+      .filter(col("word").isin(Bm25Terms: _*))
+      .agg(dfAggs.head, dfAggs.tail: _*)
+    val stats = CorpusIndex.stats(s, dir).crossJoin(dfRow)
     val score = Bm25Terms.map { t =>
       val idf = (col("n_docs").cast(DoubleType) - col(s"df_$t") + lit(0.5)) /
         (col(s"df_$t") + lit(0.5))
@@ -463,15 +476,24 @@ object TextAnalysis {
     bpeApplyWith(docs, bpeTrainMerges(docs))
 
   /** Segment `docs` with an ALREADY-LEARNED rule table — the serve
-    * path the registry op and the streaming segmenter share. */
+    * path the registry op and the streaming segmenter share.
+    *
+    * Each fuse round's state feeds multiple consumers inside the next
+    * [[bpeFuse]], so every round MUST materialize (the AQE-non-reuse
+    * lesson; un-materialized the chain re-derives exponentially like
+    * the oracle's non-MATERIALIZED CTEs). `materialize` picks HOW: the
+    * batch ops default to localCheckpoint (blocks reclaimed by driver
+    * GC — fine for a bounded run); a long-lived caller that must not
+    * accumulate per-batch blocks (the streaming segmenter) passes
+    * persist and unpersists deterministically when its batch ends. */
   private[graft] def bpeApplyWith(docs: DataFrame,
-      rules: Seq[(Int, String, String, Long)]): DataFrame = {
+      rules: Seq[(Int, String, String, Long)],
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val words = docs.select(explode(toks).as("word")).distinct()
-    var state = words
-      .select(col("word"), posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
-      .localCheckpoint()
+    var state = materialize(words
+      .select(col("word"), posexplode(split(col("word"), "")).as(Seq("pos", "sym"))))
     for ((_, l, rr, _) <- rules)
-      state = bpeFuse(state, lit(l), lit(rr)).localCheckpoint()
+      state = materialize(bpeFuse(state, lit(l), lit(rr)))
     val seg = state.groupBy("word").agg(count(lit(1)).as("n_syms"))
     docs.select(col("doc_id"), explode(toks).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n_occ"))

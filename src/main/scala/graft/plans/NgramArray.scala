@@ -32,9 +32,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    map-side combinable (partial MinHash mins, partial gram counts).
   *
   * `n` must be a foldable integer ≥ 1 (a literal in SQL), mirroring the
-  * sketch builders' capacity argument. Null token elements are joined
-  * as empty by `concatWs` (split() never produces them); a null input
-  * array yields null.
+  * sketch builders' capacity argument. A gram whose window contains a
+  * NULL token is DROPPED (never emitted): `UTF8String.concatWs` SKIPS
+  * nulls (concat_ws semantics), so joining would silently alias the
+  * window to a shorter gram — `ngrams(array('a', NULL, 'b'), 3)` would
+  * collide with the 2-gram 'a b'. The engine's own token streams come
+  * from split() and never contain nulls (the drop never fires there),
+  * but the function is exposed in SQL via SparkSessionExtensions where
+  * arbitrary arrays are possible, and a dedup/blocking consumer must
+  * not see aliased keys. A null input ARRAY yields null.
   */
 case class NgramArray(child: Expression, n: Int)
     extends UnaryExpression {
@@ -60,14 +66,20 @@ case class NgramArray(child: Expression, n: Int)
     val m = math.max(0, len - (n - 1))
     val out = new Array[AnyRef](m)
     var k = 0
+    var w = 0
     while (k < m) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = a.getUTF8String(k + j); j += 1 }
-      out(k) = UTF8String.concatWs(sep, parts: _*)
+      var hasNull = false
+      while (j < n) {
+        if (a.isNullAt(k + j)) hasNull = true
+        else parts(j) = a.getUTF8String(k + j)
+        j += 1
+      }
+      if (!hasNull) { out(w) = UTF8String.concatWs(sep, parts: _*); w += 1 }
       k += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -79,15 +91,20 @@ case class NgramArray(child: Expression, n: Int)
       val out = ctx.freshName("out")
       val utf8 = classOf[UTF8String].getName
       val gad = classOf[GenericArrayData].getName
+      val w = ctx.freshName("w")
+      val nullCheck = (0 until n).map(j => s"$a.isNullAt($k + $j)").mkString(" || ")
       val args = (0 until n).map(j => s"$a.getUTF8String($k + $j)").mkString(", ")
       s"""
          |int $len = $a.numElements();
          |int $m = $len - ${n - 1}; if ($m < 0) $m = 0;
          |$utf8[] $out = new $utf8[$m];
+         |int $w = 0;
          |for (int $k = 0; $k < $m; $k++) {
-         |  $out[$k] = $utf8.concatWs($sepRef, $args);
+         |  if (!($nullCheck)) {
+         |    $out[$w++] = $utf8.concatWs($sepRef, $args);
+         |  }
          |}
-         |${ev.value} = new $gad($out);
+         |${ev.value} = new $gad($w == $m ? $out : java.util.Arrays.copyOf($out, $w));
        """.stripMargin
     })
 

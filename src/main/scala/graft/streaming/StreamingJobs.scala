@@ -437,7 +437,7 @@ object StreamingJobs {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val b = batch.localCheckpoint()
-          val index = s.read.parquet(indexPath)
+          val index = indexRead(s, indexPath)
             .filter(col("ingest_batch") < batchId)
           val verdict = graft.operators.Dedup.nearDupVerdict(b, index)
           val judged = b.join(verdict, Seq("doc_id")).localCheckpoint()
@@ -453,6 +453,7 @@ object StreamingJobs {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(indexPath)
+          indexAppendCommit(s, indexPath, batchId)
           // b/judged are localCheckpoint'd because judged's lineage
           // must NOT reference the index parquet this batch overwrites
           // (Spark rejects overwrite-of-a-read-path at analysis);
@@ -515,6 +516,7 @@ object StreamingJobs {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(s"$indexPath/postings")
+          indexAppendCommit(s, s"$indexPath/postings", batchId)
           ()
         }
       }
@@ -530,7 +532,7 @@ object StreamingJobs {
       queries: DataFrame, k: Int = 5): DataFrame = {
     graft.plans.VecDotProduct.register(spark)
     val cents = spark.read.parquet(s"$indexPath/centroids")
-    val postings = spark.read.parquet(s"$indexPath/postings").drop("ingest_batch")
+    val postings = indexRead(spark, s"$indexPath/postings").drop("ingest_batch")
     graft.operators.Similarity.ivfServe(spark, cents, postings, queries, k)
   }
 
@@ -568,19 +570,90 @@ object StreamingJobs {
   def nearDupIndexCompact(spark: SparkSession, indexPath: String): Int =
     compactIngestPartitions(spark, indexPath, Seq("band_idx", "band_hash"))
 
+  /** Manifest-aware index-table read. On a snapshot-enabled table (the
+    * OBJECT-STORE model — enabled by committing a first snapshot after
+    * the index bootstrap) this reads exactly the latest committed
+    * manifest's files: no data-directory listing in the read path, so
+    * staged-but-uncommitted compaction output and crashed-append
+    * orphans are invisible by construction. On a table without
+    * snapshot history (the HDFS/local model, where the directory IS
+    * the committed state) it is the plain directory read. */
+  private[graft] def indexRead(spark: SparkSession, tableDir: String): DataFrame = {
+    val vs = graft.etl.Snapshots.versions(spark, tableDir)
+    if (vs.nonEmpty) graft.etl.Snapshots.readVersion(spark, tableDir, vs.max)
+    else spark.read.parquet(tableDir)
+  }
+
+  /** The object-store commit of one micro-batch's index append: the
+    * next manifest = the previous one minus this batch's partition
+    * prefix plus the partition's just-written files — dynamic
+    * partition overwrite semantics lifted to the manifest, so a
+    * crash-replayed batch REPLACES its own rows at the manifest layer
+    * too. The enumeration lists only the partition this writer just
+    * wrote (writer-side, bounded), never the table. No-op on the
+    * HDFS/local model (no snapshot history). */
+  private def indexAppendCommit(spark: SparkSession, tableDir: String,
+      batchId: Long): Unit = {
+    val vs = graft.etl.Snapshots.versions(spark, tableDir)
+    if (vs.isEmpty) return
+    val prefix = s"ingest_batch=$batchId/"
+    val kept = graft.etl.Snapshots.manifest(spark, tableDir, vs.max)
+      .filterNot(_._1.startsWith(prefix))
+    val added = graft.etl.Snapshots.filesUnder(spark, tableDir,
+      s"ingest_batch=$batchId")
+    graft.etl.Snapshots.commitEntries(spark, tableDir, kept ++ added)
+    ()
+  }
+
   /** Fold every appended `ingest_batch=N` partition of a maintained
     * index table into the bootstrap partition (-1), clustering rows by
     * `clusterCols` so serve-side join keys land contiguously in files.
-    * Staged write + require-checked rename swap (CdcMerge's
-    * loud-failure convention): the combined table is fully written to
-    * a sibling dir before the two renames, so a crash leaves either
-    * the old table intact, a loudly-missing dir (the narrow window
-    * between renames — never silently halved), or the new table; it
-    * never double-counts. */
+    *
+    * Commit protocol follows the table's model:
+    *  - Snapshot-enabled (OBJECT-STORE model): stage the folded table
+    *    as new objects under `gen{v}/`, then commit by PUTting ONE
+    *    manifest object naming exactly the staged files
+    *    ([[graft.etl.Snapshots.commitEntries]]) — the committer
+    *    contract (atomic single-object PUT, never a rename; see
+    *    Snapshots). Crash before the PUT: every reader still resolves
+    *    the old manifest, the staged files are invisible garbage the
+    *    next attempt overwrites. Crash after: readers see the new
+    *    index; the superseded files are unreferenced garbage the
+    *    trailing vacuum (rollback-to-latest + expireInvalid) removes
+    *    idempotently. At no point is the table missing or halved.
+    *  - No snapshot history (HDFS/local model): staged write +
+    *    require-checked rename swap (CdcMerge's loud-failure
+    *    convention) — a crash leaves the old table intact, a
+    *    loudly-missing dir (the narrow window between renames), or
+    *    the new table; never a silent half. */
   private def compactIngestPartitions(spark: SparkSession,
       tableDir: String, clusterCols: Seq[String]): Int = {
     val table = new org.apache.hadoop.fs.Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = graft.etl.Snapshots.versions(spark, tableDir)
+    if (vs.nonEmpty) {
+      // object-store model: appended partitions are discovered from
+      // the MANIFEST (the read path never lists data dirs)
+      val entries = graft.etl.Snapshots.manifest(spark, tableDir, vs.max)
+      val appended = entries.map(_._1)
+        .flatMap("(?:^|/)ingest_batch=(-?\\d+)/".r.findFirstMatchIn(_))
+        .map(_.group(1).toLong).distinct.filter(_ != -1L)
+      if (appended.isEmpty) return 0
+      val gen = s"gen${graft.etl.Snapshots.nextVersion(spark, tableDir)}"
+      graft.etl.Snapshots.readVersion(spark, tableDir, vs.max)
+        .drop("ingest_batch").withColumn("ingest_batch", lit(-1L))
+        .repartition(clusterCols.map(col): _*)
+        .write.partitionBy("ingest_batch").mode("overwrite")
+        .parquet(s"$tableDir/$gen")
+      // THE commit: one manifest object naming exactly the staged files
+      val v = graft.etl.Snapshots.commitEntries(spark, tableDir,
+        graft.etl.Snapshots.filesUnder(spark, tableDir, gen))
+      // vacuum (idempotent, safe to crash through): drop every file
+      // the new manifest doesn't reference, expire dangling manifests
+      graft.etl.Snapshots.rollback(spark, tableDir, v)
+      graft.etl.Snapshots.expireInvalid(spark, tableDir)
+      return appended.length
+    }
     val appended = fs.listStatus(table).filter { d =>
       val n = d.getPath.getName
       d.isDirectory && n.startsWith("ingest_batch=") && n != "ingest_batch=-1"
@@ -621,7 +694,7 @@ object StreamingJobs {
       .select(col("cid").as("list_id"), col("cent"), col("cn2"))
     val cos = vec_dot(col("embedding"), col("cent")) /
       (sqrt(col("n2")) * sqrt(col("cn2")))
-    val seg = spark.read.parquet(s"$indexPath/postings")
+    val seg = indexRead(spark, s"$indexPath/postings")
       .join(broadcast(cents), "list_id")
       .withColumn("segment",
         when(col("ingest_batch") === -1L, "base").otherwise("appended"))
@@ -719,9 +792,9 @@ object StreamingJobs {
           graft.plans.VecDotProduct.register(s)
           // localCheckpoint: the lineage must not reference the parquet
           // dirs this batch overwrites (the near-dup gate's rule)
-          val nodes = s.read.parquet(s"$indexPath/nodes")
+          val nodes = indexRead(s, s"$indexPath/nodes")
             .drop("ingest_batch").localCheckpoint()
-          val edges = s.read.parquet(s"$indexPath/edges")
+          val edges = indexRead(s, s"$indexPath/edges")
             .drop("ingest_batch").localCheckpoint()
           val vn = graft.operators.Similarity.withBucket(
             graft.operators.Similarity.withNorm2(
@@ -738,6 +811,8 @@ object StreamingJobs {
           vn.withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(s"$indexPath/nodes")
+          indexAppendCommit(s, s"$indexPath/edges", batchId)
+          indexAppendCommit(s, s"$indexPath/nodes", batchId)
           ()
         }
       }
@@ -749,8 +824,8 @@ object StreamingJobs {
   def graphIndexSearch(spark: SparkSession, indexPath: String,
       queries: DataFrame, k: Int = 3): DataFrame = {
     graft.plans.VecDotProduct.register(spark)
-    val nodes = spark.read.parquet(s"$indexPath/nodes").drop("ingest_batch")
-    val edges = spark.read.parquet(s"$indexPath/edges").drop("ingest_batch")
+    val nodes = indexRead(spark, s"$indexPath/nodes").drop("ingest_batch")
+    val edges = indexRead(spark, s"$indexPath/edges").drop("ingest_batch")
     val qn = graft.operators.Similarity.withBucket(
       graft.operators.Similarity.withNorm2(
         queries.select(col("query_id"), col("embedding"))))
@@ -782,9 +857,9 @@ object StreamingJobs {
   def graphDriftReport(spark: SparkSession, indexPath: String): DataFrame = {
     import graft.plans.VecDotProduct.vec_dot
     graft.plans.VecDotProduct.register(spark)
-    val nodes = spark.read.parquet(s"$indexPath/nodes")
+    val nodes = indexRead(spark, s"$indexPath/nodes")
       .select("vec_id", "embedding", "n2")
-    val edges = spark.read.parquet(s"$indexPath/edges")
+    val edges = indexRead(spark, s"$indexPath/edges")
     val cos = vec_dot(col("s_emb"), col("d_emb")) /
       (sqrt(col("s_n2")) * sqrt(col("d_n2")))
     val seg = edges
@@ -962,9 +1037,9 @@ object StreamingJobs {
     * column set as batch corpus_datacard. Counts/sums/min/max merge
     * exactly; the KMV sketches merge by re-aggregating their union
     * (KMV merge ≡ k smallest of the union), so below capacity the
-    * served dup_permil equals the batch op's EXACT rate (modulo the
-    * h60 hashing of content hashes the sketch rides on) and above it
-    * degrades to the estimator. */
+    * served dup_permil equals the batch op's EXACT rate — batch and
+    * ledger count distincts over the SAME h60(md5(text)) domain, one
+    * contract — and above capacity it degrades to the estimator. */
   def datacardServe(s: SparkSession, ledgerDir: String,
       capacity: Int = 256): DataFrame = {
     graft.plans.KmvSketch.register(s)
@@ -1015,11 +1090,22 @@ object StreamingJobs {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.TextAnalysis.bpeApplyWith(batch, rules)
-            .withColumn("ingest_batch", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("ingest_batch").parquet(outDir)
+          // per-round persist + deterministic unpersist at batch end
+          // (the contaminationGateStream convention): a long-lived
+          // stream must not accumulate per-batch blocks, and
+          // localCheckpoint blocks are reclaimed only when the driver
+          // GCs the RDD references (ContextCleaner) — persist blocks
+          // free the moment the batch's write has completed
+          val persisted =
+            scala.collection.mutable.ListBuffer[DataFrame]()
+          try {
+            graft.operators.TextAnalysis.bpeApplyWith(batch, rules,
+                df => { val p = df.persist(); persisted += p; p })
+              .withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(outDir)
+          } finally persisted.foreach(_.unpersist(false))
           ()
         }
       }

@@ -95,7 +95,9 @@ class DedupSpec extends AnyFunSuite {
     val exact = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val methods = Map(
-      "graph" -> "ann_graph_search", "ivf" -> "ann_ivf_topk", "lsh" -> "ann_lsh_topk")
+      "graph" -> "ann_graph_search", "hotprobe" -> "ann_knn_hotprobe",
+      "ivf" -> "ann_ivf_topk", "ivfpq" -> "ann_ivfpq_topk",
+      "lsh" -> "ann_lsh_topk", "pq" -> "ann_pq_topk")
     val report = Registry.queries("ann_recall_report")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
     // one verdict row per (method, panel query), even at zero recall

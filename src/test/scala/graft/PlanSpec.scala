@@ -326,6 +326,18 @@ class PlanSpec extends AnyFunSuite {
       val grams = s2.sql(
         "SELECT ngrams(split('a b c d', ' '), 3)").head.getSeq[String](0)
       assert(grams == Seq("a b c", "b c d"))
+      // a NULL token must DROP its grams, not alias them to shorter
+      // grams via concat_ws's null-skipping (SQL callers can pass
+      // arbitrary arrays; a blocking consumer must not see 'a b'
+      // pretending to be a 3-gram)
+      val nullGrams = s2.sql(
+        "SELECT ngrams(array('a', CAST(NULL AS STRING), 'b', 'c'), 3)")
+        .head.getSeq[String](0)
+      assert(nullGrams == Seq(), s"null-window grams not dropped: $nullGrams")
+      val nullTail = s2.sql(
+        "SELECT ngrams(array('a', 'b', 'c', CAST(NULL AS STRING)), 2)")
+        .head.getSeq[String](0)
+      assert(nullTail == Seq("a b", "b c"))
     } finally {
       saved.foreach { s =>
         SparkSession.setDefaultSession(s)

@@ -589,6 +589,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingJobs.ivfCompactPostings(spark, idx) == 0)
   }
 
+  test("object-store model: index commits are manifest swaps, reads never list data dirs") {
+    import graft.operators.Similarity
+    import graft.etl.Snapshots
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/ivfmanifest"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val postings = s"$idx/postings"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    StreamingJobs.ivfIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    // enable the object-store model: the bootstrap state is snapshot v1;
+    // from here on every commit to the table is ONE manifest object PUT
+    assert(Snapshots.commit(spark, postings) == 1)
+
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.ivfAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // each micro-batch append committed its own manifest version
+    assert(Snapshots.versions(spark, postings) == Seq(1, 2, 3))
+
+    val queries = Similarity.withNorm2(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val before = canon(StreamingJobs.ivfIndexSearch(spark, idx, queries))
+    val nPost = StreamingJobs.indexRead(spark, postings).count()
+
+    // a crashed append's orphan (files on disk, no manifest PUT) is
+    // INVISIBLE to the manifest read — the read path resolves the
+    // manifest, it never lists data directories — while a directory
+    // listing would double-count it
+    StreamingJobs.indexRead(spark, postings).limit(5).localCheckpoint()
+      .withColumn("ingest_batch", lit(99L))
+      .write.mode("append").partitionBy("ingest_batch").parquet(postings)
+    assert(StreamingJobs.indexRead(spark, postings).count() == nPost,
+      "uncommitted orphan leaked into the manifest read")
+    assert(spark.read.parquet(postings).count() == nPost + 5)
+    assert(canon(StreamingJobs.ivfIndexSearch(spark, idx, queries)) == before)
+
+    // compaction: staged gen write, ONE manifest PUT (the commit),
+    // trailing vacuum. Serve output is unchanged, all rows fold to the
+    // bootstrap partition, the live manifest references only the
+    // staged generation, and vacuum removed the superseded files AND
+    // the never-committed orphan
+    val folded = StreamingJobs.ivfCompactPostings(spark, idx)
+    assert(folded == 2, s"expected 2 appended partitions folded, got $folded")
+    assert(canon(StreamingJobs.ivfIndexSearch(spark, idx, queries)) == before)
+    val postCompact = StreamingJobs.indexRead(spark, postings)
+    assert(postCompact.count() == nPost)
+    assert(postCompact.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L))
+    val live = Snapshots.versions(spark, postings)
+    assert(live.size == 1, s"stale manifests not expired: $live")
+    val entries = Snapshots.manifest(spark, postings, live.max)
+    assert(entries.nonEmpty && entries.forall(_._1.startsWith("gen")),
+      s"manifest references non-staged files: ${entries.take(3)}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(postings, "ingest_batch=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(postings, "ingest_batch=99")))
+
+    // crash window of the NEXT compaction: a staged generation with no
+    // manifest PUT changes nothing a reader can observe
+    StreamingJobs.indexRead(spark, postings).limit(3).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$postings/gen999/ingest_batch=-1")
+    assert(StreamingJobs.indexRead(spark, postings).count() == nPost,
+      "staged-but-uncommitted generation leaked into the manifest read")
+    assert(canon(StreamingJobs.ivfIndexSearch(spark, idx, queries)) == before)
+
+    // drift report reads via the manifest too: post-compaction the
+    // whole lake is base segment
+    val drift = StreamingJobs.ivfDriftReport(spark, idx).collect()
+    assert(drift.map(_.getAs[Long]("n_appended")).sum == 0L)
+    assert(drift.map(_.getAs[Long]("n_base")).sum == nPost)
+  }
+
   test("streaming near-dup gate is self-admitting: sequential fold of the batch verdict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
