@@ -131,6 +131,27 @@ object Snapshots {
     }.toSeq
   }
 
+  /** Explicit-file-list read whose partition parsing tolerates MIXED
+    * directory depths. After an index compaction the live manifest can
+    * reference both `gen{v}/ingest_batch=-1/...` staged files and
+    * root-level `ingest_batch=N/...` stream appends; Spark's partition
+    * inference requires every file to share ONE base after stripping
+    * trailing k=v segments, so a single read over such a union fails
+    * with CONFLICTING_DIRECTORY_STRUCTURES regardless of basePath.
+    * Group the files by their partition-stripped base, read each group
+    * with its own basePath (partition values still parse), and union
+    * by name. */
+  private def readFileList(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    def base(p: String): String = {
+      val dirs = p.split('/').dropRight(1) // drop the filename
+      val partRun = dirs.reverse.takeWhile(_.contains("=")).length
+      dirs.dropRight(partRun).mkString("/")
+    }
+    paths.groupBy(base).toSeq.sortBy(_._1).map { case (b, ps) =>
+      spark.read.option("basePath", b).parquet(ps: _*)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Time-travel read: exactly the files of `version`, as of commit
     * time. Fails loudly if a manifest file was rewritten away. */
   def readVersion(spark: SparkSession, lakeRoot: String, version: Int): DataFrame = {
@@ -141,7 +162,7 @@ object Snapshots {
     paths.foreach(p => require(f.exists(new Path(p)),
       s"snapshot v$version references rewritten/deleted file $p — " +
       "snapshots only survive append-style evolution (see Snapshots doc)"))
-    spark.read.option("basePath", qualified).parquet(paths: _*)
+    readFileList(spark, paths)
   }
 
   /** The incremental read set: files present in `toVersion` but not
@@ -164,7 +185,7 @@ object Snapshots {
       .map(p => s"$qualified/$p")
     require(paths.nonEmpty,
       s"no files added between v$fromVersion and v$toVersion")
-    spark.read.option("basePath", qualified).parquet(paths: _*)
+    readFileList(spark, paths)
   }
 
   /** Drops every snapshot whose manifest references a file that no

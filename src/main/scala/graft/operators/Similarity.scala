@@ -73,6 +73,13 @@ object Similarity {
     * operator, so at scale nothing sorts a full candidate set. */
   private val PrefilterBuffer = 64
 
+  /** The shared query panel: vectors/docs with id < AnnPanel serve as
+    * queries in every ANN op AND in the recall report's baseline —
+    * declared once (and before every SQL-twin `val` initializer) so
+    * the panel size cannot silently diverge between the Scala filters,
+    * the DuckDB twins, and the report's hotprobe slice. */
+  private val AnnPanel = 10
+
   /** Prefilter-by-`fast`-score + exact-decimal rescore, shared by every
     * ANN variant. `scored` must carry (query_id, neighbor_id, q_emb,
     * embedding, qn2, n2, fast); the per-query fast top-[[PrefilterBuffer]]
@@ -110,7 +117,7 @@ object Similarity {
   private def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     val v = withNorm2(Tables.embeddings(s, dir))
-    val q = v.filter(col("vec_id") < 10)
+    val q = v.filter(col("vec_id") < AnnPanel)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
     val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -124,7 +131,7 @@ object Similarity {
        |scored AS (
        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
        |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cos_raw
-       |  FROM v q JOIN v ON q.vec_id < 10 AND v.vec_id <> q.vec_id),
+       |  FROM v q JOIN v ON q.vec_id < $AnnPanel AND v.vec_id <> q.vec_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos_raw,
        |         CAST(row_number() OVER (PARTITION BY query_id
@@ -232,7 +239,7 @@ object Similarity {
        |scored AS (
        |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
        |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cos_raw
-       |  FROM v q JOIN v ON q.vec_id < 10 AND v.vec_id <> q.vec_id
+       |  FROM v q JOIN v ON q.vec_id < $AnnPanel AND v.vec_id <> q.vec_id
        |                 AND v.bucket = q.bucket),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos_raw,
@@ -246,7 +253,7 @@ object Similarity {
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     val v = withNorm2(Tables.embeddings(s, dir)).withColumn("bucket", bucketCol(col("embedding")))
-    val q = v.filter(col("vec_id") < 10)
+    val q = v.filter(col("vec_id") < AnnPanel)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("qn2"), col("bucket").as("q_bucket"))
     val pairs = v.join(broadcast(q),
@@ -928,7 +935,7 @@ object Similarity {
   private def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     val v = withBucket(withNorm2(Tables.embeddings(s, dir)))
-    val q = v.filter(col("vec_id") < 10)
+    val q = v.filter(col("vec_id") < AnnPanel)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("qn2"), col("bucket").as("q_bucket"))
     // entry point: the home bucket's lowest corpus id (never the query
@@ -971,7 +978,7 @@ object Similarity {
        |q AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS qn2,
        |         bucket AS q_bucket
-       |  FROM v WHERE vec_id < 10),
+       |  FROM v WHERE vec_id < $AnnPanel),
        |f0 AS (
        |  SELECT q.query_id, min(v.vec_id) AS node
        |  FROM q JOIN v ON v.bucket = q.q_bucket AND v.vec_id <> q.query_id
@@ -1227,7 +1234,7 @@ object Similarity {
   private def annIvf(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm2(Tables.embeddings(s, dir))
     val (cents, index) = buildIvfIndex(s, dir)
-    val queries = v.filter(col("vec_id") < 10)
+    val queries = v.filter(col("vec_id") < AnnPanel)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("qn2"))
     ivfServe(s, cents, index, queries, 5)
@@ -1446,7 +1453,7 @@ object Similarity {
        |    SELECT v.vec_id, c.cid,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |             ${score("v.embedding", "c.cent")} DESC, c.cid) AS rn
-       |    FROM v CROSS JOIN $last c WHERE v.vec_id < 10)
+       |    FROM v CROSS JOIN $last c WHERE v.vec_id < $AnnPanel)
        |  WHERE rn <= $IvfProbes),
        |scored AS (
        |  SELECT p.query_id, v.vec_id AS neighbor_id,
@@ -1608,14 +1615,14 @@ object Similarity {
     // per-query LUT: exact-decimal dot of each query subvector against
     // each codebook entry, flattened to a 128-slot array ordered by
     // (m, cid) — one bounded array per query, broadcast with the query
-    val lutVals = pqSubs(lutBase.filter(col("vec_id") < 10))
+    val lutVals = pqSubs(lutBase.filter(col("vec_id") < AnnPanel))
       .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(cents), "m")
       .select(col("query_id"), col("m"), col("cid"),
         graft.plans.VecDotProduct.vec_dot_exact(col("sub"), col("cent")).as("lv"))
-    val lut = gridLut(v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id")),
+    val lut = gridLut(v.filter(col("vec_id") < AnnPanel).select(col("vec_id").as("query_id")),
       Seq("query_id"), lutVals)
-    val q = v.filter(col("vec_id") < 10)
+    val q = v.filter(col("vec_id") < AnnPanel)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
       .join(lut, "query_id")
     // ADC: 8 LUT reads per (candidate, query) pair, fixed-order sum
@@ -1688,12 +1695,12 @@ object Similarity {
        |  SELECT vec_id, list(cid ORDER BY m) AS codes FROM enc WHERE rn = 1 GROUP BY vec_id),
        |lutvals AS (
        |  SELECT q.vec_id AS query_id, c.m, c.cid, ${ddotSql("q.sub", "c.cent")} AS lv
-       |  FROM subs q JOIN $last c ON q.m = c.m WHERE q.vec_id < 10),
+       |  FROM subs q JOIN $last c ON q.m = c.m WHERE q.vec_id < $AnnPanel),
        |qgrid AS (
        |  SELECT v.vec_id AS query_id, mm.m, kk.cid
        |  FROM v, (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) mm,
        |       (SELECT unnest(generate_series(0, ${PqK - 1})) AS cid) kk
-       |  WHERE v.vec_id < 10),
+       |  WHERE v.vec_id < $AnnPanel),
        |lut AS (
        |  SELECT query_id, list(COALESCE(lv, CAST(0.0 AS DOUBLE)) ORDER BY m, cid) AS lut
        |  FROM qgrid LEFT JOIN lutvals USING (query_id, m, cid)
@@ -1795,7 +1802,7 @@ object Similarity {
     val cents = trainPqCodebooks(subs)
     val codes = collectCodes(pqAssign(subs, cents)).localCheckpoint()
     pqServe(s, corpus, cents, codes,
-      lutSrc = if (rotate) Some(rotated(corpus.filter(col("vec_id") < 10))) else None)
+      lutSrc = if (rotate) Some(rotated(corpus.filter(col("vec_id") < AnnPanel))) else None)
   }
 
   private def annOpq(s: SparkSession, dir: String): DataFrame = {
@@ -1805,7 +1812,7 @@ object Similarity {
     // query path: original corpus for the scan + exact rescore; only
     // the 10 query vectors get rotated (for the codebook LUT)
     pqServe(s, Tables.embeddings(s, dir), cents, codes,
-      lutSrc = Some(rotated(Tables.embeddings(s, dir).filter(col("vec_id") < 10))))
+      lutSrc = Some(rotated(Tables.embeddings(s, dir).filter(col("vec_id") < AnnPanel))))
   }
 
   private val annOpqSql: String = {
@@ -1864,7 +1871,7 @@ object Similarity {
     val (resid, rcents, rcodes) = buildIvfPqIndex(s, dir)
     val cents = buildIvfIndex(s, dir)._1
     val pw = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
-    val probes = v.filter(col("vec_id") < 10)
+    val probes = v.filter(col("vec_id") < AnnPanel)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
       .crossJoin(broadcast(cents))
       .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
@@ -1991,7 +1998,7 @@ object Similarity {
        |    SELECT v.vec_id, c.cid,
        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
        |             ${score("v.embedding", "c.cent")} DESC, c.cid) AS rn
-       |    FROM v CROSS JOIN $ilast c WHERE v.vec_id < 10)
+       |    FROM v CROSS JOIN $ilast c WHERE v.vec_id < $AnnPanel)
        |  WHERE rn <= $IvfProbes),
        |qres AS (
        |  SELECT p.query_id, p.probe, ${vsubSql("q.embedding", "c.cent")} AS res,
@@ -2067,16 +2074,25 @@ object Similarity {
   private def annRecallReport(s: SparkSession, dir: String): DataFrame = {
     val exact = annBruteforce(s, dir)
       .select("query_id", "neighbor_id").localCheckpoint()
+    // (method, serve, k): each method audits at ITS OWN serve depth —
+    // graph and hotprobe serve KnnK=3 neighbors per query, the rest
+    // RecallK=5, so a flat hits/RecallK would structurally cap the k=3
+    // methods at 600‰ and make rows incomparable without out-of-band
+    // knowledge. recall_permil therefore divides by min(RecallK, k):
+    // for k = RecallK this IS recall@5; for k < RecallK it is the
+    // served list's hit rate against the exact top-RecallK — the
+    // comparable per-method number. The k column makes the depth
+    // explicit in the report itself.
     val methods = Seq(
-      "graph" -> annGraphSearch(s, dir),
+      ("graph", annGraphSearch(s, dir), KnnK),
       // hotprobe serves the whole corpus as queries (it IS the kNN
       // builder); the audit reads its panel slice of the same output
-      "hotprobe" -> annKnnHotprobe(s, dir).filter(col("query_id") < 10),
-      "ivf" -> annIvf(s, dir),
-      "ivfpq" -> annIvfPq(s, dir),
-      "lsh" -> annLsh(s, dir),
-      "pq" -> annPq(s, dir))
-    methods.map { case (name, approx0) =>
+      ("hotprobe", annKnnHotprobe(s, dir).filter(col("query_id") < AnnPanel), KnnK),
+      ("ivf", annIvf(s, dir), RecallK),
+      ("ivfpq", annIvfPq(s, dir), RecallK),
+      ("lsh", annLsh(s, dir), RecallK),
+      ("pq", annPq(s, dir), RecallK))
+    methods.map { case (name, approx0, k) =>
       val approx = approx0
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
         .localCheckpoint()
@@ -2084,16 +2100,17 @@ object Similarity {
         .join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
         .agg(sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("hits"))
-        .select(lit(name).as("method"), col("query_id"), col("hits"))
+        .select(lit(name).as("method"), lit(k).as("k"), col("query_id"), col("hits"))
     }.reduce(_.union(_))
-      .withColumn("recall_permil", expr(s"(CAST(hits AS BIGINT) * 1000) div $RecallK"))
+      .withColumn("recall_permil",
+        expr(s"(CAST(hits AS BIGINT) * 1000) div least($RecallK, k)"))
       .orderBy("method", "query_id")
   }
 
   private def annRecallReportSql: String =
     s"""WITH exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($annBruteforceSql)),
        |m_graph AS (SELECT query_id, neighbor_id FROM ($annGraphSearchSql)),
-       |m_hotprobe AS (SELECT query_id, neighbor_id FROM ($annKnnHotprobeSql) WHERE query_id < 10),
+       |m_hotprobe AS (SELECT query_id, neighbor_id FROM ($annKnnHotprobeSql) WHERE query_id < $AnnPanel),
        |m_ivf AS (SELECT query_id, neighbor_id FROM ($annIvfSql)),
        |m_ivfpq AS (SELECT query_id, neighbor_id FROM ($annIvfPqSql)),
        |m_lsh AS (SELECT query_id, neighbor_id FROM ($annLshSql)),
@@ -2106,15 +2123,17 @@ object Similarity {
        |  UNION ALL SELECT 'lsh' AS method, * FROM m_lsh
        |  UNION ALL SELECT 'pq' AS method, * FROM m_pq),
        |hits AS (
-       |  SELECT ms.method, e.query_id,
+       |  SELECT ms.method, ms.k, e.query_id,
        |         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS hits
        |  FROM exact e
-       |  CROSS JOIN (SELECT unnest(['graph', 'hotprobe', 'ivf', 'ivfpq', 'lsh', 'pq']) AS method) ms
+       |  CROSS JOIN (SELECT * FROM (VALUES ('graph', $KnnK), ('hotprobe', $KnnK),
+       |    ('ivf', $RecallK), ('ivfpq', $RecallK), ('lsh', $RecallK),
+       |    ('pq', $RecallK)) AS t(method, k)) ms
        |  LEFT JOIN approx a ON a.method = ms.method
        |    AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-       |  GROUP BY 1, 2)
-       |SELECT method, query_id, hits,
-       |       CAST((CAST(hits AS BIGINT) * 1000) // $RecallK AS BIGINT) AS recall_permil
+       |  GROUP BY 1, 2, 3)
+       |SELECT method, k, query_id, hits,
+       |       CAST((CAST(hits AS BIGINT) * 1000) // least($RecallK, k) AS BIGINT) AS recall_permil
        |FROM hits ORDER BY method, query_id""".stripMargin
 
   // --- retrieval_rrf: hybrid sparse+dense retrieval ---------------------

@@ -638,7 +638,17 @@ object StreamingJobs {
       val appended = entries.map(_._1)
         .flatMap("(?:^|/)ingest_batch=(-?\\d+)/".r.findFirstMatchIn(_))
         .map(_.group(1).toLong).distinct.filter(_ != -1L)
-      if (appended.isEmpty) return 0
+      if (appended.isEmpty) {
+        // Nothing to fold — but a PRIOR compaction may have crashed
+        // between its commitEntries PUT and its vacuum, leaving
+        // superseded ingest_batch files and stale manifests on disk
+        // (reads stay correct; storage leaks). The vacuum is
+        // idempotent, so completing it here restores the
+        // one-live-version invariant on the next invocation.
+        graft.etl.Snapshots.rollback(spark, tableDir, vs.max)
+        graft.etl.Snapshots.expireInvalid(spark, tableDir)
+        return 0
+      }
       val gen = s"gen${graft.etl.Snapshots.nextVersion(spark, tableDir)}"
       graft.etl.Snapshots.readVersion(spark, tableDir, vs.max)
         .drop("ingest_batch").withColumn("ingest_batch", lit(-1L))

@@ -99,7 +99,8 @@ class DedupSpec extends AnyFunSuite {
       "ivf" -> "ann_ivf_topk", "ivfpq" -> "ann_ivfpq_topk",
       "lsh" -> "ann_lsh_topk", "pq" -> "ann_pq_topk")
     val report = Registry.queries("ann_recall_report")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> (r.getInt(2), r.getLong(3))).toMap
+      .map(r => (r.getString(0), r.getLong(2)) -> (r.getInt(1), r.getInt(3), r.getLong(4)))
+      .toMap
     // one verdict row per (method, panel query), even at zero recall
     assert(report.size == methods.size * 10)
     methods.foreach { case (m, op) =>
@@ -107,9 +108,12 @@ class DedupSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       (0L until 10L).foreach { q =>
         val want = exact.filter(_._1 == q).count(approx.contains)
-        val (hits, permil) = report((m, q))
+        val (k, hits, permil) = report((m, q))
+        // k is each method's own serve depth (graph/hotprobe walk the
+        // KnnK=3 graph; the rest serve RecallK=5)
+        assert(k == (if (m == "graph" || m == "hotprobe") 3 else 5))
         assert(hits == want, s"$m q$q hits $hits != recomputed $want")
-        assert(permil == hits * 1000L / 5)
+        assert(permil == hits * 1000L / math.min(5, k))
       }
     }
   }

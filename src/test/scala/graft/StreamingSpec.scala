@@ -674,6 +674,59 @@ class StreamingSpec extends AnyFunSuite {
     val drift = StreamingJobs.ivfDriftReport(spark, idx).collect()
     assert(drift.map(_.getAs[Long]("n_appended")).sum == 0L)
     assert(drift.map(_.getAs[Long]("n_base")).sum == nPost)
+
+    // append AFTER compact: the next stream generation writes
+    // root-level ingest_batch=N partitions while the live manifest
+    // references gen{v}/ files — the manifest now mixes the two
+    // directory depths and readVersion's basePath partition parsing
+    // must resolve both. The appended vector is an exact copy of query
+    // 0's embedding, so "search sees the new partition" is observable
+    // as a cosine-1.0 hit
+    val q0emb = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val source2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = StreamingJobs.ivfAppendStream(
+      source2.toDF().toDF("vec_id", "embedding"), idx, s"$root/ckpt2")
+    try {
+      source2.addData(Seq((100000L, q0emb))); q2.processAllAvailable()
+    } finally q2.stop()
+    val mixed = Snapshots.manifest(spark, postings,
+      Snapshots.versions(spark, postings).max).map(_._1)
+    assert(mixed.exists(_.startsWith("gen")) &&
+      mixed.exists(_.startsWith("ingest_batch=")),
+      s"manifest should mix gen and root-level paths: ${mixed.take(3)}")
+    assert(StreamingJobs.indexRead(spark, postings).count() == nPost + 1)
+    val served = canon(StreamingJobs.ivfIndexSearch(spark, idx, queries))
+    assert(served.exists(t => t._1 == 0L && t._2 == 100000L && t._4 == 1.0),
+      "appended exact-copy vector not served for query 0")
+
+    // crashed-vacuum retry: replicate a compaction that died between
+    // its commitEntries PUT and its vacuum — the folded generation is
+    // committed but superseded ingest_batch files persist and older
+    // manifests stay live. The next invocation folds nothing
+    // (appended.isEmpty on the live manifest) but must COMPLETE the
+    // vacuum rather than return early, restoring one-live-version
+    val gen = s"gen${Snapshots.nextVersion(spark, postings)}"
+    Snapshots.readVersion(spark, postings,
+        Snapshots.versions(spark, postings).max)
+      .drop("ingest_batch").withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .parquet(s"$postings/$gen")
+    Snapshots.commitEntries(spark, postings,
+      Snapshots.filesUnder(spark, postings, gen))
+    // CRASH HERE (no rollback/expireInvalid): stale state on disk
+    assert(Snapshots.versions(spark, postings).size > 1)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(postings))
+      .exists(_.getPath.getName.startsWith("ingest_batch=")),
+      "superseded partition should persist across the simulated crash")
+    assert(StreamingJobs.ivfCompactPostings(spark, idx) == 0)
+    assert(Snapshots.versions(spark, postings).size == 1,
+      "retry should expire the stale manifests")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(postings))
+      .exists(_.getPath.getName.startsWith("ingest_batch=")),
+      "retry should vacuum the superseded partition files")
+    assert(StreamingJobs.indexRead(spark, postings).count() == nPost + 1)
+    assert(canon(StreamingJobs.ivfIndexSearch(spark, idx, queries)) == served)
   }
 
   test("streaming near-dup gate is self-admitting: sequential fold of the batch verdict") {
