@@ -1265,17 +1265,17 @@ object Dedup {
 
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
-    Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
-    Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
-    Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
-    Op("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql)),
-    Op("dedup_gate", dedupGate, Some(dedupGateSql)),
+    Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), buildState = true),
+    Op("dedup_containment", dedupContainment, Some(dedupContainmentSql), buildState = true),
+    Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql), buildState = true),
+    Op("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql), buildState = true),
+    Op("dedup_gate", dedupGate, Some(dedupGateSql), buildState = true),
     Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
-    Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
-    Op("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql)),
-    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql)),
-    Op("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql)),
-    Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
-    Op("corpus_split_leakfree", corpusSplitLeakfree, Some(corpusSplitLeakfreeSql)))
+    Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql), buildState = true),
+    Op("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql), buildState = true),
+    Op("dedup_clusters", dedupClusters, Some(dedupClustersSql), buildState = true),
+    Op("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql), buildState = true),
+    Op("graph_pagerank", graphPagerank, Some(graphPagerankSql), buildState = true),
+    Op("corpus_split_leakfree", corpusSplitLeakfree, Some(corpusSplitLeakfreeSql), buildState = true))
 }

@@ -1445,7 +1445,7 @@ object MarketQueries {
     Op("etl_normalize_aggtrades", etlNormalizeAggTrades, Some(etlNormalizeAggTradesSql)),
     Op("etl_partition_audit", etlPartitionAudit, Some(etlPartitionAuditSql)),
     Op("etl_incremental", etlIncremental, Some(etlIncrementalSql)),
-    Op("etl_skipping_scan", etlSkippingScan, Some(etlSkippingScanSql)),
+    Op("etl_skipping_scan", etlSkippingScan, Some(etlSkippingScanSql), buildState = true),
     Op("etl_json_props", etlJsonProps, Some(etlJsonPropsSql)),
     Op("etl_upsert_latest", etlUpsertLatest, Some(etlUpsertLatestSql)),
     Op("etl_scd2_history", etlScd2, Some(etlScd2Sql)),

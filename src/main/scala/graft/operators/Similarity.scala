@@ -2165,7 +2165,19 @@ object Similarity {
   private val RrfK1 = 1.2
   private val RrfB = 0.75
 
-  private def retrievalRrf(s: SparkSession, dir: String): DataFrame = {
+  private def retrievalRrf(s: SparkSession, dir: String): DataFrame =
+    retrievalRrfOver(s, dir,
+      CorpusIndex.postings(s, dir), CorpusIndex.docLengths(s, dir),
+      CorpusIndex.docFreq(s, dir), CorpusIndex.stats(s, dir))
+
+  /** RRF over EXPLICIT inverted-index frames — the registry op feeds
+    * the memoized [[CorpusIndex]] build; the maintained index lake's
+    * serve ([[graft.streaming.StreamingJobs.rrfIndexSearch]]) feeds the
+    * lake tables. One definition, so the two serve surfaces cannot
+    * drift (StreamingSpec pins their equality over the union corpus). */
+  private[graft] def retrievalRrfOver(s: SparkSession, dir: String,
+      tf: DataFrame, dl: DataFrame, dfreq: DataFrame,
+      stats: DataFrame): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     graft.plans.TopKPerGroup.install(s)
     val mk = graft.plans.TopKPerGroup.MarkerPrefix
@@ -2185,15 +2197,11 @@ object Similarity {
     // directions are the 100 TB ones: the corpus-sized artifacts (the
     // (word, doc, tf) postings, the vocabulary-sized df table, the
     // per-doc dl column) NEVER shuffle — the bounded panel/candidate
-    // side broadcasts into each of them. The index itself is
-    // [[CorpusIndex]] build state — built once per corpus snapshot and
-    // memoized (flushed by the re-ANALYZE hook), never re-derived per
-    // query; text_bm25_topk reads the same tables, so the two BM25
-    // surfaces share one definition.
-    val tf = CorpusIndex.postings(s, dir)
-    val dl = CorpusIndex.docLengths(s, dir)
-    val stats = CorpusIndex.stats(s, dir)
-    val dfreq = CorpusIndex.docFreq(s, dir)
+    // side broadcasts into each of them. The index frames are build
+    // state (memoized [[CorpusIndex]] or the maintained lake) — built
+    // once per corpus snapshot, never re-derived per query;
+    // text_bm25_topk reads the same tables, so the BM25 surfaces share
+    // one definition.
     val wq = Window.partitionBy("query_id").orderBy(col("df"), col("word"))
     val qtok = Tables.documents(s, dir).filter(col("doc_id") < RrfPanel)
       .select(col("doc_id").as("query_id"),
@@ -2386,19 +2394,19 @@ object Similarity {
 
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
-    Op("ann_recall_report", annRecallReport, Some(annRecallReportSql)),
-    Op("retrieval_rrf", retrievalRrf, Some(retrievalRrfSql)),
+    Op("ann_recall_report", annRecallReport, Some(annRecallReportSql), buildState = true),
+    Op("retrieval_rrf", retrievalRrf, Some(retrievalRrfSql), buildState = true),
     Op("corpus_coreset_kcenter", corpusCoreset, Some(corpusCoresetSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
     Op("ann_knn_multiprobe", annKnnMultiprobe, Some(annKnnMultiprobeSql)),
     Op("ann_knn_hotsplit", annKnnHotsplit, Some(annKnnHotsplitSql)),
     Op("ann_knn_hotprobe", annKnnHotprobe, Some(annKnnHotprobeSql)),
-    Op("ann_graph_search", annGraphSearch, Some(annGraphSearchSql)),
-    Op("ann_ivf_topk", annIvf, Some(annIvfSql)),
-    Op("ann_pq_topk", annPq, Some(annPqSql)),
-    Op("ann_opq_topk", annOpq, Some(annOpqSql)),
-    Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql)),
+    Op("ann_graph_search", annGraphSearch, Some(annGraphSearchSql), buildState = true),
+    Op("ann_ivf_topk", annIvf, Some(annIvfSql), buildState = true),
+    Op("ann_pq_topk", annPq, Some(annPqSql), buildState = true),
+    Op("ann_opq_topk", annOpq, Some(annOpqSql), buildState = true),
+    Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql), buildState = true),
     Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }

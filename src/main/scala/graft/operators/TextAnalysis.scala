@@ -239,15 +239,25 @@ object TextAnalysis {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
-  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+  private def textBm25(s: SparkSession, dir: String): DataFrame =
+    bm25Over(CorpusIndex.postings(s, dir), CorpusIndex.docLengths(s, dir),
+      CorpusIndex.docFreq(s, dir), CorpusIndex.stats(s, dir))
+
+  /** BM25 top-50 over EXPLICIT inverted-index frames — the registry op
+    * feeds the memoized [[CorpusIndex]] build; the maintained index
+    * lake's serve ([[graft.streaming.StreamingJobs.bm25IndexSearch]])
+    * feeds the lake tables. One scoring definition for both surfaces
+    * (StreamingSpec pins their equality over the union corpus). */
+  private[graft] def bm25Over(postings: DataFrame, docLengths: DataFrame,
+      docFreq: DataFrame, corpusStats: DataFrame): DataFrame = {
     // term lookups: only the 3 query terms' posting lists leave the
     // index; docs missing a term get tf 0 via the left join + coalesce
     val tfAggs = Bm25Terms.map(t =>
       sum(when(col("word") === t, col("tf")).otherwise(0L)).as(s"tf0_$t"))
-    val termTf = CorpusIndex.postings(s, dir)
+    val termTf = postings
       .filter(col("word").isin(Bm25Terms: _*))
       .groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
-    val tf = CorpusIndex.docLengths(s, dir)
+    val tf = docLengths
       .join(termTf, Seq("doc_id"), "left")
       .select(col("doc_id") +: col("dl").cast(IntegerType).as("dl") +:
         Bm25Terms.map(t =>
@@ -257,10 +267,10 @@ object TextAnalysis {
     val dfAggs = Bm25Terms.map(t =>
       coalesce(sum(when(col("word") === t, col("df")).otherwise(0L)), lit(0L))
         .as(s"df_$t"))
-    val dfRow = CorpusIndex.docFreq(s, dir)
+    val dfRow = docFreq
       .filter(col("word").isin(Bm25Terms: _*))
       .agg(dfAggs.head, dfAggs.tail: _*)
-    val stats = CorpusIndex.stats(s, dir).crossJoin(dfRow)
+    val stats = corpusStats.crossJoin(dfRow)
     val score = Bm25Terms.map { t =>
       val idf = (col("n_docs").cast(DoubleType) - col(s"df_$t") + lit(0.5)) /
         (col(s"df_$t") + lit(0.5))
@@ -419,14 +429,15 @@ object TextAnalysis {
     * weighted pair count). K one-row collects, the same metadata-scale
     * driver traffic as MLlib centroid iteration; everything heavy
     * stays distributed. Stops early if a round finds no pair. */
-  private[graft] def bpeTrainMerges(docs: DataFrame): Seq[(Int, String, String, Long)] = {
+  private[graft] def bpeTrainMerges(docs: DataFrame,
+      merges: Int = BpeMerges): Seq[(Int, String, String, Long)] = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("word").orderBy("pos")
     var state = bpeState0(docs)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
-    while (r <= BpeMerges && !exhausted) {
+    while (r <= merges && !exhausted) {
       val top = state.withColumn("nxt", lead("sym", 1).over(w))
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
@@ -621,9 +632,9 @@ object TextAnalysis {
   }
 
   val ops: Seq[Op] = Seq(
-    Op("tokenizer_bpe_train", bpeTrain, Some(bpeTrainSql)),
-    Op("tokenizer_bpe_apply", bpeApply, Some(bpeApplySql)),
-    Op("text_bm25_topk", textBm25, Some(textBm25Sql)),
+    Op("tokenizer_bpe_train", bpeTrain, Some(bpeTrainSql), buildState = true),
+    Op("tokenizer_bpe_apply", bpeApply, Some(bpeApplySql), buildState = true),
+    Op("text_bm25_topk", textBm25, Some(textBm25Sql), buildState = true),
     Op("text_stats", textStats, Some(textStatsSql)),
     Op("text_ngram_freq", textNgramFreq, Some(textNgramFreqSql)),
     Op("text_sample_per_source", textSample, Some(textSampleSql)),

@@ -627,7 +627,16 @@ object StreamingJobs {
     *    loudly-missing dir (the narrow window between renames), or
     *    the new table; never a silent half. */
   private def compactIngestPartitions(spark: SparkSession,
-      tableDir: String, clusterCols: Seq[String]): Int = {
+      tableDir: String, clusterCols: Seq[String],
+      merge: DataFrame => DataFrame = identity): Int = {
+    def fold(df: DataFrame): DataFrame = {
+      val merged = merge(df.drop("ingest_batch"))
+        .withColumn("ingest_batch", lit(-1L))
+      // cluster so serve-side join keys land contiguously; a keyless
+      // table (one-row stats partials) collapses to a single file
+      if (clusterCols.nonEmpty) merged.repartition(clusterCols.map(col): _*)
+      else merged.coalesce(1)
+    }
     val table = new org.apache.hadoop.fs.Path(tableDir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val vs = graft.etl.Snapshots.versions(spark, tableDir)
@@ -650,9 +659,7 @@ object StreamingJobs {
         return 0
       }
       val gen = s"gen${graft.etl.Snapshots.nextVersion(spark, tableDir)}"
-      graft.etl.Snapshots.readVersion(spark, tableDir, vs.max)
-        .drop("ingest_batch").withColumn("ingest_batch", lit(-1L))
-        .repartition(clusterCols.map(col): _*)
+      fold(graft.etl.Snapshots.readVersion(spark, tableDir, vs.max))
         .write.partitionBy("ingest_batch").mode("overwrite")
         .parquet(s"$tableDir/$gen")
       // THE commit: one manifest object naming exactly the staged files
@@ -672,9 +679,7 @@ object StreamingJobs {
     val tmp = new org.apache.hadoop.fs.Path(s"$tableDir" + "_compacting")
     val old = new org.apache.hadoop.fs.Path(s"$tableDir" + "_old")
     fs.delete(tmp, true); fs.delete(old, true)
-    spark.read.parquet(table.toString)
-      .drop("ingest_batch").withColumn("ingest_batch", lit(-1L))
-      .repartition(clusterCols.map(col): _*)
+    fold(spark.read.parquet(table.toString))
       .write.partitionBy("ingest_batch").mode("overwrite").parquet(tmp.toString)
     require(fs.rename(table, old),
       s"compactIngestPartitions: rename $table -> $old failed; index unchanged")
@@ -893,6 +898,142 @@ object StreamingJobs {
       .select(col("n_base"), col("n_appended"),
         col("mean_cos_base"), col("mean_cos_appended"),
         (col("mean_cos_appended") < col("mean_cos_base") - 0.05).as("drifted"))
+  }
+
+  // --- the INVERTED-INDEX lake: CorpusIndex's maintain leg --------------
+  // The third maintained index family (after the IVF posting lake and
+  // the kNN graph lake): the sparse-retrieval index that
+  // [[graft.operators.CorpusIndex]] memoizes locally becomes four
+  // ingest_batch-partitioned parquet tables with a streaming append
+  // twin and manifest-committed compaction. `postings` (doc_id, word,
+  // tf) and `doclens` (doc_id, dl) are per-document rows — disjoint
+  // across batches, so appends are plain new partitions. `docfreq`
+  // (word, df) and `stats` (n_docs, sum_dl) are ADDITIVE over disjoint
+  // doc sets, so each partition carries that batch's PARTIAL and the
+  // serve path sums partials — the mergeable-ledger pattern the
+  // streaming datacard uses. A batch's increment is bounded by the
+  // batch's vocabulary, never the corpus's, and serve-side merging is
+  // a vocabulary-scale aggregate, not a corpus re-tokenize.
+
+  private val CorpusIndexTables = Seq("postings", "doclens", "docfreq", "stats")
+
+  /** Derive one doc slice's four index tables and land them in
+    * `ingest_batch=batchId` partitions. Derivations are IDENTICAL to
+    * [[graft.operators.CorpusIndex]]'s memoized build (same integer
+    * tf/df/dl/n_docs; sum_dl stays a LONG partial so the serve-side
+    * avgdl double reproduces the batch build's bit-for-bit). postings
+    * and doclens are localCheckpoint'd: each feeds two consumers
+    * (its own write + the derived partial) and AQE does not collapse
+    * identical derivation branches (SURVEY §5). */
+  private def landCorpusIndexSlice(docs: DataFrame, indexPath: String,
+      batchId: Long, dynamic: Boolean): Unit = {
+    val postings = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("dl"))
+      .localCheckpoint()
+    val dfreq = postings.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    def land(df: DataFrame, table: String): Unit = {
+      val w = df.withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+      (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+        .partitionBy("ingest_batch").parquet(s"$indexPath/$table")
+    }
+    land(postings, "postings"); land(dl, "doclens")
+    land(dfreq, "docfreq"); land(stats, "stats")
+  }
+
+  /** Bootstrap the inverted-index lake from the base corpus (the BUILD
+    * of the build/serve/maintain split): tokenize once, land all four
+    * tables under `indexPath` in their `ingest_batch=-1` partitions. */
+  def corpusIndexInit(spark: SparkSession, lakeDir: String,
+      corpusPred: Column, indexPath: String): Unit =
+    landCorpusIndexSlice(
+      graft.Tables.documents(spark, lakeDir).filter(corpusPred),
+      indexPath, -1L, dynamic = false)
+
+  /** Streaming inverted-index maintenance: per micro-batch of incoming
+    * (doc_id, text) rows, derive the batch's posting/length rows and
+    * its df/stats PARTIALS and land each in the table's own
+    * `ingest_batch=N` partition. Dynamic partition overwrite keyed by
+    * batchId ⇒ a replayed batch rewrites its own rows (exactly-once);
+    * on a snapshot-enabled table each land is committed as one
+    * manifest PUT ([[indexAppendCommit]]). */
+  def corpusIndexAppendStream(docs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.select("doc_id", "text").localCheckpoint()
+          landCorpusIndexSlice(b, indexPath, batchId, dynamic = true)
+          CorpusIndexTables.foreach(t =>
+            indexAppendCommit(s, s"$indexPath/$t", batchId))
+          ()
+        }
+      }
+      .start()
+
+  /** The four index frames served from the maintained lake, in
+    * [[graft.operators.CorpusIndex]]'s shapes: postings/doclens as the
+    * union of bootstrap + appended partitions; docfreq and stats
+    * MERGED from their per-partition partials (sum over disjoint doc
+    * sets; avgdl = exact long total cast to double, the batch build's
+    * own derivation). */
+  def corpusIndexFrames(spark: SparkSession, indexPath: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val postings = indexRead(spark, s"$indexPath/postings").drop("ingest_batch")
+    val dl = indexRead(spark, s"$indexPath/doclens").drop("ingest_batch")
+    val dfreq = indexRead(spark, s"$indexPath/docfreq")
+      .groupBy("word").agg(sum("df").as("df"))
+    val stats = indexRead(spark, s"$indexPath/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl").cast(DoubleType) / col("n_docs"))
+      .select("n_docs", "avgdl")
+    (postings, dl, dfreq, stats)
+  }
+
+  /** BM25 top-50 served from the maintained lake — the same scoring
+    * definition as the registry op ([[graft.operators.TextAnalysis
+    * .bm25Over]]), so stream-appended search is definitionally the
+    * batch search over the union corpus (StreamingSpec pins it). */
+  def bm25IndexSearch(spark: SparkSession, indexPath: String): DataFrame = {
+    val (p, dl, df, st) = corpusIndexFrames(spark, indexPath)
+    graft.operators.TextAnalysis.bm25Over(p, dl, df, st)
+  }
+
+  /** Hybrid RRF retrieval served from the maintained lake — the dense
+    * side reads the embeddings lake as usual; the sparse side reads
+    * the four lake frames through the registry op's own definition
+    * ([[graft.operators.Similarity.retrievalRrfOver]]). */
+  def rrfIndexSearch(spark: SparkSession, lakeDir: String,
+      indexPath: String): DataFrame = {
+    val (p, dl, df, st) = corpusIndexFrames(spark, indexPath)
+    graft.operators.Similarity.retrievalRrfOver(spark, lakeDir, p, dl, df, st)
+  }
+
+  /** Inverted-index lake compaction: fold every appended partition of
+    * all four tables into the bootstrap partition (-1) — postings
+    * clustered by `word` so each term's posting list lands contiguous
+    * (the serve-side join key), doclens by `doc_id` — and MERGE the
+    * df/stats partials down to one row per word / one row total, so
+    * partial counts stop accumulating one row per stream batch. Same
+    * commit protocol as [[ivfCompactPostings]] (manifest PUT on the
+    * object-store model, staged rename swap otherwise). Returns the
+    * max partitions folded across the four tables. */
+  def corpusIndexCompact(spark: SparkSession, indexPath: String): Int = {
+    val p = compactIngestPartitions(spark, s"$indexPath/postings", Seq("word"))
+    val d = compactIngestPartitions(spark, s"$indexPath/doclens", Seq("doc_id"))
+    val f = compactIngestPartitions(spark, s"$indexPath/docfreq", Seq("word"),
+      _.groupBy("word").agg(sum("df").as("df")))
+    val st = compactIngestPartitions(spark, s"$indexPath/stats", Nil,
+      _.agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl")))
+    Seq(p, d, f, st).max
   }
 
   /** Streaming incremental view maintenance: each micro-batch is

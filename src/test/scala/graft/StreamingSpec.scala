@@ -1304,4 +1304,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(d >= 0 && d <= 1000, s"dup_permil $d out of range")
     }
   }
+
+  test("inverted-index lake: stream-appended BM25/RRF equal the batch ops over the union corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/corpusindex"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // bootstrap = 4/5 of the corpus; the rest arrives as two micro-batches
+    StreamingJobs.corpusIndexInit(spark, sf, col("doc_id") % 5 =!= 4, idx)
+    val slice = Tables.documents(spark, sf).filter(col("doc_id") % 5 === 4)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = slice.splitAt(slice.length / 2)
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.corpusIndexAppendStream(
+      source.toDF().toDF("doc_id", "text"), idx, ckpt)
+    try {
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    // lake serve == the registry batch ops over the FULL corpus: the
+    // lake's union of bootstrap + appended partitions carries the same
+    // integer tf/df/dl/n_docs (df/stats partials sum over disjoint doc
+    // sets) and both surfaces score through ONE definition
+    // (bm25Over / retrievalRrfOver), so results are bit-identical
+    val batchBm25 = rows(Registry.queries("text_bm25_topk")(spark, sf))
+    val batchRrf = rows(Registry.queries("retrieval_rrf")(spark, sf))
+    assert(rows(StreamingJobs.bm25IndexSearch(spark, idx)) == batchBm25)
+    assert(rows(StreamingJobs.rrfIndexSearch(spark, sf, idx)) == batchRrf)
+
+    // compaction folds all four tables and merges the df/stats
+    // partials; serve output is unchanged and a re-compact is a no-op
+    assert(StreamingJobs.corpusIndexCompact(spark, idx) == 2)
+    for (t <- Seq("postings", "doclens", "docfreq", "stats")) {
+      val batches = spark.read.parquet(s"$idx/$t")
+        .select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(batches == Set(-1L), s"$t post-compaction partitions: $batches")
+    }
+    val dfreq = spark.read.parquet(s"$idx/docfreq")
+    assert(dfreq.groupBy("word").count().filter(col("count") > 1).count() == 0,
+      "docfreq partials not merged to one row per word")
+    assert(spark.read.parquet(s"$idx/stats").count() == 1,
+      "stats partials not merged to one row")
+    assert(rows(StreamingJobs.bm25IndexSearch(spark, idx)) == batchBm25)
+    assert(rows(StreamingJobs.rrfIndexSearch(spark, sf, idx)) == batchRrf)
+    assert(StreamingJobs.corpusIndexCompact(spark, idx) == 0)
+  }
 }
