@@ -781,6 +781,215 @@ object Curation {
        |FROM d LEFT JOIN per USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- corpus_quality_classifier: learned quality gate ------------------
+  // The fastText-style LEARNED classifier stage of the FineWeb/
+  // RedPajama curation recipes — the one gate the rule-based (gopher),
+  // distributional (dsir), and LM (perplexity) stages don't cover: a
+  // linear model over hashed-bigram features, TRAINED on a labeled
+  // slice by a few full-batch gradient steps, then scoring every
+  // document and thresholding at the midpoint of the train-split class
+  // means. In production the labels are LLM/human quality judgments on
+  // a sampled slice; on this lake the `lang = 'en'` tag stands in as
+  // the supervision column (CurationSpec proves the LEARNER itself on
+  // a synthetic corpus whose classes genuinely differ).
+  //
+  // Engine portability (§4): the loss is least squares, not logistic —
+  // σ(z) needs exp(), which is not correctly-rounded-identical across
+  // engines, while the squared-loss gradient is pure +,×,/ and the
+  // model still converges to E[y|x] so the 0/1-target midpoint
+  // threshold is principled. Every distributed reduction (per-doc
+  // score, per-bucket gradient, class means) is a per-row
+  // DECIMAL(38,12) cast summed exactly; per-row arithmetic is IEEE
+  // double evaluated in the same order on both engines, so the DuckDB
+  // oracle (K unrolled GD rounds as MATERIALIZED CTEs — the
+  // Lloyd/kcenter pattern) reproduces the weights bit-for-bit.
+  //
+  // Scale shape: the weight vector is BOUNDED at QcBuckets rows by
+  // construction — it broadcasts into every join; the corpus side is
+  // one row-local bigram pass (codegen'd NgramArray, no token shuffle)
+  // plus per-round map-side-combinable aggregates whose shuffles carry
+  // only (doc, bucket) pairs. GD rounds iterate on the TRAIN slice
+  // only (in production a sampled fraction of the lake); scoring the
+  // full corpus is one broadcast join + one per-doc aggregate.
+  // ℓ1-normalized features keep every ‖x‖₂ ≤ 1, so the squared-loss
+  // Hessian's spectral radius is ≤ 1 and lr = 1 cannot diverge.
+
+  private val QcBuckets = 256
+  private val QcRounds = 4
+  private val QcLr = 1.0
+
+  /** (doc_id, bucket, x): hashed-bigram occurrence counts,
+    * ℓ1-normalized per document. */
+  private def qcFeatures(docs: DataFrame): DataFrame = {
+    graft.plans.NgramArray.register(docs.sparkSession)
+    val cnt = docs
+      .select(col("doc_id"),
+        explode(graft.plans.NgramArray.ngrams(toks, 2)).as("bigram"))
+      .select(col("doc_id"), pmod(h32(col("bigram")), lit(QcBuckets)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy("doc_id").agg(sum("cnt").as("tot"))
+    cnt.join(tot, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        (col("cnt").cast(DoubleType) / col("tot")).as("x"))
+  }
+
+  /** K rounds of full-batch squared-loss GD over the train-slice
+    * features; returns the (bucket, w) weight table (≤ QcBuckets rows,
+    * always broadcastable). `trainFeat` must carry (doc_id, bucket, x,
+    * y) for the train slice only. */
+  private[graft] def qcTrain(trainFeat0: DataFrame): DataFrame = {
+    val trainFeat = trainFeat0.localCheckpoint()
+    val nRow = trainFeat.select("doc_id").distinct()
+      .agg(count(lit(1)).cast(DoubleType).as("n_train"))
+    var w = trainFeat.select("bucket").distinct()
+      .withColumn("w", lit(0.0)).localCheckpoint()
+    for (_ <- 1 to QcRounds) {
+      // s_d = w·x_d (exact decimal reduction), then
+      // grad_j = Σ_d (s_d − y_d)·x_dj, then w_j ← w_j − lr·grad_j/n.
+      // Per-round localCheckpoint: w is ≤ QcBuckets rows (free) and
+      // un-truncated the K rounds nest into one exponentially
+      // re-derived plan (the Lloyd/pagerank convention).
+      val s = trainFeat.join(broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(sum((col("x") * col("w")).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("s"))
+      val g = trainFeat.join(s, "doc_id")
+        .groupBy("bucket")
+        .agg(sum(((col("s") - col("y")) * col("x")).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("g"))
+      w = w.join(g, Seq("bucket"), "left").crossJoin(broadcast(nRow))
+        .select(col("bucket"),
+          (col("w") - lit(QcLr) * coalesce(col("g"), lit(0.0)) / col("n_train"))
+            .as("w"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  /** Score any feature frame with a trained weight table (broadcast
+    * join + one exact-decimal per-doc reduction). */
+  private[graft] def qcScore(feat: DataFrame, w: DataFrame): DataFrame =
+    feat.join(broadcast(w), "bucket")
+      .groupBy("doc_id")
+      .agg(sum((col("x") * col("w")).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("s"))
+
+  /** Train + score + threshold over any (doc_id, text, label) frame:
+    * rows with doc_id % 4 ≠ 3 train; every doc is scored; the gate
+    * passes scores above the midpoint of the train-split class means.
+    * Also the spec's entry point for synthetic separable corpora. */
+  private[graft] def qualityClassifierOf(docs: DataFrame): DataFrame = {
+    val labeled = docs.select(col("doc_id"),
+      col("label").cast(DoubleType).as("y"),
+      (pmod(col("doc_id"), lit(4)) =!= 3).as("is_train"))
+    val feat = qcFeatures(docs).localCheckpoint()
+    val w = qcTrain(feat.join(labeled.filter(col("is_train")), "doc_id")
+      .select("doc_id", "bucket", "x", "y"))
+    val all = labeled.join(qcScore(feat, w), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_train"), col("y"),
+        coalesce(col("s"), lit(0.0)).as("s"))
+      .localCheckpoint()
+    val mu = all.filter(col("is_train"))
+      .groupBy("y")
+      .agg((sum(col("s").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))).as("mu"))
+    // two class means; double addition is commutative, so the 2-row
+    // sum is order-free without a decimal detour
+    val tau = mu.agg((sum("mu") / 2).as("tau"))
+    all.crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("is_train"),
+        col("y").cast(IntegerType).as("label"),
+        round6(col("s")).as("q_score"),
+        (col("s") > col("tau")).as("q_pass"))
+      .orderBy("doc_id")
+  }
+
+  /** The trained model as servable build state: (weights, threshold) —
+    * what the streaming admission gate broadcasts per micro-batch. */
+  private[graft] def qualityClassifierModelOf(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val labeled = docs.select(col("doc_id"),
+      col("label").cast(DoubleType).as("y"),
+      (pmod(col("doc_id"), lit(4)) =!= 3).as("is_train"))
+    val feat = qcFeatures(docs).localCheckpoint()
+    val w = qcTrain(feat.join(labeled.filter(col("is_train")), "doc_id")
+      .select("doc_id", "bucket", "x", "y"))
+    val trainScores = labeled.filter(col("is_train"))
+      .join(qcScore(feat, w), Seq("doc_id"), "left")
+      .select(col("y"), coalesce(col("s"), lit(0.0)).as("s"))
+    val tau = trainScores.groupBy("y")
+      .agg((sum(col("s").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))).as("mu"))
+      .agg((sum("mu") / 2).as("tau"))
+    (w, tau)
+  }
+
+  /** Score arbitrary (doc_id, text) docs with a trained model — the
+    * serve path the streaming gate wraps. */
+  private[graft] def qualityClassifierApply(docs: DataFrame,
+      w: DataFrame, tau: DataFrame): DataFrame =
+    docs.select("doc_id")
+      .join(qcScore(qcFeatures(docs), w), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("s"), lit(0.0)).as("s"))
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), round6(col("s")).as("q_score"),
+        (col("s") > col("tau")).as("q_pass"))
+
+  private def corpusQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("label")))
+
+  private val corpusQualityClassifierSql: String = {
+    val dsum = (e: String) => s"CAST(SUM(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+    val rounds = (1 to QcRounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT t.doc_id, ${dsum("t.x * w.w")} AS s
+         |  FROM tfeat t JOIN w${r - 1} w USING (bucket) GROUP BY 1),
+         |g$r AS (
+         |  SELECT t.bucket, ${dsum("(s.s - t.y) * t.x")} AS g
+         |  FROM tfeat t JOIN s$r s USING (doc_id) GROUP BY 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |         w.w - $QcLr * COALESCE(g.g, 0.0) / (SELECT n FROM ntr) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lab AS (
+       |  SELECT doc_id, CAST(CAST(lang = 'en' AS INTEGER) AS DOUBLE) AS y,
+       |         doc_id % 4 <> 3 AS is_train
+       |  FROM documents),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |big AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1]), 1, 8)) AS BIGINT) % $QcBuckets AS bucket
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+       |cnt AS (SELECT doc_id, bucket, count(*) AS cnt FROM big GROUP BY 1, 2),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id, bucket,
+       |         CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id) AS x
+       |  FROM cnt),
+       |tfeat AS MATERIALIZED (
+       |  SELECT f.doc_id, f.bucket, f.x, l.y
+       |  FROM feat f JOIN lab l USING (doc_id) WHERE l.is_train),
+       |ntr AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tfeat),
+       |w0 AS (SELECT bucket, 0.0 AS w FROM (SELECT DISTINCT bucket FROM tfeat)),
+       |$rounds,
+       |sc AS MATERIALIZED (
+       |  SELECT f.doc_id, ${dsum("f.x * w.w")} AS s
+       |  FROM feat f JOIN w$QcRounds w USING (bucket) GROUP BY 1),
+       |allx AS MATERIALIZED (
+       |  SELECT l.doc_id, l.is_train, l.y, COALESCE(sc.s, 0.0) AS s
+       |  FROM lab l LEFT JOIN sc USING (doc_id)),
+       |mu AS (
+       |  SELECT y, ${dsum("s")} / count(*) AS mu
+       |  FROM allx WHERE is_train GROUP BY 1),
+       |tau AS (SELECT SUM(mu) / 2 AS tau FROM mu)
+       |SELECT doc_id, is_train, CAST(y AS INTEGER) AS label,
+       |       ${round6Sql("s")} AS q_score,
+       |       s > (SELECT tau FROM tau) AS q_pass
+       |FROM allx ORDER BY doc_id""".stripMargin
+  }
+
   // --- corpus_epoch_plan: multi-epoch data-recipe execution ------------
   // The step between a mixing recipe and a training run: published
   // recipes repeat small high-quality sources for MULTIPLE epochs while
@@ -1125,6 +1334,8 @@ object Curation {
     Op("text_contamination", textContamination, Some(textContaminationSql)),
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
     Op("corpus_dsir_weights", corpusDsirWeights, Some(corpusDsirWeightsSql)),
+    Op("corpus_quality_classifier", corpusQualityClassifier,
+      Some(corpusQualityClassifierSql)),
     Op("text_perplexity", textPerplexity, Some(textPerplexitySql)),
     Op("corpus_epoch_plan", corpusEpochPlan, Some(corpusEpochPlanSql)),
     Op("corpus_temperature_mix", corpusTemperatureMix, Some(corpusTemperatureMixSql)),

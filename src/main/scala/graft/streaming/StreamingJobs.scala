@@ -1271,6 +1271,29 @@ object StreamingJobs {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.qualityMetrics(docs)
 
+  /** Learned-quality admission gate: each micro-batch of the document
+    * feed is scored by the TRAINED linear classifier — the broadcast
+    * (bucket, w) weight table plus the one-row decision threshold,
+    * build state trained batch-side by
+    * [[graft.operators.Curation.qualityClassifierModelOf]] — and the
+    * sink receives per-doc (q_score, q_pass) verdicts. The SIXTH
+    * admission gate: the learned complement of the rule (gopher),
+    * distributional (rarity), LM (perplexity), contamination and
+    * near-dup gates. Stateless per row, exact per batch; the weight
+    * table is bounded at QcBuckets rows by construction, so the join
+    * is always a broadcast. */
+  def classifierGateStream(docs: DataFrame, weights: DataFrame,
+      tau: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint()
+          sink(graft.operators.Curation.qualityClassifierApply(b, weights, tau))
+        }
+      }
+      .start()
+
   /** Stream-static rarity scoring: each micro-batch of the live
     * document feed joins the STATIC corpus word-rank table (broadcast
     * stream-static join — the feed side stays narrow, the table is

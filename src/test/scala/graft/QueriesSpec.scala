@@ -229,6 +229,51 @@ class QueriesSpec extends AnyFunSuite {
     assert(w(4L).getAs[Long]("dsir_score") > 0)
   }
 
+  test("quality classifier learns a genuinely separable corpus and generalizes to held-out docs") {
+    import spark.implicits._
+    // two disjoint vocabularies: class-1 docs write A-words, class-0
+    // docs write B-words. doc_id % 4 == 3 rows (3, 7, 11, 15) are
+    // HELD OUT of training — the classifier must separate them purely
+    // from what it learned on the other twelve.
+    val aWords = Seq("alpha beta gamma delta alpha beta gamma",
+      "beta gamma delta alpha beta gamma alpha",
+      "gamma delta alpha beta gamma alpha beta",
+      "delta alpha beta gamma delta alpha gamma")
+    val bWords = Seq("zig zag zorro quux zig zag zorro",
+      "zag zorro quux zig zag zorro quux",
+      "zorro quux zig zag zorro quux zig",
+      "quux zig zag zorro quux zig zorro")
+    val docs = ((0L to 7L).map(i =>
+      (i, aWords((i % 4).toInt), true)) ++
+      (8L to 15L).map(i => (i, bWords((i % 4).toInt), false)))
+      .toDF("doc_id", "text", "label")
+    val out = graft.operators.Curation.qualityClassifierOf(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.size == 16)
+    // perfect separation on this corpus: every class-1 score above
+    // every class-0 score, and the midpoint gate gets all 16 right —
+    // INCLUDING the four held-out docs (3 and 7 positive, 11 and 15
+    // negative), which is the generalization claim
+    val posMin = (0L to 7L).map(out(_)._2).min
+    val negMax = (8L to 15L).map(out(_)._2).max
+    assert(posMin > negMax, s"class scores overlap: posMin=$posMin negMax=$negMax")
+    (0L to 15L).foreach { i =>
+      val (isTrain, _, pass) = out(i)
+      assert(isTrain == (i % 4 != 3))
+      assert(pass == (i < 8), s"doc $i gated ${out(i)}")
+    }
+    // the served model (weights + threshold) reproduces the batch
+    // verdicts doc for doc — the contract the streaming gate rides
+    val (w, tau) = graft.operators.Curation.qualityClassifierModelOf(docs)
+    val applied = graft.operators.Curation
+      .qualityClassifierApply(docs.select("doc_id", "text"), w, tau)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    (0L to 15L).foreach { i =>
+      assert(applied(i) == ((out(i)._2, out(i)._3)), s"serve mismatch at $i")
+    }
+  }
+
   test("epoch plan upsamples small sources into whole repeat epochs, downsamples big ones") {
     import spark.implicits._
     // one dominant crawl + one small curated source, 10:1 in tokens:

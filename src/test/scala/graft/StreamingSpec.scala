@@ -1305,6 +1305,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("learned quality gate: stream verdicts equal the batch classifier's") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the model is BUILD state: trained once batch-side on the labeled
+    // lake slice, then broadcast into every micro-batch
+    val labeled = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("label"))
+    val (w, tau) = operators.Curation.qualityClassifierModelOf(labeled)
+    val batch = Registry.queries("corpus_quality_classifier")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    val slice = Tables.documents(spark, sf).filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Boolean)]
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.classifierGateStream(
+      source.toDF().toDF("doc_id", "text"), w, tau) { df =>
+      out ++= df.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    }
+    try { source.addData(slice); q.processAllAvailable() } finally q.stop()
+    assert(out.size == slice.size)
+    // features are per-document (ℓ1-normalized within the doc), so the
+    // gate's scores are exactly the batch op's — verdict for verdict
+    out.foreach { case (id, sc, pass) =>
+      assert(batch(id) == ((sc, pass)),
+        s"doc $id stream ($sc, $pass) != batch ${batch(id)}")
+    }
+  }
+
   test("inverted-index lake: stream-appended BM25/RRF equal the batch ops over the union corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
