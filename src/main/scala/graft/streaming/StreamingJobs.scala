@@ -1036,6 +1036,69 @@ object StreamingJobs {
     Seq(p, d, f, st).max
   }
 
+  /** Staleness report over the maintained inverted-index lake —
+    * [[ivfDriftReport]]/[[graphDriftReport]]'s sparse-retrieval twin,
+    * completing the drift story for all three index families. BM25
+    * scores stay EXACT under appends (the serve path merges the
+    * df/stats partials), so the honest staleness signals here are
+    * physical and distributional, not score error:
+    *  - `frag_partitions` — max live `ingest_batch` partitions across
+    *    the four tables: every appended batch scatters each term's
+    *    posting list over one more file and adds one more df partial
+    *    per word, so this is the per-term serve fan-in and the
+    *    compaction trigger (`compact_due` flags > 8).
+    *  - `oov_share` — fraction of the appended vocabulary unseen in
+    *    the bootstrap (from the df partials: vocabulary-scale, never
+    *    a corpus re-tokenize). A high share means the appended corpus
+    *    is lexically unlike the one any base-tuned relevance knobs
+    *    (stopword lists, k1/b) were calibrated on — `drifted` flags
+    *    > 0.25, the retrieval-relevant signal that schedules a
+    *    re-calibration the way IVF's cosine gap schedules a re-train.
+    *  - `avgdl_base` / `avgdl_appended` — document-length drift from
+    *    the stats partials (BM25's length normalization pivots on
+    *    avgdl, so a large shift changes how appended docs score).
+    * One row; reads only partials + partition metadata —
+    * maintenance-priced at any scale. Compaction folds everything
+    * into the bootstrap partition, so a freshly compacted lake
+    * reports frag 1 / appended 0 / not drifted: compaction resets
+    * the staleness clock. */
+  def corpusIndexDriftReport(spark: SparkSession, indexPath: String): DataFrame = {
+    val frag = CorpusIndexTables.map { t =>
+      indexRead(spark, s"$indexPath/$t")
+        .select(col("ingest_batch").cast(LongType)).distinct().count()
+    }.max
+    val isBase = col("ingest_batch").cast(LongType) < 0L
+    // single-row conditional aggregates: an absent segment (fresh
+    // bootstrap, or everything folded by compaction) yields 0 docs /
+    // null avgdl instead of dropping the report row
+    val st = indexRead(spark, s"$indexPath/stats")
+      .agg(
+        coalesce(sum(when(isBase, col("n_docs"))), lit(0L)).as("n_docs_base"),
+        sum(when(isBase, col("sum_dl"))).as("sum_dl_base"),
+        coalesce(sum(when(!isBase, col("n_docs"))), lit(0L)).as("n_docs_appended"),
+        sum(when(!isBase, col("sum_dl"))).as("sum_dl_appended"))
+      .withColumn("avgdl_base", round6(
+        col("sum_dl_base").cast(DoubleType) / col("n_docs_base")))
+      .withColumn("avgdl_appended", round6(
+        col("sum_dl_appended").cast(DoubleType) / col("n_docs_appended")))
+    val oov = indexRead(spark, s"$indexPath/docfreq")
+      .groupBy("word").agg(max(isBase).as("in_base"),
+        max(!isBase).as("in_appended"))
+      .filter(col("in_appended"))
+      .agg(count(lit(1)).as("vocab_appended"),
+        sum(when(!col("in_base"), 1L).otherwise(0L)).as("oov"))
+      .select(col("vocab_appended"),
+        round6(col("oov").cast(DoubleType) / col("vocab_appended")).as("oov_share"))
+    st.crossJoin(oov)
+      .select(
+        lit(frag).as("frag_partitions"),
+        col("n_docs_base"), col("n_docs_appended"),
+        col("avgdl_base"), col("avgdl_appended"),
+        col("vocab_appended"), col("oov_share"),
+        (coalesce(col("oov_share"), lit(0.0)) > 0.25).as("drifted"),
+        lit(frag > 8).as("compact_due"))
+  }
+
   /** Streaming incremental view maintenance: each micro-batch is
     * appended to the snapshot-enabled lake (one new partition-dir
     * write + snapshot commit) and the materialized rollup is folded

@@ -1367,6 +1367,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(StreamingJobs.bm25IndexSearch(spark, idx)) == batchBm25)
     assert(rows(StreamingJobs.rrfIndexSearch(spark, sf, idx)) == batchRrf)
 
+    // drift report before compaction: 3 live partitions (bootstrap +
+    // two appends); doc counts, avgdl and OOV share recomputed from
+    // the RAW corpus (independent of the lake's partials)
+    locally {
+      val docs = Tables.documents(spark, sf)
+        .withColumn("seg", when(col("doc_id") % 5 === 4, "a").otherwise("b"))
+        .withColumn("dl", size(split(col("text"), " ")).cast("long"))
+      def expect(s: String): (Long, Double) = {
+        val r = docs.filter(col("seg") === s)
+          .agg(count(lit(1)), sum("dl")).collect()(0)
+        (r.getLong(0), r.getLong(1).toDouble / r.getLong(0))
+      }
+      val (nb, ab) = expect("b"); val (na, aa) = expect("a")
+      val words = docs.select(col("seg"),
+          explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(max(col("seg") === "b").as("inB"),
+          max(col("seg") === "a").as("inA"))
+        .filter(col("inA"))
+      val vocabA = words.count()
+      val oov = words.filter(!col("inB")).count()
+      val rep = StreamingJobs.corpusIndexDriftReport(spark, idx).collect()(0)
+      assert(rep.getLong(0) == 3L, s"frag: $rep")
+      assert(rep.getLong(1) == nb && rep.getLong(2) == na, s"n_docs: $rep")
+      assert(rep.getDouble(3) == math.floor(ab * 1e6 + 0.5) / 1e6, s"avgdl_base: $rep")
+      assert(rep.getDouble(4) == math.floor(aa * 1e6 + 0.5) / 1e6, s"avgdl_app: $rep")
+      assert(rep.getLong(5) == vocabA, s"vocab_appended: $rep")
+      assert(rep.getDouble(6) == math.floor(oov.toDouble / vocabA * 1e6 + 0.5) / 1e6,
+        s"oov_share: $rep")
+      assert(rep.getBoolean(7) == (oov.toDouble / vocabA > 0.25), s"drifted: $rep")
+      assert(!rep.getBoolean(8), s"compact_due at 3 partitions: $rep")
+    }
+
     // compaction folds all four tables and merges the df/stats
     // partials; serve output is unchanged and a re-compact is a no-op
     assert(StreamingJobs.corpusIndexCompact(spark, idx) == 2)
@@ -1384,5 +1416,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(StreamingJobs.bm25IndexSearch(spark, idx)) == batchBm25)
     assert(rows(StreamingJobs.rrfIndexSearch(spark, sf, idx)) == batchRrf)
     assert(StreamingJobs.corpusIndexCompact(spark, idx) == 0)
+
+    // drift report after compaction: everything folded into the
+    // bootstrap partition — the staleness clock resets (frag 1, no
+    // appended segment, null appended stats, both flags clear)
+    val rep2 = StreamingJobs.corpusIndexDriftReport(spark, idx).collect()(0)
+    assert(rep2.getLong(0) == 1L, s"post-compact frag: $rep2")
+    assert(rep2.getLong(2) == 0L && rep2.isNullAt(4), s"appended: $rep2")
+    assert(rep2.getLong(5) == 0L && rep2.isNullAt(6), s"vocab: $rep2")
+    assert(!rep2.getBoolean(7) && !rep2.getBoolean(8), s"flags: $rep2")
   }
 }
