@@ -115,7 +115,8 @@ object ScaleProbe {
       "text_perplexity", "corpus_epoch_plan", "ann_graph_search",
       "retrieval_rrf", "ann_recall_report", "corpus_shard_manifest",
       "corpus_coreset_kcenter", "tokenizer_bpe_train", "tokenizer_bpe_apply",
-      "corpus_datacard", "corpus_curriculum_order")
+      "corpus_datacard", "corpus_curriculum_order",
+      "corpus_quality_classifier")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)
