@@ -19,8 +19,12 @@ object GraftSession {
       // 16× data it prevents the per-partition spill a fixed low
       // partition count causes (the cluster-honest setting — partition
       // count tracks data volume, not a constant)
+      // width is env-tunable: AQE can only coalesce DOWN from the
+      // initial count, so the initial width is the ceiling on how far
+      // a big shuffle can spread — on a cluster it should track data
+      // volume (the ScaleProbe @build sensitivity run measures this)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cores.toInt * 8).toString)
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", (cores.toInt * 8).toString))
       .config("spark.sql.session.timeZone", "UTC")
       // the test lake's events.ts is parquet TIMESTAMP(NANOS); read it
       // as raw longs session-wide (Tables.events converts to µs NTZ).

@@ -213,6 +213,33 @@ object ScaleProbe {
       }
     }
     // -----------------------------------------------------------------
+    // Graph-index bootstrap contrast (@plain/@capped): the edge build
+    // is the one bootstrap whose pair volume is skew-quadratic
+    // (Σ|bucket|² under cluster skew — plain multiprobe edges), vs the
+    // hotprobe-capped build whose join groups are bounded to ~cap by
+    // construction. Timed in ONE process at both scales so the ratios
+    // are comparable; the capped set is what graphIndexInit(capped =
+    // true) bootstraps the lake from at 100 TB.
+    // -----------------------------------------------------------------
+    if (wanted("graph_edges@capped")) {
+      graft.plans.VecDotProduct.register(spark) // withNorm2 resolves eagerly
+      def edges(dir: String, capped: Boolean): Double = {
+        val vn = operators.Similarity.withNorm2(Tables.table(spark, dir, "embeddings"))
+        val t0 = System.nanoTime()
+        val df =
+          if (capped) operators.Similarity.knnEdgesCappedOver(spark, vn,
+            operators.Similarity.derivedPlanes(spark, dir))
+          else operators.Similarity.knnEdgesOver(spark, vn)
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      for (capped <- Seq(false, true)) {
+        val a = edges(src, capped); val b = edges(dst, capped)
+        val nm = if (capped) "graph_edges@capped" else "graph_edges@plain"
+        println(f"$nm%-28s $a%8.2f $b%8.2f ${b / a}%6.1f")
+      }
+    }
+    // -----------------------------------------------------------------
     // Cold-build exhibits (@build): the one-time maintenance cost the
     // registry-derived warm pass deliberately keeps OUT of the standing
     // rows — committed here so each bootstrap's ×N cost is a measured

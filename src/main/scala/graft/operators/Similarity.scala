@@ -663,7 +663,16 @@ object Similarity {
     * groups AND boundary recall, one query-side explode of
     * ≤ 2·(maxSub+1) probes. */
   def knnGraphHotProbeAt(s: SparkSession, dir: String, nPlanes: Int,
-      cap: Int = HotCap, maxSub0: Int = 0): DataFrame = {
+      cap: Int = HotCap, maxSub0: Int = 0): DataFrame =
+    knnGraphHotProbeOver(s, withNorm2(Tables.embeddings(s, dir)),
+      nPlanes, cap, maxSub0)
+
+  /** The hotprobe build core over any withNorm2'd frame — shared by
+    * the registry op above and the CAPPED graph-index bootstrap
+    * ([[knnEdgesCappedOver]]), the same At/Over split as
+    * [[knnEdgesOver]]. */
+  private[graft] def knnGraphHotProbeOver(s: SparkSession, vn: DataFrame,
+      nPlanes: Int, cap: Int = HotCap, maxSub0: Int = 0): DataFrame = {
     import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
     graft.plans.VecDotProduct.register(s)
     val maxSub = if (maxSub0 <= 0) maxSubFor(nPlanes) else maxSub0
@@ -680,7 +689,7 @@ object Similarity {
         vec_dot_exact(col("embedding"), typedLit(pl.toSeq)))
         .otherwise(col(s"f$i")).as(s"d$i")
     }
-    val v0 = withNorm2(Tables.embeddings(s, dir))
+    val v0 = vn
       .select(col("*") +: fasts: _*)
       .select((col("vec_id") +: col("embedding") +: col("n2") +: dots): _*)
     val bucket = primary.indices.map(i =>
@@ -870,6 +879,26 @@ object Similarity {
     * ([[graft.streaming.StreamingJobs.graphIndexInit]]). */
   private[graft] def knnEdgesOver(s: SparkSession, vn: DataFrame): DataFrame = {
     val g = knnMultiprobeOver(s, vn)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** Capped (skew-bounded) graph-index bootstrap edges: the
+    * symmetrized HOTPROBE kNN graph instead of the plain-multiprobe
+    * one. The plain bootstrap's pair volume is Σ|bucket|² under the
+    * corpus's cluster skew — measured 45× at ×16 data where mean
+    * occupancy is flat (PROBE_r11 @build 92×/87× at 128/1024-wide
+    * shuffles: width is not the constraint, pair skew is). Hotprobe
+    * bounds every join group to ~cap by construction (≤ 2·(d+1)·cap·n
+    * pairs), so the bootstrap inherits the serve path's linear-with-
+    * log(skew) shape; the price is the cap's recall on edge quality
+    * (hotprobe ⊇ hotsplit candidates, recall-dominance spec-pinned),
+    * recovered at serve time by the walk's beam expansion. At 100 TB
+    * `cap` is the knob that makes the bootstrap schedulable at all. */
+  private[graft] def knnEdgesCappedOver(s: SparkSession, vn: DataFrame,
+      nPlanes: Int): DataFrame = {
+    val g = knnGraphHotProbeOver(s, vn, nPlanes)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()

@@ -742,8 +742,18 @@ object StreamingJobs {
     * core the batch op memoizes), both parquet tables partitioned by
     * `ingest_batch` (bootstrap -1) so the append stream maintains them
     * replay-exactly like the IVF posting lake. */
+  /** `capped = true` bootstraps from the symmetrized HOTPROBE edge
+    * set ([[graft.operators.Similarity.knnEdgesCappedOver]]) instead
+    * of the plain-multiprobe one: pair volume bounded to
+    * ≤ 2·(d+1)·cap·n by hot-bucket splitting — the 100 TB default,
+    * where the unbounded bootstrap's Σ|bucket|² pair skew makes the
+    * one-time build unschedulable (PROBE_r11 measures both). The walk,
+    * append and compaction legs are edge-set-agnostic; default stays
+    * uncapped so the batch op's oracle-exact edge set remains the
+    * reference fixture. */
   def graphIndexInit(spark: SparkSession, lakeDir: String,
-      corpusPred: Column, indexPath: String): Unit = {
+      corpusPred: Column, indexPath: String,
+      capped: Boolean = false): Unit = {
     graft.plans.VecDotProduct.register(spark)
     val vn = graft.operators.Similarity
       .withNorm2(graft.Tables.embeddings(spark, lakeDir)).filter(corpusPred)
@@ -752,7 +762,11 @@ object StreamingJobs {
       .withColumn("ingest_batch", lit(-1L))
       .write.partitionBy("ingest_batch").mode("overwrite")
       .parquet(s"$indexPath/nodes")
-    graft.operators.Similarity.knnEdgesOver(spark, vn)
+    val edges =
+      if (capped) graft.operators.Similarity.knnEdgesCappedOver(spark, vn,
+        graft.operators.Similarity.derivedPlanes(spark, lakeDir))
+      else graft.operators.Similarity.knnEdgesOver(spark, vn)
+    edges
       .withColumn("ingest_batch", lit(-1L))
       .write.partitionBy("ingest_batch").mode("overwrite")
       .parquet(s"$indexPath/edges")

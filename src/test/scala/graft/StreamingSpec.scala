@@ -935,6 +935,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingJobs.graphIndexCompact(spark, idx) == 0)
   }
 
+  test("capped graph bootstrap: bounded edge build serves the same maintained-walk contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/graphcapped"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // bootstrap from the HOTPROBE (skew-bounded) edge set — the
+    // 100 TB default; walk, append and compaction legs are unchanged
+    StreamingJobs.graphIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx,
+      capped = true)
+    val edges = spark.read.parquet(s"$idx/edges")
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.map(_.swap) == edges, "capped edge set not symmetric")
+    val corpusIds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 =!= 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(edges.forall { case (s0, d0) =>
+      corpusIds.contains(s0) && corpusIds.contains(d0) },
+      "capped edges reference non-bootstrap vectors")
+    // every linked member is reachable as its own top-1 through the
+    // SAME maintained walk (fresh query ids dodge member exclusion)
+    val linked = edges.map(_._1)
+    val queries = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(linked.toSeq.take(20): _*))
+      .select((col("vec_id") + 10000000L).as("query_id"), col("embedding"))
+    val got = StreamingJobs.graphIndexSearch(spark, idx, queries)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) - 10000000L -> (r.getLong(1), r.getDouble(3))).toMap
+    got.foreach { case (id, (top1, cos)) =>
+      assert(top1 == id && cos == 1.0,
+        s"linked member $id not its own top-1 over capped graph: $top1 ($cos)")
+    }
+    // insert-by-search composes with the capped bootstrap unchanged
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.graphAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try { source.addData(incoming.toSeq); q.processAllAvailable() } finally q.stop()
+    val appendedQs = incoming.toSeq.toDF("vec_id", "embedding")
+      .select((col("vec_id") + 20000000L).as("query_id"), col("embedding"))
+    val got2 = StreamingJobs.graphIndexSearch(spark, idx, appendedQs)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) - 20000000L -> (r.getLong(1), r.getDouble(3))).toMap
+    incoming.foreach { case (id, _) =>
+      val (top1, cos) = got2(id)
+      assert(top1 == id && cos == 1.0,
+        s"appended vector $id not its own top-1 over capped graph: $top1 ($cos)")
+    }
+  }
+
   test("streaming token packing equals batch token_pack over the ordered feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
