@@ -221,7 +221,7 @@ object ScaleProbe {
     // are comparable; the capped set is what graphIndexInit(capped =
     // true) bootstraps the lake from at 100 TB.
     // -----------------------------------------------------------------
-    if (wanted("graph_edges@capped")) {
+    if (wanted("graph_edges@capped") || wanted("graph_edges@plain")) {
       graft.plans.VecDotProduct.register(spark) // withNorm2 resolves eagerly
       def edges(dir: String, capped: Boolean): Double = {
         val vn = operators.Similarity.withNorm2(Tables.table(spark, dir, "embeddings"))
@@ -233,9 +233,10 @@ object ScaleProbe {
         df.write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      for (capped <- Seq(false, true)) {
+      for (capped <- Seq(false, true);
+           nm = if (capped) "graph_edges@capped" else "graph_edges@plain"
+           if wanted(nm)) {
         val a = edges(src, capped); val b = edges(dst, capped)
-        val nm = if (capped) "graph_edges@capped" else "graph_edges@plain"
         println(f"$nm%-28s $a%8.2f $b%8.2f ${b / a}%6.1f")
       }
     }

@@ -142,14 +142,27 @@ object Snapshots {
     * with its own basePath (partition values still parse), and union
     * by name. */
   private def readFileList(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readFileList: empty file list — nothing to read")
     def base(p: String): String = {
       val dirs = p.split('/').dropRight(1) // drop the filename
       val partRun = dirs.reverse.takeWhile(_.contains("=")).length
       dirs.dropRight(partRun).mkString("/")
     }
-    paths.groupBy(base).toSeq.sortBy(_._1).map { case (b, ps) =>
-      spark.read.option("basePath", b).parquet(ps: _*)
-    }.reduce(_.unionByName(_))
+    val groups = paths.groupBy(base).toSeq.sortBy(_._1).map { case (b, ps) =>
+      (b, spark.read.option("basePath", b).parquet(ps: _*))
+    }
+    // loud failure over a confusing union error: a manifest mixing
+    // partitioned (k=v dirs) and unpartitioned files yields groups
+    // whose parsed schemas disagree on the partition columns
+    val cols0 = groups.head._2.columns.toSet
+    groups.foreach { case (b, df) =>
+      require(df.columns.toSet == cols0,
+        s"readFileList: file groups disagree on columns — group '$b' " +
+        s"parses [${df.columns.sorted.mkString(",")}] vs " +
+        s"[${cols0.toSeq.sorted.mkString(",")}]; a manifest must not mix " +
+        "partitioned and unpartitioned files of one table")
+    }
+    groups.map(_._2).reduce(_.unionByName(_))
   }
 
   /** Time-travel read: exactly the files of `version`, as of commit

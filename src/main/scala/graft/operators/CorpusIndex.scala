@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -29,6 +29,35 @@ import graft.Tables
   * which replay this derivation from the raw `documents` table.
   */
 object CorpusIndex {
+
+  /** Word-bucket count for the MAINTAINED postings lake's layout
+    * (`word_bucket = pmod(h32(word), B)` as a partition column under
+    * each `ingest_batch`): a term read prunes to 1/B of the files in
+    * EVERY partition — bootstrap, compacted, and not-yet-compacted
+    * appends alike — because the bucket is derivable from the query
+    * term alone (literal terms prune statically; join-derived term
+    * sets prune at runtime through the broadcast semi-join on the
+    * partition column). B is a layout constant, not a capacity: it
+    * bounds files-per-partition (appends write ≤ B files each) while
+    * file COUNT per bucket grows with the corpus, which row-group
+    * skipping + compaction's word-clustering absorb. */
+  private[graft] val PostingsWordBuckets = 16
+
+  /** The bucketing column — h32 so the assignment is the engine's
+    * portable hash family (replayable anywhere md5 exists). */
+  private[graft] def wordBucket(word: Column): Column =
+    pmod(graft.functions.h32(word), lit(PostingsWordBuckets.toLong))
+      .cast(IntegerType)
+
+  /** Driver-side twin of [[wordBucket]] for LITERAL query terms — what
+    * turns a term lookup into a static partition-pruning filter. Same
+    * md5-prefix derivation, bit-identical to the Column form. */
+  private[graft] def wordBucketOf(word: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(word.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % PostingsWordBuckets).toInt
+  }
 
   /** (postings, docLengths, docFreq, stats) per (applicationId, lake)
     * — see [[graft.etl.TableStats]] for the keying rationale. */

@@ -884,6 +884,19 @@ object Similarity {
       .distinct()
   }
 
+  /** The capped bootstrap's candidate cap, DERIVED rather than pinned:
+    * the derivation runs through the cost model, not the corpus count.
+    * Pair volume per vector is 2·(d+1)·cap with split depth
+    * d ≈ log2(pop/cap), so ∂pairs/∂cap > 0 whenever pop ≳ 1.36·cap —
+    * a smaller cap is strictly cheaper at EVERY corpus size, and scale
+    * growth is absorbed logarithmically by d (the plane count, the
+    * family's genuinely corpus-sized parameter, already derives from
+    * the TableStats ledger via [[derivedPlanes]]). The floor is the
+    * QUALITY bound: ≥ 4 scored candidates per returned edge, the same
+    * margin [[HotCap]] pins for the hotprobe registry op (whose
+    * recall-dominance over hotsplit is spec-pinned). */
+  private[graft] def bootstrapCapFor(k: Int): Int = 4 * k
+
   /** Capped (skew-bounded) graph-index bootstrap edges: the
     * symmetrized HOTPROBE kNN graph instead of the plain-multiprobe
     * one. The plain bootstrap's pair volume is Σ|bucket|² under the
@@ -895,10 +908,11 @@ object Similarity {
     * log(skew) shape; the price is the cap's recall on edge quality
     * (hotprobe ⊇ hotsplit candidates, recall-dominance spec-pinned),
     * recovered at serve time by the walk's beam expansion. At 100 TB
-    * `cap` is the knob that makes the bootstrap schedulable at all. */
+    * `cap` is the knob that makes the bootstrap schedulable at all —
+    * sized by [[bootstrapCapFor]] from the graph degree. */
   private[graft] def knnEdgesCappedOver(s: SparkSession, vn: DataFrame,
-      nPlanes: Int): DataFrame = {
-    val g = knnGraphHotProbeOver(s, vn, nPlanes)
+      nPlanes: Int, cap: Int = bootstrapCapFor(KnnK)): DataFrame = {
+    val g = knnGraphHotProbeOver(s, vn, nPlanes, cap)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
     g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -2244,7 +2258,23 @@ object Similarity {
     val contrib = idf * (col("tf") * lit(RrfK1 + 1.0)) /
       (col("tf") + lit(RrfK1) * (lit(1.0 - RrfB) + lit(RrfB) * col("dl") / col("avgdl")))
     val ws = Window.partitionBy("query_id").orderBy(col("bm25_raw").desc, col("doc_id"))
-    val candidates = tf.join(broadcast(qterms), "word")
+    // r31's runtime-filter pattern on the postings scan: the term set
+    // is JOIN-DERIVED (df-ranked), so unlike bm25's literal isin it
+    // pushes nothing into the scan by itself — broadcast the bounded
+    // distinct term set as a LEFT-SEMI prefilter first, the exact
+    // inner join below still deciding. On the maintained lake the
+    // postings carry their `word_bucket` partition column, so the
+    // semi-join includes it and the scan prunes FILES at runtime
+    // (DPP over the broadcast); on the memoized batch index it
+    // prunes rows before the fatter qterms join.
+    val qwords = qterms.select("word").distinct()
+    val tfPruned =
+      if (tf.columns.contains("word_bucket"))
+        tf.join(broadcast(qwords.withColumn("word_bucket",
+            CorpusIndex.wordBucket(col("word")))),
+          Seq("word_bucket", "word"), "left_semi").drop("word_bucket")
+      else tf.join(broadcast(qwords), Seq("word"), "left_semi")
+    val candidates = tfPruned.join(broadcast(qterms), "word")
       .filter(col("doc_id") =!= col("query_id"))
     val sparse = dl.join(broadcast(candidates), "doc_id")
       .crossJoin(broadcast(stats))

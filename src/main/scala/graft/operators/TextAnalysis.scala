@@ -235,7 +235,7 @@ object TextAnalysis {
   // posting reads, never a corpus re-tokenize), dl is the index's
   // length column, and (N, avgdl, per-term df) are ONE broadcast row.
 
-  private val Bm25Terms = Seq("customer", "query", "window")
+  private[graft] val Bm25Terms = Seq("customer", "query", "window")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 

@@ -628,7 +628,9 @@ object StreamingJobs {
     *    the new table; never a silent half. */
   private def compactIngestPartitions(spark: SparkSession,
       tableDir: String, clusterCols: Seq[String],
-      merge: DataFrame => DataFrame = identity): Int = {
+      merge: DataFrame => DataFrame = identity,
+      subPartCols: Seq[String] = Nil): Int = {
+    val partCols = "ingest_batch" +: subPartCols
     def fold(df: DataFrame): DataFrame = {
       val merged = merge(df.drop("ingest_batch"))
         .withColumn("ingest_batch", lit(-1L))
@@ -651,16 +653,22 @@ object StreamingJobs {
         // Nothing to fold — but a PRIOR compaction may have crashed
         // between its commitEntries PUT and its vacuum, leaving
         // superseded ingest_batch files and stale manifests on disk
-        // (reads stay correct; storage leaks). The vacuum is
-        // idempotent, so completing it here restores the
-        // one-live-version invariant on the next invocation.
-        graft.etl.Snapshots.rollback(spark, tableDir, vs.max)
-        graft.etl.Snapshots.expireInvalid(spark, tableDir)
+        // (reads stay correct; storage leaks). That state is
+        // DETECTABLE: more than one live manifest. Only then run the
+        // (idempotent) vacuum — the steady-state idle call stays
+        // read-only, so a concurrent append's just-landed but
+        // not-yet-committed files are never at risk; completing a
+        // crashed vacuum shares the compaction path's single-writer
+        // window (no appender may be mid-commit during maintenance).
+        if (vs.size > 1) {
+          graft.etl.Snapshots.rollback(spark, tableDir, vs.max)
+          graft.etl.Snapshots.expireInvalid(spark, tableDir)
+        }
         return 0
       }
       val gen = s"gen${graft.etl.Snapshots.nextVersion(spark, tableDir)}"
       fold(graft.etl.Snapshots.readVersion(spark, tableDir, vs.max))
-        .write.partitionBy("ingest_batch").mode("overwrite")
+        .write.partitionBy(partCols: _*).mode("overwrite")
         .parquet(s"$tableDir/$gen")
       // THE commit: one manifest object naming exactly the staged files
       val v = graft.etl.Snapshots.commitEntries(spark, tableDir,
@@ -680,7 +688,7 @@ object StreamingJobs {
     val old = new org.apache.hadoop.fs.Path(s"$tableDir" + "_old")
     fs.delete(tmp, true); fs.delete(old, true)
     fold(spark.read.parquet(table.toString))
-      .write.partitionBy("ingest_batch").mode("overwrite").parquet(tmp.toString)
+      .write.partitionBy(partCols: _*).mode("overwrite").parquet(tmp.toString)
     require(fs.rename(table, old),
       s"compactIngestPartitions: rename $table -> $old failed; index unchanged")
     require(fs.rename(tmp, table),
@@ -737,23 +745,25 @@ object StreamingJobs {
   /** Bootstrap the streaming GRAPH index lake — the second maintained
     * index family next to IVF (the HNSW/NSG build/serve/maintain
     * split): `nodes` = (vec_id, embedding, n2, bucket) over the base
-    * corpus, `edges` = the symmetrized multiprobe kNN graph over it
-    * ([[graft.operators.Similarity.knnEdgesOver]] — the same build
-    * core the batch op memoizes), both parquet tables partitioned by
-    * `ingest_batch` (bootstrap -1) so the append stream maintains them
-    * replay-exactly like the IVF posting lake. */
-  /** `capped = true` bootstraps from the symmetrized HOTPROBE edge
-    * set ([[graft.operators.Similarity.knnEdgesCappedOver]]) instead
-    * of the plain-multiprobe one: pair volume bounded to
-    * ≤ 2·(d+1)·cap·n by hot-bucket splitting — the 100 TB default,
-    * where the unbounded bootstrap's Σ|bucket|² pair skew makes the
-    * one-time build unschedulable (PROBE_r11 measures both). The walk,
-    * append and compaction legs are edge-set-agnostic; default stays
-    * uncapped so the batch op's oracle-exact edge set remains the
-    * reference fixture. */
+    * corpus, `edges` = a symmetrized kNN graph over it, both parquet
+    * tables partitioned by `ingest_batch` (bootstrap -1) so the append
+    * stream maintains them replay-exactly like the IVF posting lake.
+    *
+    * The DEFAULT edge build is the CAPPED (hotprobe) one
+    * ([[graft.operators.Similarity.knnEdgesCappedOver]]): pair volume
+    * bounded to ≤ 2·(d+1)·cap·n by hot-bucket splitting, planes
+    * derived from the TableStats ledger and the cap from the graph
+    * degree ([[graft.operators.Similarity.bootstrapCapFor]]) — the
+    * 100 TB posture, where the unbounded build's Σ|bucket|² pair skew
+    * makes the one-time bootstrap unschedulable (PROBE_r11 measures
+    * 91.9× vs 8.2× at ×16). `capped = false` keeps the plain
+    * multiprobe edge set ([[graft.operators.Similarity.knnEdgesOver]]
+    * — the batch op's oracle-exact build core) as a spec-scale
+    * reference fixture; the walk, append and compaction legs are
+    * edge-set-agnostic either way. */
   def graphIndexInit(spark: SparkSession, lakeDir: String,
       corpusPred: Column, indexPath: String,
-      capped: Boolean = false): Unit = {
+      capped: Boolean = true): Unit = {
     graft.plans.VecDotProduct.register(spark)
     val vn = graft.operators.Similarity
       .withNorm2(graft.Tables.embeddings(spark, lakeDir)).filter(corpusPred)
@@ -951,13 +961,19 @@ object StreamingJobs {
       .localCheckpoint()
     val dfreq = postings.groupBy("word").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-    def land(df: DataFrame, table: String): Unit = {
+    def land(df: DataFrame, table: String, subParts: Seq[String] = Nil): Unit = {
       val w = df.withColumn("ingest_batch", lit(batchId))
         .write.mode("overwrite")
       (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-        .partitionBy("ingest_batch").parquet(s"$indexPath/$table")
+        .partitionBy("ingest_batch" +: subParts: _*).parquet(s"$indexPath/$table")
     }
-    land(postings, "postings"); land(dl, "doclens")
+    // postings carry the word-bucket sub-partition (SURVEY §5): a term
+    // read prunes to 1/B of the files in appended partitions too, not
+    // just post-compaction row groups
+    land(postings.withColumn("word_bucket",
+        graft.operators.CorpusIndex.wordBucket(col("word"))),
+      "postings", Seq("word_bucket"))
+    land(dl, "doclens")
     land(dfreq, "docfreq"); land(stats, "stats")
   }
 
@@ -1001,6 +1017,10 @@ object StreamingJobs {
     * own derivation). */
   def corpusIndexFrames(spark: SparkSession, indexPath: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // postings KEEP the word_bucket partition column: the serve paths
+    // turn query terms into bucket filters (literal isin for bm25's
+    // fixed terms, a broadcast semi-join on the partition column for
+    // rrf's derived terms) so the scan prunes files before reading
     val postings = indexRead(spark, s"$indexPath/postings").drop("ingest_batch")
     val dl = indexRead(spark, s"$indexPath/doclens").drop("ingest_batch")
     val dfreq = indexRead(spark, s"$indexPath/docfreq")
@@ -1018,7 +1038,14 @@ object StreamingJobs {
     * batch search over the union corpus (StreamingSpec pins it). */
   def bm25IndexSearch(spark: SparkSession, indexPath: String): DataFrame = {
     val (p, dl, df, st) = corpusIndexFrames(spark, indexPath)
-    graft.operators.TextAnalysis.bm25Over(p, dl, df, st)
+    // literal query terms ⇒ literal bucket set ⇒ STATIC partition
+    // pruning on the lake scan (PlanSpec pins the pruned file count);
+    // bm25Over's own word filter still decides exactly
+    val buckets = graft.operators.TextAnalysis.Bm25Terms
+      .map(graft.operators.CorpusIndex.wordBucketOf).distinct
+    val pruned = p.filter(col("word_bucket").isin(buckets: _*))
+      .drop("word_bucket")
+    graft.operators.TextAnalysis.bm25Over(pruned, dl, df, st)
   }
 
   /** Hybrid RRF retrieval served from the maintained lake — the dense
@@ -1041,7 +1068,8 @@ object StreamingJobs {
     * object-store model, staged rename swap otherwise). Returns the
     * max partitions folded across the four tables. */
   def corpusIndexCompact(spark: SparkSession, indexPath: String): Int = {
-    val p = compactIngestPartitions(spark, s"$indexPath/postings", Seq("word"))
+    val p = compactIngestPartitions(spark, s"$indexPath/postings", Seq("word"),
+      subPartCols = Seq("word_bucket"))
     val d = compactIngestPartitions(spark, s"$indexPath/doclens", Seq("doc_id"))
     val f = compactIngestPartitions(spark, s"$indexPath/docfreq", Seq("word"),
       _.groupBy("word").agg(sum("df").as("df")))

@@ -73,6 +73,18 @@ class PlanSpec extends AnyFunSuite {
       s"r3 hints a non-dim side: $r3Hints")
   }
 
+  test("retrieval_rrf prefilters the postings behind a broadcast left-semi (r31's shape)") {
+    // the rrf query-term set is JOIN-DERIVED (df-ranked rarest terms),
+    // so unlike bm25's literal isin it pushes nothing into the scan by
+    // itself — the bounded distinct term set must broadcast as a
+    // LEFT-SEMI prefilter before the exact postings join (on the
+    // maintained lake the semi also carries the word_bucket partition
+    // column; StreamingSpec pins the pruned file set there)
+    val plan = formatted("retrieval_rrf")
+    assert(plan.contains("LeftSemi"),
+      plan.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("corpus_mix_sample is a narrow hash filter — no join, no aggregate") {
     // the weighted-mixing selection must stay a stateless per-row test:
     // any executor can evaluate any row, nothing shuffles except the

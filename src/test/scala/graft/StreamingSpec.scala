@@ -935,26 +935,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingJobs.graphIndexCompact(spark, idx) == 0)
   }
 
-  test("capped graph bootstrap: bounded edge build serves the same maintained-walk contract") {
+  test("uncapped graph bootstrap: the spec-scale fixture serves the same maintained-walk contract") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val root = "target/tmp/graphcapped"
     val idx = s"$root/index"; val ckpt = s"$root/ckpt"
     val hp = new org.apache.hadoop.fs.Path(root)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
-    // bootstrap from the HOTPROBE (skew-bounded) edge set — the
-    // 100 TB default; walk, append and compaction legs are unchanged
+    // bootstrap from the PLAIN multiprobe edge set — the batch op's
+    // oracle-exact fixture (the capped hotprobe build is the default,
+    // exercised by the maintenance test above); walk, append and
+    // compaction legs are edge-set-agnostic across the two
     StreamingJobs.graphIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx,
-      capped = true)
+      capped = false)
     val edges = spark.read.parquet(s"$idx/edges")
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(edges.map(_.swap) == edges, "capped edge set not symmetric")
+    assert(edges.map(_.swap) == edges, "fixture edge set not symmetric")
     val corpusIds = Tables.embeddings(spark, sf)
       .filter(col("vec_id") % 5 =!= 4)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(edges.forall { case (s0, d0) =>
       corpusIds.contains(s0) && corpusIds.contains(d0) },
-      "capped edges reference non-bootstrap vectors")
+      "fixture edges reference non-bootstrap vectors")
     // every linked member is reachable as its own top-1 through the
     // SAME maintained walk (fresh query ids dodge member exclusion)
     val linked = edges.map(_._1)
@@ -966,9 +968,9 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) - 10000000L -> (r.getLong(1), r.getDouble(3))).toMap
     got.foreach { case (id, (top1, cos)) =>
       assert(top1 == id && cos == 1.0,
-        s"linked member $id not its own top-1 over capped graph: $top1 ($cos)")
+        s"linked member $id not its own top-1 over fixture graph: $top1 ($cos)")
     }
-    // insert-by-search composes with the capped bootstrap unchanged
+    // insert-by-search composes with the fixture bootstrap unchanged
     val incoming = Tables.embeddings(spark, sf)
       .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -984,7 +986,7 @@ class StreamingSpec extends AnyFunSuite {
     incoming.foreach { case (id, _) =>
       val (top1, cos) = got2(id)
       assert(top1 == id && cos == 1.0,
-        s"appended vector $id not its own top-1 over capped graph: $top1 ($cos)")
+        s"appended vector $id not its own top-1 over fixture graph: $top1 ($cos)")
     }
   }
 
@@ -1419,6 +1421,60 @@ class StreamingSpec extends AnyFunSuite {
     val batchRrf = rows(Registry.queries("retrieval_rrf")(spark, sf))
     assert(rows(StreamingJobs.bm25IndexSearch(spark, idx)) == batchBm25)
     assert(rows(StreamingJobs.rrfIndexSearch(spark, sf, idx)) == batchRrf)
+
+    // word-bucket layout (SURVEY §5): a literal-term read prunes FILES
+    // across bootstrap AND both appended (not-yet-compacted)
+    // partitions — the postings scan touches exactly the query terms'
+    // bucket dirs, nothing else
+    locally {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val buckets = graft.operators.TextAnalysis.Bm25Terms
+        .map(graft.operators.CorpusIndex.wordBucketOf).distinct.toSet
+      val fsys = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(dir: String): Seq[String] = {
+        val it = fsys.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next().getPath.toString
+          if (f.endsWith(".parquet")) b += f
+        }
+        b.toSeq
+      }
+      val all = files(s"$idx/postings")
+      val expected = all.filter(f =>
+        buckets.exists(b => f.contains(s"word_bucket=$b/")))
+      assert(expected.nonEmpty && expected.size < all.size,
+        s"bucket layout degenerate: ${expected.size}/${all.size}")
+      // all three live partitions are represented in the pruned set
+      assert(Set(-1L, 0L, 1L).forall(b =>
+        expected.exists(_.contains(s"ingest_batch=$b/"))))
+      val served = StreamingJobs.bm25IndexSearch(spark, idx)
+      served.collect()
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        // AQE wraps materialized stages; their `children` is empty
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(scans) ++ o.subqueries.flatMap(scans)
+      }
+      val postingScans = scans(served.queryExecution.executedPlan)
+        .filter(_.metadata("Location").contains("postings"))
+      assert(postingScans.nonEmpty, "no postings scan found in the plan")
+      assert(postingScans.map(_.metrics("numFiles").value).sum == expected.size,
+        s"postings term read not pruned to the term buckets: " +
+        s"read ${postingScans.map(_.metrics("numFiles").value).sum} " +
+        s"vs expected ${expected.size} of ${all.size}")
+      // rrf's JOIN-DERIVED term set can't prune statically — it rides
+      // the broadcast LEFT-SEMI on the partition column instead (the
+      // r31 runtime-filter shape; the exact inner join still decides)
+      val rplan = StreamingJobs.rrfIndexSearch(spark, sf, idx)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(rplan.contains("LeftSemi"), "rrf sparse side lost the semi prefilter")
+      assert(rplan.contains("word_bucket"), "rrf semi prefilter not on the partition column")
+    }
 
     // drift report before compaction: 3 live partitions (bootstrap +
     // two appends); doc counts, avgdl and OOV share recomputed from
