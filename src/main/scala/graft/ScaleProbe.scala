@@ -205,12 +205,26 @@ object ScaleProbe {
     // -----------------------------------------------------------------
     if (wanted("tokenizer_bpe_train@K")) {
       val docs = Tables.table(spark, src, "documents")
+      var seq256: Seq[(Int, String, String, Long)] = Nil
       for (k <- Seq(6, 64, 256)) {
         val t0 = System.nanoTime()
-        val learned = operators.TextAnalysis.bpeTrainMerges(docs, k).length
+        val rules = operators.TextAnalysis.bpeTrainMerges(docs, k)
+        if (k == 256) seq256 = rules
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"${s"bpe_train@K$k"}%-22s $sec%8.2f ${sec / math.max(learned, 1)}%8.3f sec/round ($learned rounds)")
+        println(f"${s"bpe_train@K$k"}%-22s $sec%8.2f ${sec / math.max(rules.length, 1)}%8.3f sec/round (${rules.length} rounds)")
       }
+      // @batch: pair-disjoint merge batches — ~K/batch corpus-wide
+      // count rounds for the same vocabulary size; rule agreement vs
+      // sequential is reported, not assumed (a batch is exactly the
+      // next `taken` sequential merges unless a created pair would
+      // have out-ranked a later acceptance)
+      val t0 = System.nanoTime()
+      val (batched, rounds) =
+        operators.TextAnalysis.bpeTrainMergesRounds(docs, 256, batch = 16)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val seqSet = seq256.map(t => (t._2, t._3)).toSet
+      val agree = batched.count(t => seqSet((t._2, t._3)))
+      println(f"${"bpe_train@K256batch16"}%-22s $sec%8.2f ${sec / math.max(rounds, 1)}%8.3f sec/round ($rounds rounds, ${batched.length} rules, $agree/${seq256.length} shared with sequential)")
     }
     // -----------------------------------------------------------------
     // Graph-index bootstrap contrast (@plain/@capped): the edge build

@@ -835,24 +835,48 @@ object Curation {
 
   /** K rounds of full-batch squared-loss GD over the train-slice
     * features; returns the (bucket, w) weight table (≤ QcBuckets rows,
-    * always broadcastable). `trainFeat` must carry (doc_id, bucket, x,
-    * y) for the train slice only. */
-  private[graft] def qcTrain(trainFeat0: DataFrame): DataFrame = {
+    * always broadcastable) and — when `withLoss` — the per-round train
+    * MSE measured BEFORE each update, the convergence signal a
+    * production build logs. The loss is one more exact-decimal
+    * reduction over the per-doc scores the round derives anyway
+    * (ℓ1-normalized features make the Hessian's spectral radius ≤ 1,
+    * so at lr = 1 < 2/L the descent lemma GUARANTEES the sequence is
+    * non-increasing — spec-pinned). `trainFeat` must carry (doc_id,
+    * bucket, x, y) for the train slice only. */
+  private[graft] def qcTrainModel(trainFeat0: DataFrame,
+      withLoss: Boolean): (DataFrame, Seq[(Int, Double)]) = {
     val trainFeat = trainFeat0.localCheckpoint()
     val nRow = trainFeat.select("doc_id").distinct()
       .agg(count(lit(1)).cast(DoubleType).as("n_train"))
+    // per-doc labels once (loss needs (s_d, y_d) pairs, not features)
+    val docY = if (withLoss)
+      trainFeat.select("doc_id", "y").distinct().localCheckpoint()
+    else null
+    val losses = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var w = trainFeat.select("bucket").distinct()
       .withColumn("w", lit(0.0)).localCheckpoint()
-    for (_ <- 1 to QcRounds) {
+    for (r <- 1 to QcRounds) {
       // s_d = w·x_d (exact decimal reduction), then
       // grad_j = Σ_d (s_d − y_d)·x_dj, then w_j ← w_j − lr·grad_j/n.
       // Per-round localCheckpoint: w is ≤ QcBuckets rows (free) and
       // un-truncated the K rounds nest into one exponentially
       // re-derived plan (the Lloyd/pagerank convention).
-      val s = trainFeat.join(broadcast(w), "bucket")
+      var s = trainFeat.join(broadcast(w), "bucket")
         .groupBy("doc_id")
         .agg(sum((col("x") * col("w")).cast(DecimalType(38, 12)))
           .cast(DoubleType).as("s"))
+      if (withLoss) {
+        // s feeds two consumers (loss + gradient) — materialize (the
+        // AQE non-reuse convention); the 1-row collect per round is
+        // the BPE trainer's metadata-scale driver traffic
+        s = s.localCheckpoint()
+        val loss = s.join(docY, "doc_id").crossJoin(broadcast(nRow))
+          .agg((sum(((col("s") - col("y")) * (col("s") - col("y")))
+            .cast(DecimalType(38, 12))).cast(DoubleType) /
+            first("n_train")).as("mse"))
+          .collect()(0).getDouble(0)
+        losses += ((r, loss))
+      }
       val g = trainFeat.join(s, "doc_id")
         .groupBy("bucket")
         .agg(sum(((col("s") - col("y")) * col("x")).cast(DecimalType(38, 12)))
@@ -863,8 +887,13 @@ object Curation {
             .as("w"))
         .localCheckpoint()
     }
-    w
+    (w, losses.toSeq)
   }
+
+  /** Loss-free trainer — the registry op's path (bit-identical weights
+    * to the reporting path: the loss branch only reads). */
+  private[graft] def qcTrain(trainFeat0: DataFrame): DataFrame =
+    qcTrainModel(trainFeat0, withLoss = false)._1
 
   /** Score any feature frame with a trained weight table (broadcast
     * join + one exact-decimal per-doc reduction). */
@@ -922,6 +951,40 @@ object Curation {
         count(lit(1))).as("mu"))
       .agg((sum("mu") / 2).as("tau"))
     (w, tau)
+  }
+
+  /** The PRODUCTION-posture model build: GD rounds touch only a
+    * hash-sampled 1/`sampleMod` of the labeled train slice (at 100 TB
+    * the labeled slice is sampled by construction — this makes that
+    * posture a code path instead of prose), and the per-round train
+    * MSE comes back with the model so convergence is observable.
+    * Sampling is the portable md5 family (pmod(h32(doc_id), m) = 0),
+    * so the slice is deterministic and engine-replayable; the
+    * threshold τ stays the midpoint of the SAMPLED train split's
+    * class means (the only labels the production build has). Returns
+    * (weights, τ, per-round losses). QueriesSpec pins monotone
+    * non-increasing loss and unchanged held-out separation on the
+    * synthetic separable corpus. */
+  private[graft] def qualityClassifierModelSampledOf(docs: DataFrame,
+      sampleMod: Int = 1): (DataFrame, DataFrame, Seq[(Int, Double)]) = {
+    val sampled = col("is_train") && (if (sampleMod <= 1) lit(true)
+      else pmod(h32(col("doc_id").cast(StringType)), lit(sampleMod)) === 0)
+    val labeled = docs.select(col("doc_id"),
+      col("label").cast(DoubleType).as("y"),
+      (pmod(col("doc_id"), lit(4)) =!= 3).as("is_train"))
+      .withColumn("in_sample", sampled)
+    val feat = qcFeatures(docs).localCheckpoint()
+    val (w, losses) = qcTrainModel(
+      feat.join(labeled.filter(col("in_sample")), "doc_id")
+        .select("doc_id", "bucket", "x", "y"), withLoss = true)
+    val trainScores = labeled.filter(col("in_sample"))
+      .join(qcScore(feat, w), Seq("doc_id"), "left")
+      .select(col("y"), coalesce(col("s"), lit(0.0)).as("s"))
+    val tau = trainScores.groupBy("y")
+      .agg((sum(col("s").cast(DecimalType(38, 12))).cast(DoubleType) /
+        count(lit(1))).as("mu"))
+      .agg((sum("mu") / 2).as("tau"))
+    (w, tau, losses)
   }
 
   /** Score arbitrary (doc_id, text) docs with a trained model — the

@@ -275,7 +275,7 @@ object Similarity {
   // build handles them with multi-probe — here the 6-plane bucketing
   // keeps buckets populated at every test sf).
 
-  private val KnnK = 3
+  private[graft] val KnnK = 3
 
   /** kNN graph at an explicit plane count. The registry entry derives
     * the count from the corpus ([[derivedPlanes]]: bucket population
@@ -2112,29 +2112,18 @@ object Similarity {
   // embedded whole in the union (measured 3× the heavy baseline at 3
   // methods in round 9).
 
-  private val RecallK = 5
+  private[graft] val RecallK = 5
 
-  private def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+  /** The audit core over EXPLICIT (method, serve result, k) rows —
+    * shared by the registry report (memoized batch builds) and the
+    * LAKE-MODE report ([[graft.streaming.StreamingJobs
+    * .annRecallReportLake]], which audits what production actually
+    * serves after appends/compactions). One exact baseline, one row
+    * shape, so the two reports union into one QA board. */
+  private[graft] def recallReportOver(s: SparkSession, dir: String,
+      methods: Seq[(String, DataFrame, Int)]): DataFrame = {
     val exact = annBruteforce(s, dir)
       .select("query_id", "neighbor_id").localCheckpoint()
-    // (method, serve, k): each method audits at ITS OWN serve depth —
-    // graph and hotprobe serve KnnK=3 neighbors per query, the rest
-    // RecallK=5, so a flat hits/RecallK would structurally cap the k=3
-    // methods at 600‰ and make rows incomparable without out-of-band
-    // knowledge. recall_permil therefore divides by min(RecallK, k):
-    // for k = RecallK this IS recall@5; for k < RecallK it is the
-    // served list's hit rate against the exact top-RecallK — the
-    // comparable per-method number. The k column makes the depth
-    // explicit in the report itself.
-    val methods = Seq(
-      ("graph", annGraphSearch(s, dir), KnnK),
-      // hotprobe serves the whole corpus as queries (it IS the kNN
-      // builder); the audit reads its panel slice of the same output
-      ("hotprobe", annKnnHotprobe(s, dir).filter(col("query_id") < AnnPanel), KnnK),
-      ("ivf", annIvf(s, dir), RecallK),
-      ("ivfpq", annIvfPq(s, dir), RecallK),
-      ("lsh", annLsh(s, dir), RecallK),
-      ("pq", annPq(s, dir), RecallK))
     methods.map { case (name, approx0, k) =>
       val approx = approx0
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
@@ -2148,6 +2137,33 @@ object Similarity {
       .withColumn("recall_permil",
         expr(s"(CAST(hits AS BIGINT) * 1000) div least($RecallK, k)"))
       .orderBy("method", "query_id")
+  }
+
+  /** The shared query panel as LAKE-SEARCH queries (query_id,
+    * embedding) — the shape the maintained indexes' serve paths take. */
+  private[graft] def annPanelQueries(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < AnnPanel)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+  private def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    // (method, serve, k): each method audits at ITS OWN serve depth —
+    // graph and hotprobe serve KnnK=3 neighbors per query, the rest
+    // RecallK=5, so a flat hits/RecallK would structurally cap the k=3
+    // methods at 600‰ and make rows incomparable without out-of-band
+    // knowledge. recall_permil therefore divides by min(RecallK, k):
+    // for k = RecallK this IS recall@5; for k < RecallK it is the
+    // served list's hit rate against the exact top-RecallK — the
+    // comparable per-method number. The k column makes the depth
+    // explicit in the report itself.
+    recallReportOver(s, dir, Seq(
+      ("graph", annGraphSearch(s, dir), KnnK),
+      // hotprobe serves the whole corpus as queries (it IS the kNN
+      // builder); the audit reads its panel slice of the same output
+      ("hotprobe", annKnnHotprobe(s, dir).filter(col("query_id") < AnnPanel), KnnK),
+      ("ivf", annIvf(s, dir), RecallK),
+      ("ivfpq", annIvfPq(s, dir), RecallK),
+      ("lsh", annLsh(s, dir), RecallK),
+      ("pq", annPq(s, dir), RecallK)))
   }
 
   private def annRecallReportSql: String =

@@ -425,35 +425,76 @@ object TextAnalysis {
       .withColumn("pos", (row_number().over(w) - 1).cast(IntegerType))
   }
 
-  /** The learned merge rules as driver values — (round, lhs, rhs,
-    * weighted pair count). K one-row collects, the same metadata-scale
-    * driver traffic as MLlib centroid iteration; everything heavy
-    * stays distributed. Stops early if a round finds no pair. */
-  private[graft] def bpeTrainMerges(docs: DataFrame,
-      merges: Int = BpeMerges): Seq[(Int, String, String, Long)] = {
+  /** The learned merge rules as driver values — (rule index, lhs, rhs,
+    * weighted pair count) — plus the number of DISTRIBUTED count
+    * rounds it took. One bounded collect per round, the same
+    * metadata-scale driver traffic as MLlib centroid iteration;
+    * everything heavy stays distributed. Stops early when a round
+    * finds no pair.
+    *
+    * `batch` > 1 learns PAIR-DISJOINT merge batches per round (the
+    * standard BPE batching trick): candidates are accepted in
+    * (count desc, lhs, rhs) order while their symbols are disjoint
+    * from every symbol an already-accepted merge this round touches
+    * or creates. Merging (l, r) only perturbs adjacency counts of
+    * pairs containing l, r, or the created symbol l+r, so every
+    * accepted pair's count is exactly what a sequential recount
+    * would see — the rules in a batch ARE the next `taken` sequential
+    * merges unless a merge's newly-CREATED pair would have out-ranked
+    * a later acceptance (the re-rank batching deliberately trades for
+    * ~batch× fewer corpus-wide count rounds; a 32k-merge production
+    * vocab drops from 32k sequential driver round-trips to ~2k).
+    * `batch = 1` is bit-exact classic BPE — the registry op's and the
+    * DuckDB oracle's path. */
+  private[graft] def bpeTrainMergesRounds(docs: DataFrame,
+      merges: Int = BpeMerges, batch: Int = 1)
+      : (Seq[(Int, String, String, Long)], Int) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("word").orderBy("pos")
     var state = bpeState0(docs)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var r = 1
+    var rounds = 0
     var exhausted = false
-    while (r <= merges && !exhausted) {
-      val top = state.withColumn("nxt", lead("sym", 1).over(w))
+    while (out.size < merges && !exhausted) {
+      val want = math.min(batch, merges - out.size)
+      val pool = state.withColumn("nxt", lead("sym", 1).over(w))
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
         .agg(sum("wc").as("cnt"))
         .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .limit(if (want == 1) 1 else want * 8)
+        .collect()
+      rounds += 1
+      if (pool.isEmpty) exhausted = true
       else {
-        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        out += ((r, l, rr, c))
-        state = bpeFuse(state, lit(l), lit(rr)).localCheckpoint()
+        // greedy pair-disjoint acceptance; `used` also carries each
+        // created symbol so a later pair can never match occurrences
+        // an earlier fuse of this round just wrote (string collision:
+        // an existing symbol may literally equal l+r)
+        val used = scala.collection.mutable.Set.empty[String]
+        var taken = 0
+        val it = pool.iterator
+        while (it.hasNext && taken < want) {
+          val row = it.next()
+          val (l, rr, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (!used(l) && !used(rr)) {
+            out += ((out.size + 1, l, rr, c))
+            used += l; used += rr; used += (l + rr)
+            state = bpeFuse(state, lit(l), lit(rr))
+            taken += 1
+          }
+        }
+        // one materialization per ROUND, not per merge — the fuses of
+        // a batch chain lazily into the same checkpointed pass
+        state = state.localCheckpoint()
       }
-      r += 1
     }
-    out.toSeq
+    (out.toSeq, rounds)
   }
+
+  private[graft] def bpeTrainMerges(docs: DataFrame,
+      merges: Int = BpeMerges, batch: Int = 1): Seq[(Int, String, String, Long)] =
+    bpeTrainMergesRounds(docs, merges, batch)._1
 
   /** The BPE trainer over any frame with a `text` column — the
     * registry op feeds `documents`; specs feed hand-computable

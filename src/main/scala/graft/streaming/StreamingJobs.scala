@@ -924,6 +924,36 @@ object StreamingJobs {
         (col("mean_cos_appended") < col("mean_cos_base") - 0.05).as("drifted"))
   }
 
+  /** LAKE-MODE recall report — the registry `ann_recall_report` audits
+    * the MEMOIZED batch builds; after an append+compact cycle what
+    * production serves is the maintained lakes, so the QA loop must
+    * audit those. Same exact brute-force baseline, same row shape
+    * (method, k, query_id, hits, recall_permil) via
+    * [[graft.operators.Similarity.recallReportOver]], with methods
+    * `graph_lake` (the maintained beam walk over nodes/edges) and
+    * `ivf_lake` (the maintained posting search) — the two reports
+    * union into one QA board. StreamingSpec pins lake rows == batch
+    * rows on an append-free lake bootstrapped from the batch ops' own
+    * builds (fixture edges for the graph), which proves the audit
+    * measures the serve path and not a re-derivation; on a capped or
+    * appended lake the rows show the REAL served recall, which is the
+    * point. */
+  def annRecallReportLake(spark: SparkSession, lakeDir: String,
+      graphPath: String, ivfPath: String): DataFrame = {
+    import graft.operators.Similarity
+    graft.plans.VecDotProduct.register(spark)
+    val panel = Similarity.annPanelQueries(spark, lakeDir)
+    val qn = Similarity.withNorm2(panel)
+      .select(col("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+    Similarity.recallReportOver(spark, lakeDir, Seq(
+      ("graph_lake",
+        graphIndexSearch(spark, graphPath, panel, Similarity.KnnK),
+        Similarity.KnnK),
+      ("ivf_lake",
+        ivfIndexSearch(spark, ivfPath, qn, Similarity.RecallK),
+        Similarity.RecallK)))
+  }
+
   // --- the INVERTED-INDEX lake: CorpusIndex's maintain leg --------------
   // The third maintained index family (after the IVF posting lake and
   // the kNN graph lake): the sparse-retrieval index that

@@ -152,6 +152,29 @@ class QueriesSpec extends AnyFunSuite {
       (3, "aa", "a", "aaa", 2L)), m.toSeq.toString)
   }
 
+  test("batched BPE merges: pair-disjoint batches learn the same rules in fewer rounds") {
+    import spark.implicits._
+    val docs = Seq("aaa aaa bb bb bb", "bb bb Z$ b").toDF("text")
+    // batch=1 is bit-exact classic BPE — the registry/oracle path
+    val (seq1, rounds1) = operators.TextAnalysis.bpeTrainMergesRounds(docs, 6, batch = 1)
+    assert(seq1.map(t => (t._1, t._2, t._3, t._4)) == Seq(
+      (1, "b", "b", 5L), (2, "a", "a", 4L), (3, "aa", "a", 2L)), seq1.toString)
+    // batch=4: round 1 accepts (b,b) then (a,a) — {a} disjoint from
+    // {b, bb} — but NOT (aa,a) (symbol aa doesn't exist yet; and the
+    // candidate pool only holds pairs of the current state anyway);
+    // round 2 learns (aa,a); round 3 finds nothing. Same rules, same
+    // counts, same order — 3 rounds instead of 4.
+    val (seqB, roundsB) = operators.TextAnalysis.bpeTrainMergesRounds(docs, 6, batch = 4)
+    assert(seqB == seq1, s"batched rules diverged: $seqB vs $seq1")
+    assert(roundsB < rounds1, s"batching saved no rounds: $roundsB vs $rounds1")
+    // the apply path segments identically with the batched rule table
+    val docs2 = Seq((0L, "aaa aaa bb bb bb"), (1L, "bb bb Z$ b"))
+      .toDF("doc_id", "text")
+    val viaBatch = operators.TextAnalysis.bpeApplyWith(docs2, seqB).collect().toSeq
+    val viaSeq = operators.TextAnalysis.bpeApplyWith(docs2, seq1).collect().toSeq
+    assert(viaBatch.map(_.toString) == viaSeq.map(_.toString))
+  }
+
   test("BPE apply segments every word (OOV included) with the learned merges") {
     import spark.implicits._
     val docs = Seq((0L, "aaa aaa bb bb bb"), (1L, "bb bb Z$ b"))
@@ -271,6 +294,48 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
     (0L to 15L).foreach { i =>
       assert(applied(i) == ((out(i)._2, out(i)._3)), s"serve mismatch at $i")
+    }
+  }
+
+  test("classifier training at production posture: sampled slice + observable convergence") {
+    import spark.implicits._
+    // the same separable corpus as above, but the GD rounds see only
+    // the md5-sampled HALF of the train slice (the 100 TB posture,
+    // where the labeled slice is sampled by construction — here that
+    // keeps docs {0,1,6} of class 1 and {9,10,13} of class 0)
+    val aWords = Seq("alpha beta gamma delta alpha beta gamma",
+      "beta gamma delta alpha beta gamma alpha",
+      "gamma delta alpha beta gamma alpha beta",
+      "delta alpha beta gamma delta alpha gamma")
+    val bWords = Seq("zig zag zorro quux zig zag zorro",
+      "zag zorro quux zig zag zorro quux",
+      "zorro quux zig zag zorro quux zig",
+      "quux zig zag zorro quux zig zorro")
+    val docs = ((0L to 7L).map(i =>
+      (i, aWords((i % 4).toInt), true)) ++
+      (8L to 15L).map(i => (i, bWords((i % 4).toInt), false)))
+      .toDF("doc_id", "text", "label")
+    val (w, tau, losses) = graft.operators.Curation
+      .qualityClassifierModelSampledOf(docs, sampleMod = 2)
+    // convergence is observable and GUARANTEED monotone: lr = 1 is
+    // under the descent-lemma bound 2/L because l1-normalized
+    // features keep the squared-loss Hessian's spectral radius <= 1
+    assert(losses.map(_._1) == (1 to 4), s"rounds: $losses")
+    losses.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b <= a, s"train loss increased: $losses")
+    }
+    assert(losses.last._2 < losses.head._2, s"no learning happened: $losses")
+    // held-out separation unchanged: the model trained on HALF the
+    // train slice still gates every doc right — including the four
+    // docs no training variant ever sees (3, 7, 11, 15)
+    val applied = graft.operators.Curation
+      .qualityClassifierApply(docs.select("doc_id", "text"), w, tau)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val posMin = (0L to 7L).map(applied(_)._1).min
+    val negMax = (8L to 15L).map(applied(_)._1).max
+    assert(posMin > negMax, s"sampled model overlaps: $posMin <= $negMax")
+    (0L to 15L).foreach { i =>
+      assert(applied(i)._2 == (i < 8), s"doc $i gated ${applied(i)}")
     }
   }
 

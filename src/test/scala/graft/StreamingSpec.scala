@@ -990,6 +990,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("lake-mode recall report equals the batch report on an append-free lake") {
+    val root = "target/tmp/recalllake"
+    val gidx = s"$root/graph"; val vidx = s"$root/ivf"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // bootstrap both lakes over the FULL corpus from the batch ops' own
+    // build cores (fixture edges for the graph, the trained quantizer
+    // for IVF): an append-free lake serves exactly what the batch ops
+    // serve, so the audit rows must match row for row — which proves
+    // the lake report measures the serve path, not a re-derivation.
+    // On a capped or appended lake the rows then show the REAL served
+    // recall, which is what the QA loop is for.
+    StreamingJobs.graphIndexInit(spark, sf, lit(true), gidx, capped = false)
+    StreamingJobs.ivfIndexInit(spark, sf, lit(true), vidx)
+    def rows5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val lake = rows5(StreamingJobs.annRecallReportLake(spark, sf, gidx, vidx))
+    val batch = rows5(Registry.queries("ann_recall_report")(spark, sf))
+      .filter(t => t._1 == "graph" || t._1 == "ivf").toSet
+    assert(lake.length == batch.size, s"row counts: ${lake.length} vs ${batch.size}")
+    lake.foreach { case (m, k, q, h, p) =>
+      assert(batch((m.stripSuffix("_lake"), k, q, h, p)),
+        s"lake row diverges from batch: ($m, $k, $q, $h, $p)")
+    }
+  }
+
   test("streaming token packing equals batch token_pack over the ordered feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
