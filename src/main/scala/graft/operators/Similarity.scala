@@ -180,6 +180,11 @@ object Similarity {
     p
   }
 
+  /** [[planesFor]] for callers that already hold the corpus count —
+    * the graph lake's RE-BUILD sizes its capped edge bootstrap from
+    * the lake's own node count. */
+  private[graft] def planesForCount(n: Long): Int = planesFor(n)
+
   /** Corpus-derived hyperplane count (one memoized count — the ANALYZE
     * step of the LSH family sizing). */
   def derivedPlanes(s: SparkSession, dir: String): Int =

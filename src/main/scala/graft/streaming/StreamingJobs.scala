@@ -666,9 +666,37 @@ object StreamingJobs {
         }
         return 0
       }
+      publishRewrite(spark, tableDir,
+        fold(graft.etl.Snapshots.readVersion(spark, tableDir, vs.max)), partCols)
+      return appended.length
+    }
+    val appended = fs.listStatus(table).filter { d =>
+      val n = d.getPath.getName
+      d.isDirectory && n.startsWith("ingest_batch=") && n != "ingest_batch=-1"
+    }
+    if (appended.isEmpty) return 0
+    publishRewrite(spark, tableDir, fold(spark.read.parquet(table.toString)),
+      partCols)
+    appended.length
+  }
+
+  /** Publish `content` as a maintained table's NEW full content — the
+    * rewrite-commit half of [[compactIngestPartitions]], shared with
+    * the RE-TRAIN jobs ([[ivfRetrain]], [[graphIndexRebuild]]):
+    * snapshot-enabled tables stage under `gen{v}` and commit with ONE
+    * manifest PUT then vacuum idempotently (the committer contract);
+    * otherwise staged write + require-checked rename swap. The
+    * non-snapshot staged write EXECUTES `content` while the original
+    * table is still in place, so a lazy read of the table itself is a
+    * valid content lineage there; snapshot callers' staged files
+    * coexist with the live version until the vacuum either way. */
+  private def publishRewrite(spark: SparkSession, tableDir: String,
+      content: DataFrame, partCols: Seq[String]): Unit = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.etl.Snapshots.enabled(spark, tableDir)) {
       val gen = s"gen${graft.etl.Snapshots.nextVersion(spark, tableDir)}"
-      fold(graft.etl.Snapshots.readVersion(spark, tableDir, vs.max))
-        .write.partitionBy(partCols: _*).mode("overwrite")
+      content.write.partitionBy(partCols: _*).mode("overwrite")
         .parquet(s"$tableDir/$gen")
       // THE commit: one manifest object naming exactly the staged files
       val v = graft.etl.Snapshots.commitEntries(spark, tableDir,
@@ -677,25 +705,19 @@ object StreamingJobs {
       // the new manifest doesn't reference, expire dangling manifests
       graft.etl.Snapshots.rollback(spark, tableDir, v)
       graft.etl.Snapshots.expireInvalid(spark, tableDir)
-      return appended.length
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(s"$tableDir" + "_compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$tableDir" + "_old")
+      fs.delete(tmp, true); fs.delete(old, true)
+      content.write.partitionBy(partCols: _*).mode("overwrite")
+        .parquet(tmp.toString)
+      require(fs.rename(table, old),
+        s"publishRewrite: rename $table -> $old failed; table unchanged")
+      require(fs.rename(tmp, table),
+        s"publishRewrite: rename $tmp -> $table failed; " +
+        s"old table preserved at $old — restore it by renaming back")
+      fs.delete(old, true)
     }
-    val appended = fs.listStatus(table).filter { d =>
-      val n = d.getPath.getName
-      d.isDirectory && n.startsWith("ingest_batch=") && n != "ingest_batch=-1"
-    }
-    if (appended.isEmpty) return 0
-    val tmp = new org.apache.hadoop.fs.Path(s"$tableDir" + "_compacting")
-    val old = new org.apache.hadoop.fs.Path(s"$tableDir" + "_old")
-    fs.delete(tmp, true); fs.delete(old, true)
-    fold(spark.read.parquet(table.toString))
-      .write.partitionBy(partCols: _*).mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(table, old),
-      s"compactIngestPartitions: rename $table -> $old failed; index unchanged")
-    require(fs.rename(tmp, table),
-      s"compactIngestPartitions: rename $tmp -> $table failed; " +
-      s"old index preserved at $old — restore it by renaming back")
-    fs.delete(old, true)
-    appended.length
   }
 
   /** Quantization-drift report over the maintained IVF index — the
@@ -740,6 +762,43 @@ object StreamingJobs {
         (coalesce(col("mean_cos_appended"), lit(1.0))
           < coalesce(col("mean_cos_base"), lit(-1.0)) - 0.05).as("drifted"))
       .orderBy("list_id")
+  }
+
+  /** IVF RE-TRAIN — the maintenance step [[ivfDriftReport]] schedules
+    * and the one the fixed-quantizer append path defers (the FAISS
+    * build/serve/maintain split's last leg): re-run the deterministic
+    * k-means build over the CURRENT indexed corpus (bootstrap + every
+    * appended batch) and publish fresh centroids plus a single folded
+    * posting partition. k re-derives from the lake's own count (the
+    * derivedIvfK rule, k ∝ n), so a corpus that doubled since
+    * bootstrap gets proportionally more lists — posting-list length,
+    * and with it probe cost, stays constant. Same stop-the-stream
+    * protocol as compaction (single writer; restart appends with a
+    * fresh checkpoint): postings publish through [[publishRewrite]]
+    * (manifest PUT or staged rename), centroids are a k-row table
+    * rewritten between generations. A retrained lake over corpus C
+    * serves bit-identically to the batch op's memoized build over C —
+    * the quantizer derivation is deterministic end to end
+    * (StreamingSpec pins it). Crash between the centroid write and the
+    * posting publish leaves the two halves inconsistent — RE-RUN the
+    * retrain: it is idempotent, because the columns it reads from the
+    * posting table (vec_id, embedding, n2) are retrain-invariant.
+    * Returns the re-derived k. */
+  def ivfRetrain(spark: SparkSession, indexPath: String): Int = {
+    graft.plans.VecDotProduct.register(spark)
+    // localCheckpoint: the rebuild's lineage must not lazily reference
+    // the posting files the publish replaces (the near-dup gate rule)
+    val corpus = indexRead(spark, s"$indexPath/postings")
+      .select("vec_id", "embedding", "n2").localCheckpoint()
+    val (cents, index) =
+      graft.operators.Similarity.buildIvfIndexOver(spark, corpus)
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    publishRewrite(spark, s"$indexPath/postings",
+      index.select("vec_id", "embedding", "n2", "list_id")
+        .withColumn("ingest_batch", lit(-1L))
+        .repartition(col("list_id")),
+      Seq("ingest_batch"))
+    cents.count().toInt
   }
 
   /** Bootstrap the streaming GRAPH index lake — the second maintained
@@ -881,6 +940,39 @@ object StreamingJobs {
     compactIngestPartitions(spark, s"$indexPath/nodes", Seq("bucket")) +
       compactIngestPartitions(spark, s"$indexPath/edges", Seq("src"))
 
+  /** Graph-index RE-BUILD — the maintenance step [[graphDriftReport]]
+    * schedules (insert-by-search keeps appends reachable but never
+    * revisits old links, so graph quality drifts as the corpus
+    * doubles): re-run the DEFAULT capped edge bootstrap over the
+    * CURRENT node set (bootstrap + every appended batch) and publish
+    * both tables folded to the bootstrap partition. This is exactly
+    * where the capped build being schedulable matters — a rebuild
+    * touches the whole corpus by construction, and the uncapped
+    * Σ|bucket|² build would make the maintenance job the bottleneck
+    * (PROBE_r12: 7.2× vs 141.6× at ×16). Planes re-derive from the
+    * node count (the planesFor rule), so bucket occupancy — and edge
+    * build pair volume per vector — stays constant as the lake grows.
+    * Same stop-the-stream, [[publishRewrite]] protocol as compaction;
+    * StreamingSpec pins post-rebuild reachability of every vector
+    * (appended ones included) and the drift report's reset. */
+  def graphIndexRebuild(spark: SparkSession, indexPath: String): Unit = {
+    graft.plans.VecDotProduct.register(spark)
+    // localCheckpoint: the rebuild's lineage must not lazily reference
+    // the node/edge files the publish replaces
+    val nodes = indexRead(spark, s"$indexPath/nodes")
+      .select("vec_id", "embedding", "n2", "bucket").localCheckpoint()
+    val edges = graft.operators.Similarity.knnEdgesCappedOver(spark,
+      nodes.select("vec_id", "embedding", "n2"),
+      graft.operators.Similarity.planesForCount(nodes.count()))
+      .localCheckpoint()
+    publishRewrite(spark, s"$indexPath/nodes",
+      nodes.withColumn("ingest_batch", lit(-1L)).repartition(col("bucket")),
+      Seq("ingest_batch"))
+    publishRewrite(spark, s"$indexPath/edges",
+      edges.withColumn("ingest_batch", lit(-1L)).repartition(col("src")),
+      Seq("ingest_batch"))
+  }
+
   /** Edge-quality drift report over the maintained graph index —
     * [[ivfDriftReport]]'s twin, the signal that schedules the periodic
     * full RE-BUILD the insert-by-search append path defers: per ingest
@@ -901,27 +993,30 @@ object StreamingJobs {
     val edges = indexRead(spark, s"$indexPath/edges")
     val cos = vec_dot(col("s_emb"), col("d_emb")) /
       (sqrt(col("s_n2")) * sqrt(col("d_n2")))
-    val seg = edges
+    // single-row conditional aggregates (the corpusIndexDriftReport
+    // pattern): an absent segment — fresh bootstrap, fully compacted,
+    // or just re-built — yields 0 edges / null mean instead of
+    // dropping the report row entirely (the old per-segment crossJoin
+    // produced ZERO rows the moment one side was empty)
+    val isBase = col("ingest_batch") === -1L
+    edges
       .join(nodes.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
         col("n2").as("s_n2")), "src")
       .join(nodes.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
         col("n2").as("d_n2")), "dst")
-      .withColumn("segment",
-        when(col("ingest_batch") === -1L, "base").otherwise("appended"))
-      .groupBy("segment")
-      .agg(count(lit(1)).as("n_edges"),
-        sum(cos.cast(DecimalType(38, 12))).as("cos_sum"))
-      .withColumn("mean_cos",
-        round6((col("cos_sum") / col("n_edges")).cast(DoubleType)))
-      .select("segment", "n_edges", "mean_cos")
-    val base = seg.filter(col("segment") === "base")
-      .select(col("n_edges").as("n_base"), col("mean_cos").as("mean_cos_base"))
-    val app = seg.filter(col("segment") === "appended")
-      .select(col("n_edges").as("n_appended"), col("mean_cos").as("mean_cos_appended"))
-    base.crossJoin(app)
+      .agg(
+        coalesce(sum(when(isBase, 1L)), lit(0L)).as("n_base"),
+        sum(when(isBase, cos.cast(DecimalType(38, 12)))).as("cos_base"),
+        coalesce(sum(when(!isBase, 1L)), lit(0L)).as("n_appended"),
+        sum(when(!isBase, cos.cast(DecimalType(38, 12)))).as("cos_appended"))
       .select(col("n_base"), col("n_appended"),
-        col("mean_cos_base"), col("mean_cos_appended"),
-        (col("mean_cos_appended") < col("mean_cos_base") - 0.05).as("drifted"))
+        round6((col("cos_base") / col("n_base")).cast(DoubleType))
+          .as("mean_cos_base"),
+        round6((col("cos_appended") / col("n_appended")).cast(DoubleType))
+          .as("mean_cos_appended"))
+      .withColumn("drifted",
+        coalesce(col("mean_cos_appended"), lit(1.0)) <
+          coalesce(col("mean_cos_base"), lit(-1.0)) - 0.05)
   }
 
   /** LAKE-MODE recall report — the registry `ann_recall_report` audits

@@ -990,6 +990,103 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF re-train: re-derived quantizer over the grown lake serves the batch build exactly") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/ivfretrain"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // bootstrap on 4/5, stream in the rest against the FROZEN quantizer
+    StreamingJobs.ivfIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.ivfAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try { source.addData(incoming.toSeq); q.processAllAvailable() } finally q.stop()
+    assert(StreamingJobs.ivfDriftReport(spark, idx).collect()
+      .map(_.getAs[Long]("n_appended")).sum == incoming.length.toLong)
+
+    // RE-TRAIN: k re-derives from the lake's own (grown) count — the
+    // full corpus, so it must equal the registry op's derived k
+    val k = StreamingJobs.ivfRetrain(spark, idx)
+    assert(k == Similarity.derivedIvfK(spark, sf), s"re-derived k $k")
+    val postings = spark.read.parquet(s"$idx/postings")
+    val batches = postings.select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(batches == Set(-1L), s"post-retrain partitions: $batches")
+    assert(postings.count() == Tables.embeddings(spark, sf).count())
+    assert(postings.select("vec_id").distinct().count() == postings.count())
+    // the retrained lake IS the batch build over the union corpus —
+    // the quantizer derivation is deterministic end to end, so the
+    // lake serve must reproduce the registry op row for row
+    val queries = Similarity.withNorm2(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    assert(canon(StreamingJobs.ivfIndexSearch(spark, idx, queries)) ==
+      canon(Registry.queries("ann_ivf_topk")(spark, sf)))
+    // the drift clock resets: no appended segment remains
+    val after = StreamingJobs.ivfDriftReport(spark, idx).collect()
+    assert(after.map(_.getAs[Long]("n_appended")).sum == 0L)
+    assert(after.forall(!_.getAs[Boolean]("drifted")))
+  }
+
+  test("graph re-build: the capped bootstrap refreshes the grown lake, every vector reachable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/graphrebuild"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // capped default bootstrap on 4/5, insert-by-search the rest
+    StreamingJobs.graphIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.graphAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try { source.addData(incoming.toSeq); q.processAllAvailable() } finally q.stop()
+
+    StreamingJobs.graphIndexRebuild(spark, idx)
+    // both tables folded to the bootstrap partition, nodes conserved
+    for (t <- Seq("nodes", "edges")) {
+      val batches = spark.read.parquet(s"$idx/$t")
+        .select(col("ingest_batch").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(batches == Set(-1L), s"$t post-rebuild partitions: $batches")
+    }
+    val nodes = spark.read.parquet(s"$idx/nodes")
+    assert(nodes.count() == Tables.embeddings(spark, sf).count())
+    assert(nodes.select("vec_id").distinct().count() == nodes.count())
+    // the rebuilt edge set is a fresh capped bootstrap over the union:
+    // symmetric by construction, and formerly-appended vectors are now
+    // first-class graph members — reachable as their own top-1 through
+    // the SAME maintained walk (fresh query ids dodge member exclusion)
+    val edges = spark.read.parquet(s"$idx/edges")
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.map(_.swap) == edges, "rebuilt edge set not symmetric")
+    val queries = incoming.toSeq.toDF("vec_id", "embedding")
+      .select((col("vec_id") + 30000000L).as("query_id"), col("embedding"))
+    val got = StreamingJobs.graphIndexSearch(spark, idx, queries)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) - 30000000L -> (r.getLong(1), r.getDouble(3))).toMap
+    incoming.foreach { case (id, _) =>
+      val (top1, cos) = got(id)
+      assert(top1 == id && cos == 1.0,
+        s"vector $id not its own top-1 after rebuild: $top1 ($cos)")
+    }
+    // drift clock resets
+    val dr = StreamingJobs.graphDriftReport(spark, idx).collect()(0)
+    assert(dr.getAs[Long]("n_appended") == 0L, s"drift after rebuild: $dr")
+  }
+
   test("lake-mode recall report equals the batch report on an append-free lake") {
     val root = "target/tmp/recalllake"
     val gidx = s"$root/graph"; val vidx = s"$root/ivf"
