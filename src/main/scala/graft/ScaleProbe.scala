@@ -215,9 +215,9 @@ object ScaleProbe {
       }
       // @batch: pair-disjoint merge batches — ~K/batch corpus-wide
       // count rounds for the same vocabulary size; rule agreement vs
-      // sequential is reported, not assumed (a batch is exactly the
-      // next `taken` sequential merges unless a created pair would
-      // have out-ranked a later acceptance)
+      // sequential is reported, not assumed (accepted counts are
+      // exact, but created or overlap-rejected pairs can re-rank the
+      // sequence a sequential trainer would have taken)
       val t0 = System.nanoTime()
       val (batched, rounds) =
         operators.TextAnalysis.bpeTrainMergesRounds(docs, 256, batch = 16)

@@ -934,22 +934,13 @@ object Curation {
   }
 
   /** The trained model as servable build state: (weights, threshold) —
-    * what the streaming admission gate broadcasts per micro-batch. */
+    * what the streaming admission gate broadcasts per micro-batch.
+    * Delegates to the sampled variant at sampleMod = 1 (identical
+    * slice, bit-identical weights) so there is ONE training pipeline
+    * to keep in sync. */
   private[graft] def qualityClassifierModelOf(docs: DataFrame)
       : (DataFrame, DataFrame) = {
-    val labeled = docs.select(col("doc_id"),
-      col("label").cast(DoubleType).as("y"),
-      (pmod(col("doc_id"), lit(4)) =!= 3).as("is_train"))
-    val feat = qcFeatures(docs).localCheckpoint()
-    val w = qcTrain(feat.join(labeled.filter(col("is_train")), "doc_id")
-      .select("doc_id", "bucket", "x", "y"))
-    val trainScores = labeled.filter(col("is_train"))
-      .join(qcScore(feat, w), Seq("doc_id"), "left")
-      .select(col("y"), coalesce(col("s"), lit(0.0)).as("s"))
-    val tau = trainScores.groupBy("y")
-      .agg((sum(col("s").cast(DecimalType(38, 12))).cast(DoubleType) /
-        count(lit(1))).as("mu"))
-      .agg((sum("mu") / 2).as("tau"))
+    val (w, tau, _) = qualityClassifierModelSampledOf(docs)
     (w, tau)
   }
 
@@ -961,10 +952,12 @@ object Curation {
     * Sampling is the portable md5 family (pmod(h32(doc_id), m) = 0),
     * so the slice is deterministic and engine-replayable; the
     * threshold τ stays the midpoint of the SAMPLED train split's
-    * class means (the only labels the production build has). Returns
-    * (weights, τ, per-round losses). QueriesSpec pins monotone
-    * non-increasing loss and unchanged held-out separation on the
-    * synthetic separable corpus. */
+    * class means (the only labels the production build has). A sample
+    * that loses the whole slice — or one of the two classes, which
+    * would make τ meaningless — fails LOUDLY instead of training a
+    * degenerate gate. Returns (weights, τ, per-round losses).
+    * QueriesSpec pins monotone non-increasing loss and unchanged
+    * held-out separation on the synthetic separable corpus. */
   private[graft] def qualityClassifierModelSampledOf(docs: DataFrame,
       sampleMod: Int = 1): (DataFrame, DataFrame, Seq[(Int, Double)]) = {
     val sampled = col("is_train") && (if (sampleMod <= 1) lit(true)
@@ -973,6 +966,13 @@ object Curation {
       col("label").cast(DoubleType).as("y"),
       (pmod(col("doc_id"), lit(4)) =!= 3).as("is_train"))
       .withColumn("in_sample", sampled)
+    val classes = labeled.filter(col("in_sample"))
+      .select("y").distinct().count()
+    require(classes == 2,
+      s"qualityClassifierModelSampledOf: sampleMod=$sampleMod keeps " +
+      s"$classes label class(es) in the train sample — need both " +
+      "(the class-mean midpoint threshold is undefined otherwise); " +
+      "lower sampleMod or label more documents")
     val feat = qcFeatures(docs).localCheckpoint()
     val (w, losses) = qcTrainModel(
       feat.join(labeled.filter(col("in_sample")), "doc_id")

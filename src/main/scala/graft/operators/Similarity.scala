@@ -2270,10 +2270,15 @@ object Similarity {
     val qtok = Tables.documents(s, dir).filter(col("doc_id") < RrfPanel)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(split(col("text"), " "))).as("word"))
+    // qterms feeds TWO consumers (the semi-prefilter's distinct word
+    // set and the exact candidates join) — materialize the bounded
+    // (panel × RrfTerms)-row frame so the vocabulary-scale df join +
+    // window doesn't derive twice (AQE non-reuse, SURVEY §5)
     val qterms = dfreq.join(broadcast(qtok), "word")
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= RrfTerms)
       .select("query_id", "word", "df")
+      .localCheckpoint()
     val idf = (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5))
     val contrib = idf * (col("tf") * lit(RrfK1 + 1.0)) /

@@ -439,11 +439,14 @@ object TextAnalysis {
     * or creates. Merging (l, r) only perturbs adjacency counts of
     * pairs containing l, r, or the created symbol l+r, so every
     * accepted pair's count is exactly what a sequential recount
-    * would see — the rules in a batch ARE the next `taken` sequential
-    * merges unless a merge's newly-CREATED pair would have out-ranked
-    * a later acceptance (the re-rank batching deliberately trades for
-    * ~batch× fewer corpus-wide count rounds; a 32k-merge production
-    * vocab drops from 32k sequential driver round-trips to ~2k).
+    * would see. That makes the COUNTS honest, not the SEQUENCE: a
+    * sequential trainer re-ranks after every merge, so either a
+    * newly-created pair or an overlap-REJECTED pair whose count
+    * survived can out-rank a later in-batch acceptance — agreement
+    * with sequential is therefore measured (the @K probe reports it),
+    * never assumed. The trade buys ~batch× fewer corpus-wide count
+    * rounds: a 32k-merge production vocab drops from 32k sequential
+    * driver round-trips to ~2k.
     * `batch = 1` is bit-exact classic BPE — the registry op's and the
     * DuckDB oracle's path. */
   private[graft] def bpeTrainMergesRounds(docs: DataFrame,

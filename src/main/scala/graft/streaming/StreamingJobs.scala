@@ -650,17 +650,26 @@ object StreamingJobs {
         .flatMap("(?:^|/)ingest_batch=(-?\\d+)/".r.findFirstMatchIn(_))
         .map(_.group(1).toLong).distinct.filter(_ != -1L)
       if (appended.isEmpty) {
-        // Nothing to fold — but a PRIOR compaction may have crashed
-        // between its commitEntries PUT and its vacuum, leaving
-        // superseded ingest_batch files and stale manifests on disk
-        // (reads stay correct; storage leaks). That state is
-        // DETECTABLE: more than one live manifest. Only then run the
-        // (idempotent) vacuum — the steady-state idle call stays
-        // read-only, so a concurrent append's just-landed but
-        // not-yet-committed files are never at risk; completing a
-        // crashed vacuum shares the compaction path's single-writer
-        // window (no appender may be mid-commit during maintenance).
-        if (vs.size > 1) {
+        // Nothing to fold — but a PRIOR rewrite may have crashed and
+        // leaked storage (reads stay correct either way). Two
+        // DETECTABLE crash states, each safe to clean here:
+        //  - crashed AFTER its commitEntries PUT, before its vacuum:
+        //    more than one live manifest (vs.size > 1);
+        //  - crashed BEFORE the PUT: a staged gen{v} dir on disk that
+        //    the live manifest doesn't reference — only exclusive
+        //    rewrites (compaction/retrain) write gen dirs, so an
+        //    orphan gen can never be an in-flight APPEND (appends
+        //    write ingest_batch=N dirs and must not run during
+        //    maintenance anyway).
+        // Only then run the (idempotent) vacuum — the steady-state
+        // idle call stays read-only, so a concurrent append's
+        // just-landed but not-yet-committed files are never at risk.
+        val liveGens = entries.map(_._1).filter(_.startsWith("gen"))
+          .map(_.takeWhile(_ != '/')).toSet
+        val orphanGens = fs.listStatus(table)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("gen"))
+          .map(_.getPath.getName).toSet -- liveGens
+        if (vs.size > 1 || orphanGens.nonEmpty) {
           graft.etl.Snapshots.rollback(spark, tableDir, vs.max)
           graft.etl.Snapshots.expireInvalid(spark, tableDir)
         }
@@ -773,16 +782,19 @@ object StreamingJobs {
     * derivedIvfK rule, k ∝ n), so a corpus that doubled since
     * bootstrap gets proportionally more lists — posting-list length,
     * and with it probe cost, stays constant. Same stop-the-stream
-    * protocol as compaction (single writer; restart appends with a
-    * fresh checkpoint): postings publish through [[publishRewrite]]
-    * (manifest PUT or staged rename), centroids are a k-row table
-    * rewritten between generations. A retrained lake over corpus C
-    * serves bit-identically to the batch op's memoized build over C —
-    * the quantizer derivation is deterministic end to end
-    * (StreamingSpec pins it). Crash between the centroid write and the
-    * posting publish leaves the two halves inconsistent — RE-RUN the
-    * retrain: it is idempotent, because the columns it reads from the
-    * posting table (vec_id, embedding, n2) are retrain-invariant.
+    * protocol as compaction, and STRICTER: retrain rewrites BOTH
+    * tables of one index, and nothing orders the two publishes for a
+    * concurrent reader — new-k centroids against old-list_id postings
+    * (or vice versa) probe the wrong lists silently — so serving must
+    * be paused for the retrain window too (exclusive maintenance, the
+    * stop-the-world re-train every ANN deployment schedules; restart
+    * appends with a fresh checkpoint after). A retrained lake over
+    * corpus C serves bit-identically to the batch op's memoized build
+    * over C — the quantizer derivation is deterministic end to end
+    * (StreamingSpec pins it). Crash anywhere mid-retrain: RE-RUN it —
+    * idempotent, because the columns it reads from the posting table
+    * (vec_id, embedding, n2) are retrain-invariant, and the staged
+    * centroid swap below never leaves a half-written centroid table.
     * Returns the re-derived k. */
   def ivfRetrain(spark: SparkSession, indexPath: String): Int = {
     graft.plans.VecDotProduct.register(spark)
@@ -792,12 +804,22 @@ object StreamingJobs {
       .select("vec_id", "embedding", "n2").localCheckpoint()
     val (cents, index) =
       graft.operators.Similarity.buildIvfIndexOver(spark, corpus)
-    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    // postings first, then the k-row centroid table via staged rename —
+    // a crash between the two renames leaves a loudly-missing dir, not
+    // a silently half-written quantizer (CdcMerge's convention)
     publishRewrite(spark, s"$indexPath/postings",
       index.select("vec_id", "embedding", "n2", "list_id")
         .withColumn("ingest_batch", lit(-1L))
         .repartition(col("list_id")),
       Seq("ingest_batch"))
+    val cTable = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+    val fs = cTable.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cTmp = new org.apache.hadoop.fs.Path(s"$indexPath/centroids_staging")
+    fs.delete(cTmp, true)
+    cents.write.mode("overwrite").parquet(cTmp.toString)
+    fs.delete(cTable, true)
+    require(fs.rename(cTmp, cTable),
+      s"ivfRetrain: rename $cTmp -> $cTable failed — re-run the retrain")
     cents.count().toInt
   }
 
@@ -1165,11 +1187,15 @@ object StreamingJobs {
     val (p, dl, df, st) = corpusIndexFrames(spark, indexPath)
     // literal query terms ⇒ literal bucket set ⇒ STATIC partition
     // pruning on the lake scan (PlanSpec pins the pruned file count);
-    // bm25Over's own word filter still decides exactly
-    val buckets = graft.operators.TextAnalysis.Bm25Terms
-      .map(graft.operators.CorpusIndex.wordBucketOf).distinct
-    val pruned = p.filter(col("word_bucket").isin(buckets: _*))
-      .drop("word_bucket")
+    // bm25Over's own word filter still decides exactly. Guarded on the
+    // column so a lake written before the bucketed layout still serves
+    // (unpruned) — same tolerance as rrf's prefilter.
+    val pruned =
+      if (p.columns.contains("word_bucket")) {
+        val buckets = graft.operators.TextAnalysis.Bm25Terms
+          .map(graft.operators.CorpusIndex.wordBucketOf).distinct
+        p.filter(col("word_bucket").isin(buckets: _*)).drop("word_bucket")
+      } else p
     graft.operators.TextAnalysis.bm25Over(pruned, dl, df, st)
   }
 
@@ -1193,8 +1219,14 @@ object StreamingJobs {
     * object-store model, staged rename swap otherwise). Returns the
     * max partitions folded across the four tables. */
   def corpusIndexCompact(spark: SparkSession, indexPath: String): Int = {
+    // pre-bucketed-layout lakes (no word_bucket column) still compact —
+    // flat, like before the layout change
+    val postingSubParts =
+      if (indexRead(spark, s"$indexPath/postings").columns
+        .contains("word_bucket")) Seq("word_bucket")
+      else Nil
     val p = compactIngestPartitions(spark, s"$indexPath/postings", Seq("word"),
-      subPartCols = Seq("word_bucket"))
+      subPartCols = postingSubParts)
     val d = compactIngestPartitions(spark, s"$indexPath/doclens", Seq("doc_id"))
     val f = compactIngestPartitions(spark, s"$indexPath/docfreq", Seq("word"),
       _.groupBy("word").agg(sum("df").as("df")))
