@@ -246,15 +246,20 @@ object Snapshots {
       s"cannot roll back to v$version: file $p was rewritten/deleted"))
     val doomed = dataFiles(spark, lakeRoot).map(_._1).filterNot(keep)
     doomed.foreach(p => f.delete(new Path(root, p), false))
-    // prune empty partition dirs left behind
-    def prune(p: Path): Boolean = { // returns true if p ends up empty and deleted
+    // prune data-free partition dirs left behind. Marker entries
+    // (_SUCCESS etc.) don't keep a dir alive — a vacuumed staged
+    // generation holding only its write marker must go too — so the
+    // delete is recursive (it removes exactly those markers; any real
+    // data file would have made `remaining` non-zero).
+    def prune(p: Path): Boolean = { // returns true if p ends up data-free and deleted
       if (!f.getFileStatus(p).isDirectory) return false
       val kids = f.listStatus(p)
       val remaining = kids.count { k =>
-        if (k.isDirectory && !k.getPath.getName.startsWith("_")) !prune(k.getPath)
+        if (k.getPath.getName.startsWith("_")) false
+        else if (k.isDirectory) !prune(k.getPath)
         else true
       }
-      if (remaining == 0 && p != root) { f.delete(p, false); true } else false
+      if (remaining == 0 && p != root) { f.delete(p, true); true } else false
     }
     f.listStatus(root).filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
       .foreach(s => prune(s.getPath))

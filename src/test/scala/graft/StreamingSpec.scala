@@ -727,6 +727,22 @@ class StreamingSpec extends AnyFunSuite {
       "retry should vacuum the superseded partition files")
     assert(StreamingJobs.indexRead(spark, postings).count() == nPost + 1)
     assert(canon(StreamingJobs.ivfIndexSearch(spark, idx, queries)) == served)
+
+    // the OTHER crash window: a rewrite that died BEFORE its manifest
+    // PUT leaves a staged orphan generation — one live manifest, so
+    // the stale-manifest detector doesn't fire, but the orphan is a
+    // full staged table copy that must not leak forever. The idle
+    // invocation detects the unreferenced gen dir (only exclusive
+    // rewrites write gen dirs — never an in-flight append) and
+    // completes the vacuum; reads never saw the orphan either way
+    StreamingJobs.indexRead(spark, postings).limit(3).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$postings/gen777/ingest_batch=-1")
+    assert(StreamingJobs.ivfCompactPostings(spark, idx) == 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(postings, "gen777")),
+      "idle invocation should vacuum the pre-PUT orphan generation")
+    assert(Snapshots.versions(spark, postings).size == 1)
+    assert(StreamingJobs.indexRead(spark, postings).count() == nPost + 1)
+    assert(canon(StreamingJobs.ivfIndexSearch(spark, idx, queries)) == served)
   }
 
   test("streaming near-dup gate is self-admitting: sequential fold of the batch verdict") {
