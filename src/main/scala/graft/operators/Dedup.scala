@@ -91,6 +91,61 @@ object Dedup {
       |       min(doc_id) AS keep_doc_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY keep_doc_id""".stripMargin
 
+  // --- dedup_editdist: blocked Levenshtein fuzzy dedup -----------------
+  // The shingle-free member of the near-dup family: edit distance
+  // directly captures character-level perturbations (typos, small
+  // insertions) that survive shingle hashing poorly on short texts —
+  // the classic fuzzy-match pass of record-linkage pipelines. Pairs
+  // never form all-pairs: candidates share a BLOCK (first token +
+  // length band — an edit-τ pair with a shared prefix word lands in
+  // the same or adjacent band, and the band width ≫ τ makes the
+  // band-straddling miss rate a blocking-definition choice, like
+  // LSH's bucket miss), and the O(P²) DP runs only on the bounded
+  // P=48-char prefix of each candidate, so per-pair cost is constant.
+  // Blocking is part of the op's definition — the oracle replays the
+  // identical blocks. At 100 TB a hot block (stopword first token)
+  // gets the hotsplit treatment: secondary banding on the next token,
+  // same as the ANN family's capped buckets. The prefix is
+  // ASCII-sanitized first so the comparison is byte/codepoint-
+  // agnostic (Spark's levenshtein counts codepoints, DuckDB's counts
+  // bytes; on [ -~] they agree).
+
+  private val EditPrefix = 48
+  private val EditTau = 8
+  private val EditBand = 64
+
+  private def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("clean", regexp_replace(col("text"), "[^ -~]", ""))
+      .select(col("doc_id"),
+        substring(col("clean"), 1, EditPrefix).as("p"),
+        substring_index(col("clean"), " ", 1).as("w1"),
+        expr(s"length(clean) div $EditBand").as("band"))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b,
+        col("a.w1") === col("b.w1") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.p"), col("b.p")))
+      .filter(col("dist") <= EditTau)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val dedupEditdistSql =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         left(regexp_replace(text, '[^ -~]', '', 'g'), $EditPrefix) AS p,
+       |         split_part(regexp_replace(text, '[^ -~]', '', 'g'), ' ', 1) AS w1,
+       |         length(regexp_replace(text, '[^ -~]', '', 'g')) // $EditBand AS band
+       |  FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+       |FROM d a JOIN d b ON a.w1 = b.w1 AND a.band = b.band
+       |                 AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.p, b.p) <= $EditTau
+       |ORDER BY id_a, id_b""".stripMargin
+
   // --- dedup_ngram_jaccard: inverted-index shingle Jaccard -------------
   // Candidates = pairs sharing ≥1 shingle within a source block (never
   // all-pairs); exact Jaccard from |A∩B| and precomputed set sizes.
@@ -1265,6 +1320,7 @@ object Dedup {
 
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_editdist", dedupEditdist, Some(dedupEditdistSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), buildState = true),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql), buildState = true),
     Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql), buildState = true),

@@ -370,21 +370,24 @@ object Similarity {
     * the lake table, the streaming graph-index bootstrap
     * ([[graft.streaming.StreamingJobs.graphIndexInit]]) on a corpus
     * subset. */
-  private[graft] def knnMultiprobeOver(s: SparkSession, vn: DataFrame): DataFrame = {
+  /** (vec_id, embedding, n2, bucket, jstar) over a withNorm2'd frame —
+    * the two-phase plane-dot machinery shared by the multiprobe graph
+    * build and [[annRangeSearch]]'s probe selection.
+    *
+    * Two-phase plane dots (the multiprobe needs VALUES, not just
+    * signs: the argmin over |dot| picks the probe plane). Phase 1 is
+    * the codegen'd vec_dot for every plane; the exact-decimal
+    * recompute runs only for planes whose fast |dot| is within
+    * SignEps of the per-vector fast minimum — that set provably
+    * contains (a) every plane whose sign is ambiguous (|fast| <
+    * SignEps ⇒ |fast| < min+SignEps since min ≥ 0) and (b) every
+    * possible exact argmin (fast-vs-exact drift δ ≤ ~4e-11 ≪ SignEps,
+    * so the exact argmin's fast |dot| sits within 2δ of the fast
+    * min). Planes outside the set keep fast values that are strictly
+    * larger than any exact min and sign-safe, so bucket AND jstar
+    * replay the oracle's exact-everywhere decision bit-for-bit. */
+  private def withBucketJstar(vn: DataFrame): DataFrame = {
     import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
-    graft.plans.VecDotProduct.register(s)
-    // Two-phase plane dots (the multiprobe needs VALUES, not just
-    // signs: the argmin over |dot| picks the probe plane). Phase 1 is
-    // the codegen'd vec_dot for every plane; the exact-decimal
-    // recompute runs only for planes whose fast |dot| is within
-    // SignEps of the per-vector fast minimum — that set provably
-    // contains (a) every plane whose sign is ambiguous (|fast| <
-    // SignEps ⇒ |fast| < min+SignEps since min ≥ 0) and (b) every
-    // possible exact argmin (fast-vs-exact drift δ ≤ ~4e-11 ≪ SignEps,
-    // so the exact argmin's fast |dot| sits within 2δ of the fast
-    // min). Planes outside the set keep fast values that are strictly
-    // larger than any exact min and sign-safe, so bucket AND jstar
-    // replay the oracle's exact-everywhere decision bit-for-bit.
     val fasts = planes.zipWithIndex.map { case (pl, i) =>
       vec_dot(col("embedding"), typedLit(pl.toSeq)).as(s"f$i")
     }
@@ -406,8 +409,13 @@ object Similarity {
         when(abs(col("d0")) === minAbs, lit(0))) { (acc, i) =>
       acc.when(abs(col(s"d$i")) === minAbs, lit(i))
     }
-    val v = v0.withColumn("bucket", bucket).withColumn("jstar", jstar)
+    v0.withColumn("bucket", bucket).withColumn("jstar", jstar)
       .select("vec_id", "embedding", "n2", "bucket", "jstar")
+  }
+
+  private[graft] def knnMultiprobeOver(s: SparkSession, vn: DataFrame): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val v = withBucketJstar(vn)
     val q = v.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("qn2"),
         explode(array(col("bucket"),
@@ -426,7 +434,11 @@ object Similarity {
     * ranked) — shared by the ann_knn_multiprobe oracle and the
     * ann_graph_search oracle, whose index graph is built from exactly
     * these edges. `v` carries (vec_id, embedding, n2, bucket). */
-  private val multiprobeCtes: String = {
+  /** The v0/v CTE pair computing (vec_id, embedding, n2, bucket,
+    * jstar) — the SQL twin of [[withBucketJstar]] (exact-everywhere
+    * plane dots), shared by the multiprobe chain and the
+    * ann_range_search oracle. */
+  private val vJstarCtes: String = {
     val dotExprs = planes.zipWithIndex.map { case (pl, i) =>
       val lits = pl.map(_.toString).mkString("[", ", ", "]::DOUBLE[]")
       s"""CAST(list_sum(list_transform(list_zip(embedding, $lits),
@@ -444,7 +456,11 @@ object Similarity {
        |v AS (
        |  SELECT vec_id, embedding, n2, $bucket AS bucket,
        |         $jstar AS jstar
-       |  FROM (SELECT *, $minAbs AS m FROM v0)),
+       |  FROM (SELECT *, $minAbs AS m FROM v0))""".stripMargin
+  }
+
+  private val multiprobeCtes: String = {
+    s"""$vJstarCtes,
        |probes AS (
        |  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS qn2,
        |         unnest([bucket, xor(bucket, 1 << jstar)]) AS probe
@@ -469,6 +485,67 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
        |FROM ranked WHERE rank <= $KnnK
        |ORDER BY query_id, rank""".stripMargin
+
+  // --- ann_range_search: threshold (radius) search ----------------------
+  // The other half of the similarity-search API: not "the k nearest"
+  // but "EVERYTHING at least τ similar" — the retrieval shape behind
+  // semantic dedup sweeps (collect all near-neighbors above the dedup
+  // threshold) and contamination scans, where the result count is
+  // data-determined, not k. Candidates come from the same 2-probe LSH
+  // set as the multiprobe graph (home bucket + the least-confident
+  // plane's flip, via [[withBucketJstar]]) — the probe set IS the
+  // op's recall contract, exactly as bucketing is for ann_lsh_topk,
+  // and the oracle replays it bit-for-bit. Scoring is two-phase with
+  // a THRESHOLD prefilter instead of a top-k heap: the codegen'd fast
+  // cosine keeps candidates ≥ τ − 1e-6 (fast-vs-exact drift is
+  // ~1e-13, so no exact-qualifying pair can be dropped), the exact
+  // DECIMAL(38,12) cosine decides ≥ τ. Scale: per-query candidate
+  // volume is 2 probes × ~LshTargetPop regardless of corpus size, the
+  // panel side broadcasts, and there is no window at all — the output
+  // is a filter, so the operator is embarrassingly parallel.
+
+  private val RangeTau = 0.3
+  private val RangeMargin = 1e-6
+
+  private def annRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
+    graft.plans.VecDotProduct.register(s)
+    val v = withBucketJstar(withNorm2(Tables.embeddings(s, dir)))
+    val q = v.filter(col("vec_id") < AnnPanel)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"),
+        explode(array(col("bucket"),
+          col("bucket").bitwiseXOR(expr("shiftleft(1, jstar)")))).as("probe"))
+    v.join(broadcast(q),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .withColumn("fast",
+        cosine(vec_dot(col("q_emb"), col("embedding")), col("qn2"), col("n2")))
+      .filter(col("fast") >= RangeTau - RangeMargin)
+      .withColumn("cos_raw",
+        cosine(vec_dot_exact(col("q_emb"), col("embedding")), col("qn2"), col("n2")))
+      .filter(col("cos_raw") >= RangeTau)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round6(col("cos_raw")).as("cos_sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  private val annRangeSearchSql: String =
+    s"""WITH $vJstarCtes,
+       |probes AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb, n2 AS qn2,
+       |         unnest([bucket, xor(bucket, 1 << jstar)]) AS probe
+       |  FROM v WHERE vec_id < $AnnPanel),
+       |cand AS (
+       |  SELECT p.query_id, v.vec_id AS neighbor_id,
+       |         p.q_emb, v.embedding, p.qn2, v.n2
+       |  FROM v JOIN probes p ON v.bucket = p.probe AND v.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM scored WHERE cos_raw >= $RangeTau
+       |ORDER BY query_id, neighbor_id""".stripMargin
 
   // --- ann_knn_hotsplit: kNN graph with hot-bucket splitting ------------
   // The scale fix for the LSH self-join's skew residual: bucket
@@ -2485,6 +2562,7 @@ object Similarity {
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),
     Op("ann_knn_multiprobe", annKnnMultiprobe, Some(annKnnMultiprobeSql)),
+    Op("ann_range_search", annRangeSearch, Some(annRangeSearchSql)),
     Op("ann_knn_hotsplit", annKnnHotsplit, Some(annKnnHotsplitSql)),
     Op("ann_knn_hotprobe", annKnnHotprobe, Some(annKnnHotprobeSql)),
     Op("ann_graph_search", annGraphSearch, Some(annGraphSearchSql), buildState = true),

@@ -170,6 +170,76 @@ object TextAnalysis {
       |SELECT bigram, COUNT(*) AS n FROM bi
       |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50""".stripMargin
 
+  // --- text_collocations: PMI-ranked bigram collocations ---------------
+  // The phrase-mining primitive of corpus analysis (Church & Hanks'
+  // pointwise mutual information): which adjacent word pairs co-occur
+  // far beyond what their unigram frequencies predict — the signal
+  // that seeds phrase vocabularies and multi-word tokenizer entries.
+  // Engine-portable by the same convention as BM25's idf (§4): PMI's
+  // log is monotone, so the op ranks and reports the log-free LIFT
+  // ratio p(xy)/(p(x)·p(y)) = c_xy·U²/(M·c_x·c_y), with unigram
+  // probabilities c/U over U total tokens and bigram probability
+  // c_xy/M over the M = U − n_docs adjacent pairs — pure IEEE ×,/ on
+  // integer-valued doubles in a pinned evaluation order, bit-identical
+  // in DuckDB. Scale: both count aggregates are map-side combinable;
+  // the unigram side is the vocabulary-bounded broadcast (the
+  // rarity/heavy-hitters argument); corpus totals are ONE broadcast
+  // row; the support floor (c_xy ≥ 5) bounds the ranked set and the
+  // top-50 is the heap-rewrite shape — nothing scales with corpus
+  // size except the two counting scans.
+
+  private val CollocMinCount = 5L
+
+  private def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.NgramArray.register(s)
+    val d = Tables.documents(s, dir)
+    val uni = d.select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_w"))
+    val totals = d.agg(sum(size(toks)).as("u"), count(lit(1)).as("nd"))
+      .select(col("u"), (col("u") - col("nd")).as("m"))
+    val bi = d
+      .select(explode(graft.plans.NgramArray.ngrams(toks, 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= CollocMinCount)
+      .withColumn("x", substring_index(col("bigram"), " ", 1))
+      .withColumn("y", substring_index(col("bigram"), " ", -1))
+    val cx = uni.select(col("word").as("x"), col("c_w").as("c_x"))
+    val cy = uni.select(col("word").as("y"), col("c_w").as("c_y"))
+    bi.join(broadcast(cx), "x").join(broadcast(cy), "y")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift_raw",
+        (col("c_xy").cast(DoubleType) * col("u").cast(DoubleType) /
+          (col("c_x").cast(DoubleType) * col("c_y").cast(DoubleType))) *
+          (col("u").cast(DoubleType) / col("m").cast(DoubleType)))
+      .select(col("bigram"), col("c_xy").as("n_pair"),
+        round6(col("lift_raw")).as("lift6"))
+      .orderBy(col("lift6").desc, col("bigram"))
+      .limit(50)
+  }
+
+  private val textCollocationsSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |uni AS (SELECT w AS word, COUNT(*) AS c_w
+       |        FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(len(ts)) AS BIGINT) AS u,
+       |               CAST(SUM(len(ts)) - COUNT(*) AS BIGINT) AS m FROM toks),
+       |bi AS (
+       |  SELECT ts[CAST(i AS INTEGER)] AS x, ts[CAST(i AS INTEGER)+1] AS y,
+       |         ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] AS bigram
+       |  FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks)),
+       |bc AS (SELECT bigram, min(x) AS x, min(y) AS y, COUNT(*) AS c_xy
+       |       FROM bi GROUP BY 1 HAVING COUNT(*) >= $CollocMinCount),
+       |scored AS (
+       |  SELECT bigram, c_xy,
+       |         ((CAST(c_xy AS DOUBLE) * CAST(u AS DOUBLE)) /
+       |            (CAST(ux.c_w AS DOUBLE) * CAST(uy.c_w AS DOUBLE))) *
+       |           (CAST(u AS DOUBLE) / CAST(m AS DOUBLE)) AS lift_raw
+       |  FROM bc JOIN uni ux ON bc.x = ux.word
+       |          JOIN uni uy ON bc.y = uy.word, tot)
+       |SELECT bigram, c_xy AS n_pair, ${round6Sql("lift_raw")} AS lift6
+       |FROM scored
+       |ORDER BY lift6 DESC, bigram LIMIT 50""".stripMargin
+
   // --- text_sample_per_source: deterministic stratified sampling ------
   // Bottom-k-by-hash per stratum: consistent (re-runs pick the same
   // docs), distributed (one window per stratum), and join-free — the
@@ -681,6 +751,7 @@ object TextAnalysis {
     Op("text_bm25_topk", textBm25, Some(textBm25Sql), buildState = true),
     Op("text_stats", textStats, Some(textStatsSql)),
     Op("text_ngram_freq", textNgramFreq, Some(textNgramFreqSql)),
+    Op("text_collocations", textCollocations, Some(textCollocationsSql)),
     Op("text_sample_per_source", textSample, Some(textSampleSql)),
     Op("text_heavy_hitters", textHeavyHitters, Some(textHeavyHittersSql)),
     Op("text_langid", textLangid, Some(textLangidSql)),

@@ -262,6 +262,50 @@ class DedupSpec extends AnyFunSuite {
         s"query $q: multiprobe rank-1 ${mp((q, 1))} < single-probe ${sp((q, 1))}")
   }
 
+  test("edit-distance dedup: reported pairs replay an independent Levenshtein") {
+    val rows = Registry.queries("dedup_editdist")(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 should contain fuzzy near-dup pairs")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).replaceAll("[^ -~]", "")).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val (ia, ib, dist) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(ia < ib && dist <= 8)
+      assert(lev(docs(ia).take(48), docs(ib).take(48)) == dist, s"pair ($ia,$ib)")
+      assert(docs(ia).takeWhile(_ != ' ') == docs(ib).takeWhile(_ != ' '),
+        s"pair ($ia,$ib) should share its block's first token")
+    }
+  }
+
+  test("range search: every reported neighbor meets the threshold at its exact cosine") {
+    val rows = Registry.queries("ann_range_search")(spark, sf).collect()
+    assert(rows.nonEmpty, "sf0.001 should contain >= tau pairs in probed buckets")
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { r =>
+      val (q, n, c6) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(q != n && q < 10)
+      assert(c6 >= 0.3 - 1e-6, s"pair ($q,$n) below threshold: $c6")
+      assert(math.abs(c6 - cos(vecs(q), vecs(n))) < 1e-6,
+        s"pair ($q,$n) cosine $c6 drifts from the independent recompute")
+    }
+  }
+
   test("fast-vs-exact dot drift stays far inside the 1e-6 sign-test margin") {
     // the two-phase LSH signatures recompute exactly only where
     // |fast| < 1e-6; bit-parity with the oracle rests on the fast

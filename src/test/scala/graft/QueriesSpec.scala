@@ -446,6 +446,29 @@ class QueriesSpec extends AnyFunSuite {
       s"funnel widened: ${users.mkString(" -> ")}")
   }
 
+  test("collocations: lift replays from independent unigram/bigram counts") {
+    val rows = Registry.queries("text_collocations")(spark, sf).collect()
+    assert(rows.length == 50)
+    val tokss = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val uni = tokss.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = tokss.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val u = tokss.map(_.size.toLong).sum.toDouble
+    val m = (tokss.map(_.size.toLong).sum - tokss.length).toDouble
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    rows.foreach { r =>
+      val s = r.getString(0); val i = s.indexOf(' ')
+      val (x, y) = (s.substring(0, i), s.substring(i + 1))
+      val cxy = bi((x, y))
+      assert(cxy == r.getLong(1) && cxy >= 5)
+      val lift = ((cxy.toDouble * u) / (uni(x).toDouble * uni(y).toDouble)) * (u / m)
+      assert(r6(lift) == r.getDouble(2), s"bigram '$s'")
+    }
+    val key = rows.map(r => (-r.getDouble(2), r.getString(0))).toSeq
+    assert(key == key.sorted, "rows should rank by lift desc, bigram asc")
+  }
+
   test("q20 retention: day-0 retention is 1.0 and actives never exceed cohort") {
     val rows = Registry.queries("q20_retention")(spark, sf).collect()
     assert(rows.nonEmpty)
