@@ -122,13 +122,24 @@ object Dedup {
         substring_index(col("clean"), " ", 1).as("w1"),
         expr(s"length(clean) div $EditBand").as("band"))
     val a = d.as("a"); val b = d.as("b")
+    // the 3-arg (banded) levenshtein computes the O(τ·P) diagonal band
+    // instead of the full O(P²) DP and short-circuits to -1 the moment
+    // the distance provably exceeds τ (a length gap > τ exits before
+    // any DP work) — distances ≤ τ are exact, so the result set and
+    // the reported dist are identical to the unbounded form the
+    // oracle's `levenshtein(p,q) <= τ` replays; measured ~4× on the
+    // bench row
     a.join(b,
         col("a.w1") === col("b.w1") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", levenshtein(col("a.p"), col("b.p")))
-      .filter(col("dist") <= EditTau)
+      .withColumn("dist", levenshtein(col("a.p"), col("b.p"), EditTau))
+      .filter(col("dist") >= 0)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("dist"))
+      // survivors are tiny (near-dup pairs); checkpoint before the
+      // global sort so the range partitioner's sampling pass doesn't
+      // re-execute the whole join+DP subtree (measured 2x the op)
+      .localCheckpoint()
       .orderBy("id_a", "id_b")
   }
 
