@@ -405,6 +405,117 @@ object Multimodal {
        |) WHERE hamming <= $PhashHamming
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --- mm_audio_vad: energy voice-activity detection ------------------
+  // The audio leg of the modality triangle (images: meta/resize/phash;
+  // video: frame_sample/scene_cut; audio: this). Energy VAD is the
+  // classic codec-free baseline and its Spark execution shape is what
+  // matters at 100 TB: payload → fixed-stride sample windows (the
+  // shared frame generator — for real PCM the window is a sample
+  // count, here FrameBytes of the byte stream), per-window RMS energy
+  // over CENTERED samples (byte − 128, the unsigned-PCM convention),
+  // an ADAPTIVE noise floor (voiced ⇔ rms ≥ the payload's own mean
+  // rms — absolute thresholds break across recording gains), and
+  // voiced-segment run lengths via the islands trick (frame_idx −
+  // row_number, the same shape dedup_substring_spans uses). Everything
+  // narrow until per-payload aggregates; shuffles carry frame stats,
+  // never payloads.
+  //
+  // Windows are FIXED-width (zero-padded tail — the padding convention
+  // real frame pipelines use), which makes the whole decision integer:
+  // per-window energy is the exact Σs² sum, and the adaptive threshold
+  // e_f ≥ mean(e) cross-multiplies to Σs²(f) · n_frames ≥ Σ_doc Σs² —
+  // no floating point anywhere in the voiced flag. (The first cut
+  // compared per-frame rms against a DECIMAL(38,12)-reduced mean of
+  // sqrt values and hit the one non-portable edge in the repo's
+  // conventions: double→decimal casts round shortest-STRING in Spark
+  // but exact-binary in DuckDB, and a single-frame doc's rms landed a
+  // half-ulp apart. Integer cross-multiplication removes the cast.)
+  // The reported mean_energy is exact-integer / exact-integer in IEEE
+  // double; MultimodalSpec pins loud/quiet segmentation and the
+  // longest-run semantics on synthesized payloads.
+
+  /** VAD over any (doc_id, text-as-payload) frame — the registry entry
+    * binds the documents corpus; MultimodalSpec feeds synthesized
+    * loud/quiet payloads. */
+  private[graft] def vadOver(docs: DataFrame): DataFrame = {
+    val nFrames = ceil(length(payload).cast(DoubleType) / FrameBytes).cast(IntegerType)
+    val frame = col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    // multi-consumer stream (noise-floor agg + voiced flags): memoize
+    // per the repo's AQE non-reuse convention
+    val frames = docs
+      .withColumn("payload", payload)
+      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .select(col("doc_id"), col("frame_idx"),
+        aggregate(transform(split(frame.cast(StringType), ""),
+            c => when(length(c) > 0,
+              (ascii(c) - 128).cast(LongType) * (ascii(c) - 128)).otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("num"))
+      .localCheckpoint()
+    val dm = frames.groupBy("doc_id").agg(
+      count(lit(1)).as("n_frames"), sum(col("num")).as("tot"))
+    val flagged = frames.join(broadcast(dm), "doc_id")
+      .withColumn("voiced", col("num") * col("n_frames") >= col("tot"))
+    val runs = flagged.filter(col("voiced"))
+      .withColumn("grp", col("frame_idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max(col("run")).as("longest_run"))
+    flagged.groupBy("doc_id").agg(
+        max(col("n_frames")).as("n_frames"),
+        sum(when(col("voiced"), 1L).otherwise(0L)).as("voiced_frames"),
+        max(col("tot")).as("tot"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("voiced_frames"),
+        round6(col("voiced_frames").cast(DoubleType) / col("n_frames")).as("voiced_ratio"),
+        round6(col("tot").cast(DoubleType)
+          / (col("n_frames") * FrameBytes)).as("mean_energy"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_voiced_run"))
+      .orderBy("doc_id")
+  }
+
+  private def mmAudioVad(s: SparkSession, dir: String): DataFrame =
+    vadOver(Tables.documents(s, dir))
+
+  private val mmAudioVadSql =
+    s"""WITH frames AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |         substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes) AS frame
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(0,
+       |            CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / $FrameBytes) AS BIGINT) - 1)) AS i
+       |        FROM documents)),
+       |feats AS MATERIALIZED (
+       |  SELECT doc_id, frame_idx,
+       |         CAST(list_sum(list_transform(range(1, length(frame) + 1),
+       |                j -> CAST(ascii(substr(frame, CAST(j AS INTEGER), 1)) - 128 AS BIGINT)
+       |                     * (ascii(substr(frame, CAST(j AS INTEGER), 1)) - 128))) AS BIGINT) AS num
+       |  FROM frames),
+       |dm AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n_frames, CAST(sum(num) AS BIGINT) AS tot
+       |  FROM feats GROUP BY doc_id),
+       |fl AS MATERIALIZED (
+       |  SELECT f.doc_id, f.frame_idx, f.num, d.tot, d.n_frames,
+       |         f.num * d.n_frames >= d.tot AS voiced
+       |  FROM feats f JOIN dm d ON d.doc_id = f.doc_id),
+       |runs AS (
+       |  SELECT doc_id, max(run) AS longest_run FROM (
+       |    SELECT doc_id, grp, count(*) AS run FROM (
+       |      SELECT doc_id, frame_idx,
+       |             frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+       |      FROM fl WHERE voiced)
+       |    GROUP BY doc_id, grp)
+       |  GROUP BY doc_id),
+       |vc AS (
+       |  SELECT doc_id, CAST(count(*) FILTER (WHERE voiced) AS BIGINT) AS voiced_frames
+       |  FROM fl GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_frames, v.voiced_frames,
+       |       ${round6Sql("CAST(v.voiced_frames AS DOUBLE) / d.n_frames")} AS voiced_ratio,
+       |       ${round6Sql(s"CAST(d.tot AS DOUBLE) / (d.n_frames * $FrameBytes)")} AS mean_energy,
+       |       COALESCE(r.longest_run, 0) AS longest_voiced_run
+       |FROM dm d JOIN vc v USING (doc_id) LEFT JOIN runs r USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_meta", mmMeta, Some(mmMetaSql)),
     Op("mm_phash_neardup", mmPhashNeardup, Some(mmPhashNeardupSql)),
@@ -412,5 +523,6 @@ object Multimodal {
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_resize", mmResize, Some(mmResizeSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
+    Op("mm_audio_vad", mmAudioVad, Some(mmAudioVadSql)),
     Op("mm_feature_extract", mmFeatureExtract, Some(mmFeatureExtractSql)))
 }

@@ -1430,6 +1430,145 @@ object Similarity {
       |       floor(mse_raw * 1e9 + 0.5) / 1e9 AS mse
       |FROM agg ORDER BY vec_id""".stripMargin
 
+  // --- embedding_pca: top principal component + projection -------------
+  // PCA over the embedding corpus — the whitening/diagnostics pass a
+  // curation pipeline runs before ANN indexing and semantic dedup
+  // (anisotropic embedding spaces concentrate variance in a few
+  // directions; the top component and its explained-variance ratio are
+  // the standard health report, and the projection is the 1-D
+  // curriculum/binning key). Spark-first decomposition at 100 TB
+  // shape:
+  //   1. ONE corpus pass builds the d×d second-moment matrix — the
+  //      double-posexplode emits n·d² product terms straight into a
+  //      hash aggregate keyed by (i,j): the n·d² volume is the
+  //      inherent covariance flop count, map-side partials mean only
+  //      d² cells per task ever shuffle, and nothing self-joins.
+  //   2. Power iteration runs on the d²-row covariance frame itself —
+  //      8 rounds of (k-row broadcast join + aggregate), each output a
+  //      d-row localCheckpoint. Metadata-scale compute, but kept IN
+  //      the engine so the arithmetic is the same decimal-sum /
+  //      IEEE-double ops the oracle replays (no driver-side float
+  //      loop to mirror bit-for-bit).
+  //   3. ONE more corpus pass projects every vector onto the
+  //      component (broadcast mean + eigenvector).
+  // Every reduction is DECIMAL(38,12) (order-free), every scalar op
+  // IEEE double — the DuckDB oracle unrolls the same 8 rounds as
+  // MATERIALIZED CTEs and matches bit-for-bit. Sign is pinned by the
+  // deterministic all-ones init. Convergence (Var(pc1) ≈ λ ≥ any
+  // coordinate variance) is pinned in DedupSpec.
+
+  private val PcaIters = 8
+
+  private def embeddingPca(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.embeddings(s, dir)
+    val n = embCount(s, dir)
+    val dims = v
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
+    // n·d² product terms, no join and no pre-aggregate shuffle: the
+    // second posexplode re-expands the SAME row's vector, so partial
+    // aggregation sees every term partition-locally
+    val sxx = v
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xif")))
+      .select(col("i"), col("xif").cast(DoubleType).as("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xjf")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xi") * col("xjf").cast(DoubleType)).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("sx"))
+    val means = dims.groupBy("i")
+      .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) / lit(n)).as("m"))
+      .localCheckpoint()
+    // covariance hub: multi-consumer (8 matvec rounds + λ + trace) —
+    // localCheckpoint per the repo's AQE non-reuse convention
+    val cov = sxx
+      .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .select(col("i"), col("j"), (col("sx") / lit(n) - col("mi") * col("mj")).as("c"))
+      .localCheckpoint()
+    var w = means.select(col("i"), lit(1.0).as("w")).localCheckpoint()
+    for (_ <- 1 to PcaIters) {
+      val u = cov
+        .join(broadcast(w.select(col("i").as("j"), col("w").as("wj"))), "j")
+        .groupBy("i")
+        .agg(sum((col("c") * col("wj")).cast(DecimalType(38, 12))).cast(DoubleType).as("u"))
+      val nrm = u.agg(
+        sqrt(sum((col("u") * col("u")).cast(DecimalType(38, 12))).cast(DoubleType)).as("nrm"))
+      w = u.crossJoin(broadcast(nrm))
+        .select(col("i"), (col("u") / col("nrm")).as("w")).localCheckpoint()
+    }
+    val uf = cov
+      .join(broadcast(w.select(col("i").as("j"), col("w").as("wj"))), "j")
+      .groupBy("i")
+      .agg(sum((col("c") * col("wj")).cast(DecimalType(38, 12))).cast(DoubleType).as("u"))
+    val lam = uf.join(broadcast(w), "i")
+      .agg(sum((col("u") * col("w")).cast(DecimalType(38, 12))).cast(DoubleType).as("lam"))
+    val tr = cov.filter(col("i") === col("j"))
+      .agg(sum(col("c").cast(DecimalType(38, 12))).cast(DoubleType).as("tr"))
+    dims
+      .join(broadcast(means), "i")
+      .join(broadcast(w), "i")
+      .groupBy("vec_id")
+      .agg(sum(((col("x") - col("m")) * col("w")).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("p"))
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("vec_id"), round6(col("p")).as("pc1"),
+        round6(col("lam") / col("tr")).as("evr"))
+      // checkpoint-before-sort (round-12 convention): the global
+      // orderBy's range sampling would otherwise re-execute the
+      // projection pass
+      .localCheckpoint()
+      .orderBy("vec_id")
+  }
+
+  private val embeddingPcaSql: String = {
+    val rounds = (1 to PcaIters).map { r =>
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""u$r AS MATERIALIZED (
+         |  SELECT c.i, CAST(sum(CAST(c.c * w.w AS DECIMAL(38,12))) AS DOUBLE) AS u
+         |  FROM cov c JOIN $prev w ON w.i = c.j GROUP BY c.i),
+         |n$r AS MATERIALIZED (
+         |  SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM u$r),
+         |w$r AS MATERIALIZED (
+         |  SELECT i, u / (SELECT nrm FROM n$r) AS w FROM u$r)""".stripMargin
+    }.mkString(",\n")
+    val wf = s"w$PcaIters"
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+       |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |m AS MATERIALIZED (
+       |  SELECT i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn) AS m
+       |  FROM dims GROUP BY i),
+       |sxx AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j,
+       |         CAST(sum(CAST(a.x * b.x AS DECIMAL(38,12))) AS DOUBLE) AS sx
+       |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |cov AS MATERIALIZED (
+       |  SELECT s.i, s.j, s.sx / (SELECT n FROM nn) - mi.m * mj.m AS c
+       |  FROM sxx s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j),
+       |w0 AS (SELECT i, 1.0 AS w FROM m),
+       |$rounds,
+       |uf AS MATERIALIZED (
+       |  SELECT c.i, CAST(sum(CAST(c.c * w.w AS DECIMAL(38,12))) AS DOUBLE) AS u
+       |  FROM cov c JOIN $wf w ON w.i = c.j GROUP BY c.i),
+       |lam AS (
+       |  SELECT CAST(sum(CAST(u.u * w.w AS DECIMAL(38,12))) AS DOUBLE) AS lam
+       |  FROM uf u JOIN $wf w ON w.i = u.i),
+       |tr AS (
+       |  SELECT CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE) AS tr
+       |  FROM cov WHERE i = j),
+       |proj AS (
+       |  SELECT d.vec_id,
+       |         CAST(sum(CAST((d.x - m.m) * w.w AS DECIMAL(38,12))) AS DOUBLE) AS p
+       |  FROM dims d JOIN m ON m.i = d.i JOIN $wf w ON w.i = d.i
+       |  GROUP BY d.vec_id)
+       |SELECT vec_id, ${round6Sql("p")} AS pc1,
+       |       ${round6Sql("(SELECT lam FROM lam) / (SELECT tr FROM tr)")} AS evr
+       |FROM proj ORDER BY vec_id""".stripMargin
+  }
+
   // --- contrastive_pairs: training-pair mining -------------------------
   // Deterministic contrastive-dataset construction: per anchor, the
   // hardest positive (nearest same-label neighbor — exact, via the
@@ -1589,6 +1728,113 @@ object Similarity {
        |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.nn) * sqrt(v.nn)) AS cos_raw
        |  FROM probes p
        |  JOIN assigned a ON a.list_id = p.probe
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  JOIN v q ON q.vec_id = p.query_id
+       |  WHERE v.vec_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- ann_filtered_search: metadata-filtered IVF with adaptive probes -
+  // Filtered vector search — top-k restricted to a metadata predicate
+  // (here: neighbors from the SAME document source as the query, the
+  // within-crawl near-dup hunt) — is the feature every production
+  // vector store ships, and its scale hazard is well known: a
+  // selective filter post-applied to a fixed probe budget starves the
+  // candidate set (most probed-list members fail the predicate), while
+  // pre-building one index per predicate value explodes storage. The
+  // production-standard middle path, implemented here: ONE shared IVF
+  // index, the predicate applied DURING candidate generation (before
+  // any scoring — at scale a pushed parquet filter on the posting
+  // table's metadata column), and the probe budget widened by the
+  // filter's selectivity so the *expected matching candidate count*
+  // stays what an unfiltered probe would see:
+  //   nprobes(q) = min(ceil(IvfProbes / sel(q)), MaxFilteredProbes)
+  // with sel(q) = |source(q)| / n read from a bounded broadcast
+  // histogram (20 rows here; at 100 TB, source cardinality — a
+  // metadata-scale table by construction). The cap bounds worst-case
+  // cost under ultra-selective filters; like every IVF serve, recall
+  // is scoped to probed lists (the operator's published contract).
+  // Same two-phase exact top-k as every ANN op, and the DuckDB oracle
+  // replays quantizer training, the selectivity derivation, and the
+  // per-query probe widening bit-for-bit.
+
+  private val MaxFilteredProbes = 8
+
+  private def annFilteredSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val meta = Tables.documents(s, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val (cents, index) = buildIvfIndex(s, dir)
+    // posting rows with their metadata column — at scale this is the
+    // posting table stored WITH the filterable column, so the
+    // predicate prunes before any vector leaves the scan; three
+    // consumers (histogram, query panel, pair stream) ⇒ memoize per
+    // the AQE non-reuse convention (§5)
+    val idxMeta = index.drop("cent", "cn2").join(meta, "vec_id").localCheckpoint()
+    val hist = idxMeta.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n_tot"))
+    val queries = idxMeta.filter(col("vec_id") < AnnPanel)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("source").as("q_source"))
+      .join(broadcast(hist.withColumnRenamed("source", "q_source")), "q_source")
+      .crossJoin(broadcast(tot))
+      .withColumn("nprobes", least(
+        ceil(lit(IvfProbes).cast(DoubleType)
+          / (col("cnt").cast(DoubleType) / col("n_tot"))).cast(IntegerType),
+        lit(MaxFilteredProbes)))
+    val pw = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= col("nprobes"))
+      .select(col("query_id"), col("q_emb"), col("qn2"), col("q_source"),
+        col("cid").as("probe"))
+    val pairs = idxMeta.join(broadcast(probes),
+        col("list_id") === col("probe") && col("vec_id") =!= col("query_id") &&
+        col("source") === col("q_source"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, 5)
+  }
+
+  private val annFilteredSearchSql: String = {
+    def score(emb: String, cent: String) =
+      s"${ddotSql(emb, cent)} - ${ddotSql(cent, cent)} / 2.0"
+    s"""WITH $ivfQuantizerCtes,
+       |meta AS (
+       |  SELECT v.vec_id, d.source FROM v
+       |  JOIN documents d ON d.doc_id = v.vec_id),
+       |hist AS (SELECT source, count(*) AS cnt FROM meta GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS n_tot FROM hist),
+       |qset AS (
+       |  SELECT v.vec_id AS query_id, m.source AS q_source,
+       |         LEAST(CAST(ceil(CAST($IvfProbes AS DOUBLE)
+       |           / (CAST(h.cnt AS DOUBLE) / t.n_tot)) AS INTEGER),
+       |           $MaxFilteredProbes) AS nprobes
+       |  FROM v JOIN meta m ON m.vec_id = v.vec_id
+       |  JOIN hist h ON h.source = m.source CROSS JOIN tot t
+       |  WHERE v.vec_id < $AnnPanel),
+       |probes AS (
+       |  SELECT query_id, q_source, cid AS probe FROM (
+       |    SELECT q.query_id, q.q_source, q.nprobes, c.cid,
+       |           row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |             ${score("qv.embedding", "c.cent")} DESC, c.cid) AS rn
+       |    FROM qset q JOIN v qv ON qv.vec_id = q.query_id
+       |    CROSS JOIN $ivfLastCentCte c)
+       |  WHERE rn <= nprobes),
+       |scored AS (
+       |  SELECT p.query_id, v.vec_id AS neighbor_id,
+       |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.nn) * sqrt(v.nn)) AS cos_raw
+       |  FROM probes p
+       |  JOIN assigned a ON a.list_id = p.probe
+       |  JOIN meta m ON m.vec_id = a.vec_id AND m.source = p.q_source
        |  JOIN v ON v.vec_id = a.vec_id
        |  JOIN v q ON q.vec_id = p.query_id
        |  WHERE v.vec_id <> p.query_id),
@@ -2571,9 +2817,11 @@ object Similarity {
     Op("ann_knn_hotprobe", annKnnHotprobe, Some(annKnnHotprobeSql)),
     Op("ann_graph_search", annGraphSearch, Some(annGraphSearchSql), buildState = true),
     Op("ann_ivf_topk", annIvf, Some(annIvfSql), buildState = true),
+    Op("ann_filtered_search", annFilteredSearch, Some(annFilteredSearchSql), buildState = true),
     Op("ann_pq_topk", annPq, Some(annPqSql), buildState = true),
     Op("ann_opq_topk", annOpq, Some(annOpqSql), buildState = true),
     Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql), buildState = true),
     Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
+    Op("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }

@@ -180,6 +180,70 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"IVF recall $recall too low (${ivf.size} results)")
   }
 
+  test("filtered search: predicate holds everywhere, widened probes recall filtered-exact neighbors") {
+    val res = Registry.queries("ann_filtered_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(res.nonEmpty)
+    val source = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the predicate is part of the result contract: every neighbor is
+    // same-source and never the query itself
+    for ((q, n, _) <- res) {
+      assert(n != q)
+      assert(source(n) == source(q), s"neighbor $n of $q crosses sources")
+    }
+    // ranks are contiguous from 1 per query
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"query $q ranks not contiguous")
+    }
+    // recall vs the filtered-exact top-5 (independent double-precision
+    // recompute): a 5%-selective filter starves an unwidened 2-probe
+    // budget — the selectivity-widened budget (8 probes here) must
+    // recover a solid share of the true same-source neighbors
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val exact = res.map(_._1).distinct.flatMap { q =>
+      embs.keys.filter(n => n != q && source.get(n) == source.get(q))
+        .toSeq.sortBy(n => (-cos(embs(q), embs(n)), n)).take(5).map(q -> _)
+    }.toSet
+    val got = res.map(t => (t._1, t._2)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.4, s"filtered recall $recall too low (${got.size} results)")
+  }
+
+  test("PCA: projections are centered, capture max-coordinate variance, and evr is consistent") {
+    val rows = Registry.queries("embedding_pca")(spark, sf).collect()
+    val pc1 = rows.map(_.getDouble(1))
+    val evr = rows.head.getDouble(2)
+    assert(rows.forall(_.getDouble(2) == evr), "evr must be a corpus constant")
+    assert(evr > 0 && evr <= 1.0 + 1e-9, s"evr $evr out of range")
+    val n = pc1.length
+    val mean = pc1.sum / n
+    assert(math.abs(mean) < 1e-3, s"projections not centered: mean $mean")
+    val varP = pc1.map(x => (x - mean) * (x - mean)).sum / n
+    // independent double-precision recompute of the coordinate variances
+    val embs = Tables.embeddings(spark, sf).collect().map(_.getSeq[Float](1).toArray)
+    val d = embs.head.length
+    val coordVars = (0 until d).map { i =>
+      val xs = embs.map(_(i).toDouble); val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    // the top principal direction dominates every coordinate axis; 8
+    // power-iteration rounds must have converged at least this far
+    assert(varP >= coordVars.max * 0.95,
+      s"pc1 variance $varP below max coordinate variance ${coordVars.max}")
+    // evr · trace = λ ≈ Var(pc1) when converged
+    val lam = evr * coordVars.sum
+    assert(math.abs(lam - varP) <= 0.05 * varP,
+      s"explained variance $lam inconsistent with projection variance $varP")
+  }
+
   test("PQ ANN recalls a solid share of exact top-5 neighbors") {
     val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

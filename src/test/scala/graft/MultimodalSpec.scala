@@ -219,6 +219,32 @@ class MultimodalSpec extends AnyFunSuite {
       s"image/text cross pair: $pairs")
   }
 
+  test("audio VAD: adaptive floor splits loud/quiet windows, islands find the longest run") {
+    import spark.implicits._
+    // "loud" = spaces (sample −96, energy 9216/byte after the −128
+    // centering), "quiet" = 'x' (sample −8, energy 64/byte); windows
+    // are 256 bytes
+    val loud = " " * 256; val quiet = "x" * 256
+    val docs = Seq(
+      (1L, loud + quiet),                   // one loud, one quiet window
+      (2L, loud + loud + quiet + loud),     // runs of 2 and 1
+      (3L, loud + "x" * 100))               // ragged quiet tail (zero-padded)
+    .toDF("doc_id", "text")
+    val out = operators.Multimodal.vadOver(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def fields(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(5))
+    // doc 1: the loud window is the only one at/above the mean
+    assert(fields(out(1L)) == ((2L, 1L, 0.5, 1L)), s"doc1: ${out(1L)}")
+    // doc 2: voiced pattern T,T,F,T — longest run is 2, not 3
+    assert(fields(out(2L)) == ((4L, 3L, 0.75, 2L)), s"doc2: ${out(2L)}")
+    // doc 3: ragged tail normalizes over the FIXED window (zero-pad),
+    // so the partial quiet window stays below the floor
+    assert(fields(out(3L)) == ((2L, 1L, 0.5, 1L)), s"doc3: ${out(3L)}")
+    // mean energy is the exact integer ratio: doc1 = (256·9216 + 256·64)/(2·256)
+    assert(out(1L).getDouble(4) == (9216.0 + 64.0) / 2, s"doc1 energy: ${out(1L)}")
+  }
+
   test("image_meta of a NULL payload is a struct of nulls in both eval paths") {
     import spark.implicits._
     graft.plans.ImageMeta.register(spark)
