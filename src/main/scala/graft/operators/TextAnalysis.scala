@@ -614,12 +614,7 @@ object TextAnalysis {
   private[graft] def bpeApplyWith(docs: DataFrame,
       rules: Seq[(Int, String, String, Long)],
       materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
-    val words = docs.select(explode(toks).as("word")).distinct()
-    var state = materialize(words
-      .select(col("word"), posexplode(split(col("word"), "")).as(Seq("pos", "sym"))))
-    for ((_, l, rr, _) <- rules)
-      state = materialize(bpeFuse(state, lit(l), lit(rr)))
-    val seg = state.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    val seg = bpeSegmentsWith(docs, rules, materialize)
     docs.select(col("doc_id"), explode(toks).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n_occ"))
       .join(seg, "word")
