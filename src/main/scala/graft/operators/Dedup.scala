@@ -103,9 +103,17 @@ object Dedup {
   // LSH's bucket miss), and the O(P²) DP runs only on the bounded
   // P=48-char prefix of each candidate, so per-pair cost is constant.
   // Blocking is part of the op's definition — the oracle replays the
-  // identical blocks. At 100 TB a hot block (stopword first token)
-  // gets the hotsplit treatment: secondary banding on the next token,
-  // same as the ANN family's capped buckets. The prefix is
+  // identical blocks. A hot block (stopword first token — at 100 TB
+  // "the …" is an unbounded join group) gets the hotsplit treatment:
+  // blocks whose population exceeds [[EditHotCap]] are re-blocked on
+  // the SECOND token too (the ANN family's capped-bucket move, one
+  // level down the token stream), so every self-join group is bounded
+  // by the corpus's (w1, w2, band) ceiling instead of its w1 ceiling.
+  // The residual hot block — same first TWO tokens, same band — is
+  // the near-identical-cluster case where the pair OUTPUT itself is
+  // quadratic, i.e. the irreducible part. Populations are exact
+  // counts replayed by the oracle's `c` CTE; the cap is a
+  // blocking-definition choice like LSH's bucket miss. The prefix is
   // ASCII-sanitized first so the comparison is byte/codepoint-
   // agnostic (Spark's levenshtein counts codepoints, DuckDB's counts
   // bytes; on [ -~] they agree).
@@ -113,15 +121,34 @@ object Dedup {
   private val EditPrefix = 48
   private val EditTau = 8
   private val EditBand = 64
+  // cap 4 so the driver's sf0.01 gate (max (w1, band) population 7
+  // there) actually exercises the split; a deployment sizes the cap
+  // to what one executor comfortably self-joins (e.g. 10^4)
+  private val EditHotCap = 4
 
-  private def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  /** Blocked fuzzy dedup over any (doc_id, text) frame at an explicit
+    * hot-block cap — the registry entry binds the documents corpus at
+    * [[EditHotCap]]; DedupSpec pins the split decision and capped ≡
+    * uncapped distance sets on a skewed stopword-first corpus. */
+  private[graft] def dedupEditdistOver(docs: DataFrame,
+      cap: Int = EditHotCap): DataFrame = {
+    val d = docs
       .withColumn("clean", regexp_replace(col("text"), "[^ -~]", ""))
       .select(col("doc_id"),
         substring(col("clean"), 1, EditPrefix).as("p"),
         substring_index(col("clean"), " ", 1).as("w1"),
+        // split_part: '' when there is no second token — same
+        // out-of-range convention as DuckDB's split_part
+        expr("split_part(clean, ' ', 2)").as("w2"),
         expr(s"length(clean) div $EditBand").as("band"))
-    val a = d.as("a"); val b = d.as("b")
+    // exact block populations (map-side combinable; the join back
+    // shares the groupBy's hash partitioning, so the agg output
+    // arrives co-partitioned — one shuffle of d total)
+    val pops = d.groupBy("w1", "band").agg(count(lit(1)).as("pop"))
+    val k = d.join(pops, Seq("w1", "band"))
+      .withColumn("w2k",
+        when(col("pop") > cap, col("w2")).otherwise(lit("")))
+    val a = k.as("a"); val b = k.as("b")
     // the 3-arg (banded) levenshtein computes the O(τ·P) diagonal band
     // instead of the full O(P²) DP and short-circuits to -1 the moment
     // the distance provably exceeds τ (a length gap > τ exits before
@@ -131,7 +158,7 @@ object Dedup {
     // bench row
     a.join(b,
         col("a.w1") === col("b.w1") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.w2k") === col("b.w2k") && col("a.doc_id") < col("b.doc_id"))
       .withColumn("dist", levenshtein(col("a.p"), col("b.p"), EditTau))
       .filter(col("dist") >= 0)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -143,17 +170,24 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  private def dedupEditdist(s: SparkSession, dir: String): DataFrame =
+    dedupEditdistOver(Tables.documents(s, dir))
+
   private val dedupEditdistSql =
     s"""WITH d AS (
        |  SELECT doc_id,
        |         left(regexp_replace(text, '[^ -~]', '', 'g'), $EditPrefix) AS p,
        |         split_part(regexp_replace(text, '[^ -~]', '', 'g'), ' ', 1) AS w1,
+       |         split_part(regexp_replace(text, '[^ -~]', '', 'g'), ' ', 2) AS w2,
        |         length(regexp_replace(text, '[^ -~]', '', 'g')) // $EditBand AS band
-       |  FROM documents)
+       |  FROM documents),
+       |c AS (SELECT w1, band, count(*) AS pop FROM d GROUP BY 1, 2),
+       |k AS (SELECT d.*, CASE WHEN c.pop > $EditHotCap THEN d.w2 ELSE '' END AS w2k
+       |      FROM d JOIN c USING (w1, band))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
-       |FROM d a JOIN d b ON a.w1 = b.w1 AND a.band = b.band
-       |                 AND a.doc_id < b.doc_id
+       |FROM k a JOIN k b ON a.w1 = b.w1 AND a.band = b.band
+       |                 AND a.w2k = b.w2k AND a.doc_id < b.doc_id
        |WHERE levenshtein(a.p, b.p) <= $EditTau
        |ORDER BY id_a, id_b""".stripMargin
 

@@ -30,6 +30,15 @@ object Multimodal {
   /** payload as a true BinaryType column. */
   private def payload: Column = col("text").cast(BinaryType)
 
+  /** Frame indices [0, nFrames) — EMPTY when nFrames = 0. Spark's
+    * sequence(0, -1) yields a DESCENDING [0, -1] (two spurious
+    * frames) where DuckDB's generate_series(0, -1) is empty; guarding
+    * here keeps empty payloads engine-parity (zero frame rows, the
+    * doc drops out of the exploded stream). */
+  private def frameIdxSeq(nFrames: Column): Column =
+    when(nFrames > 0, sequence(lit(0), nFrames - 1))
+      .otherwise(array().cast("array<int>"))
+
   // --- mm_meta: typed metadata over opaque binary ----------------------
 
   private def mmMeta(s: SparkSession, dir: String): DataFrame = {
@@ -81,7 +90,7 @@ object Multimodal {
     val nFrames = ceil(length(payload).cast(DoubleType) / FrameBytes).cast(IntegerType)
     Tables.documents(s, dir)
       .withColumn("payload", payload)
-      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame_idx", explode(frameIdxSeq(nFrames)))
       .select(
         col("doc_id"), col("frame_idx"),
         length(col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes))).as("frame_bytes"),
@@ -270,7 +279,7 @@ object Multimodal {
       .partitionBy("doc_id").orderBy("frame_idx")
     val frames = Tables.documents(s, dir)
       .withColumn("payload", payload)
-      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
+      .withColumn("frame_idx", explode(frameIdxSeq(nFrames)))
       .select(col("doc_id"), col("frame_idx"),
         // mean byte value via the aggregate of the unpacked frame: an
         // exact integer sum over ≤256 bytes, divided as double
@@ -436,22 +445,20 @@ object Multimodal {
 
   /** VAD over any (doc_id, text-as-payload) frame — the registry entry
     * binds the documents corpus; MultimodalSpec feeds synthesized
-    * loud/quiet payloads. */
+    * loud/quiet payloads. The per-frame energy is the codegen'd
+    * [[graft.plans.FrameEnergies]] primitive-loop Expression (one pass
+    * over the payload inside WholeStageCodegen); its `posexplode` IS
+    * the frame stream, so the empty-payload guard is structural. */
   private[graft] def vadOver(docs: DataFrame): DataFrame = {
-    val nFrames = ceil(length(payload).cast(DoubleType) / FrameBytes).cast(IntegerType)
-    val frame = col("payload").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes))
+    graft.plans.FrameEnergies.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
     // multi-consumer stream (noise-floor agg + voiced flags): memoize
     // per the repo's AQE non-reuse convention
     val frames = docs
-      .withColumn("payload", payload)
-      .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
-      .select(col("doc_id"), col("frame_idx"),
-        aggregate(transform(split(frame.cast(StringType), ""),
-            c => when(length(c) > 0,
-              (ascii(c) - 128).cast(LongType) * (ascii(c) - 128)).otherwise(lit(0L))),
-          lit(0L), (acc, x) => acc + x).as("num"))
+      .select(col("doc_id"), posexplode(
+          graft.plans.FrameEnergies.frame_energies(payload, FrameBytes))
+        .as(Seq("frame_idx", "num")))
       .localCheckpoint()
     val dm = frames.groupBy("doc_id").agg(
       count(lit(1)).as("n_frames"), sum(col("num")).as("tot"))

@@ -627,6 +627,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The vocab-scale fuse loop shared by [[bpeApplyWith]] and the
+    * streaming segmenter: distinct words → per-char symbol rows →
+    * fold [[bpeFuse]] over the learned rules → one (`word`,
+    * `n_syms`) row per distinct word. Runs entirely at vocabulary
+    * scale (≪ corpus); callers join the result back to occurrence
+    * counts. */
+  private[graft] def bpeSegmentsWith(docs: DataFrame,
+      rules: Seq[(Int, String, String, Long)],
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    val words = docs.select(explode(toks).as("word")).distinct()
+    var state = materialize(words
+      .select(col("word"), posexplode(split(col("word"), "")).as(Seq("pos", "sym"))))
+    for ((_, l, rr, _) <- rules)
+      state = materialize(bpeFuse(state, lit(l), lit(rr)))
+    state.groupBy("word").agg(count(lit(1)).as("n_syms"))
+  }
+
   /** The train replay's CTE chain — shared prefix of the train and
     * apply oracles. Every CTE is MATERIALIZED: each round's state
     * feeds three consumers (pair count, match set, rewrite), and

@@ -349,6 +349,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("editdist hot-block cap: the stopword block splits on the second token, cold blocks don't") {
+    import spark.implicits._
+    val a1 = "the quick brown fox jumps over a lazy dog today"
+    val docs = Seq(
+      1L -> a1,
+      2L -> a1.replaceFirst("jumps", "bumps"),
+      3L -> a1.replaceFirst("dog", "dig"),
+      4L -> "the lazy dog sleeps under an old oak tree now",
+      5L -> "the lazy dog sleeps under an old elm tree now",
+      6L -> "the red cat sat on a mat in a hat today ok",
+      7L -> "the rad cat sat on a mat in a hat today ok",
+      8L -> "the aaaa bbbb cccc dddd eeee ffff gggg hhhh",
+      9L -> "the zzzz yyyy xxxx wwww vvvv uuuu tttt ssss",
+      10L -> "an red cat sat on a mat in a hat today ok",
+      11L -> "an rad cat sat on a mat in a hat today ok"
+    ).toDF("doc_id", "text")
+    // every text is < 64 chars (length band 0); NINE docs share first
+    // token "the" -> a hot block (pop 9 > cap 4) that must split on the
+    // second token; the two "an" docs are a cold block (pop 2 <= cap)
+    val pops = docs.collect().map(_.getString(1).split(" ").take(2).toSeq)
+      .groupBy(_.head).view.mapValues(_.toSeq).toMap
+    assert(pops("the").size > 4 && pops("an").size <= 4, "corpus skew precondition")
+    assert(pops("the").groupBy(_(1)).values.map(_.size).max <= 4,
+      "after the second-token split every self-join group is <= cap")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val capped = pairsOf(operators.Dedup.dedupEditdistOver(docs))
+    val uncapped = pairsOf(operators.Dedup.dedupEditdistOver(docs, cap = Int.MaxValue))
+    // cold block: the cross-second-token pair SURVIVES capping
+    assert(capped.get((10L, 11L)).contains(1), s"cold-block pair lost: $capped")
+    // hot block: within-second-token near-dups identical to uncapped
+    assert(capped.get((1L, 2L)).contains(1) && capped.get((1L, 3L)).contains(1)
+      && capped.get((2L, 3L)).contains(2) && capped.get((4L, 5L)).contains(3))
+    // the ONLY capped/uncapped difference is the hot block's
+    // cross-second-token pair — the blocking-definition choice (like
+    // LSH's bucket miss), replayed identically by the oracle's c/k CTEs
+    assert(uncapped.get((6L, 7L)).contains(1), s"uncapped missed (6,7): $uncapped")
+    assert(uncapped - ((6L, 7L)) == capped,
+      s"capped=$capped\nuncapped=$uncapped")
+  }
+
   test("range search: every reported neighbor meets the threshold at its exact cosine") {
     val rows = Registry.queries("ann_range_search")(spark, sf).collect()
     assert(rows.nonEmpty, "sf0.001 should contain >= tau pairs in probed buckets")

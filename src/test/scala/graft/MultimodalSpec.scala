@@ -245,6 +245,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L).getDouble(4) == (9216.0 + 64.0) / 2, s"doc1 energy: ${out(1L)}")
   }
 
+  test("audio VAD: an empty payload yields zero frame rows (generate_series parity)") {
+    import spark.implicits._
+    // Spark's sequence(0, -1) is a DESCENDING [0, -1]; DuckDB's
+    // generate_series(0, -1) is empty. frame_energies returns an
+    // empty array for an empty payload, so the doc drops out of the
+    // exploded stream in BOTH engines.
+    val docs = Seq((1L, ""), (2L, " " * 256)).toDF("doc_id", "text")
+    val out = operators.Multimodal.vadOver(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L), out.mkString(";"))
+  }
+
+  test("frame_energies: codegen and interpreted paths agree; tail, empty, null covered") {
+    import spark.implicits._
+    graft.plans.FrameEnergies.register(spark)
+    // ' ' = 32 -> (32-128)² = 9216 per byte; 'x' = 120 -> 64 per byte
+    val df = Seq(
+      (1L, Some(" " * 256 + "x" * 100)), // full window + ragged tail
+      (2L, Some("")),                    // empty payload -> empty array
+      (3L, Option.empty[String]))        // null payload -> null
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.plans.FrameEnergies.frame_energies(col("text").cast("binary"), 256).as("e"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out(1L) == Seq(256L * 9216, 100L * 64), s"codegen: ${out(1L)}")
+    assert(out(2L) == Seq())
+    assert(out(3L) == null)
+    // interpreted eval (constant folding / no-codegen fallback) agrees
+    val expr = graft.plans.FrameEnergies(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        (" " * 256 + "x" * 100).getBytes("UTF-8")), 256)
+    assert(expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .toLongArray().toSeq == Seq(256L * 9216, 100L * 64))
+  }
+
   test("image_meta of a NULL payload is a struct of nulls in both eval paths") {
     import spark.implicits._
     graft.plans.ImageMeta.register(spark)
