@@ -1,29 +1,48 @@
 package graft
 
-/** Scratch micro-measurement main. Round-7 shingle/pair numbers are
-  * committed as MICRO_r07.txt; current body decomposes the kNN-graph
-  * edge bootstrap (the one @build exhibit with a big x16 overshoot:
-  * PROBE_r11 measured 92x at 128 initial partitions and 87x at 1024,
-  * so partition width is NOT the constraint) into its two stages at
-  * both probe scales: multiprobe pairing + exact top-k, then the
-  * symmetrize + distinct on top. */
+/** Scratch micro-measurement main (per-round body; prior rounds'
+  * numbers live in MICRO_r07.txt / PROBE_r*.txt). Round-13 body
+  * decomposes embedding_pca — the slowest bench row (~14 s at sf0.1,
+  * stable across reps, so not VM weather) — by iteration count: the
+  * iters=0 run is the two corpus passes (d×d moment matrix +
+  * projection) and the fixed overhead; the marginal cost per extra
+  * power-iteration round isolates the metadata-scale loop's
+  * job-scheduling + checkpoint overhead from real compute. */
 object Micro {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
     println(f"[micro] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local("16")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     time("warmup")(spark.range(100000).selectExpr("sum(id)").collect())
-    graft.plans.VecDotProduct.register(spark)
-    for (dir <- Seq("/root/testdata/sf0.1", "target/tmp/scale16")) {
-      val vn = operators.Similarity
-        .withNorm2(Tables.embeddings(spark, dir)).localCheckpoint()
-      time(s"multiprobe pairing + exact top-k  $dir")(
-        operators.Similarity.knnMultiprobeOver(spark, vn)
+    val dir = "/root/testdata/sf0.1"
+    val v = Tables.embeddings(spark, dir)
+    val n = v.count()
+    for (iters <- Seq(0, 1, 2, 8); rep <- 1 to 2)
+      time(s"pca iters=$iters rep$rep")(
+        operators.Similarity.pcaOver(v, n, iters)
           .write.mode("overwrite").format("noop").save())
-      time(s"edges (+symmetrize +distinct)     $dir")(
-        operators.Similarity.knnEdgesOver(spark, vn)
+    // stage isolation: the raw d×d moment pass, double vs decimal sums
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def sxxD(sumCast: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = v
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xif")))
+      .select(col("i"), col("xif").cast(DoubleType).as("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xjf")))
+      .groupBy(col("i"), col("j"))
+      .agg(sumCast(col("xi") * col("xjf").cast(DoubleType)).as("sx"))
+    for (rep <- 1 to 2) {
+      time(s"sxx decimal rep$rep")(
+        sxxD(c => sum(c.cast(DecimalType(38, 12))).cast(DoubleType))
+          .write.mode("overwrite").format("noop").save())
+      time(s"sxx double  rep$rep")(
+        sxxD(c => sum(c)).write.mode("overwrite").format("noop").save())
+      time(s"explode-only rep$rep")(
+        v.select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xif")))
+          .select(col("i"), col("xif").cast(DoubleType).as("xi"),
+            posexplode(col("embedding")).as(Seq("j", "xjf")))
+          .agg(sum(col("i")), sum(col("xjf")))
           .write.mode("overwrite").format("noop").save())
     }
     spark.stop()

@@ -569,6 +569,32 @@ object TextAnalysis {
       merges: Int = BpeMerges, batch: Int = 1): Seq[(Int, String, String, Long)] =
     bpeTrainMergesRounds(docs, merges, batch)._1
 
+  /** Scale-path trainer batch, PICKED FROM MEASUREMENT (r13 BpeDrift,
+    * sf0.01, partial-merge regime K ∈ {32, 64} — the regime where rule
+    * order matters; at vocabulary-exhausting K every batch converges to
+    * the identical full fusion and drift is structurally 0):
+    *
+    *   batch  rounds(K=64)  corpus syms/word drift  doc max |Δ|
+    *     4        16 (4×)        +0.001…0.062 %        0.40
+    *     8         8 (8×)        +0.083…0.272 %        0.60
+    *    16         6 (11×)       +0.451…2.375 %        0.90
+    *
+    * 8 is the knee: ~8× fewer corpus-wide count rounds (a 32k-merge
+    * production vocab: 32k driver round-trips → ~4k) while corpus-level
+    * segmentation stays within ~0.3 % of classic sequential BPE;
+    * batch 16's drift crosses the percent mark. QueriesSpec pins the
+    * drift bound at this default; `batch = 1` remains the registry op /
+    * oracle path (bit-exact classic BPE). */
+  private[graft] val BpeBatchDefault = 8
+
+  /** The production-scale trainer: classic semantics approximated by
+    * pair-disjoint batches at [[BpeBatchDefault]] — use for K large
+    * enough that per-round corpus counts dominate (the 100 TB path);
+    * the sequential trainer stays the correctness oracle. */
+  private[graft] def bpeTrainMergesScale(docs: DataFrame,
+      merges: Int): Seq[(Int, String, String, Long)] =
+    bpeTrainMerges(docs, merges, BpeBatchDefault)
+
   /** The BPE trainer over any frame with a `text` column — the
     * registry op feeds `documents`; specs feed hand-computable
     * corpora. */

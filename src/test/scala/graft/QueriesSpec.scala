@@ -175,6 +175,31 @@ class QueriesSpec extends AnyFunSuite {
     assert(viaBatch.map(_.toString) == viaSeq.map(_.toString))
   }
 
+  test("batched BPE at the default batch: bounded segmentation drift, fewer corpus rounds") {
+    import org.apache.spark.sql.functions._
+    // partial-merge regime on the real corpus — the regime where rule
+    // ORDER matters (at vocabulary-exhausting K drift is structurally 0)
+    val docs = Tables.documents(spark, sf)
+    val k = 24
+    val (seqR, seqRounds) = operators.TextAnalysis.bpeTrainMergesRounds(docs, k, batch = 1)
+    val (batR, batRounds) = operators.TextAnalysis.bpeTrainMergesRounds(docs, k,
+      batch = operators.TextAnalysis.BpeBatchDefault)
+    assert(seqR.size == k && batR.size == k, "exhausted before K — lower k")
+    assert(batRounds * 3 <= seqRounds,
+      s"batching saved too little: $batRounds rounds vs sequential $seqRounds")
+    def spw(rules: Seq[(Int, String, String, Long)]): Double =
+      operators.TextAnalysis.bpeApplyWith(docs, rules)
+        .agg((sum("n_bpe_tokens").cast("double") / sum("n_tokens_ws")).as("s"))
+        .head.getDouble(0)
+    val s0 = spw(seqR); val s1 = spw(batR)
+    assert(s0 > 1.05, s"corpus fully fused at K=$k (spw=$s0) — regime lost")
+    // the r13 BpeDrift measurement put batch-8 corpus drift at
+    // <= 0.28% on sf0.01; 1.5% is the pinned regression bound
+    assert(math.abs(s1 - s0) / s0 <= 0.015,
+      f"batched drift ${math.abs(s1 - s0) / s0 * 100}%.3f%% > 1.5%% " +
+        f"(seq $s0%.4f vs batch $s1%.4f)")
+  }
+
   test("BPE apply segments every word (OOV included) with the learned merges") {
     import spark.implicits._
     val docs = Seq((0L, "aaa aaa bb bb bb"), (1L, "bb bb Z$ b"))
