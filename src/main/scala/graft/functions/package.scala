@@ -73,6 +73,18 @@ package object functions {
   def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Checkpoint-before-sort (round-12 convention): a final global
+    * `.orderBy`'s range partitioner SAMPLES its child, re-executing
+    * the whole upstream subtree (measured exactly 2× on
+    * dedup_editdist) — when the pre-sort set is small (filter
+    * survivors, threshold hits), materialize it first. Under
+    * `spark.graft.explainFull=true` (set by PlanDump only — never a
+    * production path) the checkpoint is skipped so `.explain` shows
+    * the full operator tree instead of a checkpoint scan. */
+  def checkpointBeforeSort(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.explainFull").contains("true")) df
+    else df.localCheckpoint()
+
   /** Calendar validity incl. leap years — the reference's DQ predicate
     * (glue_spark_trades_etl.py:135-171) as one codegen'd boolean. */
   def validCalendar(y: Column, m: Column, d: Column): Column = {

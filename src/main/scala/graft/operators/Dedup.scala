@@ -166,7 +166,7 @@ object Dedup {
       // survivors are tiny (near-dup pairs); checkpoint before the
       // global sort so the range partitioner's sampling pass doesn't
       // re-execute the whole join+DP subtree (measured 2x the op)
-      .localCheckpoint()
+      .transform(graft.functions.checkpointBeforeSort)
       .orderBy("id_a", "id_b")
   }
 

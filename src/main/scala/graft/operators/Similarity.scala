@@ -529,7 +529,7 @@ object Similarity {
       // the >= tau survivors are tiny; checkpoint before the global
       // sort so rangepartitioning's sampling pass doesn't re-execute
       // the bucket join + two-phase scoring (measured ~2x the op)
-      .localCheckpoint()
+      .transform(graft.functions.checkpointBeforeSort)
       .orderBy("query_id", "neighbor_id")
   }
 
@@ -1538,7 +1538,7 @@ object Similarity {
       // checkpoint-before-sort (round-12 convention): the global
       // orderBy's range sampling would otherwise re-execute the
       // projection pass
-      .localCheckpoint()
+      .transform(graft.functions.checkpointBeforeSort)
       .orderBy("vec_id")
   }
 
