@@ -1363,8 +1363,87 @@ object Dedup {
        |            ELSE 'test' END AS split
        |FROM t ORDER BY doc_id""".stripMargin
 
+  // --- dedup_paragraph: CCNet-style first-occurrence paragraph dedup --
+  // The granularity between dedup_exact (whole doc) and
+  // dedup_substring_spans (repeated 8-gram spans): drop every
+  // paragraph the corpus has already seen, keep the FIRST occurrence
+  // in the deterministic (doc_id, para_idx) order — the CCNet move
+  // (Wenzek et al. 2020) that strips boilerplate (headers, footers,
+  // license blocks) while keeping one canonical copy. The synthetic
+  // corpus has no newline structure, so the paragraph boundary
+  // operator here is a fixed [[ParaWords]]-word window (pluggable —
+  // a real pipeline splits on blank lines before this op; alignment
+  // sensitivity is the known trade of windowed paragraphs).
+  //
+  // Scale shape: ONE narrow pass explodes each doc into paragraph
+  // rows carrying only the h60 paragraph hash (never the text past
+  // the hash), a min-window over the hash partition marks first
+  // occurrences (one shuffle on ph — no join back, no second corpus
+  // pass, no checkpoint; a boilerplate mega-paragraph concentrates
+  // its occurrences in one partition where the windowed min is
+  // linear and spillable), then a doc-level rollup. The first-
+  // occurrence key packs (doc_id, para_idx) into one long
+  // (para_idx < 1e6 — a 20M-word document bound, asserted nowhere
+  // because violating it needs a single doc above ~100 MB; such a
+  // doc fails text_quality_gopher's length gate long before here).
+
+  private val ParaWords = 20
+
+  /** Paragraph dedup over any (doc_id, text) frame — the registry
+    * entry binds the documents corpus; DedupSpec feeds synthesized
+    * aligned-block corpora. */
+  private[graft] def dedupParagraphOver(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ph")
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("nb",
+        ceil(size(col("words")) / lit(ParaWords.toDouble)).cast(IntegerType))
+      .select(col("doc_id"), posexplode(expr(
+          s"if(nb <= 0, array(), transform(sequence(0, nb - 1), " +
+          s"i -> array_join(slice(words, i * $ParaWords + 1, $ParaWords), ' ')))"))
+        .as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"),
+        graft.functions.h60(lower(col("para"))).as("ph"))
+      .withColumn("k", col("doc_id") * lit(1000000L) + col("para_idx"))
+      .withColumn("kept", col("k") === min(col("k")).over(w))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        (col("n_paras") - col("n_kept")).as("n_dropped"),
+        graft.functions.ratio(col("n_kept").cast(DoubleType),
+          col("n_paras").cast(DoubleType)).as("kept_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupParagraph(s: SparkSession, dir: String): DataFrame =
+    dedupParagraphOver(Tables.documents(s, dir))
+
+  private val dedupParagraphSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |p AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS para_idx,
+       |         array_to_string(list_slice(words,
+       |           CAST(i * $ParaWords + 1 AS INTEGER),
+       |           CAST(i * $ParaWords + $ParaWords AS INTEGER)), ' ') AS para
+       |  FROM (SELECT doc_id, words,
+       |          unnest(generate_series(0,
+       |            CAST(ceil(len(words) / $ParaWords.0) AS BIGINT) - 1)) AS i
+       |        FROM w WHERE len(words) > 0)),
+       |h AS (SELECT doc_id, para_idx, ${h60Sql("lower(para)")} AS ph,
+       |             doc_id * 1000000 + para_idx AS k FROM p),
+       |f AS (SELECT doc_id, kept FROM (
+       |  SELECT doc_id, k = min(k) OVER (PARTITION BY ph) AS kept FROM h)),
+       |a AS (SELECT doc_id, count(*) AS n_paras,
+       |             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |      FROM f GROUP BY doc_id)
+       |SELECT doc_id, n_paras, n_kept, n_paras - n_kept AS n_dropped,
+       |       ${graft.functions.ratioSql("CAST(n_kept AS DOUBLE)", "CAST(n_paras AS DOUBLE)")} AS kept_ratio
+       |FROM a ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
     Op("dedup_editdist", dedupEditdist, Some(dedupEditdistSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), buildState = true),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql), buildState = true),

@@ -349,6 +349,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup: first occurrence kept, later aligned copies dropped, ragged tail kept") {
+    import spark.implicits._
+    val block = (1 to 20).map(i => s"w$i").mkString(" ")
+    val uniq1 = (1 to 20).map(i => s"a$i").mkString(" ")
+    val uniq2 = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      1L -> (block + " " + uniq1),  // both kept (block's first occurrence)
+      2L -> (uniq2 + " " + block),  // block dropped (doc 1 owns it)
+      3L -> (block + " " + block),  // BOTH dropped — within-doc repeat of doc 1's
+      4L -> (block + " t1 t2")      // ragged 2-word tail is its own paragraph, kept
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.dedupParagraphOver(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((2L, 2L, 0L, 1.0)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 1L, 0.5)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((2L, 0L, 2L, 0.0)), s"doc3: ${out(3L)}")
+    assert(out(4L) == ((2L, 1L, 1L, 0.5)), s"doc4: ${out(4L)}")
+  }
+
   test("editdist hot-block cap: the stopword block splits on the second token, cold blocks don't") {
     import spark.implicits._
     val a1 = "the quick brown fox jumps over a lazy dog today"
