@@ -45,6 +45,36 @@ object Micro {
           .agg(sum(col("i")), sum(col("xjf")))
           .write.mode("overwrite").format("noop").save())
     }
+    // mm_audio_vad energy derivation: the retired interpreted HOF
+    // chain (aggregate/transform/split per frame) vs the codegen'd
+    // FrameEnergies loop, frame stream only (no downstream agg)
+    graft.plans.FrameEnergies.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val payload = col("text").cast(org.apache.spark.sql.types.BinaryType)
+    val fb = 256
+    for (rep <- 1 to 2) {
+      time(s"vad energies interpreted rep$rep") {
+        val nFrames = ceil(length(payload).cast(DoubleType) / fb)
+          .cast(org.apache.spark.sql.types.IntegerType)
+        val frame = col("payload").substr(col("frame_idx") * fb + 1, lit(fb))
+        docs.withColumn("payload", payload)
+          .withColumn("frame_idx",
+            explode(when(nFrames > 0, sequence(lit(0), nFrames - 1))
+              .otherwise(array().cast("array<int>"))))
+          .select(col("doc_id"), col("frame_idx"),
+            aggregate(transform(split(frame.cast(org.apache.spark.sql.types.StringType), ""),
+                c => when(length(c) > 0,
+                  (ascii(c) - 128).cast(org.apache.spark.sql.types.LongType) * (ascii(c) - 128))
+                  .otherwise(lit(0L))),
+              lit(0L), (acc, x) => acc + x).as("num"))
+          .write.mode("overwrite").format("noop").save()
+      }
+      time(s"vad energies codegen     rep$rep")(
+        docs.select(col("doc_id"), posexplode(
+            graft.plans.FrameEnergies.frame_energies(payload, fb))
+          .as(Seq("frame_idx", "num")))
+          .write.mode("overwrite").format("noop").save())
+    }
     spark.stop()
   }
 }
