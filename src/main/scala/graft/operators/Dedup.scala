@@ -1419,6 +1419,58 @@ object Dedup {
   private def dedupParagraph(s: SparkSession, dir: String): DataFrame =
     dedupParagraphOver(Tables.documents(s, dir))
 
+  /** The rewrite half of the CCNet move: the CLEANED corpus — every
+    * doc re-assembled from only its kept (first-occurrence)
+    * paragraphs, in paragraph order; docs reduced to nothing drop out
+    * (CCNet's empty-doc removal). Same first-occurrence keys as
+    * [[dedupParagraphOver]], so the two ops can never disagree about
+    * which copy survives. Paragraph TEXT rides the one ph-partition
+    * shuffle here (the rewrite inherently moves text once); the
+    * report op stays hash-only. */
+  private[graft] def dedupParagraphRewriteOver(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ph")
+    docs
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("nb",
+        ceil(size(col("words")) / lit(ParaWords.toDouble)).cast(IntegerType))
+      .select(col("doc_id"), posexplode(expr(
+          s"if(nb <= 0, array(), transform(sequence(0, nb - 1), " +
+          s"i -> array_join(slice(words, i * $ParaWords + 1, $ParaWords), ' ')))"))
+        .as(Seq("para_idx", "para")))
+      .withColumn("ph", graft.functions.h60(lower(col("para"))))
+      .withColumn("k", col("doc_id") * lit(1000000L) + col("para_idx"))
+      .withColumn("kept", col("k") === min(col("k")).over(w))
+      .filter(col("kept"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          s => s.getField("para"))).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupParagraphRewrite(s: SparkSession, dir: String): DataFrame =
+    dedupParagraphRewriteOver(Tables.documents(s, dir))
+
+  private val dedupParagraphRewriteSql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |p AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS para_idx,
+       |         array_to_string(list_slice(words,
+       |           CAST(i * $ParaWords + 1 AS INTEGER),
+       |           CAST(i * $ParaWords + $ParaWords AS INTEGER)), ' ') AS para
+       |  FROM (SELECT doc_id, words,
+       |          unnest(generate_series(0,
+       |            CAST(ceil(len(words) / $ParaWords.0) AS BIGINT) - 1)) AS i
+       |        FROM w WHERE len(words) > 0)),
+       |h AS (SELECT doc_id, para_idx, para, ${h60Sql("lower(para)")} AS ph,
+       |             doc_id * 1000000 + para_idx AS k FROM p),
+       |f AS (SELECT doc_id, para_idx, para,
+       |             k = min(k) OVER (PARTITION BY ph) AS kept FROM h)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |       string_agg(para, ' ' ORDER BY para_idx) AS text_clean
+       |FROM f WHERE kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val dedupParagraphSql =
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
        |p AS (
@@ -1444,6 +1496,7 @@ object Dedup {
   val ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_paragraph", dedupParagraph, Some(dedupParagraphSql)),
+    Op("dedup_paragraph_rewrite", dedupParagraphRewrite, Some(dedupParagraphRewriteSql)),
     Op("dedup_editdist", dedupEditdist, Some(dedupEditdistSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), buildState = true),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql), buildState = true),

@@ -366,6 +366,14 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 1L, 0.5)), s"doc2: ${out(2L)}")
     assert(out(3L) == ((2L, 0L, 2L, 0.0)), s"doc3: ${out(3L)}")
     assert(out(4L) == ((2L, 1L, 1L, 0.5)), s"doc4: ${out(4L)}")
+    // the rewrite half: cleaned text from only the kept paragraphs,
+    // in order; doc 3 (nothing kept) drops out entirely
+    val rw = operators.Dedup.dedupParagraphRewriteOver(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(rw.keySet == Set(1L, 2L, 4L), s"docs: ${rw.keySet}")
+    assert(rw(1L) == ((2L, block + " " + uniq1)))
+    assert(rw(2L) == ((1L, uniq2)))
+    assert(rw(4L) == ((1L, "t1 t2")))
   }
 
   test("editdist hot-block cap: the stopword block splits on the second token, cold blocks don't") {
