@@ -1389,11 +1389,12 @@ object Dedup {
 
   private val ParaWords = 20
 
-  /** Paragraph dedup over any (doc_id, text) frame — the registry
-    * entry binds the documents corpus; DedupSpec feeds synthesized
-    * aligned-block corpora. */
-  private[graft] def dedupParagraphOver(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("ph")
+  /** The shared paragraph stream: one narrow pass from (doc_id, text)
+    * to (doc_id, para_idx, para, ph, k) rows — the report op, the
+    * rewrite op, and the streaming admission gate all derive from
+    * this, so the paragraph boundary and hash can never drift between
+    * them. `k` is the corpus-wide first-occurrence key. */
+  private[graft] def paraRows(docs: DataFrame): DataFrame =
     docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("nb",
@@ -1402,10 +1403,30 @@ object Dedup {
           s"if(nb <= 0, array(), transform(sequence(0, nb - 1), " +
           s"i -> array_join(slice(words, i * $ParaWords + 1, $ParaWords), ' ')))"))
         .as(Seq("para_idx", "para")))
-      .select(col("doc_id"), col("para_idx"),
-        graft.functions.h60(lower(col("para"))).as("ph"))
+      .withColumn("ph", graft.functions.h60(lower(col("para"))))
       .withColumn("k", col("doc_id") * lit(1000000L) + col("para_idx"))
-      .withColumn("kept", col("k") === min(col("k")).over(w))
+
+  /** Mark each paragraph row kept ⇔ it holds the minimal key in its
+    * hash group (the first-occurrence rule, one shuffle on ph). */
+  private[graft] def paraFirstOccurrence(pr: DataFrame): DataFrame =
+    pr.withColumn("kept", col("k") === min(col("k"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy("ph")))
+
+  /** Re-assemble cleaned docs from kept paragraph rows (paragraph
+    * order; docs with nothing kept disappear). */
+  private[graft] def paraRewrite(kept: DataFrame): DataFrame =
+    kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          s => s.getField("para"))).as("text_clean"))
+      .orderBy("doc_id")
+
+  /** Paragraph dedup over any (doc_id, text) frame — the registry
+    * entry binds the documents corpus; DedupSpec feeds synthesized
+    * aligned-block corpora. */
+  private[graft] def dedupParagraphOver(docs: DataFrame): DataFrame = {
+    paraFirstOccurrence(paraRows(docs).drop("para"))
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_paras"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
@@ -1427,27 +1448,8 @@ object Dedup {
     * which copy survives. Paragraph TEXT rides the one ph-partition
     * shuffle here (the rewrite inherently moves text once); the
     * report op stays hash-only. */
-  private[graft] def dedupParagraphRewriteOver(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("ph")
-    docs
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("nb",
-        ceil(size(col("words")) / lit(ParaWords.toDouble)).cast(IntegerType))
-      .select(col("doc_id"), posexplode(expr(
-          s"if(nb <= 0, array(), transform(sequence(0, nb - 1), " +
-          s"i -> array_join(slice(words, i * $ParaWords + 1, $ParaWords), ' ')))"))
-        .as(Seq("para_idx", "para")))
-      .withColumn("ph", graft.functions.h60(lower(col("para"))))
-      .withColumn("k", col("doc_id") * lit(1000000L) + col("para_idx"))
-      .withColumn("kept", col("k") === min(col("k")).over(w))
-      .filter(col("kept"))
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("para_idx"), col("para")))),
-          s => s.getField("para"))).as("text_clean"))
-      .orderBy("doc_id")
-  }
+  private[graft] def dedupParagraphRewriteOver(docs: DataFrame): DataFrame =
+    paraRewrite(paraFirstOccurrence(paraRows(docs)).filter(col("kept")))
 
   private def dedupParagraphRewrite(s: SparkSession, dir: String): DataFrame =
     dedupParagraphRewriteOver(Tables.documents(s, dir))

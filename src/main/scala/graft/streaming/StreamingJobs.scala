@@ -464,6 +464,70 @@ object StreamingJobs {
       }
       .start()
 
+  /** Bootstrap the streaming paragraph gate's seen-hash lake: one
+    * `ph` row per DISTINCT paragraph of the already-admitted corpus
+    * (the bootstrap corpus owns its paragraphs — partition -1). The
+    * lake carries only 8-byte hashes, never paragraph text. */
+  def paragraphIndexInit(corpus: DataFrame, indexPath: String): Unit =
+    writeIndexBootstrap(
+      graft.operators.Dedup.paraRows(corpus).select("ph").distinct(), indexPath)
+
+  /** Streaming paragraph-dedup admission gate
+    * (dedup_paragraph_rewrite's twin — the SEVENTH admission control
+    * next to the quality gate, redaction, the near-dup gate, the
+    * decontamination gate, the perplexity gate and the learned
+    * classifier gate), SELF-ADMITTING at paragraph granularity: each
+    * micro-batch's documents split into paragraphs through the SAME
+    * shared derivation as the batch ops
+    * ([[graft.operators.Dedup.paraRows]] — boundary and hash cannot
+    * drift); a paragraph is kept iff it is the first occurrence
+    * WITHIN its batch (the batch ops' min-key window) AND its hash is
+    * absent from the maintained seen-paragraph lake at
+    * `ingest_batch < N` (left-anti — a crash-replayed batch's own
+    * partition is invisible, so no paragraph collides with itself on
+    * replay); cleaned docs (re-assembled from kept paragraphs, docs
+    * reduced to nothing dropped — CCNet's empty-doc removal) append
+    * to `cleanPath`, and the batch's kept hashes land in the lake's
+    * own `ingest_batch=<N>` partition via dynamic overwrite + the
+    * manifest commit. Cross-batch, a boilerplate paragraph arriving
+    * again in batch N+1 is dropped there — the batch rewrite op's
+    * first-occurrence semantics folded over arrival order
+    * (StreamingSpec pins the stream output equal to the sequential
+    * fold of the batch core). The cleaned-doc parquet append inherits
+    * foreachBatch's at-least-once-on-crash-retry caveat; content is
+    * deterministic given the exactly-once lake, so replay converges. */
+  def paragraphGateStream(docs: DataFrame, indexPath: String,
+      cleanPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.localCheckpoint()
+          val seen = indexRead(s, indexPath)
+            .filter(col("ingest_batch") < batchId).select("ph")
+          // kept is localCheckpoint'd: its lineage reads the lake this
+          // batch overwrites (the near-dup gate's analysis-rejection
+          // note), and it feeds two sinks (clean docs + lake append)
+          val kept = graft.operators.Dedup
+            .paraFirstOccurrence(graft.operators.Dedup.paraRows(b))
+            .filter(col("kept"))
+            .join(seen, Seq("ph"), "left_anti")
+            .localCheckpoint()
+          graft.operators.Dedup.paraRewrite(kept)
+            .write.mode("append").parquet(cleanPath)
+          kept.select("ph").distinct()
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(indexPath)
+          indexAppendCommit(s, indexPath, batchId)
+          ()
+        }
+      }
+      .start()
+
   /** Bootstrap the streaming ANN index lake: train the IVF coarse
     * quantizer on the base corpus (the one-time BUILD of the FAISS
     * build/serve split — retraining stays a maintenance job) and land
@@ -569,6 +633,15 @@ object StreamingJobs {
     * appended partitions folded. */
   def nearDupIndexCompact(spark: SparkSession, indexPath: String): Int =
     compactIngestPartitions(spark, indexPath, Seq("band_idx", "band_hash"))
+
+  /** Paragraph-lake compaction — the same maintenance leg for the
+    * seen-paragraph lake: folds every appended `ingest_batch`
+    * partition into bootstrap (-1), clustering by `ph` (the gate's
+    * anti-join key). Verdicts unchanged (`ingest_batch < batchId`,
+    * -1 below every batch id); same staged-rename swap and
+    * stream-generation protocol. Returns partitions folded. */
+  def paragraphIndexCompact(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, indexPath, Seq("ph"))
 
   /** Manifest-aware index-table read. On a snapshot-enabled table (the
     * OBJECT-STORE model — enabled by committing a first snapshot after

@@ -745,6 +745,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(StreamingJobs.ivfIndexSearch(spark, idx, queries)) == served)
   }
 
+  test("streaming paragraph gate: self-admitting fold equals the batch rewrite over the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/paragate"
+    val idx = s"$root/index"; val clean = s"$root/clean"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    def blk(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    val B = blk("w")
+    val boot = Seq((1L, B + " " + blk("u"))).toDF("doc_id", "text")
+    StreamingJobs.paragraphIndexInit(boot, idx)
+    val b1 = Seq(
+      (10L, B + " " + blk("a")),        // B dropped (bootstrap owns it), a-block kept
+      (11L, blk("c") + " " + blk("d")), // both kept
+      (12L, B))                         // everything dropped -> absent from clean
+    val b2 = Seq(
+      (20L, blk("a") + " " + blk("e"))) // a-block caught by batch-1's ADMISSION
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.paragraphGateStream(
+      source.toDF().toDF("doc_id", "text"), idx, clean, ckpt)
+    try {
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(clean).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_kept"), r.getAs[String]("text_clean")))).toMap
+    assert(out.keySet == Set(10L, 11L, 20L), s"docs: ${out.keySet}")
+    assert(out(10L) == ((1L, blk("a"))))
+    assert(out(11L) == ((2L, blk("c") + " " + blk("d"))))
+    // only a SELF-admitting gate drops batch 2's a-block — a static
+    // seen-set would wave it through
+    assert(out(20L) == ((1L, blk("e"))))
+    // stream == the batch rewrite op over the union corpus: arrival
+    // order matches doc_id order, so the global first-occurrence keys
+    // agree and the fold is definitionally the batch semantics
+    val exp = operators.Dedup.dedupParagraphRewriteOver(
+        boot.union((b1 ++ b2).toDF("doc_id", "text")))
+      .filter(col("doc_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == exp, s"stream=$out vs batch=$exp")
+    // the lake holds bootstrap + each batch's kept hashes, exactly-once
+    val idxBatches = spark.read.parquet(idx)
+      .select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(idxBatches == Set(-1L, 0L, 1L), s"index partitions: $idxBatches")
+    // maintenance: compaction folds the appended partitions without
+    // changing verdicts — a new stream generation still drops the
+    // e-block batch 2 admitted, and admits fresh content
+    assert(StreamingJobs.paragraphIndexCompact(spark, idx) == 2)
+    val folded = spark.read.parquet(idx).select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(folded == Set(-1L), s"post-compaction partitions: $folded")
+    val source2 = MemoryStream[(Long, String)]
+    val q2 = StreamingJobs.paragraphGateStream(
+      source2.toDF().toDF("doc_id", "text"), idx, clean, s"$root/ckpt2")
+    try {
+      source2.addData(Seq((30L, blk("e") + " " + blk("f"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.read.parquet(clean).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
+    assert(out2(30L) == blk("f"), s"doc 30 post-compaction: ${out2.get(30L)}")
+  }
+
   test("streaming near-dup gate is self-admitting: sequential fold of the batch verdict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
