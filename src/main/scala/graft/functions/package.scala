@@ -73,6 +73,34 @@ package object functions {
   def h60Sql(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Exact, order-independent sum of a double measure in FIXED-POINT
+    * long arithmetic — the corpus-scale alternative to a
+    * DECIMAL(38,12) sum, which costs ~30× a double sum (measured on
+    * embedding_pca's 8.2M-term moment pass: every term pays a
+    * BigDecimal allocation). Each term quantizes by floor to 1e-12
+    * and splits into hi = ⌊c·1e6⌋ and lo = ⌊c·1e12⌋ − hi·1e6 ∈
+    * [0, 1e6); both long sums are order-free exact and codegen'd,
+    * reconstructed once per GROUP. floor on doubles is
+    * IEEE-deterministic and engine-portable ([[fsum12Sql]] replays the
+    * identical algebra; DuckDB's CAST(double AS BIGINT) rounds, so the
+    * SQL twin wraps every cast in floor). Domain: |term| < ~9e3 (so
+    * ⌊c·1e12⌋ stays under 2^53 and is exactly long-representable) and
+    * per-group term count × max|term| × 1e6 ≪ 2^63 (~10^12 unit-scale
+    * terms per group) — both far above anything in this repo.
+    * Semantics note: the quantization is floor at 1e-12 where the
+    * decimal form rounds HALF_UP at 1e-12 — equally defensible, not
+    * interchangeable; an op switching forms must switch its oracle. */
+  def fsum12(c: Column): Column =
+    (sum(floor(c * lit(1e6))) * lit(1000000L)
+      + sum(floor(c * lit(1e12)) - floor(c * lit(1e6)) * lit(1000000L)))
+      .cast(DoubleType) / lit(1e12)
+
+  /** DuckDB twin of [[fsum12]]. */
+  def fsum12Sql(e: String): String =
+    s"(CAST(sum(CAST(floor(($e) * 1e6) AS BIGINT)) * 1000000" +
+      s" + sum(CAST(floor(($e) * 1e12) AS BIGINT)" +
+      s" - CAST(floor(($e) * 1e6) AS BIGINT) * 1000000) AS DOUBLE) / 1e12)"
+
   /** Checkpoint-before-sort (round-12 convention): a final global
     * `.orderBy`'s range partitioner SAMPLES its child, re-executing
     * the whole upstream subtree (measured exactly 2× on

@@ -861,15 +861,20 @@ object Curation {
       // Per-round localCheckpoint: w is ≤ QcBuckets rows (free) and
       // un-truncated the K rounds nest into one exponentially
       // re-derived plan (the Lloyd/pagerank convention).
+      // fixed-point long reduction (round-13 §5 convention): these
+      // per-round sums touch corpus-scale term counts — the decimal
+      // form's ~30x BigDecimal tax was the op's dominant cost
       var s = trainFeat.join(broadcast(w), "bucket")
         .groupBy("doc_id")
-        .agg(sum((col("x") * col("w")).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("s"))
+        .agg(graft.functions.fsum12(col("x") * col("w")).as("s"))
       if (withLoss) {
         // s feeds two consumers (loss + gradient) — materialize (the
         // AQE non-reuse convention); the 1-row collect per round is
         // the BPE trainer's metadata-scale driver traffic
         s = s.localCheckpoint()
+        // the MSE stays DECIMAL: one term per doc (~feature-count×
+        // fewer than s/g), and the exact sum keeps the descent-lemma
+        // monotonicity pin free of quantization ties
         val loss = s.join(docY, "doc_id").crossJoin(broadcast(nRow))
           .agg((sum(((col("s") - col("y")) * (col("s") - col("y")))
             .cast(DecimalType(38, 12))).cast(DoubleType) /
@@ -879,8 +884,7 @@ object Curation {
       }
       val g = trainFeat.join(s, "doc_id")
         .groupBy("bucket")
-        .agg(sum(((col("s") - col("y")) * col("x")).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("g"))
+        .agg(graft.functions.fsum12((col("s") - col("y")) * col("x")).as("g"))
       w = w.join(g, Seq("bucket"), "left").crossJoin(broadcast(nRow))
         .select(col("bucket"),
           (col("w") - lit(QcLr) * coalesce(col("g"), lit(0.0)) / col("n_train"))
@@ -900,8 +904,7 @@ object Curation {
   private[graft] def qcScore(feat: DataFrame, w: DataFrame): DataFrame =
     feat.join(broadcast(w), "bucket")
       .groupBy("doc_id")
-      .agg(sum((col("x") * col("w")).cast(DecimalType(38, 12)))
-        .cast(DoubleType).as("s"))
+      .agg(graft.functions.fsum12(col("x") * col("w")).as("s"))
 
   /** Train + score + threshold over any (doc_id, text, label) frame:
     * rows with doc_id % 4 ≠ 3 train; every doc is scored; the gate
@@ -920,8 +923,7 @@ object Curation {
       .localCheckpoint()
     val mu = all.filter(col("is_train"))
       .groupBy("y")
-      .agg((sum(col("s").cast(DecimalType(38, 12))).cast(DoubleType) /
-        count(lit(1))).as("mu"))
+      .agg((graft.functions.fsum12(col("s")) / count(lit(1))).as("mu"))
     // two class means; double addition is commutative, so the 2-row
     // sum is order-free without a decimal detour
     val tau = mu.agg((sum("mu") / 2).as("tau"))
@@ -981,8 +983,7 @@ object Curation {
       .join(qcScore(feat, w), Seq("doc_id"), "left")
       .select(col("y"), coalesce(col("s"), lit(0.0)).as("s"))
     val tau = trainScores.groupBy("y")
-      .agg((sum(col("s").cast(DecimalType(38, 12))).cast(DoubleType) /
-        count(lit(1))).as("mu"))
+      .agg((graft.functions.fsum12(col("s")) / count(lit(1))).as("mu"))
       .agg((sum("mu") / 2).as("tau"))
     (w, tau, losses)
   }
@@ -1003,7 +1004,7 @@ object Curation {
       .select(col("doc_id"), col("text"), (col("lang") === "en").as("label")))
 
   private val corpusQualityClassifierSql: String = {
-    val dsum = (e: String) => s"CAST(SUM(CAST($e AS DECIMAL(38,12))) AS DOUBLE)"
+    val dsum = (e: String) => graft.functions.fsum12Sql(e)
     val rounds = (1 to QcRounds).map { r =>
       s"""s$r AS MATERIALIZED (
          |  SELECT t.doc_id, ${dsum("t.x * w.w")} AS s
