@@ -1473,30 +1473,21 @@ object Similarity {
     // second posexplode re-expands the SAME row's vector, so partial
     // aggregation sees every term partition-locally.
     //
-    // The reduction is exact FIXED-POINT over longs, not decimal: the
-    // r13 Micro isolated the moment pass's decimal(38,12) sum at
-    // 10.6 s vs 0.3 s for the same sum in double (~30× — every term
-    // pays a BigDecimal allocation in the one pass that touches n·d²
-    // terms). Quantize each product p to 1e-12 by floor (floor is
-    // IEEE-deterministic and engine-portable; products of float-origin
-    // doubles stay far under 2^53 at both scalings, so the longs are
-    // exact), split into hi = ⌊p·1e6⌋ and lo = ⌊p·1e12⌋ − hi·1e6 ∈
-    // [0, 1e6) so each long sum is bounded (n·1e6·|p|max ≪ 2^63 —
-    // order-free exact, codegen'd primitive adds), and reconstruct
-    // hi·1e6 + lo once per (i,j) GROUP. Same order-free-exact contract
-    // as the decimal form, ~30× cheaper; the oracle replays the
-    // identical floor/split/sum algebra.
+    // The reduction is exact FIXED-POINT over longs via
+    // [[graft.functions.fsum12]], not decimal: the r13 Micro isolated
+    // the moment pass's decimal(38,12) sum at 10.6 s vs 0.3 s for the
+    // same sum in double (~30× — every term pays a BigDecimal
+    // allocation in the one pass that touches n·d² terms). Same
+    // order-free-exact contract as the decimal form; the oracle
+    // replays the identical floor/split/sum algebra.
     val sxx = v
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xif")))
       .select(col("i"), col("xif").cast(DoubleType).as("xi"),
         posexplode(col("embedding")).as(Seq("j", "xjf")))
       .select(col("i"), col("j"),
         (col("xi") * col("xjf").cast(DoubleType)).as("p"))
-      .select(col("i"), col("j"), floor(col("p") * lit(1e6)).as("hi"),
-        (floor(col("p") * lit(1e12)) - floor(col("p") * lit(1e6)) * lit(1000000L)).as("lo"))
       .groupBy(col("i"), col("j"))
-      .agg(((sum(col("hi")) * lit(1000000L) + sum(col("lo")))
-        .cast(DoubleType) / lit(1e12)).as("sx"))
+      .agg(graft.functions.fsum12(col("p")).as("sx"))
     val means = dims.groupBy("i")
       .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) / lit(n)).as("m"))
       .localCheckpoint()
@@ -1564,17 +1555,10 @@ object Similarity {
        |  SELECT i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn) AS m
        |  FROM dims GROUP BY i),
        |sxx AS MATERIALIZED (
-       |  -- exact fixed-point: hi = floor(p*1e6), lo = floor(p*1e12) - hi*1e6,
-       |  -- long sums reconstructed per group — replays the Spark reduction
-       |  SELECT i, j,
-       |         CAST(sum(hi) * 1000000 + sum(lo) AS DOUBLE) / 1e12 AS sx
-       |  FROM (
-       |    SELECT a.i, b.i AS j,
-       |           CAST(floor((a.x * b.x) * 1e6) AS BIGINT) AS hi,
-       |           CAST(floor((a.x * b.x) * 1e12) AS BIGINT)
-       |             - CAST(floor((a.x * b.x) * 1e6) AS BIGINT) * 1000000 AS lo
-       |    FROM dims a JOIN dims b ON a.vec_id = b.vec_id)
-       |  GROUP BY i, j),
+       |  -- exact fixed-point long reduction — replays fsum12's algebra
+       |  SELECT a.i, b.i AS j, ${graft.functions.fsum12Sql("a.x * b.x")} AS sx
+       |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
        |cov AS MATERIALIZED (
        |  SELECT s.i, s.j, s.sx / (SELECT n FROM nn) - mi.m * mj.m AS c
        |  FROM sxx s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j),
