@@ -1281,6 +1281,7 @@ object Similarity {
     drop(pqCache, (k: (String, String)) => k._2)
     drop(ivfPqCache, (k: (String, String)) => k._2)
     drop(knnEdgeCache, (k: (String, String)) => k._2)
+    drop(bqCache, (k: (String, String)) => k._2)
   }
 
   /** (trained centroid table with norms — the FULL k rows, even a
@@ -2818,6 +2819,226 @@ object Similarity {
        |ORDER BY sel_round""".stripMargin
   }
 
+  // --- ann_binary_topk: 1-bit sign quantization + Hamming rerank ------
+  // The tightest compression tier in the serving family: each dimension
+  // keeps ONE bit (x_d > corpus mean_d), packed 32 dims per long word —
+  // a 64-dim float vector becomes two BIGINT words (256 bytes → 16, a
+  // 16× scan reduction below even PQ's 8 codes) and candidate scoring
+  // becomes XOR + popcount: pure integer ops inside WholeStageCodegen,
+  // no lookup table, no float math until the rerank. Binary-quantize +
+  // oversampled exact rescore is the production standard of the
+  // current vector-DB generation; two-phase like every ANN op here —
+  // the Hamming-ranked top-[[PrefilterBuffer]] survivors get the
+  // exact-decimal rescore in [[rescoreTopK]]. Engine-portable end to
+  // end: per-dim means are [[graft.functions.fsum12]] fixed-point
+  // reductions, the sign test compares identical doubles, and packing
+  // sums distinct powers of two below 2^32 per word (so even DuckDB's
+  // HUGEINT sum casts back to BIGINT exactly; bit 63 never exists —
+  // DuckDB's `<<` range-checks where a long would wrap). Recall vs
+  // bruteforce pinned in DedupSpec. At 100 TB the signature table IS
+  // the index: 16 bytes/vector scans from memory where the float
+  // corpus cannot, and the build is two narrow corpus passes (a d-group
+  // mean and a (vector, word)-group pack), both map-side combinable.
+
+  /** 64 dims packed 32 per word (embedding dim / 32) — like [[PqD]],
+    * the repo-wide d=64 assumption stated as a constant. */
+  private val BqWords = 2
+
+  /** Signature table build — a maintenance job memoized per (session,
+    * corpus) like the IVF/PQ indexes: (vec_id, embedding, n2, sig)
+    * with `sig` the [[BqWords]]-long packed sign bits. */
+  private val bqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  def buildBinaryIndex(s: SparkSession, dir: String): DataFrame =
+    bqCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      graft.plans.VecDotProduct.register(s)
+      val v = withNorm2(Tables.embeddings(s, dir))
+      val dims = v.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
+      // per-dim corpus means: d groups, fixed-point sums (order-free
+      // exact, so the sign threshold is bit-portable to the oracle)
+      val means = dims.groupBy("i")
+        .agg((graft.functions.fsum12(col("x")) / count(lit(1))).as("m"))
+      val sig = dims.join(broadcast(means), "i")
+        .select(col("vec_id"), (col("i") / 32).cast("int").as("word"),
+          when(col("x") > col("m"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 32 AS INT))"))
+            .otherwise(lit(0L)).as("b"))
+        .groupBy("vec_id", "word").agg(sum(col("b")).as("w"))
+        .groupBy("vec_id")
+        .agg(transform(array_sort(collect_list(struct(col("word"), col("w")))),
+          e => e.getField("w")).as("sig"))
+      v.join(sig, "vec_id").localCheckpoint()
+    })
+
+  /** Corpus-derived exact-rerank budget: a 64-bit signature's hamming
+    * shells crowd linearly with n, so a FIXED candidate count decays
+    * in recall as the corpus grows — measured top-5 recall at n=2000:
+    * C=64 → 0.50, 128 → 0.70, 250 → 0.84, 500 → 0.98. C = max(64,
+    * ⌈n/8⌉) capped at [[BqRerankCap]]: ~12.5 % oversampling while the
+    * corpus is small (recall ≥ 0.84 at every test scale), a vanishing
+    * fraction once n ≫ 8k — past the cap the honest remedy is more
+    * signature bits per dimension, not more rerank volume (the
+    * popcount scan stays the dominant cost; the cap bounds per-query
+    * float work). Pure integer arithmetic so the oracle CTE replays
+    * the derivation exactly. */
+  private val BqRerankCap = 1024
+  private def bqRerankFor(n: Long): Int =
+    math.min(BqRerankCap.toLong, math.max(PrefilterBuffer.toLong, (n + 7) / 8)).toInt
+
+  private def annBinary(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKPerGroup.install(s)
+    val idx = buildBinaryIndex(s, dir)
+    val rerank = bqRerankFor(embCount(s, dir))
+    val q = idx.filter(col("vec_id") < AnnPanel)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("sig").as("qsig"))
+    // statically unrolled popcount over the BqWords packed words —
+    // element_at/xor/bit_count are codegen'd primitives, no HOF
+    val ham = (1 to BqWords).map(w =>
+      bit_count(element_at(col("sig"), w).bitwiseXOR(element_at(col("qsig"), w))))
+      .reduce(_ + _)
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val hw = Window.partitionBy("query_id").orderBy(col("ham"), col("neighbor_id"))
+    val cand = idx.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"), ham.as("ham"))
+      .withColumn(s"${mk}hr", row_number().over(hw))
+      .filter(col(s"${mk}hr") <= rerank)
+      .drop(s"${mk}hr", "ham")
+    // exact rerank of ALL C candidates via the shared two-phase
+    // machinery (float-cosine prefilter → exact decimal): bit-identical
+    // to exact-everywhere over the candidate set, so the oracle only
+    // replays the hamming stage and the exact top-5
+    exactTopK(s, cand, 5)
+  }
+
+  /** Full DuckDB twin: mean/pack/popcount-rank/exact-rerank — unlike
+    * the float-`fast` ANN ops (where the prefilter is bit-identical to
+    * exact-everywhere), the Hamming top-[[PrefilterBuffer]] here is
+    * REAL candidate semantics, so the oracle replays it explicitly. */
+  private val annBinarySql: String = {
+    import graft.functions.fsum12Sql
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+       |dims AS (
+       |  SELECT vec_id, CAST(i AS INTEGER) - 1 AS i0,
+       |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i FROM v)),
+       |bq AS (
+       |  SELECT LEAST($BqRerankCap, GREATEST($PrefilterBuffer,
+       |           (count(*) + 7) // 8)) AS rr FROM embeddings),
+       |m AS (
+       |  SELECT i0, ${fsum12Sql("x")} / count(*) AS m FROM dims GROUP BY i0),
+       |sig AS (
+       |  SELECT vec_id, i0 // 32 AS word,
+       |         CAST(sum(CASE WHEN d.x > m.m
+       |           THEN (CAST(1 AS BIGINT) << CAST(i0 % 32 AS INTEGER))
+       |           ELSE 0 END) AS BIGINT) AS w
+       |  FROM dims d JOIN m USING (i0)
+       |  GROUP BY vec_id, word),
+       |ham AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         sum(bit_count(xor(q.w, c.w))) AS hd
+       |  FROM sig q JOIN sig c ON q.word = c.word
+       |  WHERE q.vec_id < $AnnPanel AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id
+       |             ORDER BY hd, neighbor_id) AS rn
+       |    FROM ham) WHERE rn <= (SELECT rr FROM bq)),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         ${ddotSql("q.embedding", "n.embedding")} / (sqrt(q.n2) * sqrt(n.n2)) AS cos_raw
+       |  FROM cand c
+       |  JOIN v q ON q.vec_id = c.query_id
+       |  JOIN v n ON n.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- embedding_outliers: per-cluster centroid-distance screen -------
+  // Embedding-space quality control for a training corpus: vectors far
+  // from their own IVF cluster centroid are the corrupt/mislabeled/
+  // out-of-distribution candidates — the embedding-side sibling of the
+  // text quality gates, and the screen a 100 TB embedding lake runs
+  // before (not after) paying for training. Rides the SAME memoized
+  // IVF build as ann_ivf_topk / dedup_semantic (one quantizer serves
+  // search, dedup, and QC), so the op itself is one narrow pass over
+  // the self-contained index rows (dist² = n2 + cn2 − 2·x·c, exact-
+  // decimal dot), a k-group fixed-point moment pass, and a broadcast
+  // join-back. Verdict: dist > μ_cluster + 2σ_cluster — per-cluster
+  // adaptive (a tight cluster flags at a radius a diffuse one
+  // tolerates), the same portable z-screen family as q21_anomaly; σ=0
+  // degenerate clusters flag nothing and report z=0.
+
+  /** The screen over any self-contained index frame (vec_id, list_id,
+    * embedding, n2, cent, cn2) — the registry op feeds the memoized
+    * IVF index; DedupSpec feeds a hand-built index with a planted
+    * outlier. */
+  private[graft] def outlierScreen(index: DataFrame): DataFrame = {
+    val dist2 = col("n2") + col("cn2") -
+      lit(2.0) * graft.plans.VecDotProduct.vec_dot_exact(col("embedding"), col("cent"))
+    // multi-consumer derived stream (moments + join-back) → materialize
+    val d = index.select(col("vec_id"), col("list_id"),
+      sqrt(greatest(dist2, lit(0.0))).as("dist")).localCheckpoint()
+    val moments = d.groupBy("list_id").agg(
+        (graft.functions.fsum12(col("dist")) / count(lit(1))).as("mu"),
+        (graft.functions.fsum12(col("dist") * col("dist")) / count(lit(1))).as("m2"),
+        count(lit(1)).as("cluster_n"))
+      .withColumn("sigma", sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))))
+    d.join(broadcast(moments), "list_id")
+      .select(col("vec_id"), col("list_id"), round6(col("dist")).as("dist"),
+        round6(when(col("sigma") > 0, (col("dist") - col("mu")) / col("sigma"))
+          .otherwise(lit(0.0))).as("z"),
+        (col("sigma") > 0 && col("dist") > col("mu") + lit(2.0) * col("sigma"))
+          .as("is_outlier"),
+        col("cluster_n"))
+      .orderBy("vec_id")
+  }
+
+  private def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val (_, index) = buildIvfIndex(s, dir)
+    outlierScreen(index)
+  }
+
+  private val embeddingOutliersSql: String = {
+    import graft.functions.fsum12Sql
+    s"""WITH $ivfQuantizerCtes,
+       |cn AS (SELECT cid, cent, ${ddotSql("cent", "cent")} AS cn2 FROM $ivfLastCentCte),
+       |dists AS (
+       |  SELECT a.vec_id, a.list_id,
+       |         sqrt(GREATEST(v.nn + c.cn2 - 2.0 * ${ddotSql("v.embedding", "c.cent")}, 0.0)) AS dist
+       |  FROM assigned a
+       |  JOIN v ON v.vec_id = a.vec_id
+       |  JOIN cn c ON c.cid = a.list_id),
+       |mo AS (
+       |  SELECT list_id, ${fsum12Sql("dist")} / count(*) AS mu,
+       |         ${fsum12Sql("dist * dist")} / count(*) AS m2,
+       |         count(*) AS cluster_n
+       |  FROM dists GROUP BY list_id),
+       |sg AS (SELECT list_id, mu, cluster_n,
+       |         sqrt(GREATEST(m2 - mu * mu, 0.0)) AS sigma FROM mo)
+       |SELECT d.vec_id, d.list_id, ${round6Sql("d.dist")} AS dist,
+       |       ${round6Sql("CASE WHEN s.sigma > 0 THEN (d.dist - s.mu) / s.sigma ELSE 0.0 END")} AS z,
+       |       (s.sigma > 0 AND d.dist > s.mu + 2.0 * s.sigma) AS is_outlier,
+       |       s.cluster_n
+       |FROM dists d JOIN sg s USING (list_id)
+       |ORDER BY d.vec_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_recall_report", annRecallReport, Some(annRecallReportSql), buildState = true),
@@ -2837,5 +3058,7 @@ object Similarity {
     Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql), buildState = true),
     Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     Op("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
+    Op("ann_binary_topk", annBinary, Some(annBinarySql), buildState = true),
+    Op("embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql), buildState = true),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }

@@ -742,6 +742,66 @@ class DedupSpec extends AnyFunSuite {
     assert(precision >= 0.8, s"beam search stuck near entry: $precision")
   }
 
+  test("binary-signature ANN: well-formed packed words, solid recall of exact top-5") {
+    val brute = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = Registry.queries("ann_binary_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bin.size == brute.size) // hamming prefilters but never drops a query
+    // signatures: 64 dims packed 32 per word → exactly 2 words, each
+    // within [0, 2^32) so even an engine whose sum widens past 64 bits
+    // (DuckDB's HUGEINT) casts back exactly
+    val sigs = graft.operators.Similarity.buildBinaryIndex(spark, sf)
+      .select("sig").collect().map(_.getSeq[Long](0))
+    assert(sigs.nonEmpty && sigs.forall(s => s.length == 2 &&
+      s.forall(w => w >= 0L && w < (1L << 32))))
+    val recall = brute.intersect(bin).size.toDouble / brute.size
+    // 64-bit sign signatures + corpus-derived exact rerank (~n/8,
+    // capped): measured 0.74-0.84 across sf0.001/0.01/0.1
+    assert(recall >= 0.6, s"binary recall $recall too low (${bin.size} results)")
+  }
+
+  test("embedding outliers: planted far vector flagged, degenerate cluster silent") {
+    import spark.implicits._
+    graft.plans.VecDotProduct.register(spark)
+    val c0 = Array(1f, 0f, 0f, 0f)
+    val c1 = Array(0f, 0f, 0f, 1f)
+    // cluster 0: eight members within 0.08 of the centroid plus one
+    // planted 5.0 away; cluster 1: two members at the SAME distance
+    // (sigma = 0 — the degenerate guard must report z=0, flag nothing)
+    val rows =
+      (1 to 8).map(i => (i.toLong, 0, Array(1f + i * 0.01f, 0f, 0f, 0f))) ++
+      Seq((9L, 0, Array(1f, 0f, 5f, 0f)),
+        (10L, 1, Array(0.5f, 0f, 0f, 1f)), (11L, 1, Array(-0.5f, 0f, 0f, 1f)))
+    val cents = Seq((0, c0), (1, c1)).toDF("list_id", "cent")
+      .withColumn("cn2",
+        graft.plans.VecDotProduct.vec_dot_exact(col("cent"), col("cent")))
+    val index = rows.toDF("vec_id", "list_id", "embedding")
+      .withColumn("n2",
+        graft.plans.VecDotProduct.vec_dot_exact(col("embedding"), col("embedding")))
+      .join(cents, "list_id")
+    val got = graft.operators.Similarity.outlierScreen(index).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3), r.getBoolean(4), r.getLong(5)))
+      .toMap
+    assert(got.size == 11)
+    assert(got(9L)._3, s"planted outlier not flagged: ${got(9L)}")
+    assert((1 to 8).forall(i => !got(i.toLong)._3), "tight members misflagged")
+    assert(got(9L)._4 == 9L && got(10L)._4 == 2L, "cluster_n wrong")
+    // sigma=0 cluster: z exactly 0, nothing flagged
+    assert(got(10L)._2 == 0.0 && got(11L)._2 == 0.0)
+    assert(!got(10L)._3 && !got(11L)._3)
+    // the flag IS the per-cluster distance threshold: every outlier
+    // sits strictly above every non-outlier within its cluster
+    val reg = Registry.queries("embedding_outliers")(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getBoolean(4)))
+    reg.groupBy(_._1).foreach { case (cid, members) =>
+      val (out, in) = members.partition(_._3)
+      if (out.nonEmpty && in.nonEmpty)
+        assert(out.map(_._2).min > in.map(_._2).max, s"cluster $cid threshold not clean")
+    }
+    assert(reg.length == Tables.embeddings(spark, sf).count())
+  }
+
   test("NgramArray equals the lead-window n-gram stream, edge cases included") {
     // the round-9 row-local shingler must reproduce the old
     // posexplode+lead derivation exactly: same (doc_id, pos, gram)
