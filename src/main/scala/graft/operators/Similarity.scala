@@ -2850,27 +2850,40 @@ object Similarity {
   private val bqCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
+  private def bqDims(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
+
+  /** The quantizer TRAIN half: per-dim corpus means — d groups,
+    * fixed-point sums (order-free exact, so the sign threshold is
+    * bit-portable to the oracle). */
+  private[graft] def bqMeans(v: DataFrame): DataFrame =
+    bqDims(v).groupBy("i")
+      .agg((graft.functions.fsum12(col("x")) / count(lit(1))).as("m"))
+
+  /** The ASSIGN half: pack sign bits against a FIXED means table —
+    * per-vector and order-free, so the streaming append path is
+    * exactly this call on each micro-batch against the frozen
+    * quantizer. Input v needs (vec_id, embedding, n2); output adds
+    * `sig`. */
+  private[graft] def bqPackWith(v: DataFrame, means: DataFrame): DataFrame = {
+    val sig = bqDims(v).join(broadcast(means), "i")
+      .select(col("vec_id"), (col("i") / 32).cast("int").as("word"),
+        when(col("x") > col("m"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 32 AS INT))"))
+          .otherwise(lit(0L)).as("b"))
+      .groupBy("vec_id", "word").agg(sum(col("b")).as("w"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("word"), col("w")))),
+        e => e.getField("w")).as("sig"))
+    v.join(sig, "vec_id")
+  }
+
   def buildBinaryIndex(s: SparkSession, dir: String): DataFrame =
     bqCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
       graft.plans.VecDotProduct.register(s)
       val v = withNorm2(Tables.embeddings(s, dir))
-      val dims = v.select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("i", "xf")))
-        .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
-      // per-dim corpus means: d groups, fixed-point sums (order-free
-      // exact, so the sign threshold is bit-portable to the oracle)
-      val means = dims.groupBy("i")
-        .agg((graft.functions.fsum12(col("x")) / count(lit(1))).as("m"))
-      val sig = dims.join(broadcast(means), "i")
-        .select(col("vec_id"), (col("i") / 32).cast("int").as("word"),
-          when(col("x") > col("m"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 32 AS INT))"))
-            .otherwise(lit(0L)).as("b"))
-        .groupBy("vec_id", "word").agg(sum(col("b")).as("w"))
-        .groupBy("vec_id")
-        .agg(transform(array_sort(collect_list(struct(col("word"), col("w")))),
-          e => e.getField("w")).as("sig"))
-      v.join(sig, "vec_id").localCheckpoint()
+      bqPackWith(v, bqMeans(v)).localCheckpoint()
     })
 
   /** Corpus-derived exact-rerank budget: a 64-bit signature's hamming
@@ -2888,13 +2901,13 @@ object Similarity {
   private def bqRerankFor(n: Long): Int =
     math.min(BqRerankCap.toLong, math.max(PrefilterBuffer.toLong, (n + 7) / 8)).toInt
 
-  private def annBinary(s: SparkSession, dir: String): DataFrame = {
+  /** The SERVE half over an explicit signature index (vec_id,
+    * embedding, n2, sig) and signed queries (query_id, q_emb, qn2,
+    * qsig) — shared by the registry op (memoized build, panel queries)
+    * and the maintained signature lake's search. */
+  private[graft] def bqServe(s: SparkSession, idx: DataFrame,
+      q: DataFrame, rerank: Int, k: Int = 5): DataFrame = {
     graft.plans.TopKPerGroup.install(s)
-    val idx = buildBinaryIndex(s, dir)
-    val rerank = bqRerankFor(embCount(s, dir))
-    val q = idx.filter(col("vec_id") < AnnPanel)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("n2").as("qn2"), col("sig").as("qsig"))
     // statically unrolled popcount over the BqWords packed words —
     // element_at/xor/bit_count are codegen'd primitives, no HOF
     val ham = (1 to BqWords).map(w =>
@@ -2912,7 +2925,20 @@ object Similarity {
     // machinery (float-cosine prefilter → exact decimal): bit-identical
     // to exact-everywhere over the candidate set, so the oracle only
     // replays the hamming stage and the exact top-5
-    exactTopK(s, cand, 5)
+    exactTopK(s, cand, k)
+  }
+
+  /** [[bqRerankFor]] for callers that already hold the corpus count —
+    * the signature lake's search sizes its rerank from the lake's own
+    * row count. */
+  private[graft] def bqRerankForCount(n: Long): Int = bqRerankFor(n)
+
+  private def annBinary(s: SparkSession, dir: String): DataFrame = {
+    val idx = buildBinaryIndex(s, dir)
+    val q = idx.filter(col("vec_id") < AnnPanel)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("sig").as("qsig"))
+    bqServe(s, idx, q, bqRerankFor(embCount(s, dir)))
   }
 
   /** Full DuckDB twin: mean/pack/popcount-rank/exact-rerank — unlike

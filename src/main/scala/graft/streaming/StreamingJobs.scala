@@ -896,6 +896,150 @@ object StreamingJobs {
     cents.count().toInt
   }
 
+  // ---- maintained BINARY-SIGNATURE lake (third index family) --------
+  // The build/serve/maintain/re-train split for ann_binary_topk's sign
+  // quantizer: `means` (d rows — the frozen per-dim thresholds, the
+  // quantizer) and `signatures` (one packed row per vector,
+  // partitioned by ingest_batch, bootstrap -1). Packing against FIXED
+  // means is per-vector and order-free, so the append stream is
+  // exactly the batch assignment per micro-batch — the same
+  // fixed-quantizer append contract as the IVF lake, with the same
+  // replay-exactly dynamic-partition-overwrite commit.
+
+  /** Bootstrap: train (per-dim fsum12 means) on the base corpus and
+    * land quantizer + packed base as two parquet tables. */
+  def bqIndexInit(spark: SparkSession, lakeDir: String,
+      corpusPred: Column, indexPath: String): Unit = {
+    graft.plans.VecDotProduct.register(spark)
+    val v = graft.operators.Similarity
+      .withNorm2(graft.Tables.embeddings(spark, lakeDir)).filter(corpusPred)
+      .localCheckpoint()
+    val means = graft.operators.Similarity.bqMeans(v).localCheckpoint()
+    means.write.mode("overwrite").parquet(s"$indexPath/means")
+    graft.operators.Similarity.bqPackWith(v, means)
+      .select("vec_id", "embedding", "n2", "sig")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .parquet(s"$indexPath/signatures")
+  }
+
+  /** Per micro-batch of incoming (vec_id, embedding) rows: pack sign
+    * bits against the FROZEN means and land the rows in the lake's own
+    * `ingest_batch=<N>` partition (dynamic overwrite ⇒ a replayed
+    * batch rewrites its own rows — exactly-once, like the IVF lake).
+    * Re-deriving means stays a maintenance job ([[bqRepack]]). */
+  def bqAppendStream(vecs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.plans.VecDotProduct.register(s)
+          val means = s.read.parquet(s"$indexPath/means").localCheckpoint()
+          val v = graft.operators.Similarity
+            .withNorm2(batch.select("vec_id", "embedding")).localCheckpoint()
+          graft.operators.Similarity.bqPackWith(v, means)
+            .select("vec_id", "embedding", "n2", "sig")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$indexPath/signatures")
+          indexAppendCommit(s, s"$indexPath/signatures", batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** Serve over the maintained signature lake: pack the query vectors
+    * with the SAME frozen means, hamming-rank over bootstrap + every
+    * appended batch, exact-rerank — the batch op's serve path
+    * ([[graft.operators.Similarity.bqServe]]) with the rerank budget
+    * derived from the lake's own row count. `queries` carries
+    * (query_id, q_emb, qn2). */
+  def bqIndexSearch(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.VecDotProduct.register(spark)
+    val means = spark.read.parquet(s"$indexPath/means")
+    val sigs = indexRead(spark, s"$indexPath/signatures")
+      .drop("ingest_batch").localCheckpoint()
+    val qsig = graft.operators.Similarity.bqPackWith(
+      queries.select(col("query_id").as("vec_id"), col("q_emb").as("embedding"),
+        col("qn2").as("n2")), means)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("sig").as("qsig"))
+    graft.operators.Similarity.bqServe(spark, sigs, qsig,
+      graft.operators.Similarity.bqRerankForCount(sigs.count()), k)
+  }
+
+  /** Signature-lake compaction — folds every appended partition into
+    * bootstrap (-1), clustering by vec_id so the popcount scan reads
+    * dense files. Same commit protocol and stream-generation rules as
+    * [[ivfCompactPostings]]. */
+  def bqCompactSignatures(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, s"$indexPath/signatures", Seq("vec_id"))
+
+  /** Drift clock for the frozen sign quantizer: per dimension, the
+    * frozen mean vs the mean re-derived over the CURRENT indexed
+    * corpus, and the share of vectors whose sign bit would FLIP under
+    * the re-derived threshold (x between the two means) — the direct
+    * measure of how stale the packed signatures are, in the same
+    * report-then-schedule family as [[ivfDriftReport]]. One narrow
+    * dims pass; flip counting is pure integer. */
+  def bqDriftReport(spark: SparkSession, indexPath: String): DataFrame = {
+    val frozen = spark.read.parquet(s"$indexPath/means")
+      .select(col("i"), col("m").as("m_frozen"))
+    val corpus = indexRead(spark, s"$indexPath/signatures")
+      .select("vec_id", "embedding")
+    val dims = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
+      .localCheckpoint()
+    val now = dims.groupBy("i")
+      .agg((graft.functions.fsum12(col("x")) / count(lit(1))).as("m_now"))
+    dims.join(broadcast(frozen.join(now, "i")), "i")
+      .groupBy(col("i"), col("m_frozen"), col("m_now"))
+      .agg(count(lit(1)).as("n"),
+        sum(when((col("x") > col("m_frozen")) =!= (col("x") > col("m_now")),
+          1L).otherwise(0L)).as("n_flip"))
+      .select(col("i"), round6(col("m_frozen")).as("m_frozen"),
+        round6(col("m_now")).as("m_now"), col("n"), col("n_flip"),
+        (col("n_flip") * lit(1000L) / col("n")).as("flip_permil"))
+      .orderBy("i")
+  }
+
+  /** Signature RE-PACK — the maintenance step [[bqDriftReport]]
+    * schedules: re-derive the per-dim means over the CURRENT indexed
+    * corpus and re-pack every signature, publishing both tables
+    * (signatures via staged manifest/rename publish, then the d-row
+    * means table via staged rename — same exclusive-maintenance,
+    * stop-the-stream protocol as [[ivfRetrain]], and idempotent to
+    * crash-rerun for the same reason: the columns read are
+    * repack-invariant). A repacked lake over corpus C packs
+    * bit-identically to the batch build over C — the mean derivation
+    * is deterministic end to end. Returns the corpus size. */
+  def bqRepack(spark: SparkSession, indexPath: String): Long = {
+    graft.plans.VecDotProduct.register(spark)
+    val corpus = indexRead(spark, s"$indexPath/signatures")
+      .select("vec_id", "embedding", "n2").localCheckpoint()
+    val means = graft.operators.Similarity.bqMeans(corpus).localCheckpoint()
+    publishRewrite(spark, s"$indexPath/signatures",
+      graft.operators.Similarity.bqPackWith(corpus, means)
+        .select("vec_id", "embedding", "n2", "sig")
+        .withColumn("ingest_batch", lit(-1L))
+        .repartition(col("vec_id")),
+      Seq("ingest_batch"))
+    val mTable = new org.apache.hadoop.fs.Path(s"$indexPath/means")
+    val fs = mTable.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mTmp = new org.apache.hadoop.fs.Path(s"$indexPath/means_staging")
+    fs.delete(mTmp, true)
+    means.write.mode("overwrite").parquet(mTmp.toString)
+    fs.delete(mTable, true)
+    require(fs.rename(mTmp, mTable),
+      s"bqRepack: rename $mTmp -> $mTable failed — re-run the repack")
+    corpus.count()
+  }
+
   /** Bootstrap the streaming GRAPH index lake — the second maintained
     * index family next to IVF (the HNSW/NSG build/serve/maintain
     * split): `nodes` = (vec_id, embedding, n2, bucket) over the base

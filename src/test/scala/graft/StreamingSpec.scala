@@ -1739,4 +1739,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(rep2.getLong(5) == 0L && rep2.isNullAt(6), s"vocab: $rep2")
     assert(!rep2.getBoolean(7) && !rep2.getBoolean(8), s"flags: $rep2")
   }
+
+  test("binary-signature lake: frozen-quantizer append, search, compact, drift, repack") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/bqlake"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.bqIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.bqAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def sigMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("vec_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // exactly-once: every incoming vector packed once, base untouched
+    val lake = spark.read.parquet(s"$idx/signatures")
+    assert(lake.filter(col("ingest_batch") >= 0).count() == incoming.length.toLong)
+    assert(lake.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+    // stream-packed rows == one-shot batch pack of the union against
+    // the SAME frozen quantizer (the fixed-means append contract)
+    graft.plans.VecDotProduct.register(spark)
+    val frozen = spark.read.parquet(s"$idx/means")
+    val union = Similarity.withNorm2(Tables.embeddings(spark, sf)).localCheckpoint()
+    assert(sigMap(lake) == sigMap(Similarity.bqPackWith(union, frozen)))
+
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val queries = union.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"))
+    val before = canon(StreamingJobs.bqIndexSearch(spark, idx, queries))
+    assert(before.nonEmpty)
+    // compaction folds every appended partition and preserves search
+    assert(StreamingJobs.bqCompactSignatures(spark, idx) == 2)
+    assert(canon(StreamingJobs.bqIndexSearch(spark, idx, queries)) == before)
+    assert(StreamingJobs.bqCompactSignatures(spark, idx) == 0)
+    // drift clock: one row per dim covering the whole lake; flip counts
+    // bounded and consistent with the permil column
+    val n = union.count()
+    val drift = StreamingJobs.bqDriftReport(spark, idx).collect()
+    assert(drift.length == 64)
+    drift.foreach { r =>
+      assert(r.getLong(3) == n)
+      val flips = r.getLong(4)
+      assert(flips >= 0 && flips <= n)
+      assert(math.abs(r.getDouble(5) - flips * 1000.0 / n) < 1e-9)
+    }
+    // repack: re-derived means == current means ⇒ the drift clock
+    // resets to zero flips, and the lake packs bit-identically to the
+    // batch build over the union corpus
+    assert(StreamingJobs.bqRepack(spark, idx) == n)
+    val drift2 = StreamingJobs.bqDriftReport(spark, idx).collect()
+    assert(drift2.forall(r => r.getLong(4) == 0L
+      && r.getDouble(1) == r.getDouble(2)))
+    assert(sigMap(spark.read.parquet(s"$idx/signatures"))
+      == sigMap(Similarity.bqPackWith(union, Similarity.bqMeans(union))))
+    assert(canon(StreamingJobs.bqIndexSearch(spark, idx, queries)).nonEmpty)
+  }
 }
