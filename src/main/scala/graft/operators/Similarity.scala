@@ -2441,7 +2441,7 @@ object Similarity {
   // index into serving (and the batch twin of the streaming drift
   // report): per-query recall@5 of EVERY approximate serve path —
   // graph walk, hotprobe (the skew-bounded production kNN serve,
-  // panel-restricted), IVF, IVFADC, LSH, PQ — against the exact
+  // panel-restricted), IVF, IVFADC, LSH, PQ, binary — against the exact
   // brute-force baseline. At 100 TB the baseline is computed for a
   // SAMPLED query panel only (here: the same 10-query panel every
   // ANN op serves) — the exact scan cost is per-panel-query, never
@@ -2510,7 +2510,8 @@ object Similarity {
       ("ivf", annIvf(s, dir), RecallK),
       ("ivfpq", annIvfPq(s, dir), RecallK),
       ("lsh", annLsh(s, dir), RecallK),
-      ("pq", annPq(s, dir), RecallK)))
+      ("pq", annPq(s, dir), RecallK),
+      ("binary", annBinary(s, dir), RecallK)))
   }
 
   private def annRecallReportSql: String =
@@ -2521,20 +2522,22 @@ object Similarity {
        |m_ivfpq AS (SELECT query_id, neighbor_id FROM ($annIvfPqSql)),
        |m_lsh AS (SELECT query_id, neighbor_id FROM ($annLshSql)),
        |m_pq AS (SELECT query_id, neighbor_id FROM ($annPqSql)),
+       |m_binary AS (SELECT query_id, neighbor_id FROM ($annBinarySql)),
        |approx AS (
        |  SELECT 'graph' AS method, * FROM m_graph
        |  UNION ALL SELECT 'hotprobe' AS method, * FROM m_hotprobe
        |  UNION ALL SELECT 'ivf' AS method, * FROM m_ivf
        |  UNION ALL SELECT 'ivfpq' AS method, * FROM m_ivfpq
        |  UNION ALL SELECT 'lsh' AS method, * FROM m_lsh
-       |  UNION ALL SELECT 'pq' AS method, * FROM m_pq),
+       |  UNION ALL SELECT 'pq' AS method, * FROM m_pq
+       |  UNION ALL SELECT 'binary' AS method, * FROM m_binary),
        |hits AS (
        |  SELECT ms.method, ms.k, e.query_id,
        |         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS hits
        |  FROM exact e
        |  CROSS JOIN (SELECT * FROM (VALUES ('graph', $KnnK), ('hotprobe', $KnnK),
        |    ('ivf', $RecallK), ('ivfpq', $RecallK), ('lsh', $RecallK),
-       |    ('pq', $RecallK)) AS t(method, k)) ms
+       |    ('pq', $RecallK), ('binary', $RecallK)) AS t(method, k)) ms
        |  LEFT JOIN approx a ON a.method = ms.method
        |    AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |  GROUP BY 1, 2, 3)

@@ -1273,7 +1273,7 @@ object StreamingJobs {
     * appended lake the rows show the REAL served recall, which is the
     * point. */
   def annRecallReportLake(spark: SparkSession, lakeDir: String,
-      graphPath: String, ivfPath: String): DataFrame = {
+      graphPath: String, ivfPath: String, bqPath: String = null): DataFrame = {
     import graft.operators.Similarity
     graft.plans.VecDotProduct.register(spark)
     val panel = Similarity.annPanelQueries(spark, lakeDir)
@@ -1285,7 +1285,12 @@ object StreamingJobs {
         Similarity.KnnK),
       ("ivf_lake",
         ivfIndexSearch(spark, ivfPath, qn, Similarity.RecallK),
-        Similarity.RecallK)))
+        Similarity.RecallK)) ++
+      // the signature lake joined the audit in round 13; older QA
+      // boards (and the append-free bootstrap pin) run without it
+      Option(bqPath).map(p => ("bq_lake",
+        bqIndexSearch(spark, p, qn, Similarity.RecallK),
+        Similarity.RecallK)).toSeq)
   }
 
   // --- the INVERTED-INDEX lake: CorpusIndex's maintain leg --------------

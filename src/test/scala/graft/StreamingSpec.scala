@@ -1182,14 +1182,17 @@ class StreamingSpec extends AnyFunSuite {
     // recall, which is what the QA loop is for.
     StreamingJobs.graphIndexInit(spark, sf, lit(true), gidx, capped = false)
     StreamingJobs.ivfIndexInit(spark, sf, lit(true), vidx)
+    StreamingJobs.bqIndexInit(spark, sf, lit(true), s"$root/bq")
     def rows5(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
-    val lake = rows5(StreamingJobs.annRecallReportLake(spark, sf, gidx, vidx))
+    val lake = rows5(
+      StreamingJobs.annRecallReportLake(spark, sf, gidx, vidx, s"$root/bq"))
     val batch = rows5(Registry.queries("ann_recall_report")(spark, sf))
-      .filter(t => t._1 == "graph" || t._1 == "ivf").toSet
+      .filter(t => t._1 == "graph" || t._1 == "ivf" || t._1 == "binary").toSet
     assert(lake.length == batch.size, s"row counts: ${lake.length} vs ${batch.size}")
     lake.foreach { case (m, k, q, h, p) =>
-      assert(batch((m.stripSuffix("_lake"), k, q, h, p)),
+      val bm = if (m == "bq_lake") "binary" else m.stripSuffix("_lake")
+      assert(batch((bm, k, q, h, p)),
         s"lake row diverges from batch: ($m, $k, $q, $h, $p)")
     }
   }
