@@ -3068,6 +3068,76 @@ object Similarity {
        |ORDER BY d.vec_id""".stripMargin
   }
 
+  // --- corpus_cluster_topics: distinctive-term cards per IVF cluster --
+  // The inspection step of semantic curation: after the quantizer
+  // groups the corpus (SemDeDup clusters, IVF posting lists, mixture
+  // bins), WHAT is in each cluster decides keep/drop/weight calls — so
+  // every curation pipeline materializes per-cluster topic cards. One
+  // op composes TWO memoized builds (the IVF assignment and the
+  // inverted index's posting/df tables — nothing re-derived): posting
+  // rows key to clusters through the doc→cluster map (doc_id ≡ vec_id
+  // in this lake, the retrieval_rrf identity), one (cluster, word)
+  // aggregate, a vocabulary-scale df join, and a top-[[TopicTerms]]
+  // heap per cluster ranked by tf_cluster · rarity — the log-free
+  // rational idf convention shared with text_bm25, so distinctiveness
+  // is engine-portable without a transcendental. Scale shape: the
+  // corpus-sized join shuffles on doc_id once; everything after is
+  // (k·vocab)-bounded; no text travels past the posting table.
+
+  private val TopicTerms = 5
+
+  private def corpusClusterTopics(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val (_, index) = buildIvfIndex(s, dir)
+    val assigned = index.select(col("vec_id").as("doc_id"), col("list_id"))
+    val csize = assigned.groupBy("list_id").agg(count(lit(1)).as("cluster_docs"))
+    val ct = CorpusIndex.postings(s, dir).join(assigned, "doc_id")
+      .groupBy("list_id", "word").agg(sum(col("tf")).as("tf_cluster"))
+    val scored = ct.join(CorpusIndex.docFreq(s, dir), "word")
+      .crossJoin(broadcast(CorpusIndex.stats(s, dir).select("n_docs")))
+      .withColumn("score", col("tf_cluster").cast(DoubleType) *
+        (((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))))
+    val w = Window.partitionBy("list_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn(s"${mk}tr", row_number().over(w).cast(IntegerType))
+      .filter(col(s"${mk}tr") <= TopicTerms)
+      .join(broadcast(csize), "list_id")
+      .select(col("list_id"), col(s"${mk}tr").as("rank"), col("word"),
+        col("tf_cluster"), col("df"), round6(col("score")).as("score"),
+        col("cluster_docs"))
+      .orderBy("list_id", "rank")
+  }
+
+  private val corpusClusterTopicsSql: String =
+    s"""WITH $ivfQuantizerCtes,
+       |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tfd AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2),
+       |dfreq AS (SELECT word, count(*) AS df FROM tfd GROUP BY 1),
+       |nn AS (SELECT count(*) AS n_docs FROM documents),
+       |csize AS (SELECT list_id, count(*) AS cluster_docs FROM assigned GROUP BY 1),
+       |ct AS (
+       |  SELECT a.list_id, t.word, CAST(sum(t.tf) AS BIGINT) AS tf_cluster
+       |  FROM assigned a JOIN tfd t ON t.doc_id = a.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT c.list_id, c.word, c.tf_cluster, f.df,
+       |         CAST(c.tf_cluster AS DOUBLE) *
+       |           ((CAST((SELECT n_docs FROM nn) - f.df AS DOUBLE) + 0.5) /
+       |            (CAST(f.df AS DOUBLE) + 0.5)) AS score
+       |  FROM ct c JOIN dfreq f USING (word)),
+       |ranked AS (
+       |  SELECT list_id, word, tf_cluster, df, score,
+       |         CAST(row_number() OVER (PARTITION BY list_id
+       |           ORDER BY score DESC, word) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT r.list_id, r.rank, r.word, r.tf_cluster, r.df,
+       |       ${round6Sql("r.score")} AS score, s.cluster_docs
+       |FROM ranked r JOIN csize s USING (list_id)
+       |WHERE r.rank <= $TopicTerms
+       |ORDER BY r.list_id, r.rank""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_recall_report", annRecallReport, Some(annRecallReportSql), buildState = true),
@@ -3089,5 +3159,6 @@ object Similarity {
     Op("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
     Op("ann_binary_topk", annBinary, Some(annBinarySql), buildState = true),
     Op("embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql), buildState = true),
+    Op("corpus_cluster_topics", corpusClusterTopics, Some(corpusClusterTopicsSql), buildState = true),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }

@@ -803,6 +803,38 @@ class DedupSpec extends AnyFunSuite {
     assert(reg.length == Tables.embeddings(spark, sf).count())
   }
 
+  test("cluster topic cards: top term matches an independent tf-rarity recompute") {
+    val rows = Registry.queries("corpus_cluster_topics")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6)))
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), s"cluster $c ranks")
+    }
+    // the SAME shared IVF assignment embedding_outliers reads
+    val assign = Registry.queries("embedding_outliers")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val words = docs.map { case (d, t) => d -> t.split(" ", -1).toSeq }
+    val n = docs.size
+    val df = words.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (w, xs) => w -> xs.size }
+    val byCluster = words.toSeq
+      .flatMap { case (d, ws) => assign.get(d).map(c => c -> ws) }.groupBy(_._1)
+    byCluster.foreach { case (c, docsW) =>
+      val tf = docsW.flatMap(_._2).groupBy(identity)
+        .map { case (w, xs) => w -> xs.size.toLong }
+      val best = tf.map { case (w, t) =>
+        (w, t.toDouble * ((n - df(w) + 0.5) / (df(w) + 0.5))) }
+        .toSeq.sortBy { case (w, s) => (-s, w) }.head
+      val got = rows.find(r => r._1 == c && r._2 == 1).get
+      assert(got._3 == best._1, s"cluster $c top term ${got._3} != ${best._1}")
+      assert(math.abs(got._6 - best._2) <= 1e-6, s"cluster $c score ${got._6} != ${best._2}")
+      assert(got._7 == docsW.size, s"cluster $c doc count")
+    }
+    assert(rows.map(_._1).toSet == byCluster.keySet)
+  }
+
   test("NgramArray equals the lead-window n-gram stream, edge cases included") {
     // the round-9 row-local shingler must reproduce the old
     // posexplode+lead derivation exactly: same (doc_id, pos, gram)
