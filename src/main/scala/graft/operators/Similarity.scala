@@ -3012,22 +3012,36 @@ object Similarity {
   // tolerates), the same portable z-screen family as q21_anomaly; σ=0
   // degenerate clusters flag nothing and report z=0.
 
+  /** (vec_id, list_id, dist) over a self-contained index frame —
+    * dist² = n2 + cn2 − 2·x·c with the exact-decimal dot, sqrt clamped
+    * at 0. Shared by the batch screen and the streaming gate. */
+  private[graft] def centroidDists(index: DataFrame): DataFrame = {
+    val dist2 = col("n2") + col("cn2") -
+      lit(2.0) * graft.plans.VecDotProduct.vec_dot_exact(col("embedding"), col("cent"))
+    index.select(col("vec_id"), col("list_id"),
+      sqrt(greatest(dist2, lit(0.0))).as("dist"))
+  }
+
+  /** Per-cluster distance moments (list_id, mu, sigma, cluster_n) —
+    * the screen's thresholds; frozen as a lake table by the streaming
+    * gate's bootstrap ([[graft.streaming.StreamingJobs
+    * .outlierMomentsInit]]). */
+  private[graft] def clusterMoments(d: DataFrame): DataFrame =
+    d.groupBy("list_id").agg(
+        (graft.functions.fsum12(col("dist")) / count(lit(1))).as("mu"),
+        (graft.functions.fsum12(col("dist") * col("dist")) / count(lit(1))).as("m2"),
+        count(lit(1)).as("cluster_n"))
+      .withColumn("sigma", sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))))
+      .drop("m2")
+
   /** The screen over any self-contained index frame (vec_id, list_id,
     * embedding, n2, cent, cn2) — the registry op feeds the memoized
     * IVF index; DedupSpec feeds a hand-built index with a planted
     * outlier. */
   private[graft] def outlierScreen(index: DataFrame): DataFrame = {
-    val dist2 = col("n2") + col("cn2") -
-      lit(2.0) * graft.plans.VecDotProduct.vec_dot_exact(col("embedding"), col("cent"))
     // multi-consumer derived stream (moments + join-back) → materialize
-    val d = index.select(col("vec_id"), col("list_id"),
-      sqrt(greatest(dist2, lit(0.0))).as("dist")).localCheckpoint()
-    val moments = d.groupBy("list_id").agg(
-        (graft.functions.fsum12(col("dist")) / count(lit(1))).as("mu"),
-        (graft.functions.fsum12(col("dist") * col("dist")) / count(lit(1))).as("m2"),
-        count(lit(1)).as("cluster_n"))
-      .withColumn("sigma", sqrt(greatest(col("m2") - col("mu") * col("mu"), lit(0.0))))
-    d.join(broadcast(moments), "list_id")
+    val d = centroidDists(index).localCheckpoint()
+    d.join(broadcast(clusterMoments(d)), "list_id")
       .select(col("vec_id"), col("list_id"), round6(col("dist")).as("dist"),
         round6(when(col("sigma") > 0, (col("dist") - col("mu")) / col("sigma"))
           .otherwise(lit(0.0))).as("z"),

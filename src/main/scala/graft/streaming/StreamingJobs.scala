@@ -1040,6 +1040,77 @@ object StreamingJobs {
     corpus.count()
   }
 
+  // ---- embedding-outlier admission gate (eighth admission control) --
+  // The first EMBEDDING-SPACE gate (the seven text gates screen
+  // content; this screens geometry): incoming vectors whose distance
+  // to their own cluster centroid exceeds the cluster's FROZEN
+  // μ + 2σ threshold are rejected at ingest — corrupt/mislabeled/OOD
+  // embeddings never reach the index or the training corpus, the
+  // streaming twin of the `embedding_outliers` batch screen. Rides an
+  // existing IVF index lake: thresholds freeze as a `moments` table
+  // derived from the lake's own bootstrap distances, assignment uses
+  // the lake's frozen centroids — re-deriving either stays a
+  // maintenance job (ivfRetrain invalidates both).
+
+  /** Freeze the per-cluster admission thresholds from the lake's
+    * CURRENT posting distances (at bootstrap: the base corpus) as
+    * `$indexPath/moments` — the gate's one-time BUILD. */
+  def outlierMomentsInit(spark: SparkSession, indexPath: String): Unit = {
+    import graft.operators.Similarity
+    graft.plans.VecDotProduct.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cid").as("list_id"), col("cent"), col("cn2"))
+    val idx = indexRead(spark, s"$indexPath/postings")
+      .join(broadcast(cents), "list_id")
+    Similarity.clusterMoments(
+        Similarity.centroidDists(idx).localCheckpoint())
+      .write.mode("overwrite").parquet(s"$indexPath/moments")
+  }
+
+  /** Per micro-batch of (vec_id, embedding) rows: assign to the frozen
+    * centroids, reject ⇔ the cluster's σ > 0 AND dist > μ + 2σ (a
+    * centroid whose bootstrap list was empty has no moments row —
+    * admitted: no evidence to reject), land the full verdict table
+    * (vector geometry + dist + the applied threshold + `admitted`) in
+    * `verdictPath`'s own `ingest_batch=<N>` partition — replay-exact
+    * like every gate; downstream feeds admitted rows onward (e.g. into
+    * [[ivfAppendStream]]). */
+  def outlierGateStream(vecs: DataFrame, indexPath: String,
+      verdictPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          import graft.operators.Similarity
+          graft.plans.VecDotProduct.register(s)
+          val cents = s.read.parquet(s"$indexPath/centroids").localCheckpoint()
+          val moments = s.read.parquet(s"$indexPath/moments").localCheckpoint()
+          val v = Similarity.withNorm2(batch.select("vec_id", "embedding"))
+            .localCheckpoint()
+          val idx = v
+            .join(Similarity.assignVectors(s, v, cents.drop("cn2")), "vec_id")
+            .join(broadcast(cents
+              .select(col("cid").as("list_id"), col("cent"), col("cn2"))), "list_id")
+          Similarity.centroidDists(idx)
+            .join(v, "vec_id")
+            .join(broadcast(moments), Seq("list_id"), "left")
+            .select(col("vec_id"), col("embedding"), col("n2"), col("list_id"),
+              col("dist"),
+              (col("mu") + lit(2.0) * col("sigma")).as("threshold"),
+              (!(coalesce(col("sigma"), lit(0.0)) > 0 &&
+                col("dist") > col("mu") + lit(2.0) * col("sigma"))).as("admitted"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(verdictPath)
+          indexAppendCommit(s, verdictPath, batchId)
+          ()
+        }
+      }
+      .start()
+
   /** Bootstrap the streaming GRAPH index lake — the second maintained
     * index family next to IVF (the HNSW/NSG build/serve/maintain
     * split): `nodes` = (vec_id, embedding, n2, bucket) over the base

@@ -1743,6 +1743,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(!rep2.getBoolean(7) && !rep2.getBoolean(8), s"flags: $rep2")
   }
 
+  test("embedding-outlier gate: frozen thresholds reject the planted vector, replay-exact") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/outliergate"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"; val out = s"$root/verdicts"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.ivfIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    StreamingJobs.outlierMomentsInit(spark, idx)
+    // held-out in-distribution slice + one planted far vector
+    val indist = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val planted = (900000L, Seq.fill(64)(50f))
+    val (b1, b2) = indist.splitAt(indist.length / 2)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.outlierGateStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, out, ckpt)
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData((b2 :+ planted).toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Boolean]("admitted"), r.getAs[Double]("dist"),
+          r.getAs[Double]("threshold"), r.getAs[Int]("list_id"))).toMap
+    // exactly-once: one verdict per incoming vector
+    assert(verdicts.size == indist.length + 1)
+    // geometry screening: the far vector is rejected with dist far past
+    // its cluster's frozen threshold
+    val (adm, d, thr, _) = verdicts(planted._1)
+    assert(!adm && d > thr, s"planted vector not rejected: dist $d thr $thr")
+    // in-distribution vectors are overwhelmingly admitted (frozen
+    // μ + 2σ covers the same-distribution draw; ~2-5 % tail expected)
+    val admitted = indist.count { case (id, _) => verdicts(id)._1 }
+    assert(admitted.toDouble / indist.length >= 0.8,
+      s"only $admitted/${indist.length} in-distribution vectors admitted")
+    // thresholds ARE the frozen bootstrap moments: recompute one
+    // cluster's μ + 2σ independently from the lake's own base postings
+    val cents = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val base = spark.read.parquet(s"$idx/postings")
+      .filter(col("ingest_batch") === -1L)
+      .select("embedding", "list_id").collect()
+      .map(r => (r.getSeq[Float](0).map(_.toDouble), r.getInt(1)))
+    val someCluster = verdicts(indist.head._1)._4
+    val dists = base.filter(_._2 == someCluster).map { case (e, _) =>
+      val c = cents(someCluster)
+      math.sqrt(math.max(0.0,
+        e.map(x => x * x).sum + c.map(x => x * x).sum -
+          2.0 * e.zip(c).map { case (x, y) => x * y }.sum))
+    }
+    val mu = dists.sum / dists.length
+    val sg = math.sqrt(math.max(0.0,
+      dists.map(x => x * x).sum / dists.length - mu * mu))
+    val gateThr = verdicts.collectFirst {
+      case (_, (_, _, t, cl)) if cl == someCluster => t }.get
+    assert(math.abs(gateThr - (mu + 2 * sg)) <= 1e-6 * math.max(1.0, gateThr),
+      s"frozen threshold $gateThr != recomputed ${mu + 2 * sg}")
+  }
+
   test("binary-signature lake: frozen-quantizer append, search, compact, drift, repack") {
     import graft.operators.Similarity
     import spark.implicits._
