@@ -299,6 +299,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Union"), plan.take(1600))
   }
 
+  test("ann_binary_topk: heap-ranked hamming prefilter, no corpus-wide sort") {
+    val plan = formatted("ann_binary_topk")
+    // three rank stages (hamming top-C, fast top-64, exact top-5) all
+    // ride the bounded-heap operator + map-side WindowGroupLimit
+    assert(plan.contains("TopKPerGroup"), "heap rewrite did not engage")
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    // the signature scan side is never globally sorted before ranking
+    assert(!plan.contains("SortMergeJoin"), "popcount scan should not shuffle-join")
+  }
+
+  test("embedding_outliers: one moment aggregate, broadcast join-back") {
+    val plan = formatted("embedding_outliers")
+    assert(plan.contains("BroadcastHashJoin"), "k-row moments should broadcast")
+    // exactly one aggregate pair (partial+final moments) over the index
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+    assert(!plan.contains("Window"), "screen needs no window")
+  }
+
+  test("corpus_cluster_topics: per-cluster top-terms rank is group-limited") {
+    val plan = formatted("corpus_cluster_topics")
+    assert(plan.contains("WindowGroupLimit"), "top-terms rank not group-limited")
+    assert(plan.contains("BroadcastHashJoin"), "cluster-size join should broadcast")
+  }
+
   test("vec_dot resolves through SparkSessionExtensions in plain SQL") {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
