@@ -3082,6 +3082,82 @@ object Similarity {
        |ORDER BY d.vec_id""".stripMargin
   }
 
+  // --- embedding_matryoshka: dimension-ablation recall report ---------
+  // The serving-dimensionality eval: how much exact-search recall
+  // survives truncating every vector to its first t dimensions
+  // (8/16/32/64 here) — the decision report behind Matryoshka-style
+  // dimension reduction, where a pipeline trades index bytes and scan
+  // flops against recall BEFORE committing to a serving width (the
+  // same trade the 1-bit signatures make at the extreme). Each
+  // truncation is an exact top-5 over sliced vectors through the
+  // SAME two-phase machinery as ann_bruteforce (slice → re-norm →
+  // fast-dot prefilter → exact-decimal rescore — bit-identical-to-
+  // exact argument unchanged, so the oracle is the bruteforce CTE
+  // over `embedding[1:t]`); recall rows ride [[recallReportOver]]'s
+  // shared baseline and row shape, making ablation rows directly
+  // comparable with the index-method rows of ann_recall_report. The
+  // d=64 row is the identity anchor (1000‰ by construction). At
+  // 100 TB the panel-sampled baseline argument is the recall
+  // report's: exact cost per panel query, never per corpus vector.
+
+  private val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  private def truncTopK(s: SparkSession, dir: String, t: Int): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val v = withNorm2(Tables.embeddings(s, dir)
+      .select(col("vec_id"), slice(col("embedding"), 1, t).as("embedding")))
+    val q = v.filter(col("vec_id") < AnnPanel)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+    val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, RecallK)
+  }
+
+  private def embeddingMatryoshka(s: SparkSession, dir: String): DataFrame =
+    recallReportOver(s, dir,
+      MatryoshkaDims.map(t => (s"d$t", truncTopK(s, dir, t), RecallK)))
+
+  private val embeddingMatryoshkaSql: String = {
+    def truncBrute(t: Int) =
+      s"""SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         |           ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cos_raw
+         |    FROM t$t q JOIN t$t v ON q.vec_id < $AnnPanel AND v.vec_id <> q.vec_id))
+         |WHERE rank <= $RecallK""".stripMargin
+    val slices = MatryoshkaDims.map(t =>
+      s"""t$t AS (
+         |  SELECT vec_id, embedding[1:$t] AS embedding,
+         |         ${norm2Sql(s"embedding[1:$t]")} AS n2 FROM embeddings)""".stripMargin)
+      .mkString(",\n")
+    val methods = MatryoshkaDims.map(t =>
+      s"m_d$t AS (${truncBrute(t)})").mkString(",\n")
+    val union = MatryoshkaDims.map(t =>
+      s"SELECT 'd$t' AS method, * FROM m_d$t").mkString("\n  UNION ALL ")
+    val vals = MatryoshkaDims.map(t => s"('d$t', $RecallK)").mkString(", ")
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ($annBruteforceSql)),
+       |$slices,
+       |$methods,
+       |approx AS (
+       |  $union),
+       |hits AS (
+       |  SELECT ms.method, ms.k, e.query_id,
+       |         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS hits
+       |  FROM exact e
+       |  CROSS JOIN (SELECT * FROM (VALUES $vals) AS t(method, k)) ms
+       |  LEFT JOIN approx a ON a.method = ms.method
+       |    AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT method, k, query_id, hits,
+       |       CAST((CAST(hits AS BIGINT) * 1000) // least($RecallK, k) AS BIGINT) AS recall_permil
+       |FROM hits ORDER BY method, query_id""".stripMargin
+  }
+
   // --- corpus_cluster_topics: distinctive-term cards per IVF cluster --
   // The inspection step of semantic curation: after the quantizer
   // groups the corpus (SemDeDup clusters, IVF posting lists, mixture
@@ -3174,5 +3250,6 @@ object Similarity {
     Op("ann_binary_topk", annBinary, Some(annBinarySql), buildState = true),
     Op("embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql), buildState = true),
     Op("corpus_cluster_topics", corpusClusterTopics, Some(corpusClusterTopicsSql), buildState = true),
+    Op("embedding_matryoshka", embeddingMatryoshka, Some(embeddingMatryoshkaSql)),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }

@@ -835,6 +835,38 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSet == byCluster.keySet)
   }
 
+  test("matryoshka ablation: identity anchor at full width, cells match recomputed truncated search") {
+    val rows = Registry.queries("embedding_matryoshka")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> (r.getInt(1), r.getInt(3), r.getLong(4)))
+      .toMap
+    assert(rows.size == 4 * 10)
+    // independent double-precision recompute of each truncation's
+    // exact top-5 and its hits against the full-width exact top-5
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def top5(t: Int): Map[Long, Set[Long]] = (0L until 10L).map { q =>
+      val qe = embs(q).take(t)
+      def cos(n: Long): Double = {
+        val ne = embs(n).take(t)
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- 0 until t) { d += qe(i).toDouble * ne(i); na += qe(i).toDouble * qe(i); nb += ne(i).toDouble * ne(i) }
+        d / math.sqrt(na * nb)
+      }
+      q -> embs.keys.filter(_ != q).toSeq
+        .sortBy(n => (-cos(n), n)).take(5).toSet
+    }.toMap
+    val full = top5(64)
+    for (t <- Seq(8, 16, 32, 64); q <- 0L until 10L) {
+      val (k, hits, permil) = rows((s"d$t", q))
+      assert(k == 5)
+      val want = full(q).intersect(top5(t)(q)).size
+      assert(hits == want, s"d$t q$q hits $hits != recomputed $want")
+      assert(permil == hits * 1000L / 5)
+    }
+    // the full-width row is the identity anchor
+    (0L until 10L).foreach(q => assert(rows(("d64", q))._3 == 1000L))
+  }
+
   test("NgramArray equals the lead-window n-gram stream, edge cases included") {
     // the round-9 row-local shingler must reproduce the old
     // posexplode+lead derivation exactly: same (doc_id, pos, gram)
