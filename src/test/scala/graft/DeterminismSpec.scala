@@ -51,6 +51,34 @@ class DeterminismSpec extends AnyFunSuite {
     }
   }
 
+  test("fsum12 equals the exact floor-quantized integer sum regardless of partitioning") {
+    // the corpus-scale fixed-point reduction (§5, round 13): each term
+    // floor-quantizes to 1e-12 and the long hi/lo sums reconstruct the
+    // exact integer total — independently recomputed here with BigInt
+    // from the same IEEE floor the engine applies
+    def exactFsum12(xs: Seq[Double]): Double = {
+      val total = xs.map(x => BigInt(math.floor(x * 1e12).toLong))
+        .foldLeft(BigInt(0))(_ + _)
+      // replicate the engine's algebra exactly: integer total → one
+      // long→double rounding → IEEE division (NOT an unlimited-
+      // precision rational divided at the end)
+      total.toDouble / 1e12
+    }
+    // unit-scale doubles with full mantissas (embedding-product-like)
+    val rnd = new scala.util.Random(13)
+    (0 until 6).foreach { i =>
+      val xs = List.fill(500)((rnd.nextDouble() - 0.5) * 4.0)
+      val parts = 1 + (i % 7)
+      val got = xs.toDF("x").repartition(parts)
+        .agg(graft.functions.fsum12(col("x")).as("s")).head.getDouble(0)
+      val want = exactFsum12(xs)
+      assert(got == want, s"fsum12=$got exact=$want parts=$parts sample=$i")
+      val shuffled = rnd.shuffle(xs).toDF("x").repartition(5)
+        .agg(graft.functions.fsum12(col("x"))).head.getDouble(0)
+      assert(shuffled == got, "fsum12 not permutation-invariant")
+    }
+  }
+
   test("KMV sketch content is partitioning-invariant (merge = union+trim)") {
     import graft.plans.KmvSketch
     KmvSketch.register(spark)
