@@ -449,10 +449,12 @@ object Multimodal {
     * [[graft.plans.FrameEnergies]] primitive-loop Expression (one pass
     * over the payload inside WholeStageCodegen); its `posexplode` IS
     * the frame stream, so the empty-payload guard is structural. */
-  private[graft] def vadOver(docs: DataFrame): DataFrame = {
+  /** The shared voiced-frame stream: per-frame exact integer energy
+    * ([[graft.plans.FrameEnergies]]) + the cross-multiplied adaptive
+    * floor flag — one derivation for the VAD segmentation op and the
+    * SNR screen, so their voiced decisions cannot drift. */
+  private[graft] def voicedFrames(docs: DataFrame): DataFrame = {
     graft.plans.FrameEnergies.register(docs.sparkSession)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("frame_idx")
     // multi-consumer stream (noise-floor agg + voiced flags): memoize
     // per the repo's AQE non-reuse convention
     val frames = docs
@@ -462,8 +464,14 @@ object Multimodal {
       .localCheckpoint()
     val dm = frames.groupBy("doc_id").agg(
       count(lit(1)).as("n_frames"), sum(col("num")).as("tot"))
-    val flagged = frames.join(broadcast(dm), "doc_id")
+    frames.join(broadcast(dm), "doc_id")
       .withColumn("voiced", col("num") * col("n_frames") >= col("tot"))
+  }
+
+  private[graft] def vadOver(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val flagged = voicedFrames(docs)
     val runs = flagged.filter(col("voiced"))
       .withColumn("grp", col("frame_idx") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
@@ -484,8 +492,11 @@ object Multimodal {
   private def mmAudioVad(s: SparkSession, dir: String): DataFrame =
     vadOver(Tables.documents(s, dir))
 
-  private val mmAudioVadSql =
-    s"""WITH frames AS MATERIALIZED (
+  /** The shared oracle prefix (frames → per-frame integer energies →
+    * per-doc totals → voiced flags) — one CTE block for the VAD and
+    * SNR oracles, mirroring [[voicedFrames]]. */
+  private val vadCoreCtes =
+    s"""frames AS MATERIALIZED (
        |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
        |         substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes) AS frame
        |  FROM (SELECT doc_id, text,
@@ -504,7 +515,10 @@ object Multimodal {
        |fl AS MATERIALIZED (
        |  SELECT f.doc_id, f.frame_idx, f.num, d.tot, d.n_frames,
        |         f.num * d.n_frames >= d.tot AS voiced
-       |  FROM feats f JOIN dm d ON d.doc_id = f.doc_id),
+       |  FROM feats f JOIN dm d ON d.doc_id = f.doc_id)""".stripMargin
+
+  private val mmAudioVadSql =
+    s"""WITH $vadCoreCtes,
        |runs AS (
        |  SELECT doc_id, max(run) AS longest_run FROM (
        |    SELECT doc_id, grp, count(*) AS run FROM (
@@ -523,6 +537,51 @@ object Multimodal {
        |FROM dm d JOIN vc v USING (doc_id) LEFT JOIN runs r USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // --- mm_audio_snr: signal-to-noise screen over the voiced split -----
+  // The audio QUALITY gate (VAD answers "where is speech"; this answers
+  // "is the recording worth keeping"): signal = Σ energy over voiced
+  // frames, noise = Σ energy over unvoiced frames — both exact
+  // integers off the SAME shared voiced-frame derivation as the VAD op
+  // (one definition, the decisions cannot drift) — and the keep
+  // verdict is the pure-integer cross-multiplication signal ≥
+  // [[SnrKeepRatio]] · noise (an all-voiced payload measures no noise
+  // ⇒ keep: absence of evidence is not a defect). The reported snr is
+  // exact-integer / exact-integer in IEEE double, 0 when noise is
+  // unmeasured. Same scale shape as VAD: narrow until per-payload
+  // aggregates, shuffles carry frame stats never payloads.
+
+  private val SnrKeepRatio = 2L
+
+  private[graft] def snrOver(docs: DataFrame): DataFrame =
+    voicedFrames(docs).groupBy("doc_id").agg(
+        max(col("n_frames")).as("n_frames"),
+        sum(when(col("voiced"), col("num")).otherwise(0L)).as("signal_energy"),
+        sum(when(!col("voiced"), col("num")).otherwise(0L)).as("noise_energy"))
+      .select(col("doc_id"), col("n_frames"), col("signal_energy"),
+        col("noise_energy"),
+        round6(when(col("noise_energy") > 0,
+          col("signal_energy").cast(DoubleType) / col("noise_energy").cast(DoubleType))
+          .otherwise(lit(0.0))).as("snr"),
+        (col("noise_energy") === 0 ||
+          col("signal_energy") >= lit(SnrKeepRatio) * col("noise_energy"))
+          .as("keep_audio"))
+      .orderBy("doc_id")
+
+  private def mmAudioSnr(s: SparkSession, dir: String): DataFrame =
+    snrOver(Tables.documents(s, dir))
+
+  private val mmAudioSnrSql =
+    s"""WITH $vadCoreCtes,
+       |se AS (
+       |  SELECT doc_id, max(n_frames) AS n_frames,
+       |         CAST(sum(CASE WHEN voiced THEN num ELSE 0 END) AS BIGINT) AS signal_energy,
+       |         CAST(sum(CASE WHEN NOT voiced THEN num ELSE 0 END) AS BIGINT) AS noise_energy
+       |  FROM fl GROUP BY doc_id)
+       |SELECT doc_id, n_frames, signal_energy, noise_energy,
+       |       ${round6Sql("CASE WHEN noise_energy > 0 THEN CAST(signal_energy AS DOUBLE) / CAST(noise_energy AS DOUBLE) ELSE 0.0 END")} AS snr,
+       |       (noise_energy = 0 OR signal_energy >= $SnrKeepRatio * noise_energy) AS keep_audio
+       |FROM se ORDER BY doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_meta", mmMeta, Some(mmMetaSql)),
     Op("mm_phash_neardup", mmPhashNeardup, Some(mmPhashNeardupSql)),
@@ -531,5 +590,6 @@ object Multimodal {
     Op("mm_resize", mmResize, Some(mmResizeSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_audio_vad", mmAudioVad, Some(mmAudioVadSql)),
+    Op("mm_audio_snr", mmAudioSnr, Some(mmAudioSnrSql)),
     Op("mm_feature_extract", mmFeatureExtract, Some(mmFeatureExtractSql)))
 }

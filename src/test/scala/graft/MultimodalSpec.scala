@@ -245,6 +245,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L).getDouble(4) == (9216.0 + 64.0) / 2, s"doc1 energy: ${out(1L)}")
   }
 
+  test("audio SNR: integer signal/noise split, keep verdict, no-noise edge") {
+    import spark.implicits._
+    val loud = " " * 256; val quiet = "x" * 256  // 9216/byte vs 64/byte
+    val docs = Seq(
+      (1L, loud + quiet),          // signal 256·9216, noise 256·64 — snr 144, keep
+      (2L, loud + quiet * 3),      // signal 256·9216, noise 3·256·64 — snr 48, keep
+      (3L, loud),                  // single window: all voiced, noise unmeasured — keep
+      (4L, quiet + " " * 32 + "x" * 224)) // weak signal vs loud-ish noise
+    .toDF("doc_id", "text")
+    val out = operators.Multimodal.snrOver(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(out(1L) == ((2L, 256L * 9216, 256L * 64, 144.0, true)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((4L, 256L * 9216, 3 * 256L * 64, 48.0, true)), s"doc2: ${out(2L)}")
+    // all-voiced: noise 0, snr reported 0, kept (absence of evidence)
+    assert(out(3L) == ((1L, 256L * 9216, 0L, 0.0, true)), s"doc3: ${out(3L)}")
+    // doc 4: window energies 256·64 = 16384 and 32·9216 + 224·64 = 309248;
+    // only the second is ≥ the mean → signal 309248, noise 16384,
+    // snr = 18.875 ≥ 2 → still kept (the verdict is the ratio, pinned
+    // here to document the cross-multiplied integer decision)
+    assert(out(4L) == ((2L, 309248L, 16384L, round6d(309248.0 / 16384.0), true)),
+      s"doc4: ${out(4L)}")
+    // keep_audio is exactly the integer cross-multiplication everywhere
+    out.values.foreach { case (_, s, n, _, keep) =>
+      assert(keep == (n == 0L || s >= 2L * n))
+    }
+  }
+
+  private def round6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   test("audio VAD: an empty payload yields zero frame rows (generate_series parity)") {
     import spark.implicits._
     // Spark's sequence(0, -1) is a DESCENDING [0, -1]; DuckDB's
