@@ -121,7 +121,7 @@ object ScaleProbe {
       "ann_filtered_search", "embedding_pca", "mm_audio_vad",
       "dedup_paragraph", "dedup_paragraph_rewrite",
       "ann_binary_topk", "embedding_outliers", "corpus_cluster_topics",
-      "embedding_matryoshka", "mm_audio_snr")
+      "embedding_matryoshka", "mm_audio_snr", "mm_image_stats")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)

@@ -582,6 +582,72 @@ object Multimodal {
        |       (noise_energy = 0 OR signal_energy >= $SnrKeepRatio * noise_energy) AS keep_audio
        |FROM se ORDER BY doc_id""".stripMargin
 
+  // --- mm_image_stats: byte-distribution QC over opaque payloads ------
+  // The image-side quality screen (the audio side is mm_audio_snr):
+  // flat/constant payloads — solid-color frames, dead sensors,
+  // truncated transfers — concentrate their byte values into one
+  // histogram bucket, so bucket occupancy + top-bucket share is the
+  // codec-free flatness probe a media pipeline runs before paying for
+  // decode. Per-payload histogram via the codegen'd
+  // [[graft.plans.ByteHistogram]] (the §5-mandated primitive loop for
+  // the one pass touching every byte); only OCCUPIED buckets explode
+  // into rows (≤ [[HistBuckets]] per payload), so shuffles carry at
+  // most 16 count rows per doc, never bytes. The flat verdict is the
+  // pure-integer cross-multiplication top_count·100 ≥ 90·n_bytes;
+  // empty payloads drop out structurally (all-zero histogram → no
+  // occupied buckets), matching the oracle's empty byte stream.
+
+  private val HistBuckets = 16
+  private val FlatSharePct = 90L
+
+  private[graft] def imageStatsOver(docs: DataFrame): DataFrame = {
+    graft.plans.ByteHistogram.register(docs.sparkSession)
+    docs.select(col("doc_id"), posexplode(
+        graft.plans.ByteHistogram.byte_histogram(payload, HistBuckets))
+      .as(Seq("bucket", "cnt")))
+      .filter(col("cnt") > 0)
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_bytes"),
+        count(lit(1)).as("distinct_buckets"),
+        max_by(col("bucket"), struct(col("cnt"), -col("bucket"))).as("top_bucket"),
+        max(col("cnt")).as("top_count"))
+      .select(col("doc_id"), col("n_bytes"), col("distinct_buckets"),
+        col("top_bucket"), col("top_count"),
+        round6(col("top_count").cast(DoubleType) / col("n_bytes").cast(DoubleType))
+          .as("top_share"),
+        (col("top_count") * lit(100L) >= lit(FlatSharePct) * col("n_bytes"))
+          .as("is_flat"))
+      .orderBy("doc_id")
+  }
+
+  private def mmImageStats(s: SparkSession, dir: String): DataFrame =
+    imageStatsOver(Tables.documents(s, dir))
+
+  private val mmImageStatsSql =
+    s"""WITH bytes AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         ascii(substr(text, CAST(j AS INTEGER), 1)) // ${256 / HistBuckets} AS bucket
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(1, length(text) + 1)) AS j FROM documents)),
+       |bc AS MATERIALIZED (
+       |  SELECT doc_id, bucket, count(*) AS cnt FROM bytes GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT doc_id, bucket, cnt,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY cnt DESC, bucket) AS rn
+       |  FROM bc),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bytes,
+       |         count(*) AS distinct_buckets
+       |  FROM bc GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_bytes, a.distinct_buckets,
+       |       CAST(r.bucket AS INTEGER) AS top_bucket,
+       |       CAST(r.cnt AS BIGINT) AS top_count,
+       |       ${round6Sql("CAST(r.cnt AS DOUBLE) / a.n_bytes")} AS top_share,
+       |       (r.cnt * 100 >= $FlatSharePct * a.n_bytes) AS is_flat
+       |FROM agg a JOIN rk r ON r.doc_id = a.doc_id AND r.rn = 1
+       |ORDER BY a.doc_id""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("mm_meta", mmMeta, Some(mmMetaSql)),
     Op("mm_phash_neardup", mmPhashNeardup, Some(mmPhashNeardupSql)),
@@ -591,5 +657,6 @@ object Multimodal {
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_audio_vad", mmAudioVad, Some(mmAudioVadSql)),
     Op("mm_audio_snr", mmAudioSnr, Some(mmAudioSnrSql)),
+    Op("mm_image_stats", mmImageStats, Some(mmImageStatsSql)),
     Op("mm_feature_extract", mmFeatureExtract, Some(mmFeatureExtractSql)))
 }

@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ImageResize].getName, "image_resize"),
       exprs => ImageResize(exprs(0), exprs(1), exprs(2))))
     e.injectFunction((
+      FunctionIdentifier("byte_histogram"),
+      new ExpressionInfo(classOf[ByteHistogram].getName, "byte_histogram"),
+      exprs => ByteHistogram.fromExprs(exprs)))
+    e.injectFunction((
       FunctionIdentifier("ngrams"),
       new ExpressionInfo(classOf[NgramArray].getName, "ngrams"),
       exprs => NgramArray.fromExprs(exprs)))

@@ -276,6 +276,58 @@ class MultimodalSpec extends AnyFunSuite {
 
   private def round6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  test("image stats: flat payloads flagged at the 90% integer boundary, empty drops out") {
+    import spark.implicits._
+    // 'a' = 97 -> bucket 6; 'z' = 122 -> bucket 7; ' ' = 32 -> bucket 2
+    val docs = Seq(
+      (1L, "a" * 100),              // one bucket: share 1.0, flat
+      (2L, "a" * 90 + "z" * 10),    // exactly 90%: >= makes it flat
+      (3L, "a" * 89 + "z" * 11),    // 89%: below the boundary
+      (4L, "az AZ 09 xy"),          // spread payload
+      (5L, ""))                     // empty: no occupied buckets
+    .toDF("doc_id", "text")
+    val out = operators.Multimodal.imageStatsOver(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), s"empty doc not dropped: ${out.keySet}")
+    assert(out(1L) == ((100L, 1L, 6, 100L, 1.0, true)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((100L, 2L, 6, 90L, 0.9, true)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((100L, 2L, 6, 89L, 0.89, false)), s"doc3: ${out(3L)}")
+    assert(!out(4L)._6 && out(4L)._2 >= 4, s"doc4: ${out(4L)}")
+    // the verdict is exactly the integer cross-multiplication
+    out.values.foreach { case (n, _, _, top, _, flat) =>
+      assert(flat == (top * 100L >= 90L * n))
+    }
+  }
+
+  test("byte_histogram: codegen and interpreted paths agree; empty and null covered") {
+    import spark.implicits._
+    graft.plans.ByteHistogram.register(spark)
+    val df = Seq(
+      (1L, Some("a" * 3 + "z")), (2L, Some("")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.plans.ByteHistogram.byte_histogram(col("text").cast("binary"), 16).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    val expect1 = Seq.tabulate(16)(b => if (b == 6) 3L else if (b == 7) 1L else 0L)
+    assert(out(1L) == expect1, s"codegen: ${out(1L)}")
+    assert(out(2L) == Seq.fill(16)(0L))
+    assert(out(3L) == null)
+    // interpreted eval agrees with codegen
+    val expr = graft.plans.ByteHistogram(
+      org.apache.spark.sql.catalyst.expressions.Literal(("a" * 3 + "z").getBytes("UTF-8")), 16)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(interp == expect1, s"interpreted: $interp")
+    // SQL-extensions surface resolves it too
+    graft.plans.ByteHistogram.register(spark)
+    val viaSql = spark.sql(
+      "SELECT byte_histogram(CAST('aaz' AS BINARY), 16)").head.getSeq[Long](0)
+    assert(viaSql(6) == 2L && viaSql(7) == 1L)
+  }
+
   test("audio VAD: an empty payload yields zero frame rows (generate_series parity)") {
     import spark.implicits._
     // Spark's sequence(0, -1) is a DESCENDING [0, -1]; DuckDB's
