@@ -893,6 +893,12 @@ object StreamingJobs {
     fs.delete(cTable, true)
     require(fs.rename(cTmp, cTable),
       s"ivfRetrain: rename $cTmp -> $cTable failed — re-run the retrain")
+    // if this lake carries the outlier gate's frozen moments, they are
+    // keyed by the OLD cluster ids and wrong for the new quantizer —
+    // re-freeze them from the retrained index (inside the same
+    // exclusive-maintenance window; idempotent like the rest)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/moments")))
+      outlierMomentsInit(spark, indexPath)
     cents.count().toInt
   }
 
@@ -1050,7 +1056,9 @@ object StreamingJobs {
   // existing IVF index lake: thresholds freeze as a `moments` table
   // derived from the lake's own bootstrap distances, assignment uses
   // the lake's frozen centroids — re-deriving either stays a
-  // maintenance job (ivfRetrain invalidates both).
+  // maintenance job (ivfRetrain re-freezes the moments table itself:
+  // retrained centroids re-key the cluster ids, so stale moments
+  // would threshold against the wrong clusters).
 
   /** Freeze the per-cluster admission thresholds from the lake's
     * CURRENT posting distances (at bootstrap: the base corpus) as

@@ -1804,6 +1804,22 @@ class StreamingSpec extends AnyFunSuite {
       case (_, (_, _, t, cl)) if cl == someCluster => t }.get
     assert(math.abs(gateThr - (mu + 2 * sg)) <= 1e-6 * math.max(1.0, gateThr),
       s"frozen threshold $gateThr != recomputed ${mu + 2 * sg}")
+    // retrain re-keys the cluster ids, so it must RE-FREEZE the gate's
+    // moments from the retrained index — stale moments would threshold
+    // against the wrong clusters
+    StreamingJobs.ivfRetrain(spark, idx)
+    val newCents = spark.read.parquet(s"$idx/centroids")
+      .select(col("cid").as("list_id"), col("cent"), col("cn2"))
+    val want = Similarity.clusterMoments(Similarity.centroidDists(
+        spark.read.parquet(s"$idx/postings").join(newCents, "list_id")))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    val got = spark.read.parquet(s"$idx/moments")
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == want, s"moments not re-frozen after retrain")
+    // moments cover exactly the occupied clusters of the NEW quantizer
+    assert(got.keySet.subsetOf(newCents.collect().map(_.getInt(0)).toSet))
   }
 
   test("binary-signature lake: frozen-quantizer append, search, compact, drift, repack") {
