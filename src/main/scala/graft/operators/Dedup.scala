@@ -105,7 +105,7 @@ object Dedup {
   // Blocking is part of the op's definition — the oracle replays the
   // identical blocks. A hot block (stopword first token — at 100 TB
   // "the …" is an unbounded join group) gets the hotsplit treatment:
-  // blocks whose population exceeds [[EditHotCap]] are re-blocked on
+  // blocks whose population exceeds the hot cap are re-blocked on
   // the SECOND token too (the ANN family's capped-bucket move, one
   // level down the token stream), so every self-join group is bounded
   // by the corpus's (w1, w2, band) ceiling instead of its w1 ceiling.
@@ -121,17 +121,23 @@ object Dedup {
   private val EditPrefix = 48
   private val EditTau = 8
   private val EditBand = 64
-  // cap 4 so the driver's sf0.01 gate (max (w1, band) population 7
-  // there) actually exercises the split; a deployment sizes the cap
-  // to what one executor comfortably self-joins (e.g. 10^4)
-  private val EditHotCap = 4
+  // deployment-scale default: the (w1, band) population one executor
+  // comfortably self-joins (10^4 candidates → ~5·10^7 banded-DP pairs
+  // per block, seconds of work). Deployments tune it via
+  // spark.graft.dedup.editHotCap; the oracle bakes the default, so the
+  // driver's gate runs the default. DedupSpec exercises the split
+  // decision itself with an explicit low cap (dedupEditdistOver(cap=4)
+  // on a skewed stopword-first corpus) — the tiny test corpora never
+  // reach 10^4.
+  private[graft] val EditHotCapDefault = 10000
 
   /** Blocked fuzzy dedup over any (doc_id, text) frame at an explicit
     * hot-block cap — the registry entry binds the documents corpus at
-    * [[EditHotCap]]; DedupSpec pins the split decision and capped ≡
-    * uncapped distance sets on a skewed stopword-first corpus. */
+    * the `spark.graft.dedup.editHotCap` conf ([[EditHotCapDefault]]);
+    * DedupSpec pins the split decision and capped ≡ uncapped distance
+    * sets on a skewed stopword-first corpus. */
   private[graft] def dedupEditdistOver(docs: DataFrame,
-      cap: Int = EditHotCap): DataFrame = {
+      cap: Int = EditHotCapDefault): DataFrame = {
     val d = docs
       .withColumn("clean", regexp_replace(col("text"), "[^ -~]", ""))
       .select(col("doc_id"),
@@ -171,7 +177,9 @@ object Dedup {
   }
 
   private def dedupEditdist(s: SparkSession, dir: String): DataFrame =
-    dedupEditdistOver(Tables.documents(s, dir))
+    dedupEditdistOver(Tables.documents(s, dir),
+      s.conf.getOption("spark.graft.dedup.editHotCap")
+        .map(_.toInt).getOrElse(EditHotCapDefault))
 
   private val dedupEditdistSql =
     s"""WITH d AS (
@@ -182,7 +190,7 @@ object Dedup {
        |         length(regexp_replace(text, '[^ -~]', '', 'g')) // $EditBand AS band
        |  FROM documents),
        |c AS (SELECT w1, band, count(*) AS pop FROM d GROUP BY 1, 2),
-       |k AS (SELECT d.*, CASE WHEN c.pop > $EditHotCap THEN d.w2 ELSE '' END AS w2k
+       |k AS (SELECT d.*, CASE WHEN c.pop > $EditHotCapDefault THEN d.w2 ELSE '' END AS w2k
        |      FROM d JOIN c USING (w1, band))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
@@ -736,11 +744,30 @@ object Dedup {
       .distinct()
   }
 
-  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+  /** The simhash pipeline at a pinned chunk width — DedupSpec drives
+    * both widths through this; the registry entry derives the width. */
+  private[graft] def dedupSimhashAt(s: SparkSession, dir: String,
+      chunkBits: Int): DataFrame =
     simhashChunkPairs(simhashHalves(
       Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("gram"))))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("gram"))),
+      chunkBits)
+      // pair-join survivors are small; the final global sort would
+      // otherwise re-execute the whole join subtree (range-partitioner
+      // sampling — the round-12 convention)
+      .transform(graft.functions.checkpointBeforeSort)
       .orderBy("id_a", "id_b")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    // chunk width DERIVED from corpus cardinality (the mm_phash_neardup
+    // pattern — Multimodal.phashNeardupAt): 4×16-bit bands saturate
+    // past ~2¹⁴ docs (~n²/2¹⁶ candidates per band), so a larger corpus
+    // widens to 2×32-bit via [[chunkBitsFor]]. Cardinality reads the
+    // shared ANALYZE ledger, not a per-op count.
+    val nDocs = graft.etl.TableStats.rowCount(s, s"$dir#documents")(
+      Tables.documents(s, dir).count())
+    dedupSimhashAt(s, dir, chunkBitsFor(nDocs))
+  }
 
   /** Chunk-width step point: 4×16-bit bands (pigeonhole recall at
     * hamming ≤ 3) while the corpus fits them — candidates per band are
@@ -749,9 +776,9 @@ object Dedup {
     * verification unchanged). The former `@bandsPropN` remedy, now the
     * default derivation for [[Multimodal.phashNeardupAt]]'s registry
     * entry; integer compare, so the oracle's `wp` CTE replays it. */
-  private[operators] val ChunkWidenAt = 16384L
+  private[graft] val ChunkWidenAt = 16384L
 
-  private[operators] def chunkBitsFor(nDocs: Long): Int =
+  private[graft] def chunkBitsFor(nDocs: Long): Int =
     if (nDocs <= ChunkWidenAt) 16 else 32
 
   /** The [[simhashHalves]] signature replay as CTEs, appended after a
@@ -792,20 +819,6 @@ object Dedup {
       |           {'chunk_idx': 1, 'chunk': sim_hi}
       |         ]""".stripMargin
 
-  /** Fixed-width chunk CTEs off `sigs` (the [[simhashChunkPairs]]
-    * replay at a pinned width); ends at `chunks`. */
-  private[operators] def simhashChunkCtes(chunkBits: Int): String = {
-    val lst = if (chunkBits == 16) chunkList16 else chunkList32
-    s"""chunkstructs AS (
-       |  SELECT doc_id, sim_lo, sim_hi, unnest($lst) AS ch
-       |  FROM sigs),
-       |chunks AS (
-       |  SELECT doc_id, sim_lo, sim_hi,
-       |         CAST(ch.chunk_idx AS INTEGER) AS chunk_idx,
-       |         CAST(ch.chunk AS BIGINT) AS chunk
-       |  FROM chunkstructs)""".stripMargin
-  }
-
   /** Corpus-derived chunk CTEs off `sigs`: width from [[chunkBitsFor]]
     * over `countFrom`'s cardinality (CTE `wp`), CASE-selecting the
     * 4×16-bit or 2×32-bit band list; ends at `chunks`. */
@@ -823,13 +836,7 @@ object Dedup {
        |         CAST(ch.chunk AS BIGINT) AS chunk
        |  FROM chunkstructs)""".stripMargin
 
-  /** The [[simhashHalves]]+[[simhashChunkPairs]] DuckDB replay as CTEs,
-    * appended after a `grams` CTE providing (doc_id, gram); ends at
-    * `chunks` — callers SELECT the pair join off it. */
-  private[operators] val simhashSqlCtes: String =
-    s"$simhashSigCtes,\n${simhashChunkCtes(16)}"
-
-  /** The chunk-equal pair join off [[simhashSqlCtes]]' `chunks`. */
+  /** The chunk-equal pair join off the chunk CTEs' `chunks`. */
   private[operators] val simhashPairSelectSql: String =
     """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |       CAST(bit_count(xor(a.sim_lo, b.sim_lo)) +
@@ -838,12 +845,15 @@ object Dedup {
       |  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
       | AND a.doc_id < b.doc_id""".stripMargin
 
-  /** DuckDB twin of the simhash pipeline (same md5-derived bits). */
+  /** DuckDB twin of the simhash pipeline (same md5-derived bits), chunk
+    * width replayed from corpus cardinality via the `wp` CTE — the
+    * derivation the Spark side reads from the ANALYZE ledger. */
   private val dedupSimhashSql: String =
     s"""WITH words AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
        |grams AS (SELECT doc_id, word AS gram FROM words),
-       |$simhashSqlCtes
+       |$simhashSigCtes,
+       |${simhashChunkCtesDerived("documents")}
        |$simhashPairSelectSql
        |ORDER BY id_a, id_b""".stripMargin
 

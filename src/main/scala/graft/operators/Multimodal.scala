@@ -546,9 +546,12 @@ object Multimodal {
   // verdict is the pure-integer cross-multiplication signal ≥
   // [[SnrKeepRatio]] · noise (an all-voiced payload measures no noise
   // ⇒ keep: absence of evidence is not a defect). The reported snr is
-  // exact-integer / exact-integer in IEEE double, 0 when noise is
-  // unmeasured. Same scale shape as VAD: narrow until per-payload
-  // aggregates, shuffles carry frame stats never payloads.
+  // exact-integer / exact-integer in IEEE double, NULL when noise is
+  // unmeasured — a 0.0 there would rank the cleanest recordings with
+  // the worst; NULL keeps "no noise observed" distinguishable from
+  // "all noise" for any consumer thresholding on the column. Same
+  // scale shape as VAD: narrow until per-payload aggregates, shuffles
+  // carry frame stats never payloads.
 
   private val SnrKeepRatio = 2L
 
@@ -561,7 +564,7 @@ object Multimodal {
         col("noise_energy"),
         round6(when(col("noise_energy") > 0,
           col("signal_energy").cast(DoubleType) / col("noise_energy").cast(DoubleType))
-          .otherwise(lit(0.0))).as("snr"),
+          .otherwise(lit(null).cast(DoubleType))).as("snr"),
         (col("noise_energy") === 0 ||
           col("signal_energy") >= lit(SnrKeepRatio) * col("noise_energy"))
           .as("keep_audio"))
@@ -578,7 +581,7 @@ object Multimodal {
        |         CAST(sum(CASE WHEN NOT voiced THEN num ELSE 0 END) AS BIGINT) AS noise_energy
        |  FROM fl GROUP BY doc_id)
        |SELECT doc_id, n_frames, signal_energy, noise_energy,
-       |       ${round6Sql("CASE WHEN noise_energy > 0 THEN CAST(signal_energy AS DOUBLE) / CAST(noise_energy AS DOUBLE) ELSE 0.0 END")} AS snr,
+       |       ${round6Sql("CASE WHEN noise_energy > 0 THEN CAST(signal_energy AS DOUBLE) / CAST(noise_energy AS DOUBLE) ELSE NULL END")} AS snr,
        |       (noise_energy = 0 OR signal_energy >= $SnrKeepRatio * noise_energy) AS keep_audio
        |FROM se ORDER BY doc_id""".stripMargin
 
@@ -596,6 +599,14 @@ object Multimodal {
   // pure-integer cross-multiplication top_count·100 ≥ 90·n_bytes;
   // empty payloads drop out structurally (all-zero histogram → no
   // occupied buckets), matching the oracle's empty byte stream.
+  // ORACLE PARITY CAVEAT (same class as dedup_editdist's
+  // byte/codepoint note): the DuckDB twin buckets via
+  // ascii(substr(text, j, 1)) — CODEPOINTS — while ByteHistogram
+  // buckets raw UTF-8 BYTES; the two agree exactly on [\x00-\x7F]
+  // payloads (the synthetic corpus) and diverge on multi-byte
+  // codepoints, where codepoint//16 can even exceed bucket 15. A
+  // non-ASCII deployment keeps the Spark semantics (bytes are what a
+  // binary payload has) and drops the SQL twin.
 
   private val HistBuckets = 16
   private val FlatSharePct = 90L

@@ -1078,8 +1078,10 @@ object StreamingJobs {
   /** Per micro-batch of (vec_id, embedding) rows: assign to the frozen
     * centroids, reject ⇔ the cluster's σ > 0 AND dist > μ + 2σ (a
     * centroid whose bootstrap list was empty has no moments row —
-    * admitted: no evidence to reject), land the full verdict table
-    * (vector geometry + dist + the applied threshold + `admitted`) in
+    * admitted: no evidence to reject, recorded as `has_moments=false`
+    * with a NULL threshold), land the full verdict table (vector
+    * geometry + dist + the applied threshold + `has_moments` +
+    * `admitted`) in
     * `verdictPath`'s own `ingest_batch=<N>` partition — replay-exact
     * like every gate; downstream feeds admitted rows onward (e.g. into
     * [[ivfAppendStream]]). */
@@ -1107,6 +1109,14 @@ object StreamingJobs {
             .select(col("vec_id"), col("embedding"), col("n2"), col("list_id"),
               col("dist"),
               (col("mu") + lit(2.0) * col("sigma")).as("threshold"),
+              // the verdict must be REPLAYABLE from the row alone: a
+              // moments-less cluster admits with threshold NULL, and
+              // has_moments records that the admission was "no evidence
+              // to reject", not "passed a threshold" — without it the
+              // two cases are indistinguishable in the landed table
+              // (three-valued logic folds NULL comparisons into the
+              // same admitted=true)
+              col("mu").isNotNull.as("has_moments"),
               (!(coalesce(col("sigma"), lit(0.0)) > 0 &&
                 col("dist") > col("mu") + lit(2.0) * col("sigma"))).as("admitted"))
             .withColumn("ingest_batch", lit(batchId))

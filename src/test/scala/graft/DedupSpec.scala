@@ -30,6 +30,32 @@ class DedupSpec extends AnyFunSuite {
     assert(sim(best) <= 16, s"hamming ${sim(best)} not near-dup range")
   }
 
+  test("simhash chunk width derives from corpus cardinality, wide pairs nest in narrow") {
+    import graft.operators.Dedup
+    // the derivation law: 4×16-bit bands up to the saturation knee
+    // (~n²/2¹⁶ candidates per band), 2×32-bit beyond it
+    assert(Dedup.chunkBitsFor(1L) == 16)
+    assert(Dedup.chunkBitsFor(Dedup.ChunkWidenAt) == 16)
+    assert(Dedup.chunkBitsFor(Dedup.ChunkWidenAt + 1) == 32)
+    // the registry entry IS the derived-width pipeline (sf0.001 sits
+    // under the knee → width 16)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(nDocs <= Dedup.ChunkWidenAt)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val narrow = pairsOf(Dedup.dedupSimhashAt(spark, sf, 16))
+    val wide = pairsOf(Dedup.dedupSimhashAt(spark, sf, 32))
+    assert(pairsOf(Registry.queries("dedup_simhash")(spark, sf)) == narrow)
+    // a 32-bit chunk is the concatenation of two 16-bit chunks, so a
+    // wide-band match implies both narrow halves match: wide ⊂ narrow,
+    // with identical hamming on the shared pairs — recall moves to the
+    // hamming ≤ 1 pigeonhole, candidate volume drops, nothing novel
+    // appears
+    assert(wide.keySet.subsetOf(narrow.keySet),
+      s"wide pairs not nested: ${wide.keySet.diff(narrow.keySet).take(5)}")
+    wide.foreach { case (k, h) => assert(narrow(k) == h, s"hamming moved on $k") }
+  }
+
   test("cluster labels are closed under the similarity edges") {
     val clusters = Registry.queries("dedup_clusters")(spark, sf).collect()
       .map(r => r.getLong(1) -> r.getLong(0)).toMap
@@ -403,7 +429,7 @@ class DedupSpec extends AnyFunSuite {
       "after the second-token split every self-join group is <= cap")
     def pairsOf(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-    val capped = pairsOf(operators.Dedup.dedupEditdistOver(docs))
+    val capped = pairsOf(operators.Dedup.dedupEditdistOver(docs, cap = 4))
     val uncapped = pairsOf(operators.Dedup.dedupEditdistOver(docs, cap = Int.MaxValue))
     // cold block: the cross-second-token pair SURVIVES capping
     assert(capped.get((10L, 11L)).contains(1), s"cold-block pair lost: $capped")

@@ -256,17 +256,19 @@ class MultimodalSpec extends AnyFunSuite {
     .toDF("doc_id", "text")
     val out = operators.Multimodal.snrOver(docs).collect()
       .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))
       .toMap
-    assert(out(1L) == ((2L, 256L * 9216, 256L * 64, 144.0, true)), s"doc1: ${out(1L)}")
-    assert(out(2L) == ((4L, 256L * 9216, 3 * 256L * 64, 48.0, true)), s"doc2: ${out(2L)}")
-    // all-voiced: noise 0, snr reported 0, kept (absence of evidence)
-    assert(out(3L) == ((1L, 256L * 9216, 0L, 0.0, true)), s"doc3: ${out(3L)}")
+    assert(out(1L) == ((2L, 256L * 9216, 256L * 64, Some(144.0), true)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((4L, 256L * 9216, 3 * 256L * 64, Some(48.0), true)), s"doc2: ${out(2L)}")
+    // all-voiced: noise 0 → snr NULL (unmeasured — 0.0 would rank the
+    // cleanest recording with the worst), kept (absence of evidence)
+    assert(out(3L) == ((1L, 256L * 9216, 0L, None, true)), s"doc3: ${out(3L)}")
     // doc 4: window energies 256·64 = 16384 and 32·9216 + 224·64 = 309248;
     // only the second is ≥ the mean → signal 309248, noise 16384,
     // snr = 18.875 ≥ 2 → still kept (the verdict is the ratio, pinned
     // here to document the cross-multiplied integer decision)
-    assert(out(4L) == ((2L, 309248L, 16384L, round6d(309248.0 / 16384.0), true)),
+    assert(out(4L) == ((2L, 309248L, 16384L, Some(round6d(309248.0 / 16384.0)), true)),
       s"doc4: ${out(4L)}")
     // keep_audio is exactly the integer cross-multiplication everywhere
     out.values.foreach { case (_, s, n, _, keep) =>

@@ -1822,6 +1822,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.keySet.subsetOf(newCents.collect().map(_.getInt(0)).toSet))
   }
 
+  test("embedding-outlier gate: moments-less cluster admits with has_moments=false, NULL threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/outliergate_nomoments"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"; val out = s"$root/verdicts"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // hand-built lake: two frozen centroids, moments frozen only for
+    // cluster 0 — cluster 1's bootstrap list was empty (the exact case
+    // outlierMomentsInit produces for an unoccupied centroid)
+    Seq((0, Seq(1f, 0f, 0f, 0f), 1.0), (1, Seq(0f, 0f, 0f, 1f), 1.0))
+      .toDF("cid", "cent", "cn2").write.parquet(s"$idx/centroids")
+    Seq((0, 0.1, 5L, 0.01))
+      .toDF("list_id", "mu", "cluster_n", "sigma").write.parquet(s"$idx/moments")
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.outlierGateStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, out, ckpt)
+    try {
+      source.addData(Seq(
+        (1L, Seq(1.0f, 0f, 0f, 0f)),   // cluster 0, at the centroid: admit
+        (2L, Seq(5.0f, 1f, 0f, 0f)),   // cluster 0, far: reject (dist ≫ μ+2σ)
+        (3L, Seq(0f, 0f, 0f, 1.2f)))) // cluster 1: NO moments row
+      q.processAllAvailable()
+    } finally q.stop()
+    val v = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("list_id"),
+        if (r.isNullAt(r.fieldIndex("threshold"))) None
+        else Some(r.getAs[Double]("threshold")),
+        r.getAs[Boolean]("has_moments"), r.getAs[Boolean]("admitted")))).toMap
+    assert(v.size == 3)
+    // thresholded admissions record the applied threshold
+    assert(v(1L) == ((0, Some(0.1 + 2 * 0.01), true, true)), s"v1: ${v(1L)}")
+    assert(v(2L) == ((0, Some(0.1 + 2 * 0.01), true, false)), s"v2: ${v(2L)}")
+    // the moments-less cluster: admitted by ABSENCE of evidence, and
+    // the verdict row says so — has_moments=false, threshold NULL —
+    // instead of relying on three-valued logic being unreadable later
+    assert(v(3L) == ((1, None, false, true)), s"v3: ${v(3L)}")
+  }
+
   test("binary-signature lake: frozen-quantizer append, search, compact, drift, repack") {
     import graft.operators.Similarity
     import spark.implicits._
