@@ -19,4 +19,20 @@ if [[ "${1:-}" != "compile-only" ]]; then
   sbt -batch test
 fi
 
+# §2 ↔ registry drift gate (round-14 rule): every backticked op name in
+# SURVEY §2 must be an Op("...") constructor and vice versa — the
+# dedup_simhash omission (r13 verdict) is the failure mode this catches.
+echo "[guard] SURVEY §2 <-> registry diff ..."
+grep -ohrE 'Op\("[a-z0-9_]+"' src/main/scala | sed 's/Op("//; s/"//' | sort -u > /tmp/guard_registry.txt
+grep -oE '^\- \[x\] `[a-z0-9_]+`' SURVEY.md | sed 's/.*`\([a-z0-9_]*\)`/\1/' | sort -u > /tmp/guard_survey.txt
+if ! diff /tmp/guard_registry.txt /tmp/guard_survey.txt; then
+  echo "[guard] FAIL: SURVEY §2 op names drift from the Op(...) registry (see diff above)"
+  exit 1
+fi
+# single generated source of truth for the counts SURVEY/PROGRESS quote
+N_OPS=$(wc -l < /tmp/guard_registry.txt)
+N_SUITE=$(grep -cE '^\s*test\(' src/test/scala/graft/*.scala | awk -F: '{s+=$2} END {print s}')
+N_REF=$(python3 -c "import json; print(len(json.load(open('BENCH_REF.json'))['queries']))" 2>/dev/null || echo 0)
+echo "[guard] generated counts: registry_ops=$N_OPS suite_tests=$N_SUITE bench_ref_rows=$N_REF"
+
 echo "[guard] OK — tree compiles$([[ "${1:-}" == compile-only ]] || echo ' and suite is green'); safe to commit."

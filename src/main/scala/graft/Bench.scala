@@ -148,9 +148,14 @@ object Bench {
     // per-query ratio vs the quiet-VM reference (BENCH_REF.json, same
     // scale only): >1 = slower than reference this run. Committed so
     // drift is self-documenting — no threshold has to catch it for the
-    // number to be visible.
+    // number to be visible. Sub-floor rows are OMITTED, not printed:
+    // when both the reading and its reference sit under the 0.5 s
+    // floor the ratio is Spark-overhead noise (a 0.15 s query printing
+    // "2.66" reads as a regression that isn't there), the same floor
+    // `inflated` already applies to the contended flag.
     val ratios = results.toSeq.collect {
-      case (n, t) if t > 0 && refMap.get(n).exists(_ > 0) =>
+      case (n, t) if t > 0 && refMap.get(n).exists(_ > 0) &&
+          math.max(t, refMap(n)) >= 0.5 =>
         n -> math.rint(t / refMap(n) * 100) / 100
     }.sortBy(_._1)
     val fullJson =
