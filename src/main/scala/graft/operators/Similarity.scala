@@ -1782,6 +1782,43 @@ object Similarity {
 
   private val MaxFilteredProbes = 8
 
+  /** The filtered serve itself, over an explicit (centroids, metadata'd
+    * posting rows, query) triple — shared by the memoized batch op and
+    * the maintained IVF lake's serve
+    * ([[graft.streaming.StreamingJobs.ivfIndexFilteredSearch]]), so
+    * "production serves read the lake" gets the SAME predicate-during-
+    * candidate-generation + selectivity-widened probing, not a batch-
+    * only feature. `idxMeta` needs (vec_id, embedding, n2, list_id,
+    * source) and should be materialized by the caller (three consumers:
+    * histogram, probe stream, pair stream); `queries` needs (query_id,
+    * q_emb, qn2, q_source). */
+  private[graft] def filteredServe(s: SparkSession, cents: DataFrame,
+      idxMeta: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val hist = idxMeta.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum(col("cnt")).as("n_tot"))
+    val widened = queries
+      .join(broadcast(hist.withColumnRenamed("source", "q_source")), "q_source")
+      .crossJoin(broadcast(tot))
+      .withColumn("nprobes", least(
+        ceil(lit(IvfProbes).cast(DoubleType)
+          / (col("cnt").cast(DoubleType) / col("n_tot"))).cast(IntegerType),
+        lit(MaxFilteredProbes)))
+    val pw = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
+    val probes = widened.crossJoin(broadcast(cents))
+      .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= col("nprobes"))
+      .select(col("query_id"), col("q_emb"), col("qn2"), col("q_source"),
+        col("cid").as("probe"))
+    val pairs = idxMeta.join(broadcast(probes),
+        col("list_id") === col("probe") && col("vec_id") =!= col("query_id") &&
+        col("source") === col("q_source"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    exactTopK(s, pairs, k)
+  }
+
   private def annFilteredSearch(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     val meta = Tables.documents(s, dir)
@@ -1793,30 +1830,10 @@ object Similarity {
     // consumers (histogram, query panel, pair stream) ⇒ memoize per
     // the AQE non-reuse convention (§5)
     val idxMeta = index.drop("cent", "cn2").join(meta, "vec_id").localCheckpoint()
-    val hist = idxMeta.groupBy("source").agg(count(lit(1)).as("cnt"))
-    val tot = hist.agg(sum(col("cnt")).as("n_tot"))
     val queries = idxMeta.filter(col("vec_id") < AnnPanel)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("qn2"), col("source").as("q_source"))
-      .join(broadcast(hist.withColumnRenamed("source", "q_source")), "q_source")
-      .crossJoin(broadcast(tot))
-      .withColumn("nprobes", least(
-        ceil(lit(IvfProbes).cast(DoubleType)
-          / (col("cnt").cast(DoubleType) / col("n_tot"))).cast(IntegerType),
-        lit(MaxFilteredProbes)))
-    val pw = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
-      .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= col("nprobes"))
-      .select(col("query_id"), col("q_emb"), col("qn2"), col("q_source"),
-        col("cid").as("probe"))
-    val pairs = idxMeta.join(broadcast(probes),
-        col("list_id") === col("probe") && col("vec_id") =!= col("query_id") &&
-        col("source") === col("q_source"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
-    exactTopK(s, pairs, 5)
+    filteredServe(s, cents, idxMeta, queries)
   }
 
   private val annFilteredSearchSql: String = {

@@ -600,6 +600,27 @@ object StreamingJobs {
     graft.operators.Similarity.ivfServe(spark, cents, postings, queries, k)
   }
 
+  /** Metadata-filtered serve over the maintained streaming index — the
+    * lake leg of `ann_filtered_search`: same predicate-during-
+    * candidate-generation + selectivity-widened probing
+    * ([[graft.operators.Similarity.filteredServe]] — one serve
+    * definition, so the batch op and the lake can never disagree about
+    * filtered semantics), reading bootstrap + every appended batch's
+    * posting rows against the fixed quantizer. `meta` maps vec_id →
+    * source (at scale: the posting table stores the filterable column,
+    * so the predicate prunes at the scan); `queries` needs (query_id,
+    * q_emb, qn2, q_source). Audited as the `ivf_lake_filtered` row of
+    * [[annRecallReportLake]]; StreamingSpec pins lake-filtered ==
+    * batch-filtered on an append-free full-corpus lake. */
+  def ivfIndexFilteredSearch(spark: SparkSession, indexPath: String,
+      meta: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.VecDotProduct.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val idxMeta = indexRead(spark, s"$indexPath/postings").drop("ingest_batch")
+      .join(meta, "vec_id").localCheckpoint()
+    graft.operators.Similarity.filteredServe(spark, cents, idxMeta, queries, k)
+  }
+
   /** IVF index-lake compaction — the maintenance leg of the FAISS
     * build/serve/maintain split. A long-running append stream leaves
     * one small `ingest_batch=N` partition per micro-batch; serve cost
@@ -1368,12 +1389,25 @@ object StreamingJobs {
     val panel = Similarity.annPanelQueries(spark, lakeDir)
     val qn = Similarity.withNorm2(panel)
       .select(col("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+    val meta = graft.Tables.documents(spark, lakeDir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    // the filtered row measures what the PREDICATE costs against the
+    // unfiltered exact top-k: hits are capped by how many true
+    // neighbors share the query's source — low numbers here are the
+    // filter speaking, not the index (the same-population comparison
+    // is DedupSpec's filtered-exact recall pin)
+    val qf = qn.join(
+      meta.select(col("vec_id").as("query_id"), col("source").as("q_source")),
+      "query_id")
     Similarity.recallReportOver(spark, lakeDir, Seq(
       ("graph_lake",
         graphIndexSearch(spark, graphPath, panel, Similarity.KnnK),
         Similarity.KnnK),
       ("ivf_lake",
         ivfIndexSearch(spark, ivfPath, qn, Similarity.RecallK),
+        Similarity.RecallK),
+      ("ivf_lake_filtered",
+        ivfIndexFilteredSearch(spark, ivfPath, meta, qf, Similarity.RecallK),
         Similarity.RecallK)) ++
       // the signature lake joined the audit in round 13; older QA
       // boards (and the append-free bootstrap pin) run without it

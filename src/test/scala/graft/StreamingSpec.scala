@@ -1185,8 +1185,9 @@ class StreamingSpec extends AnyFunSuite {
     StreamingJobs.bqIndexInit(spark, sf, lit(true), s"$root/bq")
     def rows5(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getLong(4)))
-    val lake = rows5(
+    val lakeAll = rows5(
       StreamingJobs.annRecallReportLake(spark, sf, gidx, vidx, s"$root/bq"))
+    val (lakeFiltered, lake) = lakeAll.partition(_._1 == "ivf_lake_filtered")
     val batch = rows5(Registry.queries("ann_recall_report")(spark, sf))
       .filter(t => t._1 == "graph" || t._1 == "ivf" || t._1 == "binary").toSet
     assert(lake.length == batch.size, s"row counts: ${lake.length} vs ${batch.size}")
@@ -1195,6 +1196,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch((bm, k, q, h, p)),
         s"lake row diverges from batch: ($m, $k, $q, $h, $p)")
     }
+    // the filtered serve's audit rows: one per panel query, and equal
+    // to the batch op's recall rows (ann_filtered_search serves the
+    // memoized batch build of the SAME full corpus this lake
+    // bootstrapped — one filteredServe definition over one index)
+    import graft.operators.Similarity
+    val wantFiltered = rows5(Similarity.recallReportOver(spark, sf, Seq(
+      ("ivf_lake_filtered", Registry.queries("ann_filtered_search")(spark, sf),
+        Similarity.RecallK))))
+    assert(lakeFiltered.sorted.toSeq == wantFiltered.sorted.toSeq,
+      s"filtered lake rows diverge: ${lakeFiltered.diff(wantFiltered).take(3)}")
+  }
+
+  test("lake filtered serve == batch filtered op on an append-free full-corpus lake") {
+    import graft.operators.Similarity
+    val root = "target/tmp/filteredlake"
+    val vidx = s"$root/ivf"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.ivfIndexInit(spark, sf, lit(true), vidx)
+    val meta = Tables.documents(spark, sf)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val queries = Similarity.withNorm2(
+        Similarity.annPanelQueries(spark, sf).withColumnRenamed("query_id", "vec_id"))
+      .join(meta, "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("source").as("q_source"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+    val lakeServed = canon(
+      StreamingJobs.ivfIndexFilteredSearch(spark, vidx, meta, queries))
+    val batchServed = canon(Registry.queries("ann_filtered_search")(spark, sf))
+    assert(lakeServed.nonEmpty)
+    assert(lakeServed == batchServed,
+      s"lake filtered != batch filtered: ${lakeServed.diff(batchServed).take(3)} " +
+      s"vs ${batchServed.diff(lakeServed).take(3)}")
   }
 
   test("streaming token packing equals batch token_pack over the ordered feed") {
