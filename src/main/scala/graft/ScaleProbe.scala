@@ -7,7 +7,13 @@ import org.apache.spark.sql.functions._
   * both scales. Near-linear ratios mean the plans hold as data grows;
   * superlinear blowup flags a shuffle/sort that won't survive 100 TB. */
 object ScaleProbe {
-  private val Factor = 16
+  // ×16 is the standing sweep; SPARK_GRAFT_SCALE_FACTOR=64 builds a
+  // second scale point (replica construction is factor-generic) for
+  // confirming capacity derivations past their first knee — e.g.
+  // dedup_simhash / mm_phash_neardup cross the 2¹⁴-doc chunk-widening
+  // threshold between ×16 and ×64 of sf0.1's 5k docs (×16 = 80k is
+  // already past it; sf0.1 itself is under it).
+  private val Factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "16").toInt
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
