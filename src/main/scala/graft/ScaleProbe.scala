@@ -26,23 +26,33 @@ object ScaleProbe {
 
     if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
       val reps = spark.range(Factor).withColumnRenamed("id", "rep")
+      // Replica tables are written WIDE (32 files): crossJoin preserves
+      // the sf0.1 scan's partitioning, and sf0.1's small tables are ONE
+      // scan partition — so an un-repartitioned ×64 replica is one
+      // ~90 MB file = one scan partition, and every narrow chain off it
+      // (the IVF build's sample → crossJoin × k centroids, signature
+      // derivations) serializes onto a single core. That measures a
+      // file-layout artifact, not the plan: a real lake at this volume
+      // has files ≫ cores. Found at ×64 (round 14): the IVF build ran
+      // a single 460-CPU-s task; at ×16 the same chain exists but is
+      // 16× smaller, under the noise floor.
+      def wwrite(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+        df.repartition(32).write.mode("overwrite").parquet(path)
       // facts: replicate with offset keys so join/group cardinality scales
-      Tables.events(spark, src).crossJoin(reps)
+      wwrite(Tables.events(spark, src).crossJoin(reps)
         .withColumn("event_id", col("event_id") + col("rep") * 100000000L)
         .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
         .drop("rep")
         // ts back to long nanos so the probe reads it like the original
-        .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000)
-        .write.mode("overwrite").parquet(s"$dst/events.parquet")
-      Tables.lineitem(spark, src).crossJoin(reps)
+        .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000),
+        s"$dst/events.parquet")
+      wwrite(Tables.lineitem(spark, src).crossJoin(reps)
         .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 100000000L)
-        .drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-      Tables.orders(spark, src).crossJoin(reps)
+        .drop("rep"), s"$dst/lineitem.parquet")
+      wwrite(Tables.orders(spark, src).crossJoin(reps)
         .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 100000000L)
         .withColumn("o_custkey", col("o_custkey") + col("rep") * 1000000L)
-        .drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+        .drop("rep"), s"$dst/orders.parquet")
       // dims: pass through unscaled
       for (t <- Seq("supplier", "part", "nation", "region"))
         Tables.table(spark, src, t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -50,14 +60,13 @@ object ScaleProbe {
       // linear (what real corpus growth looks like): every word gets a
       // replica prefix → no cross-replica shingle/signature collisions,
       // and blocking keys (source, label) are offset per replica.
-      Tables.table(spark, src, "documents").crossJoin(reps)
+      wwrite(Tables.table(spark, src, "documents").crossJoin(reps)
         .withColumn("doc_id", col("doc_id") + col("rep") * 1000000L)
         .withColumn("source", concat(col("source"), lit("_r"), col("rep")))
         .withColumn("text", array_join(
           transform(split(col("text"), " "),
             w => concat(lit("r"), col("rep"), lit("x"), w)), " "))
-        .drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+        .drop("rep"), s"$dst/documents.parquet")
       // replica-DISTINCT like documents: each replica's vectors are
       // circularly rotated by rep positions — within-replica dot
       // products (and so every base-corpus near-dup pair) are exactly
@@ -65,20 +74,18 @@ object ScaleProbe {
       // Verbatim replication made every vector a 16-fold exact
       // duplicate, so dedup ops correctly found 256× the pairs and the
       // probe charged the op for the corpus's pathology.
-      Tables.table(spark, src, "embeddings").crossJoin(reps)
+      wwrite(Tables.table(spark, src, "embeddings").crossJoin(reps)
         .withColumn("vec_id", col("vec_id") + col("rep") * 1000000L)
         .withColumn("label", col("label") + col("rep") * 1000L)
         .withColumn("embedding", expr(
           """transform(sequence(0, size(embedding) - 1),
              |  i -> element_at(embedding,
              |         CAST((i + rep) % size(embedding) AS INT) + 1))""".stripMargin))
-        .drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+        .drop("rep"), s"$dst/embeddings.parquet")
       // customer must cover the scaled custkeys for join semantics
-      Tables.customer(spark, src).crossJoin(reps)
+      wwrite(Tables.customer(spark, src).crossJoin(reps)
         .withColumn("c_custkey", col("c_custkey") + col("rep") * 1000000L)
-        .drop("rep")
-        .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+        .drop("rep"), s"$dst/customer.parquet")
     }
 
     val names = Seq("q1_partition_counts", "q5_whale", "q9_daily_summary",
