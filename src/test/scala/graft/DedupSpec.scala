@@ -444,6 +444,24 @@ class DedupSpec extends AnyFunSuite {
       s"capped=$capped\nuncapped=$uncapped")
   }
 
+  test("editdist registry entry honors the spark.graft.dedup.editHotCap conf") {
+    // the deployment knob is real: the registry op re-blocks exactly
+    // like dedupEditdistOver at the conf'd cap (default = no splits at
+    // test scale, so a tiny cap is the observable setting)
+    try {
+      spark.conf.set("spark.graft.dedup.editHotCap", "1")
+      val conf1 = Registry.queries("dedup_editdist")(spark, sf).collect().map(_.toSeq).toSet
+      val want1 = operators.Dedup.dedupEditdistOver(
+        Tables.documents(spark, sf), cap = 1).collect().map(_.toSeq).toSet
+      assert(conf1 == want1, "conf'd cap not applied")
+      spark.conf.unset("spark.graft.dedup.editHotCap")
+      val confDefault = Registry.queries("dedup_editdist")(spark, sf).collect().map(_.toSeq).toSet
+      val wantDefault = operators.Dedup.dedupEditdistOver(
+        Tables.documents(spark, sf)).collect().map(_.toSeq).toSet
+      assert(confDefault == wantDefault)
+    } finally spark.conf.unset("spark.graft.dedup.editHotCap")
+  }
+
   test("range search: every reported neighbor meets the threshold at its exact cosine") {
     val rows = Registry.queries("ann_range_search")(spark, sf).collect()
     assert(rows.nonEmpty, "sf0.001 should contain >= tau pairs in probed buckets")
