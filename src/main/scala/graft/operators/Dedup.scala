@@ -727,7 +727,14 @@ object Dedup {
       case b  => throw new IllegalArgumentException(s"chunkBits 16|32, got $b")
     }
     val mask = if (chunkBits == 16) 0xFFFFL else 0xFFFFFFFFL
-    val chunks = sig.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
+    // the signature table feeds BOTH sides of the chunk self-join, and
+    // AQE does not collapse identical derivation branches (§5): without
+    // materialization the whole per-gram md5+vote aggregation runs
+    // twice (PLANS.md showed two full scan→votes subtrees). Checkpoint
+    // the n-row signature table — the narrow chunk explode re-runs per
+    // side, which is trivial.
+    val sigC = sig.localCheckpoint()
+    val chunks = sigC.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(array(chunkDefs.map { case (c, src, sh) =>
           struct(lit(c).as("chunk_idx"),
             shiftright(col(src), sh).bitwiseAND(mask).as("chunk"))
