@@ -138,6 +138,11 @@ object Dedup {
     * sets on a skewed stopword-first corpus. */
   private[graft] def dedupEditdistOver(docs: DataFrame,
       cap: Int = EditHotCapDefault): DataFrame = {
+    // four consumers (pops, the join-back, both self-join sides) and
+    // AQE does not collapse identical branches (§5): without
+    // materialization the regexp sanitize + prefix derivation re-scans
+    // the full TEXT column four times. The derived frame is narrow
+    // (~60 B/doc, no text), so the checkpoint is corpus-metadata-scale.
     val d = docs
       .withColumn("clean", regexp_replace(col("text"), "[^ -~]", ""))
       .select(col("doc_id"),
@@ -147,6 +152,7 @@ object Dedup {
         // out-of-range convention as DuckDB's split_part
         expr("split_part(clean, ' ', 2)").as("w2"),
         expr(s"length(clean) div $EditBand").as("band"))
+      .localCheckpoint()
     // exact block populations (map-side combinable; the join back
     // shares the groupBy's hash partitioning, so the agg output
     // arrives co-partitioned — one shuffle of d total)

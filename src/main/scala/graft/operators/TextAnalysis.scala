@@ -193,8 +193,12 @@ object TextAnalysis {
   private def textCollocations(s: SparkSession, dir: String): DataFrame = {
     graft.plans.NgramArray.register(s)
     val d = Tables.documents(s, dir)
+    // consumed twice (cx and cy legs) and AQE does not collapse
+    // identical derivation branches (§5): materialize the vocab-scale
+    // unigram counts so the corpus-wide word aggregation runs once
     val uni = d.select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c_w"))
+      .localCheckpoint()
     val totals = d.agg(sum(size(toks)).as("u"), count(lit(1)).as("nd"))
       .select(col("u"), (col("u") - col("nd")).as("m"))
     val bi = d
