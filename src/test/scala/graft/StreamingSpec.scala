@@ -1208,6 +1208,60 @@ class StreamingSpec extends AnyFunSuite {
       s"filtered lake rows diverge: ${lakeFiltered.diff(wantFiltered).take(3)}")
   }
 
+  test("lake filtered serve reads appended postings: stream-maintained == frozen-quantizer batch over the union") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/filteredlakeappend"
+    val vidx = s"$root/ivf"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // bootstrap on the base corpus; the held-out slice arrives as a
+    // 2-batch stream, then the filtered serve must rank over bootstrap
+    // + appended posting partitions
+    StreamingJobs.ivfIndexInit(spark, sf, col("vec_id") % 5 =!= 4, vidx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.ivfAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), vidx, ckpt)
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val meta = Tables.documents(spark, sf)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val queries = Similarity.withNorm2(
+        Similarity.annPanelQueries(spark, sf).withColumnRenamed("query_id", "vec_id"))
+      .join(meta, "vec_id")
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("source").as("q_source"))
+      .localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+    val lakeServed = canon(
+      StreamingJobs.ivfIndexFilteredSearch(spark, vidx, meta, queries))
+    // batch twin: same FROZEN quantizer, one-shot assignment of the
+    // union corpus, same shared filteredServe — the stream's
+    // sequential fold must serve exactly this
+    graft.plans.VecDotProduct.register(spark)
+    val cents = spark.read.parquet(s"$vidx/centroids")
+    val union = Similarity.withNorm2(Tables.embeddings(spark, sf)).localCheckpoint()
+    val batchIndex = union
+      .join(Similarity.assignVectors(spark, union, cents.drop("cn2")), "vec_id")
+      .join(meta, "vec_id").localCheckpoint()
+    val batchServed = canon(
+      Similarity.filteredServe(spark, cents, batchIndex, queries))
+    // appended vectors actually matter: some served neighbor is from
+    // the streamed slice (vec_id % 5 == 4)
+    assert(lakeServed.exists(_._2 % 5 == 4), "no appended neighbor served")
+    assert(lakeServed.nonEmpty && lakeServed == batchServed,
+      s"appended lake filtered != batch: ${lakeServed.diff(batchServed).take(3)} " +
+      s"vs ${batchServed.diff(lakeServed).take(3)}")
+  }
+
   test("lake filtered serve == batch filtered op on an append-free full-corpus lake") {
     import graft.operators.Similarity
     val root = "target/tmp/filteredlake"
