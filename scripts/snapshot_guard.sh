@@ -23,14 +23,20 @@ fi
 # SURVEY §2 must be an Op("...") constructor and vice versa — the
 # dedup_simhash omission (r13 verdict) is the failure mode this catches.
 echo "[guard] SURVEY §2 <-> registry diff ..."
-grep -ohrE 'Op\("[a-z0-9_]+"' src/main/scala | sed 's/Op("//; s/"//' | sort -u > /tmp/guard_registry.txt
-grep -oE '^\- \[x\] `[a-z0-9_]+`' SURVEY.md | sed 's/.*`\([a-z0-9_]*\)`/\1/' | sort -u > /tmp/guard_survey.txt
-if ! diff /tmp/guard_registry.txt /tmp/guard_survey.txt; then
+# open character classes ([^"]+ / [^\`]+), NOT [a-z0-9_]+: a
+# non-conforming op name (uppercase, hyphen, dot) must SURFACE as a
+# diff failure, not silently drop out of both lists (fail-closed).
+# mktemp scratch files so concurrent guard runs don't race.
+GUARD_TMP=$(mktemp -d)
+trap 'rm -rf "$GUARD_TMP"' EXIT
+grep -ohrE 'Op\("[^"]+"' src/main/scala | sed 's/Op("//; s/"//' | sort -u > "$GUARD_TMP/registry.txt"
+grep -oE '^\- \[x\] `[^`]+`' SURVEY.md | sed 's/^- \[x\] `//; s/`$//' | sort -u > "$GUARD_TMP/survey.txt"
+if ! diff "$GUARD_TMP/registry.txt" "$GUARD_TMP/survey.txt"; then
   echo "[guard] FAIL: SURVEY §2 op names drift from the Op(...) registry (see diff above)"
   exit 1
 fi
 # single generated source of truth for the counts SURVEY/PROGRESS quote
-N_OPS=$(wc -l < /tmp/guard_registry.txt)
+N_OPS=$(wc -l < "$GUARD_TMP/registry.txt")
 N_SUITE=$(grep -cE '^\s*test\(' src/test/scala/graft/*.scala | awk -F: '{s+=$2} END {print s}')
 N_REF=$(python3 -c "import json; print(len(json.load(open('BENCH_REF.json'))['queries']))" 2>/dev/null || echo 0)
 echo "[guard] generated counts: registry_ops=$N_OPS suite_tests=$N_SUITE bench_ref_rows=$N_REF"

@@ -113,6 +113,20 @@ package object functions {
     if (df.sparkSession.conf.getOption("spark.graft.explainFull").contains("true")) df
     else df.localCheckpoint()
 
+  /** In-op memoization of a multi-consumer derived stream (SURVEY §5:
+    * AQE does not collapse identical derivation branches, so a frame
+    * feeding N consumers re-runs its derivation N times without
+    * materialization). Same `spark.graft.explainFull` escape hatch as
+    * [[checkpointBeforeSort]]: under PlanDump the checkpoint is
+    * skipped, so regenerated plans show the full upstream tree
+    * (scan-pruning evidence) instead of `Scan ExistingRDD`, and
+    * PlanDump never eagerly executes the heavy derivation just to
+    * print a plan. Production behavior is unchanged — every in-op
+    * multi-consumer materialization routes through here. */
+  def memoize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.explainFull").contains("true")) df
+    else df.localCheckpoint()
+
   /** Calendar validity incl. leap years — the reference's DQ predicate
     * (glue_spark_trades_etl.py:135-171) as one codegen'd boolean. */
   def validCalendar(y: Column, m: Column, d: Column): Column = {

@@ -152,7 +152,7 @@ object Dedup {
         // out-of-range convention as DuckDB's split_part
         expr("split_part(clean, ' ', 2)").as("w2"),
         expr(s"length(clean) div $EditBand").as("band"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     // exact block populations (map-side combinable; the join back
     // shares the groupBy's hash partitioning, so the agg output
     // arrives co-partitioned — one shuffle of d total)
@@ -182,10 +182,23 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  private def dedupEditdist(s: SparkSession, dir: String): DataFrame =
-    dedupEditdistOver(Tables.documents(s, dir),
-      s.conf.getOption("spark.graft.dedup.editHotCap")
-        .map(_.toInt).getOrElse(EditHotCapDefault))
+  private def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    val cap = s.conf.getOption("spark.graft.dedup.editHotCap")
+      .map(_.toInt).getOrElse(EditHotCapDefault)
+    // the DuckDB oracle bakes EditHotCapDefault (the oracleSql map is
+    // static), so a session that tunes the conf makes this op's gate
+    // twin diverge — surface that loudly instead of letting the gate
+    // fail (or a deployment trust the twin) mysteriously. The result
+    // SET is identical for dist ≤ τ either way (the cap only splits
+    // blocks; DedupSpec pins capped ≡ uncapped on the distance set),
+    // so this is a warning, not a refusal.
+    if (cap != EditHotCapDefault)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"spark.graft.dedup.editHotCap=$cap != baked oracle default " +
+          s"$EditHotCapDefault: the DuckDB gate twin replays the default " +
+          "and will not match this session's candidate universe")
+    dedupEditdistOver(Tables.documents(s, dir), cap)
+  }
 
   private val dedupEditdistSql =
     s"""WITH d AS (
@@ -720,7 +733,8 @@ object Dedup {
     * 4 × 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal;
     * recall above that is partial by design, as in any banded phash),
     * hamming distance attached. */
-  private[graft] def simhashChunkPairs(sig: DataFrame, chunkBits: Int = 16): DataFrame = {
+  private[graft] def simhashChunkPairs(sig: DataFrame, chunkBits: Int = 16,
+      materialize: DataFrame => DataFrame = graft.functions.memoize): DataFrame = {
     // chunk width is the banded-LSH corpus parameter: candidates per
     // bucket are ~n²/2^chunkBits, so a growing corpus WIDENS chunks
     // (multi-index hamming sizing) to keep buckets bounded — at the
@@ -736,10 +750,10 @@ object Dedup {
     // the signature table feeds BOTH sides of the chunk self-join, and
     // AQE does not collapse identical derivation branches (§5): without
     // materialization the whole per-gram md5+vote aggregation runs
-    // twice (PLANS.md showed two full scan→votes subtrees). Checkpoint
+    // twice (PLANS.md showed two full scan→votes subtrees). Memoize
     // the n-row signature table — the narrow chunk explode re-runs per
     // side, which is trivial.
-    val sigC = sig.localCheckpoint()
+    val sigC = materialize(sig)
     val chunks = sigC.select(col("doc_id"), col("sim_lo"), col("sim_hi"),
         explode(array(chunkDefs.map { case (c, src, sh) =>
           struct(lit(c).as("chunk_idx"),

@@ -371,7 +371,16 @@ object Multimodal {
     * through the SAME code path the registry entry runs (the documents
     * corpus's `text` column can't carry arbitrary image bytes). */
   private[graft] def phashPairsOf(s: SparkSession, docsIn: DataFrame,
-      chunkBits: Int): DataFrame = {
+      chunkBits: Int,
+      materialize: DataFrame => DataFrame = graft.functions.memoize): DataFrame =
+    Dedup.simhashChunkPairs(phashSigsOf(s, docsIn), chunkBits, materialize)
+      .filter(col("hamming") <= PhashHamming)
+      .orderBy("id_a", "id_b")
+
+  /** The two-tier 64-bit signature frame (doc_id, sim_lo, sim_hi) —
+    * the build stage of [[phashPairsOf]], split out so Micro can
+    * isolate its cost from the banded self-join. */
+  private[graft] def phashSigsOf(s: SparkSession, docsIn: DataFrame): DataFrame = {
     graft.plans.ImagePhashFn.register(s)
     val docs = docsIn
       .withColumn("psig", graft.plans.ImagePhashFn.image_phash(col("payload")))
@@ -384,10 +393,7 @@ object Multimodal {
         when(length(col("payload")) >= 4, sequence(lit(1), length(col("payload")) - 3))
           .otherwise(array().cast(ArrayType(IntegerType)))))
       .select(col("doc_id"), col("payload").substr(col("i"), lit(4)).as("gram"))
-    val sigs = Dedup.simhashHalves(grams).unionByName(imgSigs)
-    Dedup.simhashChunkPairs(sigs, chunkBits)
-      .filter(col("hamming") <= PhashHamming)
-      .orderBy("id_a", "id_b")
+    Dedup.simhashHalves(grams).unionByName(imgSigs)
   }
 
   /** Documents cardinality via the shared ANALYZE ledger

@@ -838,7 +838,13 @@ object Similarity {
   private def annKnnHotprobe(s: SparkSession, dir: String): DataFrame =
     knnGraphHotProbeAt(s, dir, derivedPlanes(s, dir))
 
-  private val annKnnHotprobeSql: String = {
+  /** The hotprobe kNN CTE chain through `ranked` (rank over every
+    * scored candidate; the op's own top-[[KnnK]] filter happens in the
+    * consumer) — shared by [[annKnnHotprobeSql]] and the CAPPED
+    * graph-index replay ([[annGraphSearchSql]] symmetrizes
+    * `ranked WHERE rank <= KnnK` into its walk edges, mirroring
+    * [[knnEdgesCappedOver]]). */
+  private val hotprobeCtes: String = {
     val dExpr = (0 until MaxSubEmbedded)
       .map(k => s"(CASE WHEN $k < (SELECT ms FROM ppm) AND pop > ${HotCap.toLong << k} THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")
@@ -857,7 +863,7 @@ object Similarity {
       val flips = (0 until dd).map(i => s"xor(qsub, ${1 << i})").mkString(", ")
       s"WHEN $dd THEN [qsub, $flips]"
     }.mkString("CASE pd WHEN 0 THEN [qsub] ", " ", " END")
-    s"""WITH $planesParamCte,
+    s"""$planesParamCte,
        |ppm AS (SELECT pl, CAST(pl // 2 + 1 AS INTEGER) AS ms FROM pp),
        |v0 AS (
        |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
@@ -872,7 +878,12 @@ object Similarity {
        |  FROM (SELECT *, $mExpr AS m FROM vb)),
        |v1 AS (SELECT *, COUNT(*) OVER (PARTITION BY bucket) AS pop FROM vj),
        |v2 AS (SELECT *, $dExpr AS d FROM v1),
-       |v AS (
+       |-- MATERIALIZED (§4 convention): v is referenced by depths, qp,
+       |-- cand AND per-hop by the graph-walk oracle built on this chain
+       |-- — DuckDB re-evaluates a plain CTE per reference (each one
+       |-- re-opening the parquet and re-running 25 plane dots per row;
+       |-- the walk's 6 hops blew the open-file limit)
+       |v AS MATERIALIZED (
        |  SELECT vec_id, embedding, n2, bucket, jstar, ssig, d,
        |         (ssig & ((1 << d) - 1)) AS sub
        |  FROM v2),
@@ -898,15 +909,18 @@ object Similarity {
        |  SELECT query_id, neighbor_id,
        |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(n2)) AS cos_raw
        |  FROM cand),
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, cos_raw,
        |         CAST(row_number() OVER (PARTITION BY query_id
        |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private val annKnnHotprobeSql: String =
+    s"""WITH $hotprobeCtes
        |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
        |FROM ranked WHERE rank <= $KnnK
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   // --- ann_graph_search: beam search over the kNN graph ----------------
   // The serve primitive of graph ANN indexes (HNSW/NSG/DiskANN
@@ -914,28 +928,41 @@ object Similarity {
   // instead of scanning buckets or posting lists — per query the search
   // touches O(beam · degree · hops) vectors no matter how big the
   // corpus is, which is why graph indexes dominate the
-  // high-recall/low-latency regime. The index graph is the MULTIPROBE
-  // kNN graph with links SYMMETRIZED (HNSW's insert adds the reverse
-  // edge) — both choices are what make a walk work at all: the
-  // single-probe graph's edges never leave an LSH bucket, so its
-  // components are bucket-local islands and a walk can't reach a
-  // neighbor the home bucket missed (measured: 0.1 precision vs exact
-  // top-5); multiprobe edges cross each vector's least-confident plane
-  // boundary, stitching buckets into large components, and reverse
-  // links make in-bucket coverage independent of edge direction. The
-  // edge set is BUILD STATE — memoized like the IVF/PQ indexes,
-  // invalidated with the lake's re-ANALYZE hook. The query-time walk:
-  // route to an entry point (the query's LSH home bucket's lowest
-  // vec_id — the coarse-routing layer a hierarchical index provides),
-  // then [[SearchHops]] rounds of expand-score-prune with beam width
-  // [[SearchBeam]]. Every round is one bounded join (beam × degree
-  // edges) + one exact-decimal scoring pass + one per-query top-B
-  // window — all deterministic (decimal cosines, vec_id tiebreaks), so
-  // the DuckDB oracle replays the walk hop by hop as unrolled CTEs
-  // over the shared [[multiprobeCtes]] edge chain. Scale shape: the
-  // frontier never exceeds |Q|·beam·(1 + degree) rows, queries
-  // broadcast, and the only corpus-sized access is the per-hop
-  // id-equijoin fetching candidate vectors.
+  // high-recall/low-latency regime. The index graph is the CAPPED
+  // (hotprobe-bootstrap) kNN graph with links SYMMETRIZED (HNSW's
+  // insert adds the reverse edge) — the exact edge set the maintained
+  // graph lake bootstraps from (graphIndexInit(capped = true)), so the
+  // batch op, the lake, and the recall report all audit ONE production
+  // serve path. Why capped (round 15): the plain multiprobe bootstrap's
+  // pair volume is Σ|bucket|² under cluster skew — at ×64 its biggest
+  // LSH-bucket self-join concentrated into a single 57-CPU-min reducer
+  // task (PROBE_r14), which made ann_recall_report (whose graph row
+  // audits this op) unsafe to probe past ×16; the hotprobe bootstrap
+  // bounds every join group to ~[[bootstrapCapFor]] by construction
+  // (≤ 2·(d+1)·cap·n pairs — linear with a log(skew) factor). Why
+  // multiprobe-STYLE at all: the single-probe graph's edges never
+  // leave an LSH bucket, so its components are bucket-local islands
+  // and a walk can't reach a neighbor the home bucket missed
+  // (measured: 0.1 precision vs exact top-5); boundary-crossing edges
+  // (the jstar flip probe, which hotprobe keeps) stitch buckets into
+  // large components, and reverse links make in-bucket coverage
+  // independent of edge direction. The plain multiprobe edge set
+  // remains measurable as the deliberate UNCAPPED baseline via
+  // ann_knn_graph / ann_knn_multiprobe and ScaleProbe's
+  // graph_edges@plain exhibit. The edge set is BUILD STATE — memoized
+  // like the IVF/PQ indexes, invalidated with the lake's re-ANALYZE
+  // hook. The query-time walk: route to an entry point (the query's
+  // LSH home bucket's lowest vec_id — the coarse-routing layer a
+  // hierarchical index provides), then [[SearchHops]] rounds of
+  // expand-score-prune with beam width [[SearchBeam]]. Every round is
+  // one bounded join (beam × degree edges) + one exact-decimal
+  // scoring pass + one per-query top-B window — all deterministic
+  // (decimal cosines, vec_id tiebreaks), so the DuckDB oracle replays
+  // the walk hop by hop as unrolled CTEs over the shared
+  // [[hotprobeCtes]] edge chain. Scale shape: the frontier never
+  // exceeds |Q|·beam·(1 + degree) rows, queries broadcast, and the
+  // only corpus-sized access is the per-hop id-equijoin fetching
+  // candidate vectors.
 
   // Constant sweep on the sf0.001 corpus (numpy replay of the oracle's
   // walk): (hops=3, beam=8) → 0.27 precision-vs-exact-top-5, (4, 16) →
@@ -946,23 +973,27 @@ object Similarity {
   private val SearchBeam = 32
   private val SearchHops = 6
 
-  /** The memoized symmetrized multiprobe kNN edge set (src, dst) —
-    * the graph index's adjacency list. Built once per (session,
-    * corpus); at scale a parquet table maintained beside the lake like
-    * the IVF index. */
+  /** The memoized symmetrized CAPPED kNN edge set (src, dst) — the
+    * graph index's adjacency list ([[knnEdgesCappedOver]], the same
+    * skew-bounded bootstrap the maintained lake uses). Built once per
+    * (session, corpus); at scale a parquet table maintained beside the
+    * lake like the IVF index. */
   private val knnEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  def knnEdges(s: SparkSession, dir: String): DataFrame =
+  def knnEdgesCapped(s: SparkSession, dir: String): DataFrame =
     knnEdgeCache.computeIfAbsent((s.sparkContext.applicationId, dir), { _ =>
       graft.plans.VecDotProduct.register(s)
-      knnEdgesOver(s, withNorm2(Tables.embeddings(s, dir))).localCheckpoint()
+      knnEdgesCappedOver(s, withNorm2(Tables.embeddings(s, dir)),
+        derivedPlanes(s, dir)).localCheckpoint()
     })
 
-  /** Symmetrized multiprobe kNN edges over any withNorm2'd frame — the
-    * graph index's adjacency build core, shared by the memoized
-    * session cache above and the streaming index bootstrap
-    * ([[graft.streaming.StreamingJobs.graphIndexInit]]). */
+  /** Symmetrized PLAIN-multiprobe kNN edges over any withNorm2'd
+    * frame — the deliberately-UNCAPPED baseline edge build (skew-
+    * quadratic pair volume; see the capped contrast at
+    * [[knnEdgesCappedOver]] and ScaleProbe's graph_edges@plain
+    * exhibit), kept for [[graft.streaming.StreamingJobs
+    * .graphIndexInit]]'s capped=false leg and measurement. */
   private[graft] def knnEdgesOver(s: SparkSession, vn: DataFrame): DataFrame = {
     val g = knnMultiprobeOver(s, vn)
       .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
@@ -1073,7 +1104,7 @@ object Similarity {
     val entry = v.join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .groupBy("query_id").agg(min("vec_id").as("node"))
-    graphWalk(s, v.select("vec_id", "embedding", "n2"), knnEdges(s, dir),
+    graphWalk(s, v.select("vec_id", "embedding", "n2"), knnEdgesCapped(s, dir),
       entry, q.select("query_id", "q_emb", "qn2"), KnnK)
   }
 
@@ -1099,8 +1130,8 @@ object Similarity {
          |             ORDER BY cos_raw DESC, node) AS r
          |    FROM e$h) WHERE r <= $SearchBeam)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $multiprobeCtes,
-       |edges AS (
+    s"""WITH $hotprobeCtes,
+       |edges AS MATERIALIZED (
        |  SELECT query_id AS src, neighbor_id AS dst FROM ranked WHERE rank <= $KnnK
        |  UNION
        |  SELECT neighbor_id, query_id FROM ranked WHERE rank <= $KnnK),

@@ -198,7 +198,7 @@ object TextAnalysis {
     // unigram counts so the corpus-wide word aggregation runs once
     val uni = d.select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c_w"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     val totals = d.agg(sum(size(toks)).as("u"), count(lit(1)).as("nd"))
       .select(col("u"), (col("u") - col("nd")).as("m"))
     val bi = d
