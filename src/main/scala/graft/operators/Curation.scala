@@ -210,6 +210,109 @@ object Curation {
        |       (CAST(n_hit AS DOUBLE) / n_sh > 0.2) AS flag_contaminated
        |FROM hits ORDER BY doc_id""".stripMargin
 
+  // --- text_contamination_spans: span-level decontamination report -----
+  // text_contamination answers "how much of this doc overlaps the eval
+  // suite" (a fraction); the report an eval-hygiene audit actually
+  // ships is WHERE — the longest contiguous contaminated token span
+  // per (train doc, benchmark doc), so a reviewer can look at the
+  // overlap and a scrubber can cut it. Composition of the two proven
+  // pieces: the positional 3-gram hash stream (docShingles' h60 grams,
+  // kept with their token offset) joined against the per-benchmark
+  // shingle index, then dedup_substring_spans' islands trick
+  // (pos − row_number is constant exactly on a consecutive run) per
+  // (doc, bench) pair. Scale shape: the corpus side is one narrow
+  // positional-hash pass (8-byte shingles, never text); the benchmark
+  // index is eval-suite-sized and ledger-gated broadcast; everything
+  // after the join is bounded by HIT volume (pairs that share
+  // shingles), not corpus size; the one window partitions by
+  // (doc, bench) — millions of small groups, no global sort until the
+  // final audit-report ORDER BY. A gram spans 3 tokens, so a run of k
+  // consecutive hit positions is k + 2 contaminated tokens; spans
+  // under [[SpanMinTokens]] tokens are noise (a single shared 3-gram —
+  // chance collision territory) and drop from the report, while ≥ 2
+  // consecutive shared grams (a 4-token phrase) is the minimum worth a
+  // reviewer's time.
+
+  private val SpanMinTokens = 4
+
+  /** Positional shingle stream (doc_id, pos, shingle) — docShingles
+    * with the 1-based token offset kept (and no distinct: position
+    * identity is the point). */
+  private[graft] def posShingles(docs: DataFrame): DataFrame = {
+    graft.plans.NgramArray.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        posexplode(graft.plans.NgramArray.ngrams(toks, 3)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).cast(IntegerType).as("pos"),
+        graft.functions.h60(col("gram")).as("shingle"))
+  }
+
+  /** Longest contaminated span per (train doc, benchmark doc) over an
+    * explicit (bench_id, shingle) index — the batch core; the registry
+    * entry derives the index from the every-50th eval split. */
+  private[graft] def contaminationSpansOf(s: SparkSession, docs: DataFrame,
+      benchIndex: DataFrame, statKey: String): DataFrame = {
+    val hits = graft.plans.CostModel.statsJoinUsing(s,
+      posShingles(docs), benchIndex, statKey, Seq("shingle"))(
+      benchIndex.count())
+    val wIsl = Window.partitionBy("doc_id", "bench_id").orderBy("pos")
+    val spans = hits
+      .select(col("doc_id"), col("bench_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .groupBy("doc_id", "bench_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (count(lit(1)) + 2).as("span_tokens"))
+    val wBest = Window.partitionBy("doc_id", "bench_id")
+    spans
+      .withColumn("n_hit_grams", sum(col("span_tokens") - 2).over(wBest))
+      .withColumn("rn", row_number().over(
+        wBest.orderBy(col("span_tokens").desc, col("span_start"))))
+      .filter(col("rn") === 1 && col("span_tokens") >= SpanMinTokens)
+      .select(col("doc_id"), col("bench_id"), col("n_hit_grams"),
+        col("span_start"), col("span_tokens"))
+      .orderBy("doc_id", "bench_id")
+  }
+
+  private def textContaminationSpans(s: SparkSession, dir: String): DataFrame = {
+    val benchIndex = posShingles(
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(50)) === 0))
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+    contaminationSpansOf(s,
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select("doc_id", "text"),
+      benchIndex, s"$dir#contamination_benchindex")
+  }
+
+  private val textContaminationSpansSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |         ${h60Sql("ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2]")} AS shingle
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+       |ev AS (SELECT DISTINCT doc_id AS bench_id, shingle FROM g WHERE doc_id % 50 = 0),
+       |hits AS (
+       |  SELECT t.doc_id, e.bench_id, t.pos
+       |  FROM g t JOIN ev e ON t.shingle = e.shingle
+       |  WHERE t.doc_id % 50 <> 0),
+       |isl AS (
+       |  SELECT doc_id, bench_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id, bench_id ORDER BY pos) AS grp
+       |  FROM hits),
+       |spans AS (
+       |  SELECT doc_id, bench_id, min(pos) AS span_start,
+       |         count(*) + 2 AS span_tokens
+       |  FROM isl GROUP BY doc_id, bench_id, grp),
+       |best AS (
+       |  SELECT doc_id, bench_id,
+       |         CAST(sum(span_tokens - 2) OVER (PARTITION BY doc_id, bench_id) AS BIGINT) AS n_hit_grams,
+       |         span_start, CAST(span_tokens AS BIGINT) AS span_tokens,
+       |         row_number() OVER (PARTITION BY doc_id, bench_id
+       |           ORDER BY span_tokens DESC, span_start) AS rn
+       |  FROM spans)
+       |SELECT doc_id, bench_id, n_hit_grams, span_start, span_tokens
+       |FROM best WHERE rn = 1 AND span_tokens >= $SpanMinTokens
+       |ORDER BY doc_id, bench_id""".stripMargin
+
   // --- corpus_mix_sample: weighted source mixing -----------------------
   // Dataset mixing with per-source sampling rates (here derived
   // deterministically from the source name; in production a weights
@@ -1396,6 +1499,8 @@ object Curation {
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("corpus_filter_pipeline", corpusFilterPipeline, Some(corpusFilterPipelineSql)),
     Op("text_contamination", textContamination, Some(textContaminationSql)),
+    Op("text_contamination_spans", textContaminationSpans,
+      Some(textContaminationSpansSql)),
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
     Op("corpus_dsir_weights", corpusDsirWeights, Some(corpusDsirWeightsSql)),
     Op("corpus_quality_classifier", corpusQualityClassifier,

@@ -940,4 +940,43 @@ class DedupSpec extends AnyFunSuite {
       assert(got == want, s"n=$n: ${got.diff(want)} vs ${want.diff(got)}")
     }
   }
+
+  test("contamination spans: exact span boundaries per (doc, benchmark), noise dropped") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // bench 100: "b1 .. b12"; bench 200: "c1 .. c8". Train doc 1 embeds
+    // bench-100 tokens 3..9 (7 tokens) starting at its token 4 and a
+    // SINGLE bench-200 3-gram (c2 c3 c4) at token 13 — the single-gram
+    // hit must drop (SpanMinTokens). Train doc 2 embeds bench-200
+    // tokens 1..6 (6 tokens) at its token 1 and nothing of bench 100.
+    val b1 = (1 to 12).map(i => s"b$i")
+    val b2 = (1 to 8).map(i => s"c$i")
+    val t1 = Seq("x1", "x2", "x3") ++ b1.slice(2, 9) ++ Seq("y1", "y2") ++
+      b2.slice(1, 4) ++ Seq("z1", "z2")
+    val t2 = b2.take(6) ++ Seq("q1", "q2", "q3")
+    val bench = Seq((100L, b1.mkString(" ")), (200L, b2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val train = Seq((1L, t1.mkString(" ")), (2L, t2.mkString(" ")))
+      .toDF("doc_id", "text")
+    val benchIndex = Curation.posShingles(bench)
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+    val rows = Curation.contaminationSpansOf(spark, train, benchIndex,
+        "spec#span_bench")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    // doc 1 × bench 100: 7 embedded tokens = 5 consecutive 3-gram hits
+    // starting at train position 4 → span_start 4, span_tokens 7
+    assert(rows((1L, 100L)) == ((5L, 4, 7L)), s"got ${rows.get((1L, 100L))}")
+    // doc 1 × bench 200: one isolated 3-gram (span 3 < SpanMinTokens)
+    // → dropped from the report entirely
+    assert(!rows.contains((1L, 200L)), s"noise row shipped: $rows")
+    // doc 2 × bench 200: 6 embedded tokens = 4 hits at position 1
+    assert(rows((2L, 200L)) == ((4L, 1, 6L)), s"got ${rows.get((2L, 200L))}")
+    assert(!rows.contains((2L, 100L)))
+    // the registry fixture carries exactly one genuine long overlap at
+    // sf0.001/sf0.01 scale (a planted near-dup); the op must surface it
+    val reg = Registry.queries("text_contamination_spans")(spark, sf).collect()
+    assert(reg.nonEmpty)
+    assert(reg.forall(_.getLong(4) >= 4))
+  }
 }
