@@ -923,6 +923,182 @@ object StreamingJobs {
     cents.count().toInt
   }
 
+  // ---- maintained IVFPQ lake (compressed-posting serve tier) --------
+  // The memory-honest member of the index-lake family: same
+  // build/serve/maintain split as the IVF lake, but posting lists
+  // carry PQ codes + one norm per vector instead of the embedding —
+  // the compressed tier FAISS's IVFADC ships, and the shape a 100 TB
+  // deployment actually serves from RAM/flash. Recall sits below the
+  // full-precision IVF lake by construction (ADC approximation, no
+  // rescore) and the annRecallReportLake `ivfpq_lake` row prices that
+  // honestly. Every core is shared with the batch machinery
+  // (Similarity.buildIvfPqIndexOver / ivfpqEncode / ivfpqAdcServe) so
+  // the lake and the batch twins can never disagree.
+
+  /** Bootstrap the compressed lake: train the coarse quantizer AND the
+    * residual codebooks on the base corpus, land three tables under
+    * `indexPath` — `centroids` (k rows), `rcodebooks` (M×K rows), and
+    * `postings` (COMPRESSED: vec_id, list_id, codes, n2, qerr;
+    * partitioned by ingest_batch, bootstrap = -1). qerr (squared
+    * residual-after-code reconstruction error) is recorded at encode
+    * time — the only moment the vector is in hand — and is what
+    * [[ivfpqDriftReport]] reads. */
+  def ivfpqIndexInit(spark: SparkSession, lakeDir: String,
+      corpusPred: Column, indexPath: String): Unit = {
+    graft.plans.VecDotProduct.register(spark)
+    val v = graft.operators.Similarity
+      .withNorm2(graft.Tables.embeddings(spark, lakeDir)).filter(corpusPred)
+    val (cents, rcents, postings) =
+      graft.operators.Similarity.buildIvfPqIndexOver(spark, v)
+    cents.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    rcents.write.mode("overwrite").parquet(s"$indexPath/rcodebooks")
+    postings.withColumn("ingest_batch", lit(-1L))
+      .write.partitionBy("ingest_batch").mode("overwrite")
+      .parquet(s"$indexPath/postings")
+  }
+
+  /** Streaming append to the compressed lake: assign each incoming
+    * vector to the FIXED coarse centroids and encode its residual with
+    * the FIXED codebooks (exactly FAISS `add` — training stays a
+    * maintenance job), landing the compressed rows in the batch's own
+    * `ingest_batch` partition (dynamic overwrite ⇒ a replayed batch
+    * replaces its own rows — exactly-once, like every index lake). The
+    * incoming embedding is dropped after encoding; only codes reach
+    * storage. */
+  def ivfpqAppendStream(vecs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.plans.VecDotProduct.register(s)
+          val cents = s.read.parquet(s"$indexPath/centroids").localCheckpoint()
+          val rcents = s.read.parquet(s"$indexPath/rcodebooks").localCheckpoint()
+          val v = graft.operators.Similarity
+            .withNorm2(batch.select("vec_id", "embedding")).localCheckpoint()
+          val assigned = v
+            .join(graft.operators.Similarity.assignVectors(s, v, cents.drop("cn2")),
+              "vec_id")
+            .join(broadcast(cents.select(col("cid").as("list_id"), col("cent"))),
+              "list_id")
+          graft.operators.Similarity.ivfpqEncode(assigned, rcents)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$indexPath/postings")
+          indexAppendCommit(s, s"$indexPath/postings", batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** Serve over the maintained compressed lake: ADC scan of the probed
+    * posting lists' CODES against the per-query residual LUT — the
+    * shared [[graft.operators.Similarity.ivfpqAdcServe]], so
+    * stream-appended search is definitionally the batch encode+serve
+    * over the union corpus (StreamingSpec pins it). */
+  def ivfpqIndexSearch(spark: SparkSession, indexPath: String,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.plans.VecDotProduct.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val rcents = spark.read.parquet(s"$indexPath/rcodebooks")
+    val postings = indexRead(spark, s"$indexPath/postings").drop("ingest_batch")
+    graft.operators.Similarity.ivfpqAdcServe(spark, cents, rcents, postings,
+      queries, k)
+  }
+
+  /** Compressed-lake compaction: fold every appended `ingest_batch`
+    * partition into bootstrap (-1), clustering by `list_id` so each
+    * posting list's codes land contiguously — same staged publish and
+    * stream-generation protocol as [[ivfCompactPostings]]. */
+  def ivfpqCompactPostings(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, s"$indexPath/postings", Seq("list_id"))
+
+  /** Quantization-drift report for the compressed lake — the signal
+    * that schedules [[ivfpqRetrain]]: per posting list, member counts
+    * and mean squared reconstruction error (the encode-time `qerr` —
+    * the lake cannot recompute it from codes) for the bootstrap vs
+    * stream-appended segments. A list whose appended members
+    * reconstruct ≥25% worse than its bootstrap members is quantizing
+    * new data badly. Decimal mean sums (§4); one narrow scan of the
+    * code table — maintenance-priced at any scale. */
+  def ivfpqDriftReport(spark: SparkSession, indexPath: String): DataFrame = {
+    val seg = indexRead(spark, s"$indexPath/postings")
+      .withColumn("segment",
+        when(col("ingest_batch") === -1L, "base").otherwise("appended"))
+      .groupBy("list_id", "segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qerr").cast(DecimalType(38, 12))).as("err_sum"))
+      .withColumn("mean_qerr",
+        round6((col("err_sum") / col("n")).cast(DoubleType)))
+    val base = seg.filter(col("segment") === "base")
+      .select(col("list_id"), col("n").as("n_base"),
+        col("mean_qerr").as("mean_qerr_base"))
+    val app = seg.filter(col("segment") === "appended")
+      .select(col("list_id"), col("n").as("n_appended"),
+        col("mean_qerr").as("mean_qerr_appended"))
+    base.join(app, Seq("list_id"), "full")
+      .select(col("list_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_appended"), lit(0L)).as("n_appended"),
+        col("mean_qerr_base"), col("mean_qerr_appended"),
+        (coalesce(col("mean_qerr_appended"), lit(0.0))
+          > coalesce(col("mean_qerr_base"), lit(Double.MaxValue)) * 1.25)
+          .as("drifted"))
+      .orderBy("list_id")
+  }
+
+  /** IVFPQ RE-TRAIN + RE-ENCODE — the maintenance leg the drift report
+    * schedules, and the one structural difference from the
+    * full-precision lake: the compressed lake CANNOT retrain from
+    * itself (codes are not training data), so the caller supplies the
+    * current corpus `vectors` (vec_id, embedding) from the
+    * source-of-truth vector lake — the production shape, where
+    * embeddings live in the corpus lake and the index lake holds only
+    * codes. Re-derives k ∝ n, re-trains quantizer + residual
+    * codebooks, RE-ENCODES every vector, and publishes all three
+    * tables (postings via the staged publish, the two small tables via
+    * staged rename — a crash between swaps leaves a loudly-missing
+    * dir, never a silently mixed quantizer). Same exclusive-
+    * maintenance window as [[ivfRetrain]]: pause appends AND serving,
+    * restart appends with a fresh checkpoint; crash anywhere ⇒ re-run
+    * (idempotent — inputs come from the corpus lake, which retrain
+    * never writes). A retrained lake over corpus C serves
+    * bit-identically to a fresh build over C (StreamingSpec pins it).
+    * Returns the re-derived k. */
+  def ivfpqRetrain(spark: SparkSession, indexPath: String,
+      vectors: DataFrame): Int = {
+    graft.plans.VecDotProduct.register(spark)
+    val v = graft.operators.Similarity
+      .withNorm2(vectors.select("vec_id", "embedding")).localCheckpoint()
+    val (cents, rcents, postings) =
+      graft.operators.Similarity.buildIvfPqIndexOver(spark, v)
+    publishRewrite(spark, s"$indexPath/postings",
+      postings.withColumn("ingest_batch", lit(-1L))
+        .repartition(col("list_id")),
+      Seq("ingest_batch"))
+    publishSmallTable(spark, s"$indexPath/centroids", cents)
+    publishSmallTable(spark, s"$indexPath/rcodebooks", rcents)
+    cents.count().toInt
+  }
+
+  /** Staged-rename swap of a small unpartitioned table (a quantizer, a
+    * codebook) — CdcMerge's loud-failure convention: a crash leaves
+    * the old table, a loudly-missing dir, or the new table, never a
+    * half-written mix. */
+  private def publishSmallTable(spark: SparkSession, tableDir: String,
+      content: DataFrame): Unit = {
+    val table = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(tableDir + "_staging")
+    fs.delete(tmp, true)
+    content.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(table, true)
+    require(fs.rename(tmp, table),
+      s"publishSmallTable: rename $tmp -> $table failed — re-run the job")
+  }
+
   // ---- maintained BINARY-SIGNATURE lake (third index family) --------
   // The build/serve/maintain/re-train split for ann_binary_topk's sign
   // quantizer: `means` (d rows — the frozen per-dim thresholds, the
@@ -1383,7 +1559,8 @@ object StreamingJobs {
     * appended lake the rows show the REAL served recall, which is the
     * point. */
   def annRecallReportLake(spark: SparkSession, lakeDir: String,
-      graphPath: String, ivfPath: String, bqPath: String = null): DataFrame = {
+      graphPath: String, ivfPath: String, bqPath: String = null,
+      ivfpqPath: String = null): DataFrame = {
     import graft.operators.Similarity
     graft.plans.VecDotProduct.register(spark)
     val panel = Similarity.annPanelQueries(spark, lakeDir)
@@ -1413,6 +1590,13 @@ object StreamingJobs {
       // boards (and the append-free bootstrap pin) run without it
       Option(bqPath).map(p => ("bq_lake",
         bqIndexSearch(spark, p, qn, Similarity.RecallK),
+        Similarity.RecallK)).toSeq ++
+      // the compressed lake joined in round 15 — its row prices the
+      // ADC-only (no-rescore) serve tier against the same exact
+      // baseline, the number a capacity-planning decision reads before
+      // swapping full-precision postings for codes
+      Option(ivfpqPath).map(p => ("ivfpq_lake",
+        ivfpqIndexSearch(spark, p, qn, Similarity.RecallK),
         Similarity.RecallK)).toSeq)
   }
 

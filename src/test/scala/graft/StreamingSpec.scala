@@ -2020,4 +2020,144 @@ class StreamingSpec extends AnyFunSuite {
       == sigMap(Similarity.bqPackWith(union, Similarity.bqMeans(union))))
     assert(canon(StreamingJobs.bqIndexSearch(spark, idx, queries)).nonEmpty)
   }
+
+  private def ivfpqCanon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int, Double)] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+
+  private def ivfpqPanel(): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Similarity
+    Similarity.withNorm2(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"))
+  }
+
+  test("IVFPQ lake: compressed append == frozen-quantizer batch encode over the union") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/ivfpqappend"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    // bootstrap: coarse quantizer AND residual codebooks trained on the
+    // base corpus; the held-out slice arrives as a 2-batch stream and
+    // is encoded against BOTH frozen artifacts (FAISS `add`)
+    StreamingJobs.ivfpqIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.ivfpqAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try {
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // memory-honesty: the posting table carries codes, never vectors
+    val postings = spark.read.parquet(s"$idx/postings")
+    assert(!postings.columns.contains("embedding"),
+      s"compressed postings carry an embedding column: ${postings.columns.toSeq}")
+    assert(postings.columns.toSet ==
+      Set("vec_id", "list_id", "codes", "n2", "qerr", "ingest_batch"))
+    assert(postings.filter(col("ingest_batch") >= 0).count() == incoming.length.toLong)
+    assert(postings.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+
+    val queries = ivfpqPanel()
+    val lakeServed = ivfpqCanon(StreamingJobs.ivfpqIndexSearch(spark, idx, queries))
+    // batch twin: SAME frozen quantizer + codebooks, one-shot
+    // assignment + encode of the union corpus through the shared cores
+    // — the stream's sequential fold must serve exactly this
+    graft.plans.VecDotProduct.register(spark)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val rcents = spark.read.parquet(s"$idx/rcodebooks")
+    val union = Similarity.withNorm2(Tables.embeddings(spark, sf)).localCheckpoint()
+    val assigned = union
+      .join(Similarity.assignVectors(spark, union, cents.drop("cn2")), "vec_id")
+      .join(broadcast(cents.select(col("cid").as("list_id"), col("cent"))), "list_id")
+    val batchServed = ivfpqCanon(Similarity.ivfpqAdcServe(spark, cents, rcents,
+      Similarity.ivfpqEncode(assigned, rcents), queries))
+    assert(lakeServed.nonEmpty && lakeServed == batchServed,
+      s"lake != batch union serve: ${lakeServed.diff(batchServed).take(3)} vs ${batchServed.diff(lakeServed).take(3)}")
+    // the appended slice is actually servable: some neighbor row comes
+    // from the streamed 1/5 of the corpus
+    assert(lakeServed.exists(_._2 % 5 == 4), "no appended neighbor served")
+  }
+
+  test("IVFPQ maintenance: compaction preserves search; drift reads encode-time qerr; retrain re-encodes from the corpus lake") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/ivfpqmaint"
+    val idx = s"$root/index"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.ivfpqIndexInit(spark, sf, col("vec_id") % 5 =!= 4, idx)
+    val incoming = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 4).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val source = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingJobs.ivfpqAppendStream(
+      source.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    try { source.addData(incoming.toSeq); q.processAllAvailable() } finally q.stop()
+
+    // drift report reads the encode-time qerr: every appended member
+    // accounted, means present for both segments of non-empty lists
+    val drift = StreamingJobs.ivfpqDriftReport(spark, idx).collect()
+    assert(drift.map(_.getAs[Long]("n_appended")).sum == incoming.length.toLong)
+    drift.filter(r => r.getAs[Long]("n_base") > 0).foreach { r =>
+      assert(r.getAs[Double]("mean_qerr_base") >= 0.0) }
+
+    val queries = ivfpqPanel()
+    val before = ivfpqCanon(StreamingJobs.ivfpqIndexSearch(spark, idx, queries))
+    val folded = StreamingJobs.ivfpqCompactPostings(spark, idx)
+    assert(folded >= 1, s"compaction folded $folded partitions")
+    assert(ivfpqCanon(StreamingJobs.ivfpqIndexSearch(spark, idx, queries)) == before)
+    assert(StreamingJobs.ivfpqCompactPostings(spark, idx) == 0)
+
+    // RE-TRAIN + RE-ENCODE: the compressed lake cannot retrain from
+    // codes, so the corpus comes from the source-of-truth vector lake;
+    // k re-derives from the grown corpus, and the retrained lake
+    // serves a fresh deterministic build over the same corpus exactly
+    val k = StreamingJobs.ivfpqRetrain(spark, idx,
+      Tables.embeddings(spark, sf).select("vec_id", "embedding"))
+    assert(k == Similarity.derivedIvfK(spark, sf), s"re-derived k $k")
+    val postings = spark.read.parquet(s"$idx/postings")
+    assert(postings.select(col("ingest_batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet == Set(-1L))
+    assert(postings.count() == Tables.embeddings(spark, sf).count())
+    assert(postings.select("vec_id").distinct().count() == postings.count())
+    val (fc, fr, fp) = Similarity.buildIvfPqIndexOver(spark,
+      Similarity.withNorm2(Tables.embeddings(spark, sf)))
+    assert(ivfpqCanon(StreamingJobs.ivfpqIndexSearch(spark, idx, queries)) ==
+      ivfpqCanon(Similarity.ivfpqAdcServe(spark, fc, fr, fp, queries)))
+    // drift clock resets
+    assert(StreamingJobs.ivfpqDriftReport(spark, idx).collect()
+      .map(_.getAs[Long]("n_appended")).sum == 0L)
+  }
+
+  test("lake-mode recall report prices the compressed ivfpq_lake serve tier") {
+    import graft.operators.Similarity
+    val root = "target/tmp/recallivfpq"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.graphIndexInit(spark, sf, lit(true), s"$root/graph", capped = false)
+    StreamingJobs.ivfIndexInit(spark, sf, lit(true), s"$root/ivf")
+    StreamingJobs.ivfpqIndexInit(spark, sf, lit(true), s"$root/ivfpq")
+    val report = StreamingJobs.annRecallReportLake(spark, sf,
+      s"$root/graph", s"$root/ivf", null, s"$root/ivfpq").collect()
+    val pq = report.filter(_.getString(0) == "ivfpq_lake")
+    // one audit row per panel query, k explicit, recall in [0, 1000],
+    // and the ADC serve is not degenerate (it finds true neighbors)
+    assert(pq.length == 10, s"ivfpq_lake rows: ${pq.length}")
+    pq.foreach { r =>
+      assert(r.getInt(1) == 5)
+      val permil = r.getLong(4)
+      assert(permil >= 0 && permil <= 1000, s"recall_permil $permil")
+    }
+    assert(pq.map(_.getLong(4)).sum > 0L, "ADC serve found zero true neighbors")
+  }
 }
