@@ -1494,24 +1494,25 @@ object Similarity {
   private def embeddingPca(s: SparkSession, dir: String): DataFrame =
     pcaOver(Tables.embeddings(s, dir), embCount(s, dir))
 
-  /** PCA over any (vec_id, embedding) frame — `iters` parameterized
-    * for the Micro stage decomposition and spec convergence pins. */
-  private[graft] def pcaOver(v: DataFrame, n: Long,
-      iters: Int = PcaIters): DataFrame = {
-    val dims = v
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
-      .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
-    // n·d² product terms, no join and no pre-aggregate shuffle: the
-    // second posexplode re-expands the SAME row's vector, so partial
-    // aggregation sees every term partition-locally.
-    //
-    // The reduction is exact FIXED-POINT over longs via
-    // [[graft.functions.fsum12]], not decimal: the r13 Micro isolated
-    // the moment pass's decimal(38,12) sum at 10.6 s vs 0.3 s for the
-    // same sum in double (~30× — every term pays a BigDecimal
-    // allocation in the one pass that touches n·d² terms). Same
-    // order-free-exact contract as the decimal form; the oracle
-    // replays the identical floor/split/sum algebra.
+  /** The distributed (means, covariance) frames — ONE corpus pass for
+    * the d×d second-moment matrix. Shared by [[pcaOver]] (power
+    * iteration stays in-engine for oracle parity) and the PCA-informed
+    * OPQ rotation (which collects the d² cells — metadata-scale — for
+    * a driver-side eigendecomposition, the FAISS OPQ-train shape).
+    *
+    * n·d² product terms, no join and no pre-aggregate shuffle: the
+    * second posexplode re-expands the SAME row's vector, so partial
+    * aggregation sees every term partition-locally.
+    *
+    * The reduction is exact FIXED-POINT over longs via
+    * [[graft.functions.fsum12]], not decimal: the r13 Micro isolated
+    * the moment pass's decimal(38,12) sum at 10.6 s vs 0.3 s for the
+    * same sum in double (~30× — every term pays a BigDecimal
+    * allocation in the one pass that touches n·d² terms). Same
+    * order-free-exact contract as the decimal form; the oracle
+    * replays the identical floor/split/sum algebra. */
+  private def covFrameOver(v: DataFrame, dims: DataFrame, n: Long)
+      : (DataFrame, DataFrame) = {
     val sxx = v
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xif")))
       .select(col("i"), col("xif").cast(DoubleType).as("xi"),
@@ -1530,6 +1531,17 @@ object Similarity {
       .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
       .select(col("i"), col("j"), (col("sx") / lit(n) - col("mi") * col("mj")).as("c"))
       .localCheckpoint()
+    (means, cov)
+  }
+
+  /** PCA over any (vec_id, embedding) frame — `iters` parameterized
+    * for the Micro stage decomposition and spec convergence pins. */
+  private[graft] def pcaOver(v: DataFrame, n: Long,
+      iters: Int = PcaIters): DataFrame = {
+    val dims = v
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
+    val (means, cov) = covFrameOver(v, dims, n)
     var w = means.select(col("i"), lit(1.0).as("w")).localCheckpoint()
     for (_ <- 1 to iters) {
       val u = cov
@@ -2218,29 +2230,120 @@ object Similarity {
 
   /** Rotated corpus: coordinate i = exact-decimal ⟨x, R_i⟩ rounded
     * double→float (one correct rounding, same in the oracle). */
-  private def rotated(base: DataFrame): DataFrame =
+  private def rotated(base: DataFrame, rot: Array[Array[Double]] = opqRotation): DataFrame =
     base.select(col("vec_id"),
-      array(opqRotation.map(r =>
+      array(rot.map(r =>
         graft.plans.VecDotProduct.vec_dot_exact(col("embedding"), typedLit(r.toSeq))
           .cast(FloatType)): _*).as("embedding"))
 
-  /** The full PQ (rotate=false) / OPQ (rotate=true) pipeline over an
-    * arbitrary (vec_id, embedding) corpus, uncached — the measurement
-    * surface DedupSpec uses to pin OPQ's reason to exist on an
-    * ANISOTROPIC corpus. The registry corpus is near-isotropic, where
-    * the rotation is honestly recall-neutral; this entry point lets
-    * the spec build a skewed-variance corpus and measure the gap the
-    * published OPQ result predicts, instead of citing it. */
+  /** PCA-INFORMED OPQ rotation (the parametric OPQ of Ge et al.,
+    * CVPR'13, trained rather than random): eigendecompose the corpus
+    * covariance and allocate components to the PqM subspaces balancing
+    * the per-subspace variance PRODUCT (the paper's allocation — each
+    * codebook gets an equal share of the distortion), so row k of the
+    * returned matrix is the eigenvector assigned to rotated coordinate
+    * k. This is what the fixed seed-4242 rotation honestly cannot do:
+    * a random basis spreads AXIS-ALIGNED variance but cannot
+    * DECORRELATE — on a corpus whose variance rides a few dense
+    * correlated directions, every random coordinate is a mix of the
+    * same latent factors and every codebook wastes capacity re-coding
+    * them, while the eigenbasis gives PQ exactly the independence its
+    * per-subspace training assumes (DedupSpec measures the gap).
+    *
+    * 100 TB shape: the covariance is the SAME one-pass distributed
+    * d²-cell moment frame as embedding_pca; only those d² cells are
+    * collected (metadata-scale — 4 KB·d²/64², never corpus rows) for a
+    * driver-side cyclic-Jacobi eigendecomposition (d³ flops, exactly
+    * how FAISS trains OPQ from a sample). Deterministic: IEEE-double
+    * Jacobi with a fixed sweep order and threshold, eigenvalue ties
+    * broken by component index. A maintenance-job artifact like the
+    * IVF quantizer — at scale it lands in a parquet table beside the
+    * codebooks; the registry op keeps the seed rotation because its
+    * DuckDB twin must replay the rotation from static constants. */
+  private[graft] def opqPcaRotationOver(s: SparkSession, corpus: DataFrame,
+      n: Long): Array[Array[Double]] = {
+    graft.plans.VecDotProduct.register(s)
+    val dims = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
+    val (_, covDf) = covFrameOver(corpus, dims, n)
+    val d = PqM * PqD
+    val a = Array.fill(d)(new Array[Double](d))
+    covDf.collect().foreach(r =>
+      a(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // cyclic Jacobi: rotate out the largest off-diagonal cells in a
+    // fixed (p, q) sweep order until convergence — deterministic
+    val vEig = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 64) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) {
+        off = math.max(off, math.abs(a(p)(q)))
+        if (math.abs(a(p)(q)) > 1e-12) {
+          val theta = 0.5 * math.atan2(2.0 * a(p)(q), a(q)(q) - a(p)(p))
+          val (c, sn) = (math.cos(theta), math.sin(theta))
+          var k = 0
+          while (k < d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - sn * akq; a(k)(q) = sn * akp + c * akq
+            k += 1
+          }
+          k = 0
+          while (k < d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - sn * aqk; a(q)(k) = sn * apk + c * aqk
+            val vkp = vEig(k)(p); val vkq = vEig(k)(q)
+            vEig(k)(p) = c * vkp - sn * vkq; vEig(k)(q) = sn * vkp + c * vkq
+            k += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    // eigenvalue-balanced allocation: components in descending-λ order
+    // (index tiebreak), each placed in the open subspace with the
+    // smallest log-variance product so far — Ge et al.'s balance rule
+    val order = (0 until d).map(i => (a(i)(i), i))
+      .sortBy { case (lam, i) => (-lam, i) }.map(_._2)
+    val slots = Array.fill(PqM)(0)
+    val logProd = Array.fill(PqM)(0.0)
+    val assign = new Array[Int](d) // component -> rotated coordinate
+    order.foreach { comp =>
+      val m = (0 until PqM).filter(slots(_) < PqD)
+        .minBy(mm => (logProd(mm), mm))
+      assign(comp) = m * PqD + slots(m)
+      slots(m) += 1
+      logProd(m) += math.log(math.max(a(comp)(comp), 1e-300))
+    }
+    val rot = Array.fill(d)(new Array[Double](d))
+    for (comp <- 0 until d; k <- 0 until d)
+      rot(assign(comp))(k) = vEig(k)(comp)
+    rot
+  }
+
+  /** The full PQ (rotation=None) / OPQ (rotation=Some(R)) pipeline
+    * over an arbitrary (vec_id, embedding) corpus, uncached — the
+    * measurement surface DedupSpec uses to pin OPQ's reason to exist
+    * on an ANISOTROPIC corpus. The registry corpus is near-isotropic,
+    * where any rotation is honestly recall-neutral; this entry point
+    * lets the spec build skewed/correlated corpora and measure the
+    * gaps the published OPQ results predict (random rotation vs
+    * axis-aligned skew; [[opqPcaRotationOver]] vs correlated skew),
+    * instead of citing them. */
   private[graft] def pqPipelineOver(s: SparkSession, corpus: DataFrame,
-      rotate: Boolean): DataFrame = {
+      rotation: Option[Array[Array[Double]]]): DataFrame = {
     graft.plans.VecDotProduct.register(s)
     graft.plans.TopKPerGroup.install(s)
-    val idxSrc = if (rotate) rotated(corpus).localCheckpoint() else corpus
+    val idxSrc = rotation match {
+      case Some(r) => rotated(corpus, r).localCheckpoint()
+      case None => corpus
+    }
     val subs = pqSubs(idxSrc)
     val cents = trainPqCodebooks(subs)
     val codes = collectCodes(pqAssign(subs, cents)).localCheckpoint()
     pqServe(s, corpus, cents, codes,
-      lutSrc = if (rotate) Some(rotated(corpus.filter(col("vec_id") < AnnPanel))) else None)
+      lutSrc = rotation.map(r => rotated(corpus.filter(col("vec_id") < AnnPanel), r)))
   }
 
   private def annOpq(s: SparkSession, dir: String): DataFrame = {
@@ -2482,6 +2585,123 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
        |FROM ranked WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- the compressed IVFPQ core (maintained-lake serve tier) ----------
+  // The memory-honest 100 TB serve: posting lists carry the PqM small
+  // code ints plus one norm per vector (~40 bytes), never the embedding
+  // (~260 bytes for 64 floats) — the compressed tier FAISS's IVFADC
+  // ships, where a 100 TB corpus's index fits a few TB of posting
+  // lists. Serve is ADC-only: there is deliberately NO exact rescore,
+  // because the compressed lists don't carry vectors (the batch
+  // `ann_ivfpq_topk` keeps its refine step because its memoized build
+  // retains them — two tiers, both real). These cores are shared by
+  // the maintained IVFPQ lake ([[graft.streaming.StreamingJobs
+  // .ivfpqIndexInit]]/append/search/compact/drift/retrain) and the
+  // StreamingSpec batch twins, so lake and batch can never disagree
+  // about encode or serve semantics.
+
+  /** Compressed encode of residual rows (vec_id, list_id, n2, res)
+    * against FIXED residual codebooks → posting rows (vec_id, list_id,
+    * codes, n2, qerr). qerr = Σ_m ‖res_m − codebook[m][code_m]‖² (the
+    * squared residual-after-code reconstruction error) is computed
+    * HERE, the only moment the vector is in hand — the compressed lake
+    * can never recompute it, and it is what the drift report reads.
+    * Per-vector work only (a broadcast M×K argmax + an M-term
+    * exact-decimal sum), so the append stream runs this per
+    * micro-batch against the unchanged codebooks. */
+  private def encodeResiduals(resid: DataFrame, rcents: DataFrame): DataFrame = {
+    val assigned = pqAssign(pqSubs(resid, "res"), rcents, keepSub = true)
+    val coded = assigned
+      .join(broadcast(rcents), Seq("m", "cid"))
+      .withColumn("diff", vsub(col("sub"), col("cent")))
+      .withColumn("err_m",
+        graft.plans.VecDotProduct.vec_dot_exact(col("diff"), col("diff")))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cid")))),
+          e => e.getField("cid")).as("codes"),
+        round6(sum(col("err_m").cast(DecimalType(38, 12)))
+          .cast(DoubleType)).as("qerr"))
+    resid.select("vec_id", "list_id", "n2").join(coded, "vec_id")
+  }
+
+  /** Compressed encode of ASSIGNED rows (vec_id, list_id, embedding,
+    * n2, cent — the shape [[buildIvfIndexOver]]'s index frame and the
+    * append stream's fixed-quantizer assignment both produce). */
+  private[graft] def ivfpqEncode(assigned: DataFrame, rcents: DataFrame): DataFrame =
+    encodeResiduals(
+      assigned.withColumn("res", vsub(col("embedding"), col("cent")))
+        .select("vec_id", "list_id", "n2", "res"),
+      rcents)
+
+  /** Full compressed build over an arbitrary (vec_id, embedding)
+    * corpus: (coarse centroids, residual codebooks, compressed
+    * postings). The bootstrap AND the retrain of the maintained IVFPQ
+    * lake — deterministic end to end (decimal Lloyd means, decimal
+    * argmaxes, id tiebreaks), so a retrained lake over corpus C equals
+    * a fresh build over C bit-for-bit. */
+  private[graft] def buildIvfPqIndexOver(s: SparkSession, v0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    graft.plans.VecDotProduct.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val (cents, index) = buildIvfIndexOver(s, v0)
+    val resid = index
+      .withColumn("res", vsub(col("embedding"), col("cent")))
+      .select("vec_id", "list_id", "n2", "res").localCheckpoint()
+    val rcents = trainPqCodebooks(pqSubs(resid, "res")).localCheckpoint()
+    val postings = encodeResiduals(resid, rcents).localCheckpoint()
+    (cents, rcents, postings)
+  }
+
+  /** The compressed ADC serve: probe the coarse quantizer
+    * ([[IvfProbes]] lists per query), build the per-(query, probed
+    * list) residual LUT, score posting CODES by q·x ≈ q·c +
+    * Σ_m lut[code_m], normalize by the stored norms, and rank top-k
+    * directly on the ADC score (DESC, neighbor_id tiebreak).
+    * Deterministic — exact-decimal LUT entries and q·c, fixed-order
+    * M-term sum, id tiebreaks — so the maintained lake serves
+    * bit-identically to the batch encode of the same corpus
+    * (StreamingSpec pins it). `queries` needs (query_id, q_emb, qn2);
+    * `postings` (vec_id, list_id, codes, n2). Scale shape: per query
+    * the scan touches [[IvfProbes]] posting lists of codes — never a
+    * vector column — and the LUT/query side is broadcast. */
+  private[graft] def ivfpqAdcServe(s: SparkSession, cents: DataFrame,
+      rcents: DataFrame, postings: DataFrame, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val pw = Window.partitionBy("query_id").orderBy(col("score").desc, col("cid"))
+    val qres = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("score", centScore(col("q_emb"), col("cent"), col("cn2")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= IvfProbes)
+      .withColumn("qc", graft.plans.VecDotProduct.vec_dot_exact(col("q_emb"), col("cent")))
+      .withColumn("qr", vsub(col("q_emb"), col("cent")))
+      .select(col("query_id"), col("cid").as("probe"), col("qn2"), col("qc"), col("qr"))
+    val lutVals = qres
+      .select(col("query_id"), col("probe"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("qr"))
+      .withColumn("sub", slice(col("qr"), col("m") * PqD + 1, lit(PqD)))
+      .join(broadcast(rcents), "m")
+      .select(col("query_id"), col("probe"), col("m"), col("cid"),
+        graft.plans.VecDotProduct.vec_dot_exact(col("sub"), col("cent")).as("lv"))
+    val q = qres.select("query_id", "probe", "qn2", "qc")
+      .join(gridLut(qres, Seq("query_id", "probe"), lutVals), Seq("query_id", "probe"))
+    val adc = (0 until PqM).map(m =>
+      element_at(col("lut"), lit(m * PqK) + element_at(col("codes"), m + 1) + lit(1)))
+      .reduce(_ + _)
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val w = Window.partitionBy("query_id").orderBy(col("fast").desc, col("neighbor_id"))
+    postings.join(broadcast(q),
+        col("list_id") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        ((col("qc") + adc) / (sqrt(col("qn2")) * sqrt(col("n2")))).as("fast"))
+      .withColumn(s"${mk}rank", row_number().over(w))
+      .filter(col(s"${mk}rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col(s"${mk}rank").as("rank"),
+        round6(col("fast")).as("adc_sim"))
+      .orderBy("query_id", "rank")
   }
 
   // --- ann_recall_report: index quality audit --------------------------

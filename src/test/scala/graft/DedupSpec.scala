@@ -567,12 +567,12 @@ class DedupSpec extends AnyFunSuite {
       expr("transform(embedding, (x, i) -> CAST(x * IF(i < 8, 25.0, 1.0) AS FLOAT))")
         .as("embedding"))
       .localCheckpoint()
-    def resultSets(rotate: Boolean): Map[Long, Set[Long]] =
-      Similarity.pqPipelineOver(spark, skewed, rotate).collect()
+    def resultSets(rotation: Option[Array[Array[Double]]]): Map[Long, Set[Long]] =
+      Similarity.pqPipelineOver(spark, skewed, rotation).collect()
         .groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
-    val pq = resultSets(rotate = false)
-    val opq = resultSets(rotate = true)
+    val pq = resultSets(None)
+    val opq = resultSets(Some(Similarity.opqRotation))
     // exact top-5 per query, computed directly (driver-side — the
     // corpus is test-sized; the pipelines under test stay distributed)
     val vecs = skewed.collect()
@@ -595,6 +595,83 @@ class DedupSpec extends AnyFunSuite {
     info(s"anisotropic recall@5: PQ=$rPq OPQ=$rOpq")
     assert(rOpq >= rPq + 0.1,
       s"rotation should buy real recall on a skewed corpus: PQ=$rPq OPQ=$rOpq")
+  }
+
+  test("PCA-informed OPQ beats the random rotation on a CORRELATED anisotropic corpus") {
+    // The axis-aligned skew above is the easy case: a random rotation
+    // spreads per-axis variance and wins. THIS corpus hides its
+    // variance in 4 dense correlated directions (x' = x + 25·Σ_r x_r·g_r
+    // with fixed orthonormal dense g_r): after ANY random rotation
+    // every coordinate is still a mix of the same 4 latent factors, so
+    // all eight codebooks waste capacity re-coding them independently.
+    // The PCA-informed rotation (corpus covariance → driver-side
+    // Jacobi eigenbasis → variance-product-balanced subspace
+    // allocation, Ge et al.'s parametric OPQ) decorrelates exactly —
+    // each codebook sees independent coordinates — and the recall gap
+    // vs the seed-4242 rotation is the measurement this test pins.
+    import graft.operators.Similarity
+    val g = Similarity.opqRotation.slice(8, 12)
+    val corr = Tables.embeddings(spark, sf)
+      .withColumn("g0", typedLit(g(0).toSeq))
+      .withColumn("g1", typedLit(g(1).toSeq))
+      .withColumn("g2", typedLit(g(2).toSeq))
+      .withColumn("g3", typedLit(g(3).toSeq))
+      .select(col("vec_id"), expr(
+        """transform(embedding, (x, i) -> CAST(
+          |  CAST(x AS DOUBLE) + 25.0D * (
+          |    CAST(embedding[0] AS DOUBLE) * g0[i] +
+          |    CAST(embedding[1] AS DOUBLE) * g1[i] +
+          |    CAST(embedding[2] AS DOUBLE) * g2[i] +
+          |    CAST(embedding[3] AS DOUBLE) * g3[i]) AS FLOAT))""".stripMargin)
+        .as("embedding"))
+      .localCheckpoint()
+    val pcaRot = Similarity.opqPcaRotationOver(spark, corr, corr.count())
+    // the derived rotation is orthonormal (rows are the permuted
+    // eigenbasis) — cosine preservation holds by the same argument as
+    // the seed rotation's pin
+    for (i <- pcaRot.indices; j <- i until pcaRot.length) {
+      val d = pcaRot(i).zip(pcaRot(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"rotation rows ($i, $j) dot = $d")
+    }
+    def resultSets(rotation: Option[Array[Array[Double]]]): Map[Long, Set[Long]] =
+      Similarity.pqPipelineOver(spark, corr, rotation).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val pq = resultSets(None)
+    val rand = resultSets(Some(Similarity.opqRotation))
+    val pca = resultSets(Some(pcaRot))
+    val vecs = corr.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val queries = vecs.keys.filter(_ < 10).toSeq.sorted
+    val bf = queries.map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(res: Map[Long, Set[Long]]): Double =
+      queries.map(q => (bf(q) & res.getOrElse(q, Set.empty)).size).sum.toDouble /
+        (queries.size * 5)
+    val (rPq, rRand, rPca) = (recall(pq), recall(rand), recall(pca))
+    // Measured (deterministic, sf0.001): PQ=0.98 randOPQ=0.84 pcaOPQ=1.0.
+    // The honest shape of the result: on CORRELATED skew the random
+    // rotation actively HURTS (it smears the axis structure plain PQ
+    // was lucky to share with the latent factors, without
+    // decorrelating anything), while the trained rotation is never
+    // worse than either — decorrelation is a property only the
+    // eigenbasis has, and "rotate blindly" is not a safe default. The
+    // pins: the trained rotation's lift over the random one, and that
+    // training never costs recall vs no rotation at all.
+    info(s"correlated-anisotropic recall@5: PQ=$rPq randOPQ=$rRand pcaOPQ=$rPca")
+    assert(rPca >= rRand + 0.1,
+      s"the trained rotation should beat the random one where decorrelation " +
+      s"is what matters: PQ=$rPq randOPQ=$rRand pcaOPQ=$rPca")
+    assert(rPca >= rPq, s"training should never cost recall: PQ=$rPq pcaOPQ=$rPca")
   }
 
   test("hot-split kNN graph keeps near-full recall of the unsplit graph") {
