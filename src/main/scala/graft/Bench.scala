@@ -215,7 +215,7 @@ object Bench {
     // "queries" carries only the 10 slowest entries (full map in
     // BENCH_LOCAL.json, committed) so this line never exceeds the
     // driver's tail capture.
-    print(s"""\n{"metric":"total","value":$total,"unit":"sec","n":2,"sink":"noop","nqueries":${results.size},"contended":$contendedJson,"queries":${jmap(slowest)},"full":"BENCH_LOCAL.json","sf":"$sfDir"}\n""")
+    print(s"""\n{"metric":"total","value":$total,"unit":"sec","n":2,"sink":"noop","nqueries":${results.size},"contended":$contendedJson,"queries":${jmap(slowest)},"full":"BENCH_HISTORY.jsonl","sf":"$sfDir"}\n""")
     System.out.flush()
   }
 }

@@ -18,14 +18,23 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val src = "/root/testdata/sf0.1"
-    val dst = s"target/tmp/scale$Factor"
     // optional focused run: comma-separated names (registry names
     // and/or the parameter-exhibit rows like ann_knn_graph@hotSplit)
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     def wanted(n: String): Boolean = only.forall(_.contains(n))
+    val dst = ensureReplica(spark, src, Factor)
 
+    runProbe(spark, src, dst, wanted)
+  }
+
+  /** Replicate the sf0.1 tables ×`factor` into target/tmp (no-op if
+    * already built) and return the replica dir. Shared by the probe
+    * and the ×16 bench gate ([[BenchX16]]). */
+  def ensureReplica(spark: org.apache.spark.sql.SparkSession, src: String,
+      factor: Int): String = {
+    val dst = s"target/tmp/scale$factor"
     if (!new java.io.File(s"$dst/lineitem.parquet").exists()) {
-      val reps = spark.range(Factor).withColumnRenamed("id", "rep")
+      val reps = spark.range(factor).withColumnRenamed("id", "rep")
       // Replica tables are written WIDE (32 files): crossJoin preserves
       // the sf0.1 scan's partitioning, and sf0.1's small tables are ONE
       // scan partition — so an un-repartitioned ×64 replica is one
@@ -87,7 +96,11 @@ object ScaleProbe {
         .withColumn("c_custkey", col("c_custkey") + col("rep") * 1000000L)
         .drop("rep"), s"$dst/customer.parquet")
     }
+    dst
+  }
 
+  private def runProbe(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, wanted: String => Boolean): Unit = {
     val names = Seq("q1_partition_counts", "q5_whale", "q9_daily_summary",
       "q12_drawdown", "q13_gapfill", "q14_correlation_matrix",
       "r1_pricing_summary", "r2_top_customers", "r6_asof_join",
@@ -298,6 +311,102 @@ object ScaleProbe {
       val (cb, wb) = coldWarm(dst)
       val (ba, bb) = (math.max(ca - wa, 0.01), math.max(cb - wb, 0.01))
       println(f"${s"$n@build"}%-28s $ba%8.2f $bb%8.2f ${bb / ba}%6.1f  ($what; cold $ca%.2f/$cb%.2f warm $wa%.2f/$wb%.2f)")
+    }
+    // -----------------------------------------------------------------
+    // Maintained-lake ×N maintenance cycle (@lakes): one full
+    // init → append → serve → drift → compact → re-train cycle per
+    // index family, timed at both scales. The append micro-batch is
+    // CONSTANT SIZE at both scales (the rep-0 held-out slice, ~1k
+    // rows): production micro-batches don't grow with the lake, so the
+    // append leg prices the admission/assignment work against a ×N
+    // lake at fixed input (it should be ~flat), while init / compact /
+    // retrain legs scale with the lake itself (bounded by ~N·linear).
+    // No leg may be superlinear in N.
+    // -----------------------------------------------------------------
+    if (wanted("lakes@maintenance")) {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.{DataFrame => DF}
+      import graft.streaming.StreamingJobs
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      def cycle(dir: String, root: String): Seq[(String, Double)] = {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+        def leg(f: => Any): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def noop(df: DF): Unit =
+          df.write.mode("overwrite").format("noop").save()
+        // rep-0 held-out slices: identical rows at both scales
+        val vecsIn = Tables.table(spark, dir, "embeddings")
+          .filter(col("vec_id") % 5 === 4 && col("vec_id") < 1000000L)
+          .select("vec_id", "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        val docsIn = Tables.table(spark, dir, "documents")
+          .filter(col("doc_id") % 5 === 4 && col("doc_id") < 1000000L)
+          .select("doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val vBase = col("vec_id") % 5 =!= 4
+        val dBase = col("doc_id") % 5 =!= 4
+        val lakeCorpus = Tables.table(spark, dir, "embeddings")
+          .filter(vBase || (col("vec_id") % 5 === 4 && col("vec_id") < 1000000L))
+          .select("vec_id", "embedding")
+        graft.plans.VecDotProduct.register(spark)
+        val panel = operators.Similarity.annPanelQueries(spark, dir).localCheckpoint()
+        val qn = operators.Similarity.withNorm2(panel)
+          .select(col("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
+          .localCheckpoint()
+        def appendVecs(start: (DF, String, String) =>
+            org.apache.spark.sql.streaming.StreamingQuery,
+            idx: String): Double = leg {
+          val ms = MemoryStream[(Long, Seq[Float])]
+          val q = start(ms.toDF().toDF("vec_id", "embedding"), idx, s"$idx-ckpt")
+          try { ms.addData(vecsIn); q.processAllAvailable() } finally q.stop()
+        }
+        val ivf = s"$root/ivf"; val pq = s"$root/ivfpq"
+        val gr = s"$root/graph"; val bq = s"$root/bq"; val inv = s"$root/inv"
+        Seq(
+          "ivf_lake@init" -> leg(StreamingJobs.ivfIndexInit(spark, dir, vBase, ivf)),
+          "ivf_lake@append" -> appendVecs(StreamingJobs.ivfAppendStream, ivf),
+          "ivf_lake@serve" -> leg(noop(StreamingJobs.ivfIndexSearch(spark, ivf, qn))),
+          "ivf_lake@drift" -> leg(noop(StreamingJobs.ivfDriftReport(spark, ivf))),
+          "ivf_lake@compact" -> leg(StreamingJobs.ivfCompactPostings(spark, ivf)),
+          "ivf_lake@retrain" -> leg(StreamingJobs.ivfRetrain(spark, ivf)),
+          "ivfpq_lake@init" -> leg(StreamingJobs.ivfpqIndexInit(spark, dir, vBase, pq)),
+          "ivfpq_lake@append" -> appendVecs(StreamingJobs.ivfpqAppendStream, pq),
+          "ivfpq_lake@serve" -> leg(noop(StreamingJobs.ivfpqIndexSearch(spark, pq, qn))),
+          "ivfpq_lake@drift" -> leg(noop(StreamingJobs.ivfpqDriftReport(spark, pq))),
+          "ivfpq_lake@compact" -> leg(StreamingJobs.ivfpqCompactPostings(spark, pq)),
+          "ivfpq_lake@retrain" -> leg(StreamingJobs.ivfpqRetrain(spark, pq, lakeCorpus)),
+          "graph_lake@init" -> leg(StreamingJobs.graphIndexInit(spark, dir, vBase, gr)),
+          "graph_lake@append" -> appendVecs(
+            StreamingJobs.graphAppendStream(_, _, _), gr),
+          "graph_lake@serve" -> leg(noop(StreamingJobs.graphIndexSearch(spark, gr, panel))),
+          "graph_lake@drift" -> leg(noop(StreamingJobs.graphDriftReport(spark, gr))),
+          "graph_lake@compact" -> leg(StreamingJobs.graphIndexCompact(spark, gr)),
+          "graph_lake@rebuild" -> leg(StreamingJobs.graphIndexRebuild(spark, gr)),
+          "bq_lake@init" -> leg(StreamingJobs.bqIndexInit(spark, dir, vBase, bq)),
+          "bq_lake@append" -> appendVecs(StreamingJobs.bqAppendStream, bq),
+          "bq_lake@serve" -> leg(noop(StreamingJobs.bqIndexSearch(spark, bq, qn))),
+          "bq_lake@drift" -> leg(noop(StreamingJobs.bqDriftReport(spark, bq))),
+          "bq_lake@compact" -> leg(StreamingJobs.bqCompactSignatures(spark, bq)),
+          "bq_lake@repack" -> leg(StreamingJobs.bqRepack(spark, bq)),
+          "inv_lake@init" -> leg(StreamingJobs.corpusIndexInit(spark, dir, dBase, inv)),
+          "inv_lake@append" -> leg {
+            val ms = MemoryStream[(Long, String)]
+            val q = StreamingJobs.corpusIndexAppendStream(
+              ms.toDF().toDF("doc_id", "text"), inv, s"$inv-ckpt")
+            try { ms.addData(docsIn); q.processAllAvailable() } finally q.stop()
+          },
+          "inv_lake@serve" -> leg(noop(StreamingJobs.bm25IndexSearch(spark, inv))),
+          "inv_lake@drift" -> leg(noop(StreamingJobs.corpusIndexDriftReport(spark, inv))),
+          "inv_lake@compact" -> leg(StreamingJobs.corpusIndexCompact(spark, inv)))
+      }
+      val a = cycle(src, "target/tmp/probe-lakes-base")
+      val b = cycle(dst, "target/tmp/probe-lakes-xn")
+      a.zip(b).foreach { case ((n, ta), (_, tb)) =>
+        println(f"$n%-22s $ta%8.2f $tb%8.2f ${tb / ta}%6.1f")
+      }
     }
     spark.stop()
   }
