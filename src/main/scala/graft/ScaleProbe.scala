@@ -147,7 +147,8 @@ object ScaleProbe {
       "ann_filtered_search", "embedding_pca", "mm_audio_vad",
       "dedup_paragraph", "dedup_paragraph_rewrite",
       "ann_binary_topk", "embedding_outliers", "corpus_cluster_topics",
-      "embedding_matryoshka", "mm_audio_snr", "mm_image_stats")
+      "embedding_matryoshka", "mm_audio_snr", "mm_image_stats",
+      "ann_adaptive_topk")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)

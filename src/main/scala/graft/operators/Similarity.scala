@@ -80,6 +80,13 @@ object Similarity {
     * the DuckDB twins, and the report's hotprobe slice. */
   private val AnnPanel = 10
 
+  /** Recall/serve depth of the exact baseline and the k=5 ANN ops —
+    * declared HERE (with [[AnnPanel]], before every SQL-twin val
+    * initializer) because object vals initialize in declaration
+    * order: a twin built below a constant's declaration silently
+    * interpolates 0. */
+  private[graft] val RecallK = 5
+
   /** Prefilter-by-`fast`-score + exact-decimal rescore, shared by every
     * ANN variant. `scored` must carry (query_id, neighbor_id, q_emb,
     * embedding, qn2, n2, fast); the per-query fast top-[[PrefilterBuffer]]
@@ -2587,6 +2594,116 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- ann_adaptive_topk: Matryoshka funnel retrieval ------------------
+  // The serve pattern Matryoshka embeddings exist for (adaptive
+  // retrieval / funnel retrieval, Kusupati et al.'s MRL deployment
+  // recipe): rank EVERY candidate on only the first [[AdaptDims]]
+  // dimensions — the cheap pass that touches the whole corpus — keep a
+  // per-query shortlist of [[AdaptShortlist]], and rescore only the
+  // shortlist at full width. At 100 TB the economics are the point:
+  // an MRL-trained lake stores the first-t slice as its own column
+  // (or its own file tier), so the pass that touches every vector
+  // reads t/d of the bytes and pays t/d of the flops, while the
+  // full-width vectors are fetched for R rows per query — the same
+  // funnel FAISS's refine tier and every two-stage retrieval system
+  // ship. Unlike ann_bruteforce's two-phase (same metric both
+  // phases, bit-identical-to-exact), the shortlist here is
+  // SEMANTICALLY part of the operator — recall vs exact is the price
+  // of the cheap pass, and on THESE synthetic (non-MRL-trained)
+  // embeddings the prefix carries little signal, so the measured
+  // recall (DedupSpec) is honestly low — the number the op exists to
+  // put in front of a serving-width decision, exactly like
+  // embedding_matryoshka's ablation rows.
+  //
+  // Determinism: the corpus-sized pass ranks by the codegen'd double
+  // prefix cosine but only SELECTS a 2R buffer; the shortlist CUT is
+  // decided by the exact-decimal prefix cosine over that buffer (the
+  // rescoreTopK argument applied to the prefix metric — double-vs-
+  // decimal drift ~1e-13 can only perturb the buffer boundary, and
+  // exact ties break on neighbor_id in both phases), and the final
+  // top-k by the exact-decimal full cosine. The DuckDB twin replays
+  // the decimal shortlist and rescore directly.
+
+  private val AdaptDims = 16      // funnel width of the corpus pass
+  private val AdaptShortlist = 32 // rows rescored at full width per query
+
+  /** The funnel at explicit (prefix width, shortlist) — the spec's
+    * measurement surface: t = 64 makes both phases the same metric,
+    * so the result must equal ann_bruteforce's top-k exactly (the
+    * identity anchor); t = AdaptDims is the registry op. */
+  private[graft] def annAdaptiveAt(s: SparkSession, dir: String,
+      t: Int, shortlist: Int): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val v = withNorm2(Tables.embeddings(s, dir))
+      .withColumn("p", slice(col("embedding"), 1, t))
+      .withColumn("pn2", vec_dot_exact(col("p"), col("p")))
+    val q = v.filter(col("vec_id") < AnnPanel)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"), col("p").as("q_p"), col("pn2").as("q_pn2"))
+    val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"),
+        col("q_p"), col("p"), col("q_pn2"), col("pn2"))
+    // corpus pass: codegen'd double prefix cosine, 2R buffer per query
+    val w1 = Window.partitionBy("query_id").orderBy(col("pfast").desc, col("neighbor_id"))
+    val buffered = pairs
+      .withColumn("pfast", cosine(vec_dot(col("q_p"), col("p")), col("q_pn2"), col("pn2")))
+      .withColumn(s"${mk}b", row_number().over(w1))
+      .filter(col(s"${mk}b") <= 2 * shortlist)
+    // shortlist cut: exact-decimal prefix cosine (oracle semantics)
+    val w2 = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("neighbor_id"))
+    val short = buffered
+      .withColumn("pcos", cosine(vec_dot_exact(col("q_p"), col("p")), col("q_pn2"), col("pn2")))
+      .withColumn(s"${mk}s", row_number().over(w2))
+      .filter(col(s"${mk}s") <= shortlist)
+    // refine: exact-decimal full-width rescore of the shortlist
+    val w3 = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    short
+      .withColumn("cos_raw",
+        cosine(vec_dot_exact(col("q_emb"), col("embedding")), col("qn2"), col("n2")))
+      .withColumn(s"${mk}rank", row_number().over(w3))
+      .filter(col(s"${mk}rank") <= RecallK)
+      .select(col("query_id"), col("neighbor_id"), col(s"${mk}rank").as("rank"),
+        round6(col("cos_raw")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def annAdaptive(s: SparkSession, dir: String): DataFrame =
+    annAdaptiveAt(s, dir, AdaptDims, AdaptShortlist)
+
+  private val annAdaptiveSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2,
+       |         embedding[1:$AdaptDims] AS p,
+       |         ${norm2Sql(s"embedding[1:$AdaptDims]")} AS pn2
+       |  FROM embeddings),
+       |pre AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |         q.embedding AS q_emb, v.embedding AS embedding,
+       |         q.n2 AS qn2, v.n2 AS n2,
+       |         ${ddotSql("q.p", "v.p")} / (sqrt(q.pn2) * sqrt(v.pn2)) AS pcos
+       |  FROM v q JOIN v ON q.vec_id < $AnnPanel AND v.vec_id <> q.vec_id),
+       |short AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pcos DESC, neighbor_id) AS sr FROM pre)
+       |  WHERE sr <= $AdaptShortlist),
+       |rescored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ${ddotSql("q_emb", "embedding")} / (sqrt(qn2) * sqrt(n2)) AS cos_raw
+       |  FROM short),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos_raw DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM rescored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cos_raw")} AS cos_sim
+       |FROM ranked WHERE rank <= $RecallK
+       |ORDER BY query_id, rank""".stripMargin
+
   // --- the compressed IVFPQ core (maintained-lake serve tier) ----------
   // The memory-honest 100 TB serve: posting lists carry the PqM small
   // code ints plus one norm per vector (~40 bytes), never the embedding
@@ -2726,8 +2843,11 @@ object Similarity {
   // scan would re-execute once per method and each serve plan would be
   // embedded whole in the union (measured 3× the heavy baseline at 3
   // methods in round 9).
-
-  private[graft] val RecallK = 5
+  // (RecallK itself is declared next to AnnPanel at the top of the
+  // object: like the panel constant it feeds SQL-twin val
+  // initializers that run in declaration order — round 15's
+  // ann_adaptive_topk twin silently interpolated 0 when it was
+  // declared down here.)
 
   /** The audit core over EXPLICIT (method, serve result, k) rows —
     * shared by the registry report (memoized batch builds) and the
@@ -3519,5 +3639,6 @@ object Similarity {
     Op("embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql), buildState = true),
     Op("corpus_cluster_topics", corpusClusterTopics, Some(corpusClusterTopicsSql), buildState = true),
     Op("embedding_matryoshka", embeddingMatryoshka, Some(embeddingMatryoshkaSql)),
+    Op("ann_adaptive_topk", annAdaptive, Some(annAdaptiveSql)),
     Op("contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)))
 }

@@ -674,6 +674,36 @@ class DedupSpec extends AnyFunSuite {
     assert(rPca >= rPq, s"training should never cost recall: PQ=$rPq pcaOPQ=$rPca")
   }
 
+  test("adaptive funnel retrieval: full-width funnel IS bruteforce; prefix funnel recall measured") {
+    import graft.operators.Similarity
+    // identity anchor: with t = 64 both funnel phases rank by the same
+    // exact metric as bruteforce, so the result must be bit-identical
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    val bf = rows(Registry.queries("ann_bruteforce_topk")(spark, sf))
+    assert(rows(Similarity.annAdaptiveAt(spark, sf, 64, 32)) == bf,
+      "full-width funnel diverges from bruteforce")
+    // the registry funnel (prefix-16 corpus pass, 32-row full-width
+    // rescore): recall vs exact is the price of the cheap pass — on
+    // these synthetic non-MRL embeddings the prefix carries little
+    // signal, so the honest number is LOW (the decision the op exists
+    // to force: don't funnel THESE embeddings at t=16). Pin the
+    // measured band so a silent semantics change surfaces.
+    val ad = rows(Registry.queries("ann_adaptive_topk")(spark, sf))
+    val bfSet = bf.map(t => (t._1, t._2)).toSet
+    val hits = ad.count(t => bfSet((t._1, t._2)))
+    val recall = hits.toDouble / bf.size
+    info(s"adaptive(t=16, R=32) recall@5 vs exact: $recall")
+    assert(recall > 0.0 && recall <= 1.0)
+    // a wider shortlist can only help (monotone funnel): R=128 recall
+    // >= R=32 recall — the knob a deployment turns before giving up
+    // on a serving width
+    val wide = rows(Similarity.annAdaptiveAt(spark, sf, 16, 128))
+    val wideRecall = wide.count(t => bfSet((t._1, t._2))).toDouble / bf.size
+    info(s"adaptive(t=16, R=128) recall@5 vs exact: $wideRecall")
+    assert(wideRecall >= recall, s"widening the shortlist lost recall: $recall -> $wideRecall")
+  }
+
   test("hot-split kNN graph keeps near-full recall of the unsplit graph") {
     // splitting only bounds candidate sets; with Hamming-1 multiprobe
     // over the active secondary bits, a base-graph edge is lost only
