@@ -53,7 +53,6 @@ object BenchX16 {
     // ScaleProbe so the gate times the SERVE path's scaling (cold
     // build cost is the probe's @build exhibits' job)
     Top20.filter(Registry.buildStateOps).foreach(timed)
-    val results = Top20.map(n => n -> math.min(timed(n), timed(n)))
     val refMap: Map[String, Double] = {
       val f = new java.io.File("BENCH_X16_REF.json")
       if (!f.exists()) Map.empty
@@ -65,6 +64,18 @@ object BenchX16 {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     }
+    // min-of-two, plus Bench's outlier protocol: a row past 2x its
+    // quiet reference gets ONE more run in the same process (x16 rows
+    // swing harder than sf0.1 ones — mm_resize measured 10-32 s across
+    // otherwise-quiet runs); if even the best of three stays past 2x
+    // it is listed in "contended" — a self-documenting marker instead
+    // of a phantom regression.
+    def inflated(n: String, t: Double): Boolean =
+      t > 0 && refMap.get(n).exists(r => r > 0 && t > 2 * r && t - r > 0.5)
+    val results = Top20.map(n => n -> math.min(timed(n), timed(n)))
+      .map { case (n, t) => if (inflated(n, t)) n -> math.min(t, timed(n)) else n -> t }
+    val contended = results.collect { case (n, t) if inflated(n, t) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
     // same floor/ratio conventions as Bench: -1 marks a sub-floor row
     // (noise, not comparable) without letting the key set churn
     val ratios = results.collect {
@@ -76,7 +87,7 @@ object BenchX16 {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     val line =
-      s"""{"metric":"total_x16","value":$total,"unit":"sec","n":2,"sink":"noop","cpus":$cpus,"ref_ratio":${jmap(ratios)},"queries":${jmap(results)},"sf":"x16 of sf0.1"}"""
+      s"""{"metric":"total_x16","value":$total,"unit":"sec","n":2,"sink":"noop","cpus":$cpus,"contended":$contended,"ref_ratio":${jmap(ratios)},"queries":${jmap(results)},"sf":"x16 of sf0.1"}"""
     spark.stop()
     print(s"\n$line\n")
     System.out.flush()

@@ -2891,6 +2891,7 @@ object Similarity {
     // comparable per-method number. The k column makes the depth
     // explicit in the report itself.
     recallReportOver(s, dir, Seq(
+      ("adaptive", annAdaptive(s, dir), RecallK),
       ("graph", annGraphSearch(s, dir), KnnK),
       // hotprobe serves the whole corpus as queries (it IS the kNN
       // builder); the audit reads its panel slice of the same output
@@ -2904,6 +2905,7 @@ object Similarity {
 
   private def annRecallReportSql: String =
     s"""WITH exact AS MATERIALIZED (SELECT query_id, neighbor_id FROM ($annBruteforceSql)),
+       |m_adaptive AS (SELECT query_id, neighbor_id FROM ($annAdaptiveSql)),
        |m_graph AS (SELECT query_id, neighbor_id FROM ($annGraphSearchSql)),
        |m_hotprobe AS (SELECT query_id, neighbor_id FROM ($annKnnHotprobeSql) WHERE query_id < $AnnPanel),
        |m_ivf AS (SELECT query_id, neighbor_id FROM ($annIvfSql)),
@@ -2912,7 +2914,8 @@ object Similarity {
        |m_pq AS (SELECT query_id, neighbor_id FROM ($annPqSql)),
        |m_binary AS (SELECT query_id, neighbor_id FROM ($annBinarySql)),
        |approx AS (
-       |  SELECT 'graph' AS method, * FROM m_graph
+       |  SELECT 'adaptive' AS method, * FROM m_adaptive
+       |  UNION ALL SELECT 'graph' AS method, * FROM m_graph
        |  UNION ALL SELECT 'hotprobe' AS method, * FROM m_hotprobe
        |  UNION ALL SELECT 'ivf' AS method, * FROM m_ivf
        |  UNION ALL SELECT 'ivfpq' AS method, * FROM m_ivfpq
@@ -2923,7 +2926,8 @@ object Similarity {
        |  SELECT ms.method, ms.k, e.query_id,
        |         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS hits
        |  FROM exact e
-       |  CROSS JOIN (SELECT * FROM (VALUES ('graph', $KnnK), ('hotprobe', $KnnK),
+       |  CROSS JOIN (SELECT * FROM (VALUES ('adaptive', $RecallK),
+       |    ('graph', $KnnK), ('hotprobe', $KnnK),
        |    ('ivf', $RecallK), ('ivfpq', $RecallK), ('lsh', $RecallK),
        |    ('pq', $RecallK), ('binary', $RecallK)) AS t(method, k)) ms
        |  LEFT JOIN approx a ON a.method = ms.method

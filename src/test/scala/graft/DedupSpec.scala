@@ -121,6 +121,7 @@ class DedupSpec extends AnyFunSuite {
     val exact = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val methods = Map(
+      "adaptive" -> "ann_adaptive_topk",
       "graph" -> "ann_graph_search", "hotprobe" -> "ann_knn_hotprobe",
       "ivf" -> "ann_ivf_topk", "ivfpq" -> "ann_ivfpq_topk",
       "lsh" -> "ann_lsh_topk", "pq" -> "ann_pq_topk",
