@@ -1492,8 +1492,127 @@ object Curation {
        |       ticket
        |FROM d ORDER BY phase, ticket, doc_id""".stripMargin
 
+  // --- corpus_doremi_mix: Group-DRO domain mixture reweighting ---------
+  // The DoReMi recipe (Xie et al. 2023) re-expressed as a data-engine
+  // op: instead of size- or temperature-based mixing
+  // (corpus_temperature_mix) or a target-density ratio
+  // (corpus_dsir_weights), domain weights come from an OPTIMIZATION —
+  // exponentiated-gradient / multiplicative-weights ascent on each
+  // domain's excess loss, the Group-DRO update that upweights domains
+  // the current mixture model underserves. The proxy model here is the
+  // hashed-unigram Laplace model of §4's fixed-point family (no
+  // exp/ln): per-domain loss proxy = mean µ-likelihood of the domain's
+  // tokens under the GLOBAL mixture model, and excess λ_d =
+  // max(0, corpus_mean − domain_mean) — domains whose tokens the
+  // mixture ranks below average are the underfit ones. The published
+  // EG update w ← normalize(w·exp(ηλ)) runs as its multiplicative-
+  // weights form w·(1 + ηλ) with per-round renormalization and ε-mix
+  // toward uniform (DoReMi's smoothing) — all in ppb longs, so the
+  // 5-round trajectory replays bit-for-bit in DuckDB (window-sum
+  // normalizers over the K-row weight frame; ≤1.3e18 intermediates,
+  // no overflow). Scale: ONE token pass builds the (source, bucket)
+  // sufficient statistics (bounded at K·4096 rows by construction —
+  // map-side combinable); everything after is arithmetic on K-row
+  // frames. The global window sums are over K domains, not the corpus.
+
+  private val DoremiBuckets = 4096
+  private val DoremiEta = 1000L          // EG step per µ of excess loss
+  private val DoremiEps = 100000000L     // ε·10⁹ = 0.1 uniform smoothing
+  private val DoremiRounds = 5
+
+  /** The EG trajectory over any (source, text) frame — split out so a
+    * spec can pin the update law on a skewed synthetic corpus. */
+  private[graft] def doremiMixOf(docs: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    // hashed-unigram sufficient statistics, 3 consumers -> memoize
+    val cd = docs
+      .select(col("source"), explode(toks).as("w"))
+      .select(col("source"), pmod(h32(col("w")), lit(DoremiBuckets)).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("c"))
+      .transform(graft.functions.memoize)
+    val nd = cd.groupBy("source").agg(sum("c").as("n"))
+    // global-model µ-likelihood per bucket (Laplace fixed point)
+    val fp = cd.groupBy("b").agg(sum("c").as("cb"))
+      .withColumn("ntot", sum("cb").over(wAll))
+      .select(col("b"),
+        expr(s"(cb + 1L) * 1000000L div (ntot + ${DoremiBuckets}L)").as("fpg"))
+    val dom = cd.join(fp, "b").groupBy("source")
+      .agg(sum(col("c") * col("fpg")).as("sfp"))
+      .join(nd, "source")
+    // excess λ_d vs the corpus mean, with K attached for the rounds
+    val lam = dom
+      .withColumn("fpbar", expr("sum(sfp) over () div sum(n) over ()"))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .select(col("source"),
+        greatest(lit(0L), col("fpbar") - expr("sfp div n")).as("excess_ufp"),
+        col("k"))
+      .transform(graft.functions.memoize)
+    val w0 = lam.select(col("source"), col("excess_ufp"), col("k"),
+      expr("1000000000L div k").as("w"))
+    val rounds = (1 to DoremiRounds).scanLeft(w0) { (prev, _) =>
+      prev
+        .withColumn("raw",
+          col("w") * (lit(1000000L) + lit(DoremiEta) * col("excess_ufp")))
+        .withColumn("wn",
+          expr("raw div (sum(raw) over () div 1000000000L)"))
+        .select(col("source"), col("excess_ufp"), col("k"),
+          (expr(s"((1000000000L - ${DoremiEps}L) * wn) div 1000000000L") +
+            expr(s"${DoremiEps}L div k")).as("w"))
+    }
+    rounds.zipWithIndex
+      .map { case (df, r) =>
+        df.select(lit(r).as("round"), col("source"), col("excess_ufp"),
+          col("w").as("weight_ppb")) }
+      .reduce(_.unionAll(_))
+      .orderBy("round", "source")
+  }
+
+  private def corpusDoremiMix(s: SparkSession, dir: String): DataFrame =
+    doremiMixOf(Tables.documents(s, dir))
+
+  private val corpusDoremiMixSql: String = {
+    val mixRound: String =
+      s"""SELECT source, excess_ufp, k,
+         |       CAST(((1000000000 - $DoremiEps) *
+         |              (raw // (sum(raw) OVER () // 1000000000))) // 1000000000
+         |            + $DoremiEps // k AS BIGINT) AS w
+         |FROM (SELECT source, excess_ufp, k,
+         |             w * (1000000 + $DoremiEta * excess_ufp) AS raw FROM W_PREV)""".stripMargin
+    val roundCtes = (1 to DoremiRounds)
+      .map(r => s"w$r AS (${mixRound.replace("W_PREV", s"w${r - 1}")})")
+      .mkString(",\n")
+    val unions = (0 to DoremiRounds)
+      .map(r => s"SELECT $r AS round, source, excess_ufp, w AS weight_ppb FROM w$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH toksx AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hb AS (SELECT source,
+       |         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % $DoremiBuckets AS b
+       |       FROM toksx),
+       |cd AS (SELECT source, b, count(*) AS c FROM hb GROUP BY 1, 2),
+       |nd AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM cd GROUP BY 1),
+       |fp AS (SELECT b,
+       |         CAST((sum(c) + 1) * 1000000 //
+       |              (sum(sum(c)) OVER () + $DoremiBuckets) AS BIGINT) AS fpg
+       |       FROM cd GROUP BY b),
+       |dom AS (SELECT cd.source, CAST(sum(cd.c * fp.fpg) AS BIGINT) AS sfp, nd.n
+       |        FROM cd JOIN fp USING (b) JOIN nd USING (source)
+       |        GROUP BY cd.source, nd.n),
+       |lam AS (SELECT source,
+       |          CAST(greatest(0, sum(sfp) OVER () // sum(n) OVER ()
+       |                           - sfp // n) AS BIGINT) AS excess_ufp,
+       |          CAST(count(*) OVER () AS BIGINT) AS k
+       |        FROM dom),
+       |w0 AS (SELECT source, excess_ufp, k,
+       |         CAST(1000000000 // k AS BIGINT) AS w FROM lam),
+       |$roundCtes
+       |$unions
+       |ORDER BY round, source""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("corpus_curriculum_order", corpusCurriculum, Some(corpusCurriculumSql)),
+    Op("corpus_doremi_mix", corpusDoremiMix, Some(corpusDoremiMixSql)),
     Op("corpus_datacard", corpusDatacard, Some(corpusDatacardSql)),
     Op("text_quality_gopher", qualityGopher, Some(qualityGopherSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),

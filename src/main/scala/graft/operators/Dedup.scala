@@ -339,6 +339,124 @@ object Dedup {
       |FROM scored WHERE cont_raw >= 0.5
       |ORDER BY small_id, big_id""".stripMargin
 
+  // --- dedup_allpairs: EXACT threshold join via prefix filtering -------
+  // The AllPairs/PPJoin family (Bayardo et al., "Scaling Up All Pairs
+  // Similarity Search"; Xiao et al., PPJoin): the provably-COMPLETE
+  // member of the near-dup stack. MinHash/SimHash trade recall for
+  // bounded buckets; the inverted-index Jaccard screen joins on EVERY
+  // shared shingle (bounded here only by source blocking). Prefix
+  // filtering gets exactness AND pruning from one ordering argument:
+  // rank each doc's shingles by ascending global document frequency
+  // (rarest first, shingle hash as the deterministic tie-break) — two
+  // sets with Jaccard ≥ t MUST share a shingle inside their first
+  // p = n − ⌈t·n⌉ + 1 ranked shingles, so the inverted index is built
+  // over PREFIXES only. At t = 0.8 that is ~the rarest 20% of each
+  // doc, and — the scale property — the frequent shingles that create
+  // quadratic inverted-list blowup are precisely the ones the prefix
+  // drops: a shingle's list only receives docs for which it ranks in
+  // the rare head. Candidates then pass the length filter
+  // (⌈t·max(na,nb)⌉ ≤ min — integer form 4·max ≤ 5·min) before the
+  // exact-verify join counts the true intersection; the final
+  // threshold is the exact rational 5·c ≥ 4·(na+nb−c), no float
+  // boundary. 100 TB shape: one agg for document frequencies
+  // (map-side combinable), one exchange(doc_id) for the per-doc
+  // ranking window, prefix explode (~0.2× the shingle stream), a
+  // bounded candidate join, and a verify join proportional to
+  // candidate pairs × doc size — never all-pairs, never full inverted
+  // lists. DedupSpec pins losslessness: result set == brute-force
+  // all-pairs Jaccard ≥ t on a synthetic corpus with near-dups that
+  // share only mid-frequency shingles.
+
+  /** Jaccard threshold as an exact rational (4/5 = 0.8): numerator/
+    * denominator so prefix length, length filter, and the final
+    * threshold all stay in integer arithmetic. */
+  private val ApNum = 4
+  private val ApDen = 5
+
+  /** Prefix-filter similarity join over a prepared (doc_id, source,
+    * shingle) frame — split out so DedupSpec can pin completeness
+    * against brute force on a synthetic corpus. */
+  private[graft] def allpairsOf(sh: DataFrame): DataFrame = {
+    // sizes + the ranking window + both candidate sides + the verify
+    // join all read the ranked frame: one materialization (the frame
+    // is (doc_id, shingle, rank) — 24 B/row, corpus-shingle scale)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("dfc"), col("shingle"))
+    val ranked = sh.join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(wr))
+      .join(sizes, "doc_id")
+      // p = n − ⌈t·n⌉ + 1 with ⌈ApNum·n/ApDen⌉ = (ApNum·n + ApDen − 1) div ApDen
+      .withColumn("plen",
+        col("n") - expr(s"($ApNum * n + ${ApDen - 1}) div $ApDen") + lit(1))
+      .transform(graft.functions.memoize)
+    val pref = ranked.filter(col("pos") <= col("plen"))
+      .select(col("doc_id"), col("shingle"), col("n"))
+    // candidates: share ≥1 PREFIX shingle + pass the length filter
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        greatest(col("a.n"), col("b.n")) * ApNum <=
+          least(col("a.n"), col("b.n")) * ApDen)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    // exact verify: count the full intersection for each candidate
+    val toks = ranked.select(col("doc_id"), col("shingle"))
+    val inter = cand
+      .join(toks.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(toks.as("tb"),
+        col("id_b") === col("tb.doc_id") &&
+        col("ta.shingle") === col("tb.shingle"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+    inter
+      .filter(col("c") * ApDen >= (col("na") + col("nb") - col("c")) * ApNum)
+      .select(col("id_a"), col("id_b"), col("c").as("n_shared"),
+        round6(col("c").cast(DoubleType) /
+          (col("na") + col("nb") - col("c")).cast(DoubleType)).as("jaccard"))
+      .transform(graft.functions.checkpointBeforeSort)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def dedupAllpairs(s: SparkSession, dir: String): DataFrame =
+    allpairsOf(shingles(s, dir))
+
+  private val dedupAllpairsSql =
+    s"""WITH tokw AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         ${h60Sql("ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2]")} AS shingle
+      |  FROM (SELECT doc_id, ts,
+      |          unnest(generate_series(1, len(ts) - 2)) AS i FROM tokw)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |dfreq AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY 1),
+      |ranked AS (
+      |  SELECT sh.doc_id, sh.shingle, sizes.n,
+      |         CAST(row_number() OVER (PARTITION BY sh.doc_id
+      |           ORDER BY dfc, sh.shingle) AS BIGINT) AS pos,
+      |         sizes.n - ($ApNum * sizes.n + ${ApDen - 1}) // $ApDen + 1 AS plen
+      |  FROM sh JOIN dfreq USING (shingle) JOIN sizes USING (doc_id)),
+      |pref AS (SELECT doc_id, shingle, n FROM ranked WHERE pos <= plen),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |                  a.n AS na, b.n AS nb
+      |  FROM pref a JOIN pref b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |   AND greatest(a.n, b.n) * $ApNum <= least(a.n, b.n) * $ApDen),
+      |inter AS (
+      |  SELECT id_a, id_b, na, nb, count(*) AS c
+      |  FROM cand
+      |  JOIN ranked ta ON ta.doc_id = id_a
+      |  JOIN ranked tb ON tb.doc_id = id_b AND ta.shingle = tb.shingle
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, c AS n_shared,
+      |       ${round6Sql("CAST(c AS DOUBLE) / (na + nb - c)")} AS jaccard
+      |FROM inter WHERE c * $ApDen >= (na + nb - c) * $ApNum
+      |ORDER BY id_a, id_b""".stripMargin
+
   // --- dedup_minhash: MinHash signatures + LSH banding -----------------
   // k=64 permutations h_i(x) = (a_i·x + b_i) mod p over shingle hashes;
   // 8 bands × 8 rows. Pair generation happens only inside band buckets.
@@ -1539,6 +1657,7 @@ object Dedup {
     Op("dedup_editdist", dedupEditdist, Some(dedupEditdistSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), buildState = true),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql), buildState = true),
+    Op("dedup_allpairs", dedupAllpairs, Some(dedupAllpairsSql), buildState = true),
     Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql), buildState = true),
     Op("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql), buildState = true),
     Op("dedup_gate", dedupGate, Some(dedupGateSql), buildState = true),

@@ -1087,4 +1087,48 @@ class DedupSpec extends AnyFunSuite {
     assert(reg.nonEmpty)
     assert(reg.forall(_.getLong(4) >= 4))
   }
+
+  test("allpairs prefix filtering is lossless: result == brute-force Jaccard >= 0.8") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // adversarial-for-prefix-filtering corpus: the near-dup pair's
+    // DIFFERING shingles are the globally rarest (df=1), so each doc's
+    // prefix head is its unique tail — the prefix theorem must still
+    // surface the pair via the shared mid-frequency shingles that fill
+    // the rest of the prefix window
+    val base = (0 until 42).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, "srcA", s"$base uqa0 uqa1"),
+      (1L, "srcA", s"$base uqb0 uqb1"),
+      (2L, "srcB", (100 until 140).map(i => s"x$i").mkString(" ")),
+      // subsumption case: well below threshold, must NOT appear
+      (3L, "srcB", (0 until 20).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.allpairsOf(Dedup.shinglesOf(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // brute force over string shingle sets (h60 collisions are ~2^-60)
+    val sets = Seq(0L, 1L, 2L, 3L).map { d =>
+      val ws = docs.filter(col("doc_id") === d).head().getString(2).split(" ")
+      d -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      c = (sets(a) & sets(b)).size
+      u = sets(a).size + sets(b).size - c
+      if u > 0 && c * 5 >= u * 4
+    } yield (a, b) -> c.toDouble / u).toMap
+    assert(want.nonEmpty && want.contains((0L, 1L)))
+    assert(got.keySet == want.keySet, s"got ${got.keySet} want ${want.keySet}")
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) <= 1e-6) }
+  }
+
+  test("allpairs on the real corpus recalls every source-blocked Jaccard >= 0.8 pair") {
+    // the registry op is GLOBAL (no source blocking), so the blocked
+    // screen's strong pairs are a lower bound on its result set
+    val strong = jaccardPairs.filter(_._2 >= 0.8).keySet
+    assert(strong.nonEmpty)
+    val ap = Registry.queries("dedup_allpairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.subsetOf(ap), s"missed ${strong.diff(ap)}")
+  }
 }

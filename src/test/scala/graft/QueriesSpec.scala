@@ -503,4 +503,44 @@ class QueriesSpec extends AnyFunSuite {
         assert(r.getAs[Double]("retention") == 1.0)
     }
   }
+
+  test("doremi mix upweights the underserved domain; integer EG law replays exactly") {
+    import spark.implicits._
+    // skewed mixture: 'big' dominates the token mass, 'odd' writes a
+    // disjoint vocabulary — the global unigram model ranks odd's
+    // tokens below the corpus mean, so odd is the Group-DRO underfit
+    // domain and must gain weight every round
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "big",
+        (0 until 50).map(j => s"c${(i * 7 + j) % 30}").mkString(" "))) ++
+      (20 until 24).map(i => (i.toLong, "odd",
+        (0 until 50).map(j => s"z${(i * 11 + j) % 40}").mkString(" ")))
+    ).toDF("doc_id", "source", "text")
+    val rows = graft.operators.Curation.doremiMixOf(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size == 12) // 2 domains x rounds 0..5
+    // round 0 is uniform
+    assert(rows((0, "big"))._2 == 500000000L && rows((0, "odd"))._2 == 500000000L)
+    val lamOdd = rows((0, "odd"))._1
+    assert(lamOdd > 0L, s"odd excess $lamOdd should be positive")
+    assert(rows((0, "big"))._1 == 0L, "the dominant domain sits above the mean")
+    // odd strictly gains weight each round; big strictly loses
+    (1 to 5).foreach { r =>
+      assert(rows((r, "odd"))._2 > rows((r - 1, "odd"))._2, s"round $r odd")
+      assert(rows((r, "big"))._2 < rows((r - 1, "big"))._2, s"round $r big")
+    }
+    // the exact integer EG/MW law, replayed independently in Scala
+    var w = Map("big" -> 500000000L, "odd" -> 500000000L)
+    val lam = Map("big" -> rows((0, "big"))._1, "odd" -> lamOdd)
+    (1 to 5).foreach { r =>
+      val raw = w.map { case (s, v) => s -> v * (1000000L + 1000L * lam(s)) }
+      val tot = raw.values.sum
+      val wn = raw.map { case (s, v) => s -> v / (tot / 1000000000L) }
+      w = wn.map { case (s, v) =>
+        s -> ((1000000000L - 100000000L) * v / 1000000000L + 100000000L / 2) }
+      w.foreach { case (s, v) =>
+        assert(rows((r, s))._2 == v, s"round $r $s: ${rows((r, s))._2} != $v") }
+    }
+  }
 }
