@@ -3128,6 +3128,147 @@ object Similarity {
        |FROM ranked WHERE rrf_rank <= $RrfTopK
        |ORDER BY query_id, rrf_rank""".stripMargin
 
+  // --- retrieval_mmr_rerank: maximal marginal relevance ----------------
+  // The OTHER retrieval post-processor next to RRF's fusion: MMR
+  // (Carbonell & Goldstein 1998), the diversification pass every RAG
+  // serving stack runs between retrieval and the context window —
+  // greedy selection maximizing λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s),
+  // so near-duplicate hits don't crowd out coverage. Pool = the exact
+  // top-[[MmrPool]] per panel query (the auditable baseline; in
+  // production the pool comes from any index serve path — the rerank
+  // is agnostic to its source). The 100 TB economics ARE the op:
+  // selection touches only pool² pairwise similarities per query
+  // (≤16² bounded rows), never the corpus — the greedy loop is
+  // [[MmrK]] unrolled bounded rounds (the k-center convention, one
+  // argmax window each). Determinism (§4): rel and sim are round6'd
+  // exact-decimal cosines, the MMR combination is IEEE double
+  // arithmetic on those fixed values with neighbor_id tie-breaks, so
+  // the DuckDB oracle replays the greedy unrolled bit-for-bit.
+
+  private val MmrPool = 16
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+  private val MmrDiv = 0.3 // 1 − λ, kept literal so both engines agree
+
+  private def retrievalMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecDotProduct.register(s)
+    val v = withNorm2(Tables.embeddings(s, dir))
+    val q = v.filter(col("vec_id") < AnnPanel)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("n2").as("qn2"))
+    val pairs = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("qn2"), col("n2"))
+    // pool + sim each feed every greedy round -> one materialization
+    val pool = exactTopK(s, pairs, MmrPool)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("rel"))
+      .transform(graft.functions.memoize)
+    val pv = pool.select("query_id", "neighbor_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("n2")), "neighbor_id")
+    val sim = pv.as("a").join(pv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+        col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("id_a"), col("b.neighbor_id").as("id_b"),
+        round6(cosine(
+          graft.plans.VecDotProduct.vec_dot_exact(
+            col("a.embedding"), col("b.embedding")),
+          col("a.n2"), col("b.n2"))).as("sim"))
+      .transform(graft.functions.memoize)
+    val w1 = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val sel1 = pool.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("mmr_rank"),
+        col("rel"), (lit(MmrLambda) * col("rel")).as("mmr_raw"))
+    val rounds = (2 to MmrK).foldLeft(Seq(sel1)) { (sels, r) =>
+      val selAll = sels.map(_.select("query_id", "neighbor_id"))
+        .reduce(_.unionByName(_))
+      val ms = sim
+        .join(selAll.withColumnRenamed("neighbor_id", "id_b"),
+          Seq("query_id", "id_b"))
+        .groupBy("query_id", "id_a").agg(max("sim").as("maxsim"))
+        .withColumnRenamed("id_a", "neighbor_id")
+      val wr = Window.partitionBy("query_id")
+        .orderBy(col("mmr_raw").desc, col("neighbor_id"))
+      val selr = pool.join(selAll, Seq("query_id", "neighbor_id"), "left_anti")
+        .join(ms, Seq("query_id", "neighbor_id"))
+        .withColumn("mmr_raw",
+          lit(MmrLambda) * col("rel") - lit(MmrDiv) * col("maxsim"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(r).as("mmr_rank"),
+          col("rel"), col("mmr_raw"))
+      sels :+ selr
+    }
+    rounds.reduce(_.unionByName(_))
+      .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+        col("rel").as("relevance"), round6(col("mmr_raw")).as("mmr_score"))
+      .orderBy("query_id", "mmr_rank")
+  }
+
+  private def retrievalMmrRerankSql: String = {
+    def selCte(r: Int): String =
+      s"""sel$r AS (
+         |  SELECT query_id, neighbor_id, $r AS mmr_rank, rel, mmr_raw FROM (
+         |    SELECT c.query_id, c.neighbor_id, c.rel,
+         |           $MmrLambda * c.rel - $MmrDiv * ms.maxsim AS mmr_raw,
+         |           row_number() OVER (PARTITION BY c.query_id
+         |             ORDER BY $MmrLambda * c.rel - $MmrDiv * ms.maxsim DESC,
+         |                      c.neighbor_id) AS rn
+         |    FROM pool c
+         |    JOIN (SELECT s2.query_id, s2.id_a AS neighbor_id,
+         |                 max(s2.sim) AS maxsim
+         |          FROM simm s2 JOIN acc${r - 1} s
+         |            ON s2.query_id = s.query_id AND s2.id_b = s.neighbor_id
+         |          GROUP BY 1, 2) ms
+         |      USING (query_id, neighbor_id)
+         |    LEFT JOIN acc${r - 1} x
+         |      ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+         |    WHERE x.neighbor_id IS NULL)
+         |  WHERE rn = 1),
+         |acc$r AS (SELECT * FROM acc${r - 1}
+         |          UNION ALL SELECT query_id, neighbor_id FROM sel$r)""".stripMargin
+    val selCtes = (2 to MmrK).map(selCte).mkString(",\n")
+    val unions = (1 to MmrK).map(r => s"SELECT * FROM sel$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |         ${ddotSql("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2)) AS cos_raw
+       |  FROM v q JOIN v ON q.vec_id < $AnnPanel AND v.vec_id <> q.vec_id),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id, ${round6Sql("cos_raw")} AS rel
+       |  FROM (SELECT query_id, neighbor_id, cos_raw,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cos_raw DESC, neighbor_id) AS rn
+       |        FROM scored)
+       |  WHERE rn <= $MmrPool),
+       |pv AS (SELECT p.query_id, p.neighbor_id, v.embedding, v.n2
+       |       FROM pool p JOIN v ON v.vec_id = p.neighbor_id),
+       |simm AS MATERIALIZED (
+       |  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+       |         ${round6Sql(s"${ddotSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2))")} AS sim
+       |  FROM pv a JOIN pv b
+       |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+       |sel1 AS (
+       |  SELECT query_id, neighbor_id, 1 AS mmr_rank, rel,
+       |         $MmrLambda * rel AS mmr_raw
+       |  FROM (SELECT query_id, neighbor_id, rel,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rel DESC, neighbor_id) AS rn
+       |        FROM pool)
+       |  WHERE rn = 1),
+       |acc1 AS (SELECT query_id, neighbor_id FROM sel1),
+       |$selCtes
+       |SELECT query_id, neighbor_id, mmr_rank, rel AS relevance,
+       |       ${round6Sql("mmr_raw")} AS mmr_score
+       |FROM ($unions)
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   // --- corpus_coreset_kcenter: greedy k-center coreset selection -------
   // The DIVERSITY leg of the data-selection family (SemDeDup removes
   // redundancy, DSIR matches a target distribution; k-center coverage
@@ -3624,6 +3765,7 @@ object Similarity {
     Op("ann_bruteforce_topk", annBruteforce, Some(annBruteforceSql)),
     Op("ann_recall_report", annRecallReport, Some(annRecallReportSql), buildState = true),
     Op("retrieval_rrf", retrievalRrf, Some(retrievalRrfSql), buildState = true),
+    Op("retrieval_mmr_rerank", retrievalMmrRerank, Some(retrievalMmrRerankSql)),
     Op("corpus_coreset_kcenter", corpusCoreset, Some(corpusCoresetSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),

@@ -1088,6 +1088,50 @@ class DedupSpec extends AnyFunSuite {
     assert(reg.forall(_.getLong(4) >= 4))
   }
 
+  test("MMR rerank: rank-1 is the exact top-1; greedy trajectory replays independently") {
+    val out = Registry.queries("retrieval_mmr_rerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.size == 10 * 5)
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (embs(a), embs(b))
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    (0L until 10L).foreach { q =>
+      val pool = embs.keys.filter(_ != q).toSeq
+        .map(n => n -> r6(cos(q, n))).sortBy { case (n, c) => (-c, n) }.take(16)
+      // greedy MMR replay over the double-precision pool
+      var selected = Vector.empty[Long]
+      (1 to 5).foreach { r =>
+        val (nid, rel, score) = out((q, r))
+        val best = pool.filterNot { case (n, _) => selected.contains(n) }
+          .map { case (n, c) =>
+            val ms = if (selected.isEmpty) 0.0
+              else selected.map(s => r6(cos(n, s))).max
+            (n, c, 0.7 * c - 0.3 * ms) }
+          .minBy { case (n, _, m) => (-m, n) }
+        assert(nid == best._1, s"q=$q r=$r picked $nid, replay says ${best._1}")
+        assert(math.abs(rel - best._2) <= 1e-9 && math.abs(score - r6(best._3)) <= 1e-9)
+        selected :+= nid
+      }
+      // rank-1 is pure relevance: the exact top-1 neighbor
+      assert(out((q, 1))._1 == pool.head._1)
+    }
+    // diversification engages somewhere: at least one query's selection
+    // order deviates from pure-relevance order
+    val deviates = (0L until 10L).exists { q =>
+      val byRel = embs.keys.filter(_ != q).toSeq
+        .map(n => n -> r6(cos(q, n))).sortBy { case (n, c) => (-c, n) }
+        .take(5).map(_._1)
+      (1 to 5).map(r => out((q, r))._1) != byRel
+    }
+    assert(deviates, "MMR never deviated from pure relevance ordering")
+  }
+
   test("allpairs prefix filtering is lossless: result == brute-force Jaccard >= 0.8") {
     import spark.implicits._
     import graft.operators.Dedup
