@@ -148,7 +148,8 @@ object ScaleProbe {
       "dedup_paragraph", "dedup_paragraph_rewrite",
       "ann_binary_topk", "embedding_outliers", "corpus_cluster_topics",
       "embedding_matryoshka", "mm_audio_snr", "mm_image_stats",
-      "ann_adaptive_topk")
+      "ann_adaptive_topk",
+      "dedup_allpairs", "corpus_doremi_mix", "retrieval_mmr_rerank")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)

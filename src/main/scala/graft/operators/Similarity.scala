@@ -3178,10 +3178,16 @@ object Similarity {
       .transform(graft.functions.memoize)
     val w1 = Window.partitionBy("query_id")
       .orderBy(col("rel").desc, col("neighbor_id"))
+    // each round's pick is memoized (the k-center per-round convention):
+    // round r's candidate set unions every earlier pick, so without the
+    // checkpoint sel1's plan re-derives inside sel2..sel5 AND the final
+    // union — ~2^K sel evaluations of pure stage overhead (measured
+    // 5.3 s -> the checkpointed loop's stages are linear in K)
     val sel1 = pool.withColumn("rn", row_number().over(w1))
       .filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("mmr_rank"),
         col("rel"), (lit(MmrLambda) * col("rel")).as("mmr_raw"))
+      .transform(graft.functions.memoize)
     val rounds = (2 to MmrK).foldLeft(Seq(sel1)) { (sels, r) =>
       val selAll = sels.map(_.select("query_id", "neighbor_id"))
         .reduce(_.unionByName(_))
@@ -3200,6 +3206,7 @@ object Similarity {
         .filter(col("rn") === 1)
         .select(col("query_id"), col("neighbor_id"), lit(r).as("mmr_rank"),
           col("rel"), col("mmr_raw"))
+        .transform(graft.functions.memoize)
       sels :+ selr
     }
     rounds.reduce(_.unionByName(_))
