@@ -149,7 +149,8 @@ object ScaleProbe {
       "ann_binary_topk", "embedding_outliers", "corpus_cluster_topics",
       "embedding_matryoshka", "mm_audio_snr", "mm_image_stats",
       "ann_adaptive_topk",
-      "dedup_allpairs", "corpus_doremi_mix", "retrieval_mmr_rerank")
+      "dedup_allpairs", "corpus_doremi_mix", "retrieval_mmr_rerank",
+      "ann_scann_topk")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)

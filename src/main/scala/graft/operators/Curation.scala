@@ -1563,7 +1563,7 @@ object Curation {
       .map { case (df, r) =>
         df.select(lit(r).as("round"), col("source"), col("excess_ufp"),
           col("w").as("weight_ppb")) }
-      .reduce(_.unionAll(_))
+      .reduce(_.union(_))
       .orderBy("round", "source")
   }
 

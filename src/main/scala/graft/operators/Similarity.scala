@@ -1973,7 +1973,7 @@ object Similarity {
     * subspace) get the exact-decimal score that decides the argmax
     * (identical unless two distinct centroids sit within ~1e-13,
     * while exact ties break on cid in both phases). */
-  private def pqAssign(subs: DataFrame, cents: DataFrame, keepSub: Boolean = false): DataFrame = {
+  private[graft] def pqAssign(subs: DataFrame, cents: DataFrame, keepSub: Boolean = false): DataFrame = {
     import graft.plans.VecDotProduct.vec_dot
     val mk = graft.plans.TopKPerGroup.MarkerPrefix
     val fast = vec_dot(col("sub"), col("cent")) - col("cn2") / 2.0
@@ -2104,7 +2104,8 @@ object Similarity {
     * from the same constants, like [[annIvfSql]]. `srcSql` provides
     * the (vec_id, embedding) corpus — raw for ann_pq_topk, rotated
     * for ann_opq_topk. */
-  private def pqSqlOver(srcSql: String, subsSrcSql: Option[String] = None): String = {
+  private def pqSqlOver(srcSql: String, subsSrcSql: Option[String] = None,
+      anisoEta: Option[Double] = None): String = {
     def h32(e: String) = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
     def score(sub: String, cent: String) =
       s"${ddotSql(sub, cent)} - ${ddotSql(cent, cent)} / 2.0"
@@ -2144,10 +2145,27 @@ object Similarity {
        |  SELECT m, CAST(vec_id AS INTEGER) AS cid, sub AS cent FROM subs WHERE vec_id < $PqK),
        |$rounds,
        |enc AS (
-       |  SELECT vec_id, m, cid,
-       |         row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, cid) AS rn
-       |  FROM (SELECT s.vec_id, s.m, c.cid, ${score("s.sub", "c.cent")} AS score
-       |        FROM subs s JOIN $last c ON s.m = c.m)),
+       |${anisoEta match {
+            case None =>
+              s"""  SELECT vec_id, m, cid,
+                 |         row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, cid) AS rn
+                 |  FROM (SELECT s.vec_id, s.m, c.cid, ${score("s.sub", "c.cent")} AS score
+                 |        FROM subs s JOIN $last c ON s.m = c.m)""".stripMargin
+            case Some(eta) =>
+              // the anisotropic (score-aware) assignment: same dots,
+              // loss = ||r||^2 + (eta-1)*||r_par||^2, argmin
+              s"""  SELECT vec_id, m, cid,
+                 |         row_number() OVER (PARTITION BY vec_id, m ORDER BY loss ASC, cid) AS rn
+                 |  FROM (SELECT vec_id, m, cid,
+                 |          (sn2 - 2.0 * cs + cn2) + ${eta - 1.0} *
+                 |            (CASE WHEN sn2 = 0.0 THEN 0.0
+                 |                  ELSE (sn2 - cs) * (sn2 - cs) / sn2 END) AS loss
+                 |        FROM (SELECT s.vec_id, s.m, c.cid,
+                 |                ${ddotSql("s.sub", "c.cent")} AS cs,
+                 |                ${ddotSql("s.sub", "s.sub")} AS sn2,
+                 |                ${ddotSql("c.cent", "c.cent")} AS cn2
+                 |              FROM subs s JOIN $last c ON s.m = c.m))""".stripMargin
+          }}),
        |codes AS (
        |  SELECT vec_id, list(cid ORDER BY m) AS codes FROM enc WHERE rn = 1 GROUP BY vec_id),
        |lutvals AS (
@@ -2189,6 +2207,87 @@ object Similarity {
 
   private val annPqSql: String =
     pqSqlOver("  SELECT vec_id, embedding FROM embeddings")
+
+  // --- ann_scann_topk: score-aware (anisotropic) quantization ----------
+  // The ScaNN move (Guo et al., ICML'20): quantization error is not
+  // isotropic in its EFFECT — the residual component PARALLEL to the
+  // datapoint biases every inner product with queries aligned to it
+  // (the queries that matter, since they are the ones that rank it
+  // high), while the orthogonal component averages out. So the encoder
+  // should not minimize ||r||² but η·||r_par||² + ||r_orth||². Here:
+  // SAME codebooks as ann_pq_topk (one shared training pass — the
+  // memoized build; isolating the assignment effect exactly), but
+  // codes chosen by the anisotropic loss, applied per subspace (the
+  // per-subspace projection of the residual onto the subvector — the
+  // product-decomposed approximation of the paper's datapoint-parallel
+  // direction). With cs = ⟨sub, cent⟩, sn2 = ⟨sub, sub⟩, cn2 =
+  // ⟨cent, cent⟩ the loss needs ONE dot per candidate:
+  //   ||r||² = sn2 − 2cs + cn2, ||r_par||² = (sn2 − cs)²/sn2,
+  //   loss = ||r||² + (η−1)·||r_par||².
+  // Same two-phase argmin as pqAssign (codegen'd fast dot picks top-2,
+  // exact-decimal dot decides), same ADC serve (the LUT is unchanged —
+  // only WHICH code each vector carries differs). DedupSpec pins the
+  // construction on a fixture where L2 and anisotropic assignment
+  // provably disagree (the closer-in-L2 centroid has the larger
+  // parallel error, and the aligned query's inner-product error shows
+  // it), plus the corpus-level parallel-error audit: mean ||r_par||²
+  // under anisotropic codes ≤ under L2 codes — the quantity the loss
+  // optimizes, measured, and a recall floor vs bruteforce.
+
+  private[graft] val ScannEta = 4.0
+
+  /** Anisotropic loss from the three exact dots — doubles in, doubles
+    * out, so both engines run the identical IEEE expression. */
+  private def scannLoss(cs: Column, sn2: Column, cn2: Column): Column =
+    (sn2 - lit(2.0) * cs + cn2) + lit(ScannEta - 1.0) *
+      when(sn2 === 0.0, lit(0.0))
+        .otherwise((sn2 - cs) * (sn2 - cs) / sn2)
+
+  /** Score-aware assignment: nearest codebook entry by ANISOTROPIC
+    * loss. Two-phase like [[pqAssign]]; split out so DedupSpec can pin
+    * the L2-vs-anisotropic disagreement fixture. */
+  private[graft] def scannAssign(subs: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.plans.VecDotProduct.{vec_dot, vec_dot_exact}
+    val mk = graft.plans.TopKPerGroup.MarkerPrefix
+    val s2 = subs.withColumn("sn2",
+      vec_dot_exact(col("sub"), col("sub")).cast(DoubleType))
+    val cn = pqWithCentNorm(cents)
+      .withColumn("cn2", col("cn2").cast(DoubleType))
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("fl").asc, col("cid"))
+    s2.join(broadcast(cn), "m")
+      .withColumn("fl",
+        scannLoss(vec_dot(col("sub"), col("cent")), col("sn2"), col("cn2")))
+      .withColumn(s"${mk}ar", row_number().over(w))
+      .filter(col(s"${mk}ar") <= 2)
+      .groupBy("vec_id", "m")
+      .agg(max_by(col("cid"), struct(
+        -scannLoss(vec_dot_exact(col("sub"), col("cent")).cast(DoubleType),
+          col("sn2"), col("cn2")),
+        -col("cid"))).as("cid"))
+  }
+
+  /** Anisotropic codes over the SHARED PQ codebooks — memoized build
+    * state like every index artifact. */
+  private val scannCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def buildScannCodes(s: SparkSession, dir: String): DataFrame =
+    scannCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      graft.plans.VecDotProduct.register(s)
+      graft.plans.TopKPerGroup.install(s)
+      val (cents, _) = buildPqIndex(s, dir)
+      collectCodes(scannAssign(pqSubs(Tables.embeddings(s, dir)), cents))
+        .localCheckpoint()
+    })
+
+  private def annScann(s: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = buildPqIndex(s, dir)
+    pqServe(s, Tables.embeddings(s, dir), cents, buildScannCodes(s, dir))
+  }
+
+  private val annScannSql: String =
+    pqSqlOver("  SELECT vec_id, embedding FROM embeddings",
+      anisoEta = Some(ScannEta))
 
   // --- ann_opq_topk: OPQ — rotate, then product-quantize ---------------
   // PQ quantizes each 8-dim subspace independently, so correlated /
@@ -3773,6 +3872,7 @@ object Similarity {
     Op("ann_recall_report", annRecallReport, Some(annRecallReportSql), buildState = true),
     Op("retrieval_rrf", retrievalRrf, Some(retrievalRrfSql), buildState = true),
     Op("retrieval_mmr_rerank", retrievalMmrRerank, Some(retrievalMmrRerankSql)),
+    Op("ann_scann_topk", annScann, Some(annScannSql), buildState = true),
     Op("corpus_coreset_kcenter", corpusCoreset, Some(corpusCoresetSql)),
     Op("ann_lsh_topk", annLsh, Some(annLshSql)),
     Op("ann_knn_graph", annKnnGraph, Some(annKnnGraphSql)),

@@ -1088,6 +1088,65 @@ class DedupSpec extends AnyFunSuite {
     assert(reg.forall(_.getLong(4) >= 4))
   }
 
+  test("scann: anisotropic assignment disagrees with L2 exactly when parallel error says so") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // sub = e1; c0 is CLOSER in L2 (||r||² = 0.09 vs 0.0904) but its
+    // whole residual is PARALLEL (the score-biasing direction); c1's
+    // residual is almost all orthogonal. Anisotropic loss (eta=4) must
+    // flip the choice — and the aligned query's inner-product error
+    // shows why: |q·x − q·x̃| = 0.3 under c0, 0.02 under c1 for q = x.
+    graft.plans.VecDotProduct.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val e1 = (1.0f +: Array.fill(7)(0.0f)).toSeq
+    val c0 = (0.7f +: Array.fill(7)(0.0f)).toSeq
+    val c1 = (Seq(0.98f, 0.3f) ++ Array.fill(6)(0.0f)).toSeq
+    val subs = Seq((0L, 0, e1)).toDF("vec_id", "m", "sub")
+    val cents = Seq((0, 0, c0), (0, 1, c1)).toDF("m", "cid", "cent")
+    val l2 = Similarity.pqAssign(subs, cents).collect().head.getInt(2)
+    val an = Similarity.scannAssign(subs, cents).collect().head.getInt(2)
+    assert(l2 == 0, s"L2 should pick the closer centroid, got $l2")
+    assert(an == 1, s"anisotropic should pick the parallel-safe centroid, got $an")
+  }
+
+  test("scann: corpus-level parallel quantization error <= PQ's; recall floor holds") {
+    import graft.operators.Similarity
+    // the quantity the anisotropic loss optimizes, measured on the
+    // real corpus over the SHARED codebooks: mean ||r_par||² under
+    // anisotropic codes must not exceed it under L2 codes
+    val (cents, pqCodes) = Similarity.buildPqIndex(spark, sf)
+    val anCodes = Similarity.buildScannCodes(spark, sf)
+    val centMap = cents.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray.map(_.toDouble))
+      .toMap
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def parErr(codes: Map[Long, Seq[Int]]): Double = {
+      val errs = for {
+        (vid, cs) <- codes.toSeq; m <- 0 until 8
+        sub = embs(vid).slice(m * 8, m * 8 + 8)
+        cent = centMap((m, cs(m)))
+        sn2 = sub.map(x => x * x).sum if sn2 > 0
+        csd = sub.zip(cent).map { case (a, b) => a * b }.sum
+      } yield (sn2 - csd) * (sn2 - csd) / sn2
+      errs.sum / errs.size
+    }
+    def codeMap(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val (pe, ae) = (parErr(codeMap(pqCodes)), parErr(codeMap(anCodes)))
+    assert(ae <= pe + 1e-12, s"anisotropic parallel error $ae > L2 $pe")
+    // the assignments genuinely differ somewhere on the real corpus
+    assert(codeMap(pqCodes) != codeMap(anCodes),
+      "anisotropic codes identical to L2 — the op would be a no-op here")
+    // recall floor vs the exact baseline
+    val exact = Registry.queries("ann_bruteforce_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Registry.queries("ann_scann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"scann recall@5 $recall below floor")
+  }
+
   test("MMR rerank: rank-1 is the exact top-1; greedy trajectory replays independently") {
     val out = Registry.queries("retrieval_mmr_rerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(2)) ->
