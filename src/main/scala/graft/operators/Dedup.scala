@@ -373,10 +373,9 @@ object Dedup {
   private val ApNum = 4
   private val ApDen = 5
 
-  /** Prefix-filter similarity join over a prepared (doc_id, source,
-    * shingle) frame — split out so DedupSpec can pin completeness
-    * against brute force on a synthetic corpus. */
-  private[graft] def allpairsOf(sh: DataFrame): DataFrame = {
+  /** The ranked-shingle frame (global df order, per-doc positions,
+    * prefix length) — the shared build under candidates and verify. */
+  private[graft] def allpairsRankedOf(sh: DataFrame): DataFrame = {
     // sizes + the ranking window + both candidate sides + the verify
     // join all read the ranked frame: one materialization (the frame
     // is (doc_id, shingle, rank) — 24 B/row, corpus-shingle scale)
@@ -384,24 +383,51 @@ object Dedup {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("dfc"))
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("dfc"), col("shingle"))
-    val ranked = sh.join(dfreq, "shingle")
+    sh.join(dfreq, "shingle")
       .withColumn("pos", row_number().over(wr))
       .join(sizes, "doc_id")
       // p = n − ⌈t·n⌉ + 1 with ⌈ApNum·n/ApDen⌉ = (ApNum·n + ApDen − 1) div ApDen
       .withColumn("plen",
         col("n") - expr(s"($ApNum * n + ${ApDen - 1}) div $ApDen") + lit(1))
       .transform(graft.functions.memoize)
+  }
+
+  /** Candidate pairs: share ≥1 prefix shingle + the length filter +
+    * (PPJoin, Xiao et al.) the POSITIONAL filter — for the first
+    * shared token at ranks (pa, pb) the intersection can never exceed
+    * 1 + min(na−pa, nb−pb), so pairs whose bound falls below the
+    * minimum overlap α = ⌈t/(1+t)·(na+nb)⌉ are pruned LOSSLESSLY
+    * before the verify join (a valid pair always passes at its first
+    * shared token; later shared-token rows may pass spuriously, which
+    * only re-admits a candidate the exact verify decides anyway). The
+    * toggle exists for DedupSpec's engagement pin. */
+  private[graft] def allpairsCandidates(ranked: DataFrame,
+      positional: Boolean = true): DataFrame = {
     val pref = ranked.filter(col("pos") <= col("plen"))
-      .select(col("doc_id"), col("shingle"), col("n"))
-    // candidates: share ≥1 PREFIX shingle + pass the length filter
-    val cand = pref.as("a").join(pref.as("b"),
+      .select(col("doc_id"), col("shingle"), col("n"), col("pos"))
+    val posFilter =
+      if (positional)
+        // α = ⌈ApNum·s/(ApNum+ApDen)⌉ with s = na + nb, all integer
+        expr(s"""1 + least(a.n - a.pos, b.n - b.pos) >=
+                 ($ApNum * (a.n + b.n) + ${ApNum + ApDen - 1}) div ${ApNum + ApDen}""")
+      else lit(true)
+    pref.as("a").join(pref.as("b"),
         col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id") &&
         greatest(col("a.n"), col("b.n")) * ApNum <=
-          least(col("a.n"), col("b.n")) * ApDen)
+          least(col("a.n"), col("b.n")) * ApDen &&
+        posFilter)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
+  }
+
+  /** Prefix-filter similarity join over a prepared (doc_id, source,
+    * shingle) frame — split out so DedupSpec can pin completeness
+    * against brute force on a synthetic corpus. */
+  private[graft] def allpairsOf(sh: DataFrame): DataFrame = {
+    val ranked = allpairsRankedOf(sh)
+    val cand = allpairsCandidates(ranked)
     // exact verify: count the full intersection for each candidate
     val toks = ranked.select(col("doc_id"), col("shingle"))
     val inter = cand
@@ -439,13 +465,15 @@ object Dedup {
       |           ORDER BY dfc, sh.shingle) AS BIGINT) AS pos,
       |         sizes.n - ($ApNum * sizes.n + ${ApDen - 1}) // $ApDen + 1 AS plen
       |  FROM sh JOIN dfreq USING (shingle) JOIN sizes USING (doc_id)),
-      |pref AS (SELECT doc_id, shingle, n FROM ranked WHERE pos <= plen),
+      |pref AS (SELECT doc_id, shingle, n, pos FROM ranked WHERE pos <= plen),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
       |                  a.n AS na, b.n AS nb
       |  FROM pref a JOIN pref b
       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |   AND greatest(a.n, b.n) * $ApNum <= least(a.n, b.n) * $ApDen),
+      |   AND greatest(a.n, b.n) * $ApNum <= least(a.n, b.n) * $ApDen
+      |   AND 1 + least(a.n - a.pos, b.n - b.pos) >=
+      |       ($ApNum * (a.n + b.n) + ${ApNum + ApDen - 1}) // ${ApNum + ApDen}),
       |inter AS (
       |  SELECT id_a, id_b, na, nb, count(*) AS c
       |  FROM cand

@@ -1225,6 +1225,37 @@ class DedupSpec extends AnyFunSuite {
     want.foreach { case (k, j) => assert(math.abs(got(k) - j) <= 1e-6) }
   }
 
+  test("allpairs positional filter prunes the late-shared-prefix pair, losslessly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // X and Y (20 shingles each) share exactly one shingle (500) that
+    // ranks LAST in both prefixes (after their 4 df=1 uniques; the 15
+    // df=4 fillers rank after the prefix): the PPJoin bound
+    // 1 + min(20-5, 20-5) = 16 < alpha = ceil(4*40/9) = 18 prunes the
+    // pair before verify — correctly, since J(X,Y) = 16/24 < 0.8.
+    // F1 == F2 share their whole prefix at position 1 and must pass.
+    val sh = (
+      Seq(100L, 101L, 102L, 103L, 500L).map(s => (0L, "s", s)) ++
+        (1L to 15L).map(s => (0L, "s", s)) ++
+      Seq(200L, 201L, 202L, 203L, 500L).map(s => (1L, "s", s)) ++
+        (1L to 15L).map(s => (1L, "s", s)) ++
+      (1L to 15L).map(s => (2L, "s", s)) ++
+      (1L to 15L).map(s => (3L, "s", s))
+    ).toDF("doc_id", "source", "shingle")
+    val ranked = Dedup.allpairsRankedOf(sh)
+    def pairs(positional: Boolean): Set[(Long, Long)] =
+      Dedup.allpairsCandidates(ranked, positional).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (withPos, noPos) = (pairs(true), pairs(false))
+    assert(noPos.contains((0L, 1L)), "X-Y must be a prefix-share candidate")
+    assert(!withPos.contains((0L, 1L)), "positional filter must prune X-Y")
+    assert(withPos.contains((2L, 3L)), "the true duplicate pair must pass")
+    // losslessness: both candidate sets verify to the same result
+    val out = Dedup.allpairsOf(sh).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out.keySet == Set((2L, 3L)) && out((2L, 3L)) == 1.0)
+  }
+
   test("allpairs on the real corpus recalls every source-blocked Jaccard >= 0.8 pair") {
     // the registry op is GLOBAL (no source blocking), so the blocked
     // screen's strong pairs are a lower bound on its result set
