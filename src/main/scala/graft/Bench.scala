@@ -127,7 +127,9 @@ object Bench {
         if (!txt.contains("\"sf\":\"" + sfDir + "\"")) Map.empty
         else {
           val qs = txt.substring(txt.indexOf("\"queries\":"))
-          """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qs)
+          // \s* : tolerate pretty-printed refs (a json.dump with
+          // default separators once emptied every ratio silently)
+          """"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qs)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }

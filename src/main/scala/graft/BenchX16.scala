@@ -29,7 +29,10 @@ object BenchX16 {
     "tokenizer_bpe_apply", "ann_knn_hotprobe", "etl_normalize_aggtrades",
     "corpus_coreset_kcenter", "ann_knn_hotsplit", "dedup_simhash",
     "r16_nation_flow", "etl_normalize_klines", "r18_problem_suppliers",
-    "r7_rollup", "corpus_filter_pipeline")
+    "r7_rollup", "corpus_filter_pipeline",
+    // round-15 late additions that rank inside the top-20 by quiet
+    // sf0.1 cost (mmr ~3.1 s would be #5, allpairs ~1.6 s ~#15)
+    "retrieval_mmr_rerank", "dedup_allpairs")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
@@ -60,7 +63,8 @@ object BenchX16 {
         val src = scala.io.Source.fromFile(f, "UTF-8")
         val txt = try src.mkString finally src.close()
         val qs = txt.substring(txt.indexOf("\"queries\":"))
-        """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qs)
+        // \s* : tolerate pretty-printed refs (see Bench.refMap)
+        """"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qs)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     }

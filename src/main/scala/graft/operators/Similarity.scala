@@ -2999,6 +2999,9 @@ object Similarity {
       ("ivfpq", annIvfPq(s, dir), RecallK),
       ("lsh", annLsh(s, dir), RecallK),
       ("pq", annPq(s, dir), RecallK),
+      // scann next to pq: same codebooks, anisotropic codes — the two
+      // rows price the assignment change directly on the QA board
+      ("scann", annScann(s, dir), RecallK),
       ("binary", annBinary(s, dir), RecallK)))
   }
 
@@ -3011,6 +3014,7 @@ object Similarity {
        |m_ivfpq AS (SELECT query_id, neighbor_id FROM ($annIvfPqSql)),
        |m_lsh AS (SELECT query_id, neighbor_id FROM ($annLshSql)),
        |m_pq AS (SELECT query_id, neighbor_id FROM ($annPqSql)),
+       |m_scann AS (SELECT query_id, neighbor_id FROM ($annScannSql)),
        |m_binary AS (SELECT query_id, neighbor_id FROM ($annBinarySql)),
        |approx AS (
        |  SELECT 'adaptive' AS method, * FROM m_adaptive
@@ -3020,6 +3024,7 @@ object Similarity {
        |  UNION ALL SELECT 'ivfpq' AS method, * FROM m_ivfpq
        |  UNION ALL SELECT 'lsh' AS method, * FROM m_lsh
        |  UNION ALL SELECT 'pq' AS method, * FROM m_pq
+       |  UNION ALL SELECT 'scann' AS method, * FROM m_scann
        |  UNION ALL SELECT 'binary' AS method, * FROM m_binary),
        |hits AS (
        |  SELECT ms.method, ms.k, e.query_id,
@@ -3028,7 +3033,8 @@ object Similarity {
        |  CROSS JOIN (SELECT * FROM (VALUES ('adaptive', $RecallK),
        |    ('graph', $KnnK), ('hotprobe', $KnnK),
        |    ('ivf', $RecallK), ('ivfpq', $RecallK), ('lsh', $RecallK),
-       |    ('pq', $RecallK), ('binary', $RecallK)) AS t(method, k)) ms
+       |    ('pq', $RecallK), ('scann', $RecallK),
+       |    ('binary', $RecallK)) AS t(method, k)) ms
        |  LEFT JOIN approx a ON a.method = ms.method
        |    AND a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |  GROUP BY 1, 2, 3)

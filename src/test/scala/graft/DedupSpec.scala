@@ -125,6 +125,7 @@ class DedupSpec extends AnyFunSuite {
       "graph" -> "ann_graph_search", "hotprobe" -> "ann_knn_hotprobe",
       "ivf" -> "ann_ivf_topk", "ivfpq" -> "ann_ivfpq_topk",
       "lsh" -> "ann_lsh_topk", "pq" -> "ann_pq_topk",
+      "scann" -> "ann_scann_topk",
       "binary" -> "ann_binary_topk")
     val report = Registry.queries("ann_recall_report")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(2)) -> (r.getInt(1), r.getInt(3), r.getLong(4)))
