@@ -1520,16 +1520,30 @@ object Curation {
   private val DoremiEps = 100000000L     // ε·10⁹ = 0.1 uniform smoothing
   private val DoremiRounds = 5
 
-  /** The EG trajectory over any (source, text) frame — split out so a
-    * spec can pin the update law on a skewed synthetic corpus. */
-  private[graft] def doremiMixOf(docs: DataFrame): DataFrame = {
-    val wAll = Window.partitionBy(lit(1))
-    // hashed-unigram sufficient statistics, 3 consumers -> memoize
-    val cd = docs
+  /** The hashed-unigram sufficient statistics — (source, bucket,
+    * count), bounded at K·[[DoremiBuckets]] rows. ADDITIVE: counts
+    * over a union corpus are the per-slice sums, which is what makes
+    * the maintained mixture-stats lake
+    * ([[graft.streaming.StreamingJobs.mixStatsAppendStream]]) a pure
+    * count journal — append lands each batch's counts, serve sums. */
+  private[graft] def doremiCountsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(toks).as("w"))
       .select(col("source"), pmod(h32(col("w")), lit(DoremiBuckets)).as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("c"))
-      .transform(graft.functions.memoize)
+
+  /** The EG trajectory over any (source, text) frame — split out so a
+    * spec can pin the update law on a skewed synthetic corpus. */
+  private[graft] def doremiMixOf(docs: DataFrame): DataFrame =
+    doremiFromCounts(doremiCountsOf(docs))
+
+  /** The arithmetic half over a prepared (source, b, c) count frame —
+    * ONE definition serving the batch op and the maintained lake, so
+    * the two can never drift. */
+  private[graft] def doremiFromCounts(cdRaw: DataFrame): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    // 3 consumers -> memoize
+    val cd = cdRaw.transform(graft.functions.memoize)
     val nd = cd.groupBy("source").agg(sum("c").as("n"))
     // global-model µ-likelihood per bucket (Laplace fixed point)
     val fp = cd.groupBy("b").agg(sum("c").as("cb"))

@@ -2013,6 +2013,65 @@ object StreamingJobs {
       .orderBy("source")
   }
 
+  /** Bootstrap the maintained MIXTURE-STATS lake (corpus_doremi_mix's
+    * streaming twin): `stats` = the (source, bucket, count)
+    * hashed-unigram sufficient statistics of the base corpus —
+    * [[graft.operators.Curation.doremiCountsOf]], the ONE definition
+    * the batch op also derives from — landed at ingest_batch=-1.
+    * Counts are ADDITIVE, so the lake is a pure count journal: append
+    * lands each micro-batch's own counts in its own partition
+    * (replay-exact dynamic overwrite like every lake), the serve sums
+    * the journal and runs the UNCHANGED EG arithmetic
+    * ([[graft.operators.Curation.doremiFromCounts]]) — the mixture
+    * decision a 100 TB ingest reads stays current without ever
+    * re-scanning the corpus, and retrain/rebuild legs don't exist
+    * because there is no trained artifact to drift: the statistics
+    * ARE the model. */
+  def mixStatsInit(spark: SparkSession, lakeDir: String,
+      indexPath: String): Unit =
+    graft.operators.Curation.doremiCountsOf(
+        graft.Tables.documents(spark, lakeDir))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$indexPath/stats")
+
+  /** Per micro-batch of (source, text) docs: land the batch's OWN
+    * (source, bucket) counts in its ingest_batch partition. */
+  def mixStatsAppendStream(docs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.operators.Curation.doremiCountsOf(
+              batch.select(col("source"), col("text")))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$indexPath/stats")
+          indexAppendCommit(s, s"$indexPath/stats", batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** Serve the EG mixture trajectory from the maintained stats — sums
+    * the count journal, then the batch op's own arithmetic
+    * (StreamingSpec pins bit-equality with corpus_doremi_mix over the
+    * union corpus). */
+  def mixWeightsServe(spark: SparkSession, indexPath: String): DataFrame =
+    graft.operators.Curation.doremiFromCounts(
+      indexRead(spark, s"$indexPath/stats")
+        .groupBy("source", "b").agg(sum("c").as("c")))
+
+  /** Fold appended count partitions into the bootstrap — the merge is
+    * a groupBy-SUM (additivity again), so the compacted lake is
+    * row-minimal, not just file-minimal. */
+  def mixStatsCompact(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, s"$indexPath/stats", Seq("source"),
+      merge = df => df.groupBy("source", "b").agg(sum("c").as("c")))
+
   /** Streaming BPE segmentation (tokenizer_bpe_apply's twin): the
     * tokenizer's serve path over a live ingest. The merge-rule table
     * is BUILD state — trained once on the reference corpus

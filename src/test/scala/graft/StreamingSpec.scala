@@ -1657,6 +1657,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("maintained mixture-stats lake: serve == batch doremi over the union, compaction preserves it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/mixlake"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.mixStatsInit(spark, sf, root)
+    // appended ingest: a brand-new source plus growth of an existing one
+    val extra = Seq(
+      ("srcX", "alpha beta gamma delta epsilon"),
+      ("src1", "zeta eta theta iota kappa"),
+      ("srcX", "lambda mu nu xi omicron"))
+    val source = MemoryStream[(String, String)]
+    val q = StreamingJobs.mixStatsAppendStream(
+      source.toDF().toDF("source", "text"), root, s"$root/ckpt")
+    try {
+      source.addData(extra.take(1)); q.processAllAvailable()
+      source.addData(extra.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // counts are additive, the EG arithmetic is shared — the streamed
+    // serve must equal the batch op on the union corpus, bit for bit
+    // (a new source changes K, the uniform mix, and every round)
+    val union = Tables.documents(spark, sf).select("source", "text")
+      .union(extra.toDF("source", "text"))
+    val batch = canon(operators.Curation.doremiMixOf(union))
+    assert(batch.map(_._2).distinct.contains("srcX"))
+    assert(canon(StreamingJobs.mixWeightsServe(spark, root)) == batch)
+    // compaction folds both appended partitions; serve unchanged and
+    // the merged journal is row-minimal (groupBy-sum, not concat)
+    assert(StreamingJobs.mixStatsCompact(spark, root) == 2)
+    assert(canon(StreamingJobs.mixWeightsServe(spark, root)) == batch)
+    val stats = spark.read.parquet(s"$root/stats")
+    assert(stats.groupBy("source", "b").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("learned quality gate: stream verdicts equal the batch classifier's") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
