@@ -1634,6 +1634,154 @@ object Similarity {
        |FROM proj ORDER BY vec_id""".stripMargin
   }
 
+  // --- embedding_whitening: top-K whitening transform ------------------
+  // Whitening-k (Su et al. 2021, the post-processing simplification of
+  // BERT-flow; the same W every ZCA/ITQ/OPQ lineage rotates by):
+  // decorrelate and rescale the DOMINANT directions so cosine and
+  // euclidean retrieval stop being owned by a few high-variance axes —
+  // the standard pre-indexing normalization of anisotropic embedding
+  // spaces. Top-[[WhitenK]] eigenpairs by DEFLATED power iteration:
+  // K outer rounds of the EXACT pcaOver machinery (8 decimal matvec
+  // rounds on the d²-row covariance frame) with the rank-1 deflation
+  // C ← C − λ·w·wᵀ between components — metadata-scale d² arithmetic,
+  // all in-engine so the oracle replays it (the PCA-informed OPQ
+  // rotation keeps its driver-side Jacobi because it is NOT a registry
+  // op; this one is, so the eigen-derivation must be CTE-replayable).
+  // Output per (vector, component): the centered projection and the
+  // whitened coordinate proj/√λ. comp = 1 is BY CONSTRUCTION the same
+  // derivation as embedding_pca's pc1 — DedupSpec pins cell equality —
+  // and the whitening CLAIM is pinned from the output alone: unit
+  // variance per component, cross-component decorrelation, λ monotone.
+  // 100 TB shape: one corpus pass for the moment matrix (shared
+  // covFrameOver), K·8 metadata-scale matvec rounds, one projection
+  // pass joining a broadcast K·d component table.
+
+  private val WhitenK = 4
+
+  private def embeddingWhitening(s: SparkSession, dir: String): DataFrame =
+    whiteningOver(Tables.embeddings(s, dir), embCount(s, dir))
+
+  /** The whitening core over any (vec_id, embedding) frame. */
+  private[graft] def whiteningOver(v: DataFrame, n: Long): DataFrame = {
+    val dims = v
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+      .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
+    val (means, cov0) = covFrameOver(v, dims, n)
+    def matvec(cov: DataFrame, w: DataFrame): DataFrame = cov
+      .join(broadcast(w.select(col("i").as("j"), col("w").as("wj"))), "j")
+      .groupBy("i")
+      .agg(sum((col("c") * col("wj")).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("u"))
+    // per-round checkpoints, pcaOver's own convention: sparser
+    // checkpointing measured WORSE (14.2 vs 10.8 s — u feeds both the
+    // norm and the next iterate, so an un-checkpointed round
+    // re-derives its whole prefix per consumer, the MMR lesson), and
+    // so did repartition(1)-before-checkpoint (12.6 s — the shuffle
+    // stage costs more than 32 empty tasks that schedule in parallel);
+    // the K·8 round jobs ARE the op's irreducible driver overhead at
+    // tiny scale, amortized at corpus scale where the one moment pass
+    // dominates
+    var cov = cov0
+    var comps: Seq[DataFrame] = Nil
+    for (c <- 1 to WhitenK) {
+      var w = means.select(col("i"), lit(1.0).as("w")).localCheckpoint()
+      for (_ <- 1 to PcaIters) {
+        val u = matvec(cov, w)
+        val nrm = u.agg(sqrt(sum((col("u") * col("u"))
+          .cast(DecimalType(38, 12))).cast(DoubleType)).as("nrm"))
+        w = u.crossJoin(broadcast(nrm))
+          .select(col("i"), (col("u") / col("nrm")).as("w")).localCheckpoint()
+      }
+      val lam = matvec(cov, w).join(broadcast(w), "i")
+        .agg(sum((col("u") * col("w")).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("lam"))
+      val wl = w.crossJoin(broadcast(lam))
+        .select(lit(c).as("comp"), col("i"), col("w"), col("lam"))
+        .localCheckpoint()
+      comps = comps :+ wl
+      if (c < WhitenK)
+        cov = cov
+          .join(broadcast(wl.select(col("i"), col("w").as("wi"), col("lam"))), "i")
+          .join(broadcast(wl.select(col("i").as("j"), col("w").as("wj"))), "j")
+          .select(col("i"), col("j"),
+            (col("c") - col("lam") * col("wi") * col("wj")).as("c"))
+          .localCheckpoint()
+    }
+    dims
+      .join(broadcast(means), "i")
+      .join(broadcast(comps.reduce(_.union(_))), "i")
+      .groupBy("vec_id", "comp")
+      .agg(sum(((col("x") - col("m")) * col("w")).cast(DecimalType(38, 12)))
+        .cast(DoubleType).as("p"),
+        first(col("lam")).as("lam"))
+      .select(col("vec_id"), col("comp"),
+        round6(col("p")).as("proj"),
+        round6(col("p") / sqrt(col("lam"))).as("whitened"),
+        round6(col("lam")).as("lambda"))
+      .transform(graft.functions.checkpointBeforeSort)
+      .orderBy("vec_id", "comp")
+  }
+
+  private val embeddingWhiteningSql: String = {
+    def compCtes(c: Int): String = {
+      val covName = if (c == 1) "cov" else s"cov$c"
+      val rounds = (1 to PcaIters).map { r =>
+        val prev = if (r == 1) s"w${c}_0" else s"w${c}_${r - 1}"
+        s"""u${c}_$r AS MATERIALIZED (
+           |  SELECT k.i, CAST(sum(CAST(k.c * w.w AS DECIMAL(38,12))) AS DOUBLE) AS u
+           |  FROM $covName k JOIN $prev w ON w.i = k.j GROUP BY k.i),
+           |n${c}_$r AS MATERIALIZED (
+           |  SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM u${c}_$r),
+           |w${c}_$r AS MATERIALIZED (
+           |  SELECT i, u / (SELECT nrm FROM n${c}_$r) AS w FROM u${c}_$r)""".stripMargin
+      }.mkString(",\n")
+      val wf = s"w${c}_$PcaIters"
+      val base =
+        s"""w${c}_0 AS (SELECT i, 1.0 AS w FROM m),
+           |$rounds,
+           |uf$c AS MATERIALIZED (
+           |  SELECT k.i, CAST(sum(CAST(k.c * w.w AS DECIMAL(38,12))) AS DOUBLE) AS u
+           |  FROM $covName k JOIN $wf w ON w.i = k.j GROUP BY k.i),
+           |lam$c AS (
+           |  SELECT CAST(sum(CAST(u.u * w.w AS DECIMAL(38,12))) AS DOUBLE) AS lam
+           |  FROM uf$c u JOIN $wf w ON w.i = u.i)""".stripMargin
+      if (c < WhitenK)
+        base + s""",
+           |cov${c + 1} AS MATERIALIZED (
+           |  SELECT k.i, k.j, k.c - (SELECT lam FROM lam$c) * wi.w * wj.w AS c
+           |  FROM $covName k JOIN $wf wi ON wi.i = k.i JOIN $wf wj ON wj.i = k.j)""".stripMargin
+      else base
+    }
+    val projs = (1 to WhitenK).map(c =>
+      s"""SELECT d.vec_id, $c AS comp,
+         |       CAST(sum(CAST((d.x - m.m) * w.w AS DECIMAL(38,12))) AS DOUBLE) AS p,
+         |       (SELECT lam FROM lam$c) AS lam
+         |FROM dims d JOIN m ON m.i = d.i JOIN w${c}_$PcaIters w ON w.i = d.i
+         |GROUP BY d.vec_id""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH dims AS MATERIALIZED (
+       |  SELECT vec_id, CAST(i AS INTEGER) AS i,
+       |         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding,
+       |          unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |m AS MATERIALIZED (
+       |  SELECT i, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / (SELECT n FROM nn) AS m
+       |  FROM dims GROUP BY i),
+       |sxx AS MATERIALIZED (
+       |  SELECT a.i, b.i AS j, ${graft.functions.fsum12Sql("a.x * b.x")} AS sx
+       |  FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT s.i, s.j, s.sx / (SELECT n FROM nn) - mi.m * mj.m AS c
+       |  FROM sxx s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j),
+       |${(1 to WhitenK).map(compCtes).mkString(",\n")}
+       |SELECT vec_id, comp, ${round6Sql("p")} AS proj,
+       |       ${round6Sql("p / sqrt(lam)")} AS whitened,
+       |       ${round6Sql("lam")} AS lambda
+       |FROM ($projs)
+       |ORDER BY vec_id, comp""".stripMargin
+  }
+
   // --- contrastive_pairs: training-pair mining -------------------------
   // Deterministic contrastive-dataset construction: per anchor, the
   // hardest positive (nearest same-label neighbor — exact, via the
@@ -3894,6 +4042,7 @@ object Similarity {
     Op("ann_ivfpq_topk", annIvfPq, Some(annIvfPqSql), buildState = true),
     Op("embedding_quantize", embeddingQuantize, Some(embeddingQuantizeSql)),
     Op("embedding_pca", embeddingPca, Some(embeddingPcaSql)),
+    Op("embedding_whitening", embeddingWhitening, Some(embeddingWhiteningSql)),
     Op("ann_binary_topk", annBinary, Some(annBinarySql), buildState = true),
     Op("embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql), buildState = true),
     Op("corpus_cluster_topics", corpusClusterTopics, Some(corpusClusterTopicsSql), buildState = true),
