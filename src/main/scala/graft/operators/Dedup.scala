@@ -485,6 +485,138 @@ object Dedup {
       |FROM inter WHERE c * $ApDen >= (na + nb - c) * $ApNum
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --- dedup_gate_exact: EXACT prefix-filter admission gate ------------
+  // The ingestion form of dedup_allpairs, completing the symmetry the
+  // MinHash family already has (dedup_minhash → dedup_gate): incoming
+  // docs (doc_id % 5 = 4 stand-in, same convention as dedup_gate) are
+  // checked against the ADMITTED corpus's prefix inverted index with
+  // the full AllPairs/PPJoin pruning stack — so unlike the banded gate
+  // this verdict has NO false negatives by construction. The global
+  // shingle order is the ADMITTED corpus's df order (the index's
+  // order, frozen at build time — the production shape); an incoming
+  // shingle unseen in the index takes df 0 and ranks rarest — a
+  // consistent extension of the same global order, so the prefix
+  // theorem holds for every (incoming, admitted) pair. Per incoming
+  // doc the verdict row is TOTAL: candidate count, best partner
+  // (near-dup wins, then jaccard, then lowest id — jac_ok leads the
+  // key because the flag is the exact 5c ≥ 4u rational while jaccard
+  // is its round6 display, and a rounded tie must not demote a true
+  // near-dup), the ≥ t flag; no-candidate docs pass with a zero row.
+
+  /** The exact gate over a prepared (doc_id, source, shingle) frame —
+    * split out for DedupSpec's synthetic fixture. */
+  private[graft] def gateExactOf(sh: DataFrame): DataFrame = {
+    val isInc = pmod(col("doc_id"), lit(5)) === 4
+    val dfreq = sh.filter(!isInc)
+      .groupBy("shingle").agg(count(lit(1)).as("dfc"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("dfc"), col("shingle"))
+    val ranked = sh.join(dfreq, Seq("shingle"), "left")
+      .withColumn("dfc", coalesce(col("dfc"), lit(0L)))
+      .withColumn("pos", row_number().over(wr))
+      .join(sizes, "doc_id")
+      .withColumn("plen",
+        col("n") - expr(s"($ApNum * n + ${ApDen - 1}) div $ApDen") + lit(1))
+      .transform(graft.functions.memoize)
+    val pref = ranked.filter(col("pos") <= col("plen"))
+      .select(col("doc_id"), col("shingle"), col("n"), col("pos"), isInc.as("incoming"))
+    val cand = pref.filter(col("incoming")).as("a")
+      .join(pref.filter(!col("incoming")).as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        greatest(col("a.n"), col("b.n")) * ApNum <=
+          least(col("a.n"), col("b.n")) * ApDen &&
+        expr(s"""1 + least(a.n - a.pos, b.n - b.pos) >=
+                 ($ApNum * (a.n + b.n) + ${ApNum + ApDen - 1}) div ${ApNum + ApDen}"""))
+      .select(col("a.doc_id").as("inc_id"), col("b.doc_id").as("adm_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    val toks = ranked.select(col("doc_id"), col("shingle"))
+    val scored = cand
+      .join(toks.as("ta"), col("inc_id") === col("ta.doc_id"))
+      .join(toks.as("tb"),
+        col("adm_id") === col("tb.doc_id") &&
+        col("ta.shingle") === col("tb.shingle"))
+      .groupBy("inc_id", "adm_id", "na", "nb")
+      .agg(count(lit(1)).as("c"))
+      .select(col("inc_id"), col("adm_id"),
+        (col("c") * ApDen >= (col("na") + col("nb") - col("c")) * ApNum).as("jac_ok"),
+        round6(col("c").cast(DoubleType) /
+          (col("na") + col("nb") - col("c")).cast(DoubleType)).as("jaccard"))
+    val best = scored.groupBy(col("inc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        (max(when(col("jac_ok"), 1).otherwise(0)) === 1).as("is_neardup"),
+        max_by(struct(col("adm_id"), col("jaccard")),
+          struct(col("jac_ok"), col("jaccard"), -col("adm_id"))).as("b"))
+    sh.filter(isInc).select("doc_id").distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("b.adm_id").as("best_partner"),
+        col("b.jaccard").as("best_jaccard"),
+        coalesce(col("is_neardup"), lit(false)).as("is_neardup"))
+      .transform(graft.functions.checkpointBeforeSort)
+      .orderBy("doc_id")
+  }
+
+  private def dedupGateExact(s: SparkSession, dir: String): DataFrame =
+    gateExactOf(shingles(s, dir))
+
+  private val dedupGateExactSql =
+    s"""WITH tokw AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         ${h60Sql("ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2]")} AS shingle
+      |  FROM (SELECT doc_id, ts,
+      |          unnest(generate_series(1, len(ts) - 2)) AS i FROM tokw)),
+      |dfreq AS (SELECT shingle, count(*) AS dfc FROM sh
+      |          WHERE doc_id % 5 <> 4 GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |ranked AS (
+      |  SELECT sh.doc_id, sh.shingle, sizes.n,
+      |         CAST(row_number() OVER (PARTITION BY sh.doc_id
+      |           ORDER BY coalesce(dfc, 0), sh.shingle) AS BIGINT) AS pos,
+      |         sizes.n - ($ApNum * sizes.n + ${ApDen - 1}) // $ApDen + 1 AS plen
+      |  FROM sh LEFT JOIN dfreq USING (shingle) JOIN sizes USING (doc_id)),
+      |pref AS (SELECT doc_id, shingle, n, pos, doc_id % 5 = 4 AS incoming
+      |         FROM ranked WHERE pos <= plen),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS adm_id,
+      |                  a.n AS na, b.n AS nb
+      |  FROM pref a JOIN pref b
+      |    ON a.shingle = b.shingle AND a.incoming AND NOT b.incoming
+      |   AND greatest(a.n, b.n) * $ApNum <= least(a.n, b.n) * $ApDen
+      |   AND 1 + least(a.n - a.pos, b.n - b.pos) >=
+      |       ($ApNum * (a.n + b.n) + ${ApNum + ApDen - 1}) // ${ApNum + ApDen}),
+      |inter AS (
+      |  SELECT inc_id, adm_id, na, nb, count(*) AS c
+      |  FROM cand
+      |  JOIN ranked ta ON ta.doc_id = inc_id
+      |  JOIN ranked tb ON tb.doc_id = adm_id AND ta.shingle = tb.shingle
+      |  GROUP BY 1, 2, 3, 4),
+      |scored AS (
+      |  SELECT inc_id, adm_id,
+      |         c * $ApDen >= (na + nb - c) * $ApNum AS jac_ok,
+      |         ${round6Sql("CAST(c AS DOUBLE) / (na + nb - c)")} AS jaccard
+      |  FROM inter),
+      |agg AS (
+      |  SELECT inc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+      |         max(CASE WHEN jac_ok THEN 1 ELSE 0 END) = 1 AS is_neardup
+      |  FROM scored GROUP BY 1),
+      |top AS (
+      |  SELECT inc_id, adm_id, jaccard FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY inc_id
+      |      ORDER BY jac_ok DESC, jaccard DESC, adm_id) AS rn FROM scored)
+      |  WHERE rn = 1)
+      |SELECT d.doc_id, coalesce(g.n_candidates, 0) AS n_candidates,
+      |       t.adm_id AS best_partner, t.jaccard AS best_jaccard,
+      |       coalesce(g.is_neardup, false) AS is_neardup
+      |FROM (SELECT DISTINCT doc_id FROM sh WHERE doc_id % 5 = 4) d
+      |LEFT JOIN agg g ON g.inc_id = d.doc_id
+      |LEFT JOIN top t ON t.inc_id = d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // --- dedup_minhash: MinHash signatures + LSH banding -----------------
   // k=64 permutations h_i(x) = (a_i·x + b_i) mod p over shingle hashes;
   // 8 bands × 8 rows. Pair generation happens only inside band buckets.
@@ -1686,6 +1818,7 @@ object Dedup {
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql), buildState = true),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql), buildState = true),
     Op("dedup_allpairs", dedupAllpairs, Some(dedupAllpairsSql), buildState = true),
+    Op("dedup_gate_exact", dedupGateExact, Some(dedupGateExactSql), buildState = true),
     Op("dedup_minhash", dedupMinhash, Some(dedupMinhashSql), buildState = true),
     Op("dedup_minhash_est", dedupMinhashEst, Some(dedupMinhashEstSql), buildState = true),
     Op("dedup_gate", dedupGate, Some(dedupGateSql), buildState = true),

@@ -1332,6 +1332,55 @@ class DedupSpec extends AnyFunSuite {
     assert(out.keySet == Set((2L, 3L)) && out((2L, 3L)) == 1.0)
   }
 
+  test("exact gate: flags the admitted near-dup, passes the unseen doc, agrees with brute force") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // admitted: docs 0-3 (doc_id % 5 != 4); incoming: 4 (near-dup of
+    // admitted 0) and 9 (disjoint vocabulary — must pass with a zero
+    // row even though its shingles are unseen in the index's df order)
+    val base = (0 until 42).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, "s", s"$base uqa0 uqa1"),
+      (1L, "s", (100 until 140).map(i => s"x$i").mkString(" ")),
+      (2L, "s", (200 until 240).map(i => s"y$i").mkString(" ")),
+      (3L, "s", (300 until 340).map(i => s"z$i").mkString(" ")),
+      (4L, "s", s"$base uqb0 uqb1"),
+      (9L, "s", (400 until 440).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.gateExactOf(Dedup.shinglesOf(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(4)))).toMap
+    assert(out.keySet == Set(4L, 9L), s"verdict rows ${out.keySet}")
+    val (n4, p4, f4) = out(4L)
+    assert(f4 && p4 == 0L && n4 >= 1, s"incoming 4: $n4 $p4 $f4")
+    assert(out(9L) == ((0L, -1L, false)), s"unseen doc: ${out(9L)}")
+  }
+
+  test("exact gate on the real corpus: verdicts equal brute force over (incoming, admitted) pairs") {
+    val out = Registry.queries("dedup_gate_exact")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getBoolean(4)))).toMap
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sets = docs.map { case (d, t) =>
+      d -> t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet }
+    val incoming = docs.keys.filter(_ % 5 == 4).toSet
+    assert(out.keySet == incoming)
+    incoming.foreach { i =>
+      val best = (docs.keySet - i).filter(_ % 5 != 4).map { a =>
+        val c = (sets(i) & sets(a)).size
+        val u = sets(i).size + sets(a).size - c
+        (a, if (u == 0) 0.0 else c.toDouble / u)
+      }.filter(_._2 >= 0.8)
+      val flagged = out(i)._3
+      assert(flagged == best.nonEmpty,
+        s"doc $i flag $flagged vs brute ${best.nonEmpty}")
+      if (best.nonEmpty)
+        assert(math.abs(out(i)._2 - best.maxBy(_._2)._2) <= 1e-6)
+    }
+    assert(out.values.exists(_._3), "no near-dup straddles the split on this corpus")
+  }
+
   test("allpairs on the real corpus recalls every source-blocked Jaccard >= 0.8 pair") {
     // the registry op is GLOBAL (no source blocking), so the blocked
     // screen's strong pairs are a lower bound on its result set
