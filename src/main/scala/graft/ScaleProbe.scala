@@ -150,7 +150,8 @@ object ScaleProbe {
       "embedding_matryoshka", "mm_audio_snr", "mm_image_stats",
       "ann_adaptive_topk",
       "dedup_allpairs", "corpus_doremi_mix", "retrieval_mmr_rerank",
-      "ann_scann_topk", "embedding_whitening", "dedup_gate_exact")
+      "ann_scann_topk", "embedding_whitening", "dedup_gate_exact",
+      "tokenizer_unigram_train")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)

@@ -787,8 +787,165 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY o.doc_id""".stripMargin
   }
 
+  // --- tokenizer_unigram_train: unigram-LM tokenizer (SentencePiece) ---
+  // The OTHER tokenizer-training family next to BPE (Kudo 2018,
+  // SentencePiece's unigram model): instead of greedy pair merges, a
+  // piece VOCABULARY with probabilities, segmentation = the Viterbi
+  // max-product path over each word's piece lattice, and training =
+  // EM (segment under current scores, recount pieces from the chosen
+  // paths). Deterministic, engine-portable instantiation: seed vocab =
+  // every character of the corpus plus the top-[[UniTopV]] substrings
+  // of length 2..[[UniMaxPiece]] by wf-weighted positional count
+  // (cnt DESC, piece tie-break); seed scores p₀ = cnt/total as IEEE
+  // doubles (identical division in both engines); Viterbi runs on the
+  // [[UniMaxWord]]-char word prefix (the editdist bounded-prefix
+  // convention) as [[UniMaxWord]] unrolled DP rounds — dp[j] =
+  // max over k ≤ 4 of dp[j−k]·p₀(substr(j−k+1, k)) with the path
+  // string itself as the deterministic tie-break (products of
+  // identical doubles are bit-identical, string compare is binary in
+  // both engines); then ONE EM recount (the E/M step SentencePiece
+  // iterates) re-weights every piece by the wf-weighted count of its
+  // appearances in the chosen segmentations. Output: the vocabulary
+  // table (piece, seed_count, em_count, score_ppm) — the trained
+  // artifact a tokenizer serve loads. Scale shape: word stream →
+  // vocab-scale distinct-word frame (one map-side-combinable agg),
+  // candidate counting is word-local explodes, the DP rounds are
+  // vocab-scale broadcast joins (the piece table is ≤ chars+48 rows),
+  // per-round checkpoints per the k-center/whitening convention. Full
+  // DuckDB oracle: seed CTEs + 20 MATERIALIZED DP rounds + recount.
+
+  private val UniMaxWord = 20
+  private val UniMaxPiece = 4
+  private val UniTopV = 48
+
+  /** The trainer over any (text) frame — split out so the spec can
+    * replay the whole pipeline independently on a crafted corpus. */
+  private[graft] def unigramTrainOf(docs: DataFrame): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .withColumn("p", substring(col("w"), 1, UniMaxWord))
+      .withColumn("plen", length(col("p")))
+      .transform(graft.functions.memoize)
+    val posFrame = words.select(col("wf"), col("p"), col("plen"),
+      explode(sequence(lit(1), col("plen"))).as("s"))
+    val multi = (2 to UniMaxPiece).map { l =>
+      posFrame.filter(col("s") + (l - 1) <= col("plen"))
+        .select(expr(s"substr(p, s, $l)").as("piece"), col("wf"))
+    }.reduce(_.union(_))
+      .groupBy("piece").agg(sum("wf").as("cnt"))
+      .orderBy(col("cnt").desc, col("piece")).limit(UniTopV)
+    val chars = posFrame
+      .select(expr("substr(p, s, 1)").as("piece"), col("wf"))
+      .groupBy("piece").agg(sum("wf").as("cnt"))
+    val vocab0 = chars.union(multi)
+    val tot0 = vocab0.agg(sum("cnt").as("t0"))
+    // the piece table feeds every DP branch (≤ 4·UniMaxWord joins):
+    // one materialization, broadcast everywhere
+    val voc = vocab0.crossJoin(broadcast(tot0))
+      .select(col("piece"), col("cnt"),
+        (col("cnt").cast(DoubleType) / col("t0").cast(DoubleType)).as("p0"))
+      .localCheckpoint()
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("score").desc, col("path"))
+    var dps = Vector(words.select(col("w"), col("wf"), col("p"), col("plen"),
+      lit(1.0).as("score"), lit("").as("path")).localCheckpoint())
+    for (j <- 1 to UniMaxWord) {
+      val branches = (1 to math.min(UniMaxPiece, j)).map { k =>
+        dps(j - k).filter(col("plen") >= j)
+          .join(broadcast(voc),
+            col("piece") === expr(s"substr(p, ${j - k + 1}, $k)"))
+          .select(col("w"), col("wf"), col("p"), col("plen"),
+            (col("score") * col("p0")).as("score"),
+            when(col("path") === "", col("piece"))
+              .otherwise(concat(col("path"), lit("|"), col("piece"))).as("path"))
+      }
+      dps = dps :+ branches.reduce(_.union(_))
+        .withColumn("rn", row_number().over(wWin))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint()
+    }
+    val seg = (1 to UniMaxWord).map(j => dps(j).filter(col("plen") === j))
+      .reduce(_.union(_))
+    val em = seg.select(col("wf"), explode(split(col("path"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum("wf").as("em_count"))
+    val totE = em.agg(sum("em_count").as("te"))
+    voc.join(em, Seq("piece"), "left")
+      .crossJoin(broadcast(totE))
+      .select(col("piece"), col("cnt").as("seed_count"),
+        coalesce(col("em_count"), lit(0L)).as("em_count"),
+        expr("coalesce(em_count, 0L) * 1000000L div te").as("score_ppm"))
+      .transform(graft.functions.checkpointBeforeSort)
+      .orderBy("piece")
+  }
+
+  private def unigramTrain(s: SparkSession, dir: String): DataFrame =
+    unigramTrainOf(Tables.documents(s, dir))
+
+  private val unigramTrainSql: String = {
+    val dpRounds = (1 to UniMaxWord).map { j =>
+      val branches = (1 to math.min(UniMaxPiece, j)).map { k =>
+        s"""      SELECT d.w, d.wf, d.p, d.plen, d.score * v.p0 AS score,
+           |             CASE WHEN d.path = '' THEN v.piece
+           |                  ELSE d.path || '|' || v.piece END AS path
+           |      FROM dp${j - k} d JOIN voc v
+           |        ON d.plen >= $j AND v.piece = substr(d.p, ${j - k + 1}, $k)""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""dp$j AS MATERIALIZED (
+         |  SELECT w, wf, p, plen, score, path FROM (
+         |    SELECT c.*, row_number() OVER (PARTITION BY w
+         |      ORDER BY score DESC, path) AS rn FROM (
+         |$branches
+         |    ) c)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val segs = (1 to UniMaxWord)
+      .map(j => s"SELECT w, wf, path FROM dp$j WHERE plen = $j")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS wf,
+       |         left(w, $UniMaxWord) AS p, length(left(w, $UniMaxWord)) AS plen
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |posf AS MATERIALIZED (
+       |  SELECT wf, p, plen, CAST(s AS INTEGER) AS s
+       |  FROM (SELECT wf, p, plen, unnest(generate_series(1, plen)) AS s
+       |        FROM words)),
+       |multi AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT substr(p, s, l) AS piece, CAST(sum(wf) AS BIGINT) AS cnt
+       |    FROM posf, (SELECT unnest(generate_series(2, $UniMaxPiece)) AS l)
+       |    WHERE s + l - 1 <= plen
+       |    GROUP BY 1)
+       |  ORDER BY cnt DESC, piece LIMIT $UniTopV),
+       |chars AS (
+       |  SELECT substr(p, s, 1) AS piece, CAST(sum(wf) AS BIGINT) AS cnt
+       |  FROM posf GROUP BY 1),
+       |vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |voc AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |         CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab0) AS p0
+       |  FROM vocab0),
+       |dp0 AS MATERIALIZED (
+       |  SELECT w, wf, p, plen, CAST(1.0 AS DOUBLE) AS score, '' AS path FROM words),
+       |$dpRounds,
+       |seg AS MATERIALIZED (
+       |$segs),
+       |em AS (
+       |  SELECT piece, CAST(sum(wf) AS BIGINT) AS em_count
+       |  FROM (SELECT wf, unnest(string_split(path, '|')) AS piece FROM seg)
+       |  GROUP BY 1)
+       |SELECT v.piece, v.cnt AS seed_count,
+       |       coalesce(em.em_count, 0) AS em_count,
+       |       CAST(coalesce(em.em_count, 0) * 1000000 //
+       |            (SELECT sum(em_count) FROM em) AS BIGINT) AS score_ppm
+       |FROM voc v LEFT JOIN em USING (piece)
+       |ORDER BY piece""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("tokenizer_bpe_train", bpeTrain, Some(bpeTrainSql), buildState = true),
+    Op("tokenizer_unigram_train", unigramTrain, Some(unigramTrainSql)),
     Op("tokenizer_bpe_apply", bpeApply, Some(bpeApplySql), buildState = true),
     Op("text_bm25_topk", textBm25, Some(textBm25Sql), buildState = true),
     Op("text_stats", textStats, Some(textStatsSql)),

@@ -152,6 +152,59 @@ class QueriesSpec extends AnyFunSuite {
       (3, "aa", "a", "aaa", 2L)), m.toSeq.toString)
   }
 
+  test("unigram trainer: full pipeline replays independently; frequent chunk becomes a piece") {
+    import spark.implicits._
+    // 'abab' is frequent enough that p(abab) beats p(ab)^2 (one piece
+    // wins iff total > 4*cnt(abab) — the filler words guarantee it),
+    // so the EM recount must credit the whole-word piece
+    val docs = (
+      Seq.fill(6)("abab zq") ++ Seq("kwv", "mrt xe", "uo pj fh", "abab")
+    ).map(Tuple1(_)).toDF("text")
+    val out = graft.operators.TextAnalysis.unigramTrainOf(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent replay of the WHOLE trainer in plain Scala
+    val wordsAll = docs.collect().flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    val wf = wordsAll.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    def positional(l: Int): Map[String, Long] =
+      wf.toSeq.flatMap { case (w, f) =>
+        val p = w.take(20)
+        (1 to p.length - l + 1).map(s => p.substring(s - 1, s - 1 + l) -> f)
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val chars = positional(1)
+    val multi = (2 to 4).flatMap(positional).sortBy { case (p, c) => (-c, p) }.take(48)
+    val vocab = chars ++ multi
+    val tot = vocab.values.sum
+    val p0 = vocab.map { case (k, c) => k -> c.toDouble / tot.toDouble }
+    def viterbi(w: String): Seq[String] = {
+      val p = w.take(20)
+      // dp(j) = (score, path) with the op's exact tie-break
+      val dp = Array.fill[Option[(Double, String)]](p.length + 1)(None)
+      dp(0) = Some((1.0, ""))
+      for (j <- 1 to p.length) {
+        val cands = for {
+          k <- 1 to math.min(4, j); prev <- dp(j - k).toSeq
+          piece = p.substring(j - k, j) if p0.contains(piece)
+        } yield (prev._1 * p0(piece),
+          if (prev._2.isEmpty) piece else prev._2 + "|" + piece)
+        if (cands.nonEmpty)
+          dp(j) = Some(cands.minBy { case (s, path) => (-s, path) })
+      }
+      dp(p.length).get._2.split("\\|").toSeq
+    }
+    val em = wf.toSeq.flatMap { case (w, f) => viterbi(w).map(_ -> f) }
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val totE = em.values.sum
+    assert(out.keySet == vocab.keySet)
+    vocab.foreach { case (piece, cnt) =>
+      val want = (cnt, em.getOrElse(piece, 0L),
+        em.getOrElse(piece, 0L) * 1000000L / totE)
+      assert(out(piece) == want, s"piece '$piece': ${out(piece)} != $want")
+    }
+    // the headline behavior: the frequent chunk survives as ONE piece
+    assert(out("abab")._2 >= wf("abab"), s"'abab' em row ${out("abab")}")
+  }
+
   test("batched BPE merges: pair-disjoint batches learn the same rules in fewer rounds") {
     import spark.implicits._
     val docs = Seq("aaa aaa bb bb bb", "bb bb Z$ b").toDF("text")
