@@ -818,9 +818,26 @@ object TextAnalysis {
   private val UniMaxPiece = 4
   private val UniTopV = 48
 
+  /** Memoized (voc, seg) build per (application, lake) — ONE training
+    * pass serves both the train table and the apply rollup (the
+    * bpeRules convention). */
+  private val uniCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+
+  private def uniBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    uniCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => unigramBuildOf(Tables.documents(s, dir)))
+
   /** The trainer over any (text) frame — split out so the spec can
     * replay the whole pipeline independently on a crafted corpus. */
   private[graft] def unigramTrainOf(docs: DataFrame): DataFrame = {
+    val (voc, seg) = unigramBuildOf(docs)
+    unigramTableOf(voc, seg)
+  }
+
+  /** (voc, seg): the scored piece table and the per-word Viterbi
+    * segmentation — the build artifacts. */
+  private[graft] def unigramBuildOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wf"))
@@ -867,6 +884,13 @@ object TextAnalysis {
     }
     val seg = (1 to UniMaxWord).map(j => dps(j).filter(col("plen") === j))
       .reduce(_.union(_))
+      .localCheckpoint()
+    (voc, seg)
+  }
+
+  /** The vocabulary table from the build artifacts (the train op's
+    * output shape). */
+  private def unigramTableOf(voc: DataFrame, seg: DataFrame): DataFrame = {
     val em = seg.select(col("wf"), explode(split(col("path"), "\\|")).as("piece"))
       .groupBy("piece").agg(sum("wf").as("em_count"))
     val totE = em.agg(sum("em_count").as("te"))
@@ -879,8 +903,58 @@ object TextAnalysis {
       .orderBy("piece")
   }
 
-  private def unigramTrain(s: SparkSession, dir: String): DataFrame =
-    unigramTrainOf(Tables.documents(s, dir))
+  private def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    val (voc, seg) = uniBuild(s, dir)
+    unigramTableOf(voc, seg)
+  }
+
+  // --- tokenizer_unigram_apply: segment the corpus with the artifact ---
+  // The serve half (tokenizer_bpe_apply's sibling): per document, the
+  // whitespace token count, the unigram piece count under the TRAINED
+  // segmentation (the memoized build — one training pass serves both
+  // ops), and pieces/word — the fertility number a tokenizer decision
+  // reads. Same rollup shape as bpe_apply: the per-word piece counts
+  // ride a vocab-scale join against the word-occurrence table; the
+  // corpus text is touched once.
+
+  private def unigramApply(s: SparkSession, dir: String): DataFrame = {
+    val (_, seg) = uniBuild(s, dir)
+    val npieces = seg.select(col("w").as("word"),
+      size(split(col("path"), "\\|")).as("n_pieces"))
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
+    occ.join(npieces, "word")
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_tokens_ws"),
+        sum(col("n_occ") * col("n_pieces")).as("n_uni_pieces"))
+      .select(col("doc_id"), col("n_tokens_ws"), col("n_uni_pieces"),
+        ratio(col("n_uni_pieces").cast(DoubleType),
+          col("n_tokens_ws").cast(DoubleType)).as("pieces_per_word"))
+      .orderBy("doc_id")
+  }
+
+  // a DEF, not a val: it reads unigramTrainSql, declared BELOW — a val
+  // here would initialize first and slice a null (the RecallK lesson)
+  private def unigramApplySql: String = {
+    // the shared chain: everything up to `seg` is the train oracle's
+    val trainChain = unigramTrainSql
+    val upToSeg = trainChain.substring(0, trainChain.indexOf(",\nem AS ("))
+    s"""$upToSeg,
+       |npieces AS (SELECT w AS word, CAST(len(string_split(path, '|')) AS INTEGER) AS n_pieces
+       |            FROM seg),
+       |occ AS (
+       |  SELECT doc_id, word, count(*) AS n_occ
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1, 2)
+       |SELECT o.doc_id,
+       |       CAST(sum(n_occ) AS BIGINT) AS n_tokens_ws,
+       |       CAST(sum(n_occ * n_pieces) AS BIGINT) AS n_uni_pieces,
+       |       ${ratioSql("CAST(sum(n_occ * n_pieces) AS DOUBLE)", "CAST(sum(n_occ) AS DOUBLE)")} AS pieces_per_word
+       |FROM occ o JOIN npieces USING (word)
+       |GROUP BY 1 ORDER BY o.doc_id""".stripMargin
+  }
 
   private val unigramTrainSql: String = {
     val dpRounds = (1 to UniMaxWord).map { j =>
@@ -945,7 +1019,8 @@ object TextAnalysis {
 
   val ops: Seq[Op] = Seq(
     Op("tokenizer_bpe_train", bpeTrain, Some(bpeTrainSql), buildState = true),
-    Op("tokenizer_unigram_train", unigramTrain, Some(unigramTrainSql)),
+    Op("tokenizer_unigram_train", unigramTrain, Some(unigramTrainSql), buildState = true),
+    Op("tokenizer_unigram_apply", unigramApply, Some(unigramApplySql), buildState = true),
     Op("tokenizer_bpe_apply", bpeApply, Some(bpeApplySql), buildState = true),
     Op("text_bm25_topk", textBm25, Some(textBm25Sql), buildState = true),
     Op("text_stats", textStats, Some(textStatsSql)),

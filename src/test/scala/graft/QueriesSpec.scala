@@ -205,6 +205,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(out("abab")._2 >= wf("abab"), s"'abab' em row ${out("abab")}")
   }
 
+  test("unigram apply: fertility >= 1 and corpus piece mass equals the train table's EM mass") {
+    val apply = Registry.queries("tokenizer_unigram_apply")(spark, sf).collect()
+    assert(apply.nonEmpty)
+    apply.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"fertility < 1: $r")
+      assert(r.getDouble(3) >= 1.0)
+    }
+    // conservation: sum over docs of piece counts == sum over the
+    // train vocabulary of em_count (both count every corpus word's
+    // segmentation once per occurrence — one build, two rollups)
+    val train = Registry.queries("tokenizer_unigram_train")(spark, sf).collect()
+    assert(apply.map(_.getLong(2)).sum == train.map(_.getLong(2)).sum)
+  }
+
   test("batched BPE merges: pair-disjoint batches learn the same rules in fewer rounds") {
     import spark.implicits._
     val docs = Seq("aaa aaa bb bb bb", "bb bb Z$ b").toDF("text")
