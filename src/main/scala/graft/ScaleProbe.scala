@@ -151,7 +151,8 @@ object ScaleProbe {
       "ann_adaptive_topk",
       "dedup_allpairs", "corpus_doremi_mix", "retrieval_mmr_rerank",
       "ann_scann_topk", "embedding_whitening", "dedup_gate_exact",
-      "tokenizer_unigram_train", "tokenizer_unigram_apply")
+      "tokenizer_unigram_train", "tokenizer_unigram_apply",
+      "tokenizer_unigram_prune")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)

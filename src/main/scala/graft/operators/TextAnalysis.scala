@@ -822,22 +822,22 @@ object TextAnalysis {
     * pass serves both the train table and the apply rollup (the
     * bpeRules convention). */
   private val uniCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame, DataFrame)]()
 
-  private def uniBuild(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private def uniBuild(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     uniCache.computeIfAbsent((s.sparkContext.applicationId, dir),
       _ => unigramBuildOf(Tables.documents(s, dir)))
 
   /** The trainer over any (text) frame — split out so the spec can
     * replay the whole pipeline independently on a crafted corpus. */
   private[graft] def unigramTrainOf(docs: DataFrame): DataFrame = {
-    val (voc, seg) = unigramBuildOf(docs)
+    val (_, voc, seg) = unigramBuildOf(docs)
     unigramTableOf(voc, seg)
   }
 
   /** (voc, seg): the scored piece table and the per-word Viterbi
     * segmentation — the build artifacts. */
-  private[graft] def unigramBuildOf(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def unigramBuildOf(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wf"))
@@ -863,6 +863,14 @@ object TextAnalysis {
       .select(col("piece"), col("cnt"),
         (col("cnt").cast(DoubleType) / col("t0").cast(DoubleType)).as("p0"))
       .localCheckpoint()
+    (words, voc, uniViterbi(words, voc))
+  }
+
+  /** The unrolled Viterbi DP over a (w, wf, p, plen) word frame and a
+    * broadcast (piece, p0) score table — shared by the seed
+    * segmentation and the post-prune re-segmentation. Returns the
+    * terminal (w, wf, p, plen, score, path) rows, checkpointed. */
+  private def uniViterbi(words: DataFrame, voc: DataFrame): DataFrame = {
     val wWin = org.apache.spark.sql.expressions.Window
       .partitionBy("w").orderBy(col("score").desc, col("path"))
     var dps = Vector(words.select(col("w"), col("wf"), col("p"), col("plen"),
@@ -882,10 +890,9 @@ object TextAnalysis {
         .filter(col("rn") === 1).drop("rn")
         .localCheckpoint()
     }
-    val seg = (1 to UniMaxWord).map(j => dps(j).filter(col("plen") === j))
+    (1 to UniMaxWord).map(j => dps(j).filter(col("plen") === j))
       .reduce(_.union(_))
       .localCheckpoint()
-    (voc, seg)
   }
 
   /** The vocabulary table from the build artifacts (the train op's
@@ -904,7 +911,7 @@ object TextAnalysis {
   }
 
   private def unigramTrain(s: SparkSession, dir: String): DataFrame = {
-    val (voc, seg) = uniBuild(s, dir)
+    val (_, voc, seg) = uniBuild(s, dir)
     unigramTableOf(voc, seg)
   }
 
@@ -918,7 +925,7 @@ object TextAnalysis {
   // corpus text is touched once.
 
   private def unigramApply(s: SparkSession, dir: String): DataFrame = {
-    val (_, seg) = uniBuild(s, dir)
+    val (_, _, seg) = uniBuild(s, dir)
     val npieces = seg.select(col("w").as("word"),
       size(split(col("path"), "\\|")).as("n_pieces"))
     val occ = Tables.documents(s, dir)
@@ -956,16 +963,19 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY o.doc_id""".stripMargin
   }
 
-  private val unigramTrainSql: String = {
+  /** The unrolled-DP CTE chain over piece table `voc`, CTEs prefixed
+    * `dp$sfx` / `seg$sfx` — ONE generator for the seed chain and the
+    * post-prune re-segmentation so the twins cannot drift. */
+  private def uniDpChainSql(voc: String, sfx: String): String = {
     val dpRounds = (1 to UniMaxWord).map { j =>
       val branches = (1 to math.min(UniMaxPiece, j)).map { k =>
         s"""      SELECT d.w, d.wf, d.p, d.plen, d.score * v.p0 AS score,
            |             CASE WHEN d.path = '' THEN v.piece
            |                  ELSE d.path || '|' || v.piece END AS path
-           |      FROM dp${j - k} d JOIN voc v
+           |      FROM dp$sfx${j - k} d JOIN $voc v
            |        ON d.plen >= $j AND v.piece = substr(d.p, ${j - k + 1}, $k)""".stripMargin
       }.mkString("\n      UNION ALL\n")
-      s"""dp$j AS MATERIALIZED (
+      s"""dp$sfx$j AS MATERIALIZED (
          |  SELECT w, wf, p, plen, score, path FROM (
          |    SELECT c.*, row_number() OVER (PARTITION BY w
          |      ORDER BY score DESC, path) AS rn FROM (
@@ -974,8 +984,16 @@ object TextAnalysis {
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val segs = (1 to UniMaxWord)
-      .map(j => s"SELECT w, wf, path FROM dp$j WHERE plen = $j")
+      .map(j => s"SELECT w, wf, path FROM dp$sfx$j WHERE plen = $j")
       .mkString("\nUNION ALL\n")
+    s"""dp${sfx}0 AS MATERIALIZED (
+       |  SELECT w, wf, p, plen, CAST(1.0 AS DOUBLE) AS score, '' AS path FROM words),
+       |$dpRounds,
+       |seg$sfx AS MATERIALIZED (
+       |$segs)""".stripMargin
+  }
+
+  private val unigramTrainSql: String = {
     s"""WITH words AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS wf,
        |         left(w, $UniMaxWord) AS p, length(left(w, $UniMaxWord)) AS plen
@@ -1000,11 +1018,7 @@ object TextAnalysis {
        |  SELECT piece, cnt,
        |         CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM vocab0) AS p0
        |  FROM vocab0),
-       |dp0 AS MATERIALIZED (
-       |  SELECT w, wf, p, plen, CAST(1.0 AS DOUBLE) AS score, '' AS path FROM words),
-       |$dpRounds,
-       |seg AS MATERIALIZED (
-       |$segs),
+       |${uniDpChainSql("voc", "")},
        |em AS (
        |  SELECT piece, CAST(sum(wf) AS BIGINT) AS em_count
        |  FROM (SELECT wf, unnest(string_split(path, '|')) AS piece FROM seg)
@@ -1017,10 +1031,114 @@ object TextAnalysis {
        |ORDER BY piece""".stripMargin
   }
 
+  // --- tokenizer_unigram_prune: the prune / re-segment leg -------------
+  // SentencePiece's distinctive training move: after EM, drop the
+  // pieces whose removal costs the least likelihood and re-segment —
+  // the loop that shrinks a seed vocabulary to the target size. Here
+  // one prune step over the shared build: the bottom-[[UniPruneK]]
+  // MULTI-CHAR pieces by EM mass go (characters never prune —
+  // coverage), the survivor scores RENORMALIZE (a constant factor is
+  // NOT neutral under max-product: paths have different piece counts,
+  // so the un-renormalized model would bias toward shorter
+  // segmentations), and the SAME Viterbi chain re-segments every word
+  // under the pruned model. Output per original piece: pruned flag,
+  // EM mass before/after, re-normalized score — the before/after
+  // audit a vocabulary-size decision reads. Piece mass can only grow
+  // (pruned pieces' words re-segment into more, smaller pieces) —
+  // spec-pinned conservation direction.
+
+  private val UniPruneK = 8
+
+  /** Cached BUILD artifacts of the prune step — the scored
+    * before-mass table, the pruned-piece pick, and the re-segmented
+    * word table (the second Viterbi). The audit rollup below stays a
+    * per-call query like every artifact-backed op's serve (caching
+    * the whole output would bench the cache, not the op). */
+  private val uniPruneCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (DataFrame, DataFrame, DataFrame)]()
+
+  private def uniPruneBuild(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    uniPruneCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val (words, voc, seg) = uniBuild(s, dir)
+      val em = seg.select(col("wf"), explode(split(col("path"), "\\|")).as("piece"))
+        .groupBy("piece").agg(sum("wf").as("em_before"))
+      val emv = voc.join(em, Seq("piece"), "left")
+        .withColumn("em_before", coalesce(col("em_before"), lit(0L)))
+        .localCheckpoint()
+      val pruned = emv.filter(length(col("piece")) >= 2)
+        .orderBy(col("em_before"), col("piece")).limit(UniPruneK)
+        .select(col("piece"))
+        .localCheckpoint()
+      val voc2base = emv.join(pruned, Seq("piece"), "left_anti")
+        .select(col("piece"), col("cnt"))
+      val tot2 = voc2base.agg(sum("cnt").as("t2"))
+      val voc2 = voc2base.crossJoin(broadcast(tot2))
+        .select(col("piece"), col("cnt"),
+          (col("cnt").cast(DoubleType) / col("t2").cast(DoubleType)).as("p0"))
+        .localCheckpoint()
+      (emv, pruned, uniViterbi(words, voc2))
+    })
+
+  private def unigramPrune(s: SparkSession, dir: String): DataFrame = {
+    val (emv, pruned, seg2) = uniPruneBuild(s, dir)
+    val em2 = seg2.select(col("wf"), explode(split(col("path"), "\\|")).as("piece"))
+      .groupBy("piece").agg(sum("wf").as("em_after"))
+      .transform(graft.functions.memoize) // output join + the ppm total
+    val totE2 = em2.agg(sum("em_after").as("te2"))
+    emv.join(pruned.withColumn("isp", lit(true)), Seq("piece"), "left")
+      .join(em2, Seq("piece"), "left")
+      .crossJoin(broadcast(totE2))
+      .select(col("piece"),
+        coalesce(col("isp"), lit(false)).as("pruned"),
+        col("em_before"),
+        coalesce(col("em_after"), lit(0L)).as("em_after"),
+        expr("coalesce(em_after, 0L) * 1000000L div te2").as("score_ppm_after"))
+      .transform(graft.functions.checkpointBeforeSort)
+      .orderBy("piece")
+  }
+
+  // a DEF for the same declaration-order reason as unigramApplySql
+  private def unigramPruneSql: String = {
+    val trainChain = unigramTrainSql
+    val upToSeg = trainChain.substring(0, trainChain.indexOf(",\nem AS ("))
+    s"""$upToSeg,
+       |emb AS (
+       |  SELECT piece, CAST(sum(wf) AS BIGINT) AS em_before
+       |  FROM (SELECT wf, unnest(string_split(path, '|')) AS piece FROM seg)
+       |  GROUP BY 1),
+       |emv AS MATERIALIZED (
+       |  SELECT v.piece, v.cnt, coalesce(emb.em_before, 0) AS em_before
+       |  FROM voc v LEFT JOIN emb USING (piece)),
+       |prn AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT piece, em_before FROM emv WHERE length(piece) >= 2
+       |    ORDER BY em_before, piece LIMIT $UniPruneK)),
+       |voc2 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |         CAST(cnt AS DOUBLE) /
+       |         (SELECT CAST(sum(cnt) AS DOUBLE) FROM emv
+       |          WHERE piece NOT IN (SELECT piece FROM prn)) AS p0
+       |  FROM emv WHERE piece NOT IN (SELECT piece FROM prn)),
+       |${uniDpChainSql("voc2", "b")},
+       |em2 AS (
+       |  SELECT piece, CAST(sum(wf) AS BIGINT) AS em_after
+       |  FROM (SELECT wf, unnest(string_split(path, '|')) AS piece FROM segb)
+       |  GROUP BY 1)
+       |SELECT e.piece, e.piece IN (SELECT piece FROM prn) AS pruned,
+       |       e.em_before, coalesce(em2.em_after, 0) AS em_after,
+       |       CAST(coalesce(em2.em_after, 0) * 1000000 //
+       |            (SELECT sum(em_after) FROM em2) AS BIGINT) AS score_ppm_after
+       |FROM emv e LEFT JOIN em2 USING (piece)
+       |ORDER BY piece""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("tokenizer_bpe_train", bpeTrain, Some(bpeTrainSql), buildState = true),
     Op("tokenizer_unigram_train", unigramTrain, Some(unigramTrainSql), buildState = true),
     Op("tokenizer_unigram_apply", unigramApply, Some(unigramApplySql), buildState = true),
+    Op("tokenizer_unigram_prune", unigramPrune, Some(unigramPruneSql), buildState = true),
     Op("tokenizer_bpe_apply", bpeApply, Some(bpeApplySql), buildState = true),
     Op("text_bm25_topk", textBm25, Some(textBm25Sql), buildState = true),
     Op("text_stats", textStats, Some(textStatsSql)),

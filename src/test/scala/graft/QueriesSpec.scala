@@ -219,6 +219,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(apply.map(_.getLong(2)).sum == train.map(_.getLong(2)).sum)
   }
 
+  test("unigram prune: bottom-K multichar pieces go, chars stay, piece mass only grows") {
+    val rows = Registry.queries("tokenizer_unigram_prune")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val pruned = rows.filter(_._2._1)
+    assert(pruned.size == 8)
+    assert(pruned.keys.forall(_.length >= 2), "a character was pruned")
+    // the pruned set is exactly the bottom-8 multichar by (em, piece)
+    val multi = rows.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, (_, emB, _, _)) => (emB, p) }
+    assert(multi.take(8).map(_._1).toSet == pruned.keySet)
+    // pruned pieces never appear in the re-segmentation; survivors'
+    // total piece mass can only grow (coarse pieces re-split)
+    assert(pruned.values.forall(_._3 == 0L))
+    assert(rows.values.map(_._3).sum >= rows.values.map(_._2).sum)
+    // renormalized scores are a ppm distribution over survivors
+    val ppm = rows.values.map(_._4).sum
+    assert(ppm > 900000L && ppm <= 1000000L, s"ppm mass $ppm")
+  }
+
   test("batched BPE merges: pair-disjoint batches learn the same rules in fewer rounds") {
     import spark.implicits._
     val docs = Seq("aaa aaa bb bb bb", "bb bb Z$ b").toDF("text")
