@@ -868,13 +868,17 @@ object TextAnalysis {
 
   /** The unrolled Viterbi DP over a (w, wf, p, plen) word frame and a
     * broadcast (piece, p0) score table — shared by the seed
-    * segmentation and the post-prune re-segmentation. Returns the
-    * terminal (w, wf, p, plen, score, path) rows, checkpointed. */
-  private def uniViterbi(words: DataFrame, voc: DataFrame): DataFrame = {
+    * segmentation, the post-prune re-segmentation, and the streaming
+    * segmenter (which injects a persist-based `memo` so a long-lived
+    * stream doesn't accumulate checkpoint blocks — the bpeApplyWith
+    * convention). Returns the terminal (w, wf, p, plen, score, path)
+    * rows, memoized. */
+  private def uniViterbi(words: DataFrame, voc: DataFrame,
+      memo: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     val wWin = org.apache.spark.sql.expressions.Window
       .partitionBy("w").orderBy(col("score").desc, col("path"))
-    var dps = Vector(words.select(col("w"), col("wf"), col("p"), col("plen"),
-      lit(1.0).as("score"), lit("").as("path")).localCheckpoint())
+    var dps = Vector(memo(words.select(col("w"), col("wf"), col("p"), col("plen"),
+      lit(1.0).as("score"), lit("").as("path"))))
     for (j <- 1 to UniMaxWord) {
       val branches = (1 to math.min(UniMaxPiece, j)).map { k =>
         dps(j - k).filter(col("plen") >= j)
@@ -885,14 +889,12 @@ object TextAnalysis {
             when(col("path") === "", col("piece"))
               .otherwise(concat(col("path"), lit("|"), col("piece"))).as("path"))
       }
-      dps = dps :+ branches.reduce(_.union(_))
+      dps = dps :+ memo(branches.reduce(_.union(_))
         .withColumn("rn", row_number().over(wWin))
-        .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint()
+        .filter(col("rn") === 1).drop("rn"))
     }
-    (1 to UniMaxWord).map(j => dps(j).filter(col("plen") === j))
-      .reduce(_.union(_))
-      .localCheckpoint()
+    memo((1 to UniMaxWord).map(j => dps(j).filter(col("plen") === j))
+      .reduce(_.union(_)))
   }
 
   /** The vocabulary table from the build artifacts (the train op's
@@ -926,9 +928,15 @@ object TextAnalysis {
 
   private def unigramApply(s: SparkSession, dir: String): DataFrame = {
     val (_, _, seg) = uniBuild(s, dir)
+    uniApplyRollup(Tables.documents(s, dir), seg)
+  }
+
+  /** Per-doc rollup of the per-word piece counts — ONE definition for
+    * the batch apply op and the streaming segmenter. */
+  private[graft] def uniApplyRollup(docs: DataFrame, seg: DataFrame): DataFrame = {
     val npieces = seg.select(col("w").as("word"),
       size(split(col("path"), "\\|")).as("n_pieces"))
-    val occ = Tables.documents(s, dir)
+    val occ = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
@@ -940,6 +948,33 @@ object TextAnalysis {
         ratio(col("n_uni_pieces").cast(DoubleType),
           col("n_tokens_ws").cast(DoubleType)).as("pieces_per_word"))
       .orderBy("doc_id")
+  }
+
+  /** The trained piece table as driver values — bounded at
+    * chars + [[UniTopV]] rows by construction (the BPE-rules
+    * convention: the streaming segmenter carries the artifact as plain
+    * values, frozen between tokenizer retrains). */
+  private[graft] def unigramPieces(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    val (_, voc, _) = uniBuild(s, dir)
+    voc.select("piece", "p0").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+  }
+
+  /** Segment-and-rollup over an arbitrary (doc_id, text) frame with a
+    * FIXED piece table — the streaming segmenter's core; `memo`
+    * injects persist-based materialization for long-lived streams. */
+  private[graft] def unigramApplyWith(docs: DataFrame,
+      pieces: Seq[(String, Double)],
+      memo: DataFrame => DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val voc = pieces.toDF("piece", "p0")
+    val words = memo(docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wf"))
+      .withColumn("p", substring(col("w"), 1, UniMaxWord))
+      .withColumn("plen", length(col("p"))))
+    uniApplyRollup(docs, uniViterbi(words, voc, memo))
   }
 
   // a DEF, not a val: it reads unigramTrainSql, declared BELOW — a val

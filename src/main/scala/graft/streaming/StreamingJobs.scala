@@ -2112,6 +2112,37 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming unigram segmentation (tokenizer_unigram_apply's twin,
+    * the bpeSegmentStream convention for the OTHER tokenizer family):
+    * the trained piece table is BUILD state — chars + 48 scored pieces
+    * as plain driver values, frozen between tokenizer retrains — and
+    * each micro-batch runs the SAME Viterbi rounds + per-doc rollup as
+    * the batch op over the batch's own distinct-word table, with
+    * persist-based memoization so a long-lived stream doesn't
+    * accumulate checkpoint blocks. Per-batch dynamic partition
+    * overwrite keeps replays exact. */
+  def unigramSegmentStream(docs: DataFrame,
+      pieces: Seq[(String, Double)], outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val persisted =
+            scala.collection.mutable.ListBuffer[DataFrame]()
+          try {
+            graft.operators.TextAnalysis.unigramApplyWith(batch, pieces,
+                df => { val p = df.persist(); persisted += p; p })
+              .withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(outDir)
+          } finally persisted.foreach(_.unpersist(false))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming corpus curation: the Gopher-style quality gate applied
     * to a live document feed. The gate is stateless and narrow
     * (identical expressions to the batch text_quality_gopher), so it

@@ -1612,6 +1612,40 @@ class StreamingSpec extends AnyFunSuite {
       s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming unigram segmentation equals the batch apply under the frozen piece table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/unistream"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docsDf = Tables.documents(spark, sf).select("doc_id", "text")
+    // the trained piece table = the frozen build state (driver values,
+    // bounded at chars + 48 rows)
+    val pieces = operators.TextAnalysis.unigramPieces(spark, sf)
+    assert(pieces.nonEmpty && pieces.size <= 200)
+    val feed = docsDf.as[(Long, String)].collect()
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.unigramSegmentStream(
+      source.toDF().toDF("doc_id", "text"), pieces, s"$root/seg", s"$root/ckpt")
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens_ws", "n_uni_pieces", "pieces_per_word")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = canon(spark.read.parquet(s"$root/seg"))
+    // per-doc rollups are independent across docs, so the two-batch
+    // stream must equal the registry op's whole-lake pass cell-for-cell
+    val batch = canon(Registry.queries("tokenizer_unigram_apply")(spark, sf))
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming datacard ledger serves the exact batch card below sketch capacity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
