@@ -127,6 +127,20 @@ package object functions {
     if (df.sparkSession.conf.getOption("spark.graft.explainFull").contains("true")) df
     else df.localCheckpoint()
 
+  /** Logical-plan re-root over an already-persisted frame: wraps the
+    * frame's RDD in a fresh `LogicalRDD` leaf so downstream plans
+    * embed ONE node instead of the full upstream tree. `persist()`
+    * alone does NOT truncate the logical plan — an unrolled DP whose
+    * round j joins rounds j-1..j-4 (uniViterbi) grows analyzed plan
+    * trees tetranacci-fast even though the DATA is cached, and the
+    * driver dies in analysis before touching data (the r15 streaming
+    * unigram OOM). The re-rooted frame still reads the cache: its RDD
+    * executes the persisted frame's physical plan, which the cache
+    * manager serves as an InMemoryTableScan. Callers keep the ORIGINAL
+    * frame for deterministic per-batch `unpersist` bookkeeping. */
+  def reroot(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    p.sparkSession.createDataFrame(p.rdd, p.schema)
+
   /** Calendar validity incl. leap years — the reference's DQ predicate
     * (glue_spark_trades_etl.py:135-171) as one codegen'd boolean. */
   def validCalendar(y: Column, m: Column, d: Column): Column = {

@@ -940,10 +940,19 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
-    occ.join(npieces, "word")
+    // LEFT join + char-per-piece fallback: under a FROZEN piece table
+    // (the streaming segmenter) a word containing a character absent
+    // from the training vocabulary has no Viterbi path and is missing
+    // from `seg` — an inner join would silently drop it from BOTH
+    // token counts, skewing pieces_per_word (the BPE twin segments any
+    // word into chars and cannot drop). Batch behavior is unchanged:
+    // the train vocab covers every corpus character, so every word
+    // matches and the oracle's inner join stays equivalent.
+    occ.join(npieces, Seq("word"), "left")
       .groupBy("doc_id")
       .agg(sum("n_occ").as("n_tokens_ws"),
-        sum(col("n_occ") * col("n_pieces")).as("n_uni_pieces"))
+        sum(col("n_occ") * coalesce(col("n_pieces"),
+          least(length(col("word")), lit(UniMaxWord)))).as("n_uni_pieces"))
       .select(col("doc_id"), col("n_tokens_ws"), col("n_uni_pieces"),
         ratio(col("n_uni_pieces").cast(DoubleType),
           col("n_tokens_ws").cast(DoubleType)).as("pieces_per_word"))

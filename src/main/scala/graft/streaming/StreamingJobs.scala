@@ -2101,7 +2101,8 @@ object StreamingJobs {
             scala.collection.mutable.ListBuffer[DataFrame]()
           try {
             graft.operators.TextAnalysis.bpeApplyWith(batch, rules,
-                df => { val p = df.persist(); persisted += p; p })
+                df => { val p = df.persist(); persisted += p
+                        graft.functions.reroot(p) })
               .withColumn("ingest_batch", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
@@ -2131,8 +2132,15 @@ object StreamingJobs {
           val persisted =
             scala.collection.mutable.ListBuffer[DataFrame]()
           try {
+            // persist caches BLOCKS but never truncates the LOGICAL
+            // plan; uniViterbi's round j joins rounds j-1..j-4, so an
+            // un-cut plan tree grows tetranacci(20) — reroot() wraps
+            // each memoized frame in a LogicalRDD leaf (served from
+            // the cache) while the persisted original stays on the
+            // unpersist ledger
             graft.operators.TextAnalysis.unigramApplyWith(batch, pieces,
-                df => { val p = df.persist(); persisted += p; p })
+                df => { val p = df.persist(); persisted += p
+                        graft.functions.reroot(p) })
               .withColumn("ingest_batch", lit(batchId))
               .write.mode("overwrite")
               .option("partitionOverwriteMode", "dynamic")
