@@ -1545,13 +1545,21 @@ object Curation {
     // 3 consumers -> memoize
     val cd = cdRaw.transform(graft.functions.memoize)
     val nd = cd.groupBy("source").agg(sum("c").as("n"))
-    // global-model µ-likelihood per bucket (Laplace fixed point)
+    // global-model µ-likelihood per bucket (Laplace fixed point).
+    // Token-mass intermediates (cb·10⁶, Σ c·fpg) widen to
+    // DECIMAL(38,0): DuckDB sums BIGINT into HUGEINT natively, so
+    // past ~9.2e12 tokens (the int64 ceiling of count·10⁶ — a 100 TB
+    // corpus is ~2e13) Spark's long would wrap exactly where the
+    // oracle keeps going. IntegralDivide on decimals returns the same
+    // exact longs at every scale, and the µ-scale quotients
+    // (fpg, fpbar, sfp div n ≤ 10⁶) always fit int64.
     val fp = cd.groupBy("b").agg(sum("c").as("cb"))
       .withColumn("ntot", sum("cb").over(wAll))
       .select(col("b"),
-        expr(s"(cb + 1L) * 1000000L div (ntot + ${DoremiBuckets}L)").as("fpg"))
+        expr(s"(CAST(cb AS DECIMAL(38,0)) + 1L) * 1000000L" +
+          s" div (ntot + ${DoremiBuckets}L)").as("fpg"))
     val dom = cd.join(fp, "b").groupBy("source")
-      .agg(sum(col("c") * col("fpg")).as("sfp"))
+      .agg(sum(col("c").cast(DecimalType(38, 0)) * col("fpg")).as("sfp"))
       .join(nd, "source")
     // excess λ_d vs the corpus mean, with K attached for the rounds
     val lam = dom

@@ -1178,8 +1178,338 @@ object TextAnalysis {
        |ORDER BY piece""".stripMargin
   }
 
+  // --- tokenizer_wordpiece_train: likelihood-scored merge learning ----
+  // The THIRD production tokenizer family (Schuster & Nakajima 2012;
+  // the BERT lineage): same fuse mechanics as BPE, different SELECTION
+  // criterion — each round merges the adjacent pair maximizing
+  // cnt(a,b) / (cnt(a)·cnt(b)), the pairwise likelihood gain of a
+  // unigram LM, instead of raw pair frequency. Deterministic,
+  // engine-portable instantiation: the score key is the EXACT integer
+  // floor(cnt·10¹² / (cnt(a)·cnt(b))) — BigInt on the driver, HUGEINT
+  // in DuckDB, so the two engines pick bit-identical winners (ties
+  // break (lhs, rhs); the key is ≤ 10¹² because cnt ≤ min(cnt(a),
+  // cnt(b)), so it always fits int64 in the OUTPUT even at 100 TB
+  // counts). Scale shape identical to the BPE trainer: one
+  // map-side-combinable word-frequency pass + TakeOrdered(V) cut, then
+  // K rounds over the vocab-BOUNDED symbol table ([[bpeState0]] /
+  // [[bpeFuse]] shared verbatim — the fuse semantics cannot drift
+  // between the two trainers); per-round pair/symbol counts collect at
+  // metadata scale (≤ state rows, bounded by V×word-length).
+
+  private val WpMerges = 6
+  private val WpMaxWord = 20
+
+  /** Learned merges (round, lhs, rhs, pairCnt, lhsCnt, rhsCnt,
+    * scorePpt) plus the greedy-match vocabulary the apply serves:
+    * word-INITIAL pieces (final-state symbols at pos 0) and
+    * CONTINUATION pieces (symbols at pos > 0 — the `##`-prefixed table
+    * of a production WordPiece), each floored by the train corpus's
+    * single characters for coverage. */
+  private[graft] def wpTrainOf(docs: DataFrame)
+      : (Seq[(Int, String, String, Long, Long, Long, Long)], Seq[String], Seq[String]) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("word").orderBy("pos")
+    var state = bpeState0(docs)
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, String, Long, Long, Long, Long)]
+    val scale = BigInt(1000000000000L)
+    var exhausted = false
+    while (out.size < WpMerges && !exhausted) {
+      // both collects are vocab-bounded (≤ V×word-length rows) — the
+      // MLlib-centroid-iteration driver-traffic shape, never corpus
+      val syms = state.groupBy("sym").agg(sum("wc").as("sc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val pairs = state.withColumn("nxt", lead("sym", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("lhs"), col("nxt").as("rhs"))
+        .agg(sum("wc").as("cnt"))
+        .collect()
+      if (pairs.isEmpty) exhausted = true
+      else {
+        val best = pairs.map { r =>
+          val (l, rr, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          val key = (BigInt(c) * scale) / (BigInt(syms(l)) * BigInt(syms(rr)))
+          (key, l, rr, c)
+        }.minBy { case (k, l, rr, _) => (-k, l, rr) }(
+          Ordering.Tuple3(Ordering.BigInt, Ordering.String, Ordering.String))
+        val (key, l, rr, c) = best
+        out += ((out.size + 1, l, rr, c, syms(l), syms(rr), key.toLong))
+        state = bpeFuse(state, lit(l), lit(rr)).localCheckpoint()
+      }
+    }
+    val chars = state.select(col("word")).distinct()
+      .select(explode(split(col("word"), "")).as("piece"))
+    val ivoc = state.filter(col("pos") === 0).select(col("sym").as("piece"))
+      .union(chars).distinct().collect().map(_.getString(0)).sorted.toSeq
+    val cvoc = state.filter(col("pos") > 0).select(col("sym").as("piece"))
+      .union(chars).distinct().collect().map(_.getString(0)).sorted.toSeq
+    (out.toSeq, ivoc, cvoc)
+  }
+
+  private val wpCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String),
+    (Seq[(Int, String, String, Long, Long, Long, Long)], Seq[String], Seq[String],
+      DataFrame)]()
+
+  /** Memoized train artifacts per (application, lake) — the bpeRules
+    * convention: ONE training pass serves the train table, the apply
+    * segmentation, and the streaming segmenter (which carries the two
+    * vocab tables as frozen driver values between retrains). The
+    * LAKE's greedy-chase segmentation is part of the build (the
+    * uniBuild convention): the 20 chase rounds run once per corpus
+    * snapshot, and every apply call pays only the occurrence rollup. */
+  private[graft] def wpBuild(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long, Long, Long)], Seq[String], Seq[String],
+        DataFrame) =
+    wpCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+      val docs = Tables.documents(s, dir)
+      val (rules, ivoc, cvoc) = wpTrainOf(docs)
+      (rules, ivoc, cvoc, wpSegmentsWith(docs, ivoc, cvoc))
+    })
+
+  private[graft] def invalidateWp(dirPrefix: String): Unit = {
+    val it = wpCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._2.startsWith(dirPrefix)) it.remove()
+  }
+  graft.etl.TableStats.registerInvalidationHook(invalidateWp)
+
+  private def wpTrain(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    wpBuild(s, dir)._1
+      .map { case (r, l, rr, c, la, rb, sk) => (r, l, rr, l + rr, c, la, rb, sk) }
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count",
+        "lhs_count", "rhs_count", "score_ppt")
+      .orderBy("merge_round")
+  }
+
+  // --- tokenizer_wordpiece_apply: greedy longest-match segmentation ---
+  // WordPiece's distinctive SERVE: no lattice, no scores — from each
+  // word's start, repeatedly take the LONGEST vocabulary piece that
+  // matches (word-initial table at position 0, continuation table
+  // after), and if no piece matches the whole word maps to one [UNK]
+  // token (so "ab"+nothing-for-"c" is UNK even when "a"+"bc" would
+  // segment — the greedy commitment real WordPiece makes; spec-pinned).
+  // Distributed shape: the greedy chase is a FUNCTION of position —
+  // jump(s) = max piece length matching at s — so one vocab-broadcast
+  // join builds the per-(word, position) jump table at vocab scale and
+  // [[WpMaxWord]] unrolled rounds follow the chain (each jump advances
+  // ≥ 1 char, so every word terminates within the bounded-prefix
+  // window; the editdist prefix convention). The corpus is touched by
+  // exactly two map-side-combinable passes (distinct words, occurrence
+  // counts), never by the iteration — the bpeApply/unigramApply shape.
+
+  /** Segment-and-rollup with FIXED vocab tables — shared by the batch
+    * op and the streaming segmenter; `memo` is the usual
+    * materialization injection (per-round state feeds the next join). */
+  private[graft] def wpApplyWith(docs: DataFrame,
+      ivoc: Seq[String], cvoc: Seq[String],
+      memo: DataFrame => DataFrame = graft.functions.memoize): DataFrame =
+    wpRollup(docs, wpSegmentsWith(docs, ivoc, cvoc, memo))
+
+  /** The greedy-chase segmentation of `docs`' distinct words under
+    * FIXED vocab tables → one (word, np, unk) row per word. Split from
+    * the rollup so the LAKE's segmentation can live in the build cache
+    * (the uniBuild convention — one chase serves every batch-op call)
+    * while the streaming segmenter chases each micro-batch's own
+    * word table. */
+  private[graft] def wpSegmentsWith(docs: DataFrame,
+      ivoc: Seq[String], cvoc: Seq[String],
+      memo: DataFrame => DataFrame = graft.functions.memoize): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // the longest piece bounds the candidate explode (driver-known:
+    // the vocab is the frozen artifact); the oracle's static 1..20
+    // range is equivalent because longer candidates match nothing
+    val maxK = math.min(WpMaxWord, (ivoc ++ cvoc).map(_.length).max)
+    val words = memo(docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0).distinct()
+      .withColumn("p", substring(col("word"), 1, WpMaxWord))
+      .withColumn("plen", length(col("p"))))
+    val cand = words
+      .select(col("word"), col("p"), col("plen"),
+        explode(sequence(lit(0), col("plen") - 1)).as("s"))
+      .select(col("word"), col("plen"), col("s"),
+        explode(sequence(lit(1), least(lit(maxK), col("plen") - col("s")))).as("k"),
+        expr("substr(p, s + 1, k)").as("piece"))
+    val vocDf = (ivoc.map((_, true)) ++ cvoc.map((_, false))).toDF("piece", "ini")
+    val jmp = memo(cand.withColumn("ini", col("s") === 0)
+      .join(broadcast(vocDf), Seq("piece", "ini"))
+      .groupBy("word", "s").agg(max(col("k")).as("jump"))
+      .withColumnRenamed("word", "jw"))
+    var st = memo(words.select(col("word"), col("plen"),
+      lit(0).as("pos"), lit(0L).as("np"), lit(false).as("unk")))
+    for (_ <- 1 to WpMaxWord) {
+      st = memo(st.join(jmp,
+          col("word") === col("jw") && col("pos") === col("s") &&
+            !col("unk") && col("pos") < col("plen"), "left")
+        .select(col("word"), col("plen"),
+          when(col("unk") || col("pos") >= col("plen"), col("pos"))
+            .otherwise(col("pos") + coalesce(col("jump"), lit(0))).as("pos"),
+          when(col("unk") || col("pos") >= col("plen"), col("np"))
+            .when(col("jump").isNull, lit(1L))
+            .otherwise(col("np") + lit(1L)).as("np"),
+          (col("unk") ||
+            (col("pos") < col("plen") && col("jump").isNull)).as("unk")))
+    }
+    st.select(col("word"), col("np"), col("unk"))
+  }
+
+  /** Per-doc rollup of a (word, np, unk) segmentation — corpus touched
+    * by one map-side-combinable occurrence pass; the join is
+    * vocab-scale. */
+  private[graft] def wpRollup(docs: DataFrame, seg: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n_occ"))
+    occ.join(seg.select(col("word"), col("np"), col("unk")), "word")
+      .groupBy("doc_id")
+      .agg(sum("n_occ").as("n_tokens_ws"),
+        sum(col("n_occ") * col("np")).as("n_wp_pieces"),
+        sum(when(col("unk"), col("n_occ")).otherwise(lit(0L))).as("n_unk_words"))
+      .select(col("doc_id"), col("n_tokens_ws"), col("n_wp_pieces"),
+        col("n_unk_words"),
+        ratio(col("n_wp_pieces").cast(DoubleType),
+          col("n_tokens_ws").cast(DoubleType)).as("pieces_per_word"))
+      .orderBy("doc_id")
+  }
+
+  private def wpApply(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, seg) = wpBuild(s, dir)
+    wpRollup(Tables.documents(s, dir), seg)
+  }
+
+  /** Train-chain CTEs for the WordPiece oracle — [[bpeTrainCtes]]'s
+    * fuse arithmetic verbatim, with the round winner picked by the
+    * exact HUGEINT score key instead of raw pair count. */
+  private def wpTrainCtes: String = {
+    val rounds = (1 to WpMerges).map { r =>
+      s"""wq$r AS MATERIALIZED (
+         |  SELECT word, wc, pos, sym,
+         |         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM ws${r - 1}),
+         |wy$r AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(wc) AS BIGINT) AS sc FROM ws${r - 1} GROUP BY 1),
+         |wt$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, cnt, la, rb,
+         |         CAST((CAST(cnt AS HUGEINT) * 1000000000000) //
+         |              (CAST(la AS HUGEINT) * rb) AS BIGINT) AS score_ppt
+         |  FROM (
+         |    SELECT p.lhs, p.rhs, p.cnt, a.sc AS la, b.sc AS rb
+         |    FROM (SELECT sym AS lhs, nxt AS rhs, CAST(sum(wc) AS BIGINT) AS cnt
+         |          FROM wq$r WHERE nxt IS NOT NULL GROUP BY 1, 2) p
+         |    JOIN wy$r a ON p.lhs = a.sym JOIN wy$r b ON p.rhs = b.sym)
+         |  ORDER BY score_ppt DESC, lhs, rhs LIMIT 1),
+         |wk$r AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |           row_number() OVER (PARTITION BY word, grp ORDER BY pos) AS rnk
+         |    FROM (
+         |      SELECT q.word, q.pos,
+         |             q.pos - row_number() OVER (PARTITION BY q.word ORDER BY q.pos) AS grp
+         |      FROM wq$r q, wt$r t WHERE q.sym = t.lhs AND q.nxt = t.rhs))
+         |  WHERE rnk % 2 = 1),
+         |ws$r AS MATERIALIZED (
+         |  SELECT word, wc,
+         |         CAST(row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS INTEGER) AS pos,
+         |         sym
+         |  FROM (
+         |    SELECT q.word, q.wc, q.pos,
+         |           CASE WHEN k.pos IS NOT NULL THEN q.sym || q.nxt ELSE q.sym END AS sym
+         |    FROM wq$r q
+         |    LEFT JOIN wk$r k  ON q.word = k.word  AND q.pos = k.pos
+         |    LEFT JOIN wk$r kc ON q.word = kc.word AND q.pos = kc.pos + 1
+         |    WHERE kc.pos IS NULL))""".stripMargin
+    }.mkString(",\n")
+    s"""wwcnt AS MATERIALIZED (
+       |  SELECT word, count(*) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 2 AND regexp_matches(word, '^[a-z0-9]+${"$"}')
+       |  GROUP BY 1 ORDER BY wc DESC, word LIMIT $BpeVocabWords),
+       |ws0 AS MATERIALIZED (
+       |  SELECT word, wc, CAST(i - 1 AS INTEGER) AS pos,
+       |         cs[CAST(i AS INTEGER)] AS sym
+       |  FROM (SELECT word, wc, string_split(word, '') AS cs,
+       |          unnest(generate_series(1, length(word))) AS i FROM wwcnt)),
+       |$rounds""".stripMargin
+  }
+
+  private def wpTrainSql: String = {
+    val out = (1 to WpMerges).map(r =>
+      s"""SELECT $r AS merge_round, lhs, rhs, lhs || rhs AS merged,
+         |       cnt AS pair_count, la AS lhs_count, rb AS rhs_count, score_ppt
+         |FROM wt$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH $wpTrainCtes
+       |SELECT * FROM ($out)
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  /** Apply oracle: derive both vocab tables from the train chain's
+    * final state, build the jump table, replay the greedy chase as
+    * [[WpMaxWord]] unrolled LEFT-JOIN rounds, roll up per doc. */
+  private def wpApplySql: String = {
+    val chase = (1 to WpMaxWord).map { r =>
+      s"""wc$r AS MATERIALIZED (
+         |  SELECT c.word, c.plen,
+         |         CAST(CASE WHEN c.unk OR c.pos >= c.plen THEN c.pos
+         |              ELSE c.pos + COALESCE(j.jump, 0) END AS INTEGER) AS pos,
+         |         CAST(CASE WHEN c.unk OR c.pos >= c.plen THEN c.np
+         |              WHEN j.jump IS NULL THEN 1 ELSE c.np + 1 END AS BIGINT) AS np,
+         |         (c.unk OR (c.pos < c.plen AND j.jump IS NULL)) AS unk
+         |  FROM wc${r - 1} c LEFT JOIN wjmp j
+         |    ON (NOT c.unk) AND c.pos < c.plen AND j.word = c.word AND j.s = c.pos)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wpTrainCtes,
+       |wchars AS MATERIALIZED (
+       |  SELECT DISTINCT substr(word, CAST(i AS INTEGER), 1) AS piece
+       |  FROM (SELECT word, unnest(generate_series(1, length(word))) AS i FROM wwcnt)),
+       |wivoc AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT sym AS piece FROM ws$WpMerges WHERE pos = 0
+       |    UNION ALL SELECT piece FROM wchars)),
+       |wcvoc AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT sym AS piece FROM ws$WpMerges WHERE pos > 0
+       |    UNION ALL SELECT piece FROM wchars)),
+       |wapp AS MATERIALIZED (
+       |  SELECT word, left(word, $WpMaxWord) AS p,
+       |         CAST(length(left(word, $WpMaxWord)) AS INTEGER) AS plen
+       |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0),
+       |wcand AS MATERIALIZED (
+       |  SELECT word, s, k, substr(p, s + 1, k) AS piece FROM (
+       |    SELECT word, p, plen, CAST(sq.s AS INTEGER) AS s, CAST(kq.k AS INTEGER) AS k
+       |    FROM wapp,
+       |         (SELECT unnest(generate_series(0, ${WpMaxWord - 1})) AS s) sq,
+       |         (SELECT unnest(generate_series(1, $WpMaxWord)) AS k) kq
+       |    WHERE sq.s < plen AND sq.s + kq.k <= plen)),
+       |wjmp AS MATERIALIZED (
+       |  SELECT word, s, CAST(max(k) AS INTEGER) AS jump FROM (
+       |    SELECT c.word, c.s, c.k FROM wcand c JOIN wivoc v USING (piece) WHERE c.s = 0
+       |    UNION ALL
+       |    SELECT c.word, c.s, c.k FROM wcand c JOIN wcvoc v USING (piece) WHERE c.s > 0)
+       |  GROUP BY 1, 2),
+       |wc0 AS MATERIALIZED (
+       |  SELECT word, plen, 0 AS pos, CAST(0 AS BIGINT) AS np, FALSE AS unk FROM wapp),
+       |$chase,
+       |wocc AS (
+       |  SELECT doc_id, word, count(*) AS n_occ
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0 GROUP BY 1, 2)
+       |SELECT o.doc_id,
+       |       CAST(sum(n_occ) AS BIGINT) AS n_tokens_ws,
+       |       CAST(sum(n_occ * np) AS BIGINT) AS n_wp_pieces,
+       |       CAST(sum(CASE WHEN unk THEN n_occ ELSE 0 END) AS BIGINT) AS n_unk_words,
+       |       ${ratioSql("CAST(sum(n_occ * np) AS DOUBLE)", "CAST(sum(n_occ) AS DOUBLE)")} AS pieces_per_word
+       |FROM wocc o JOIN wc$WpMaxWord w ON o.word = w.word
+       |GROUP BY 1 ORDER BY o.doc_id""".stripMargin
+  }
+
   val ops: Seq[Op] = Seq(
     Op("tokenizer_bpe_train", bpeTrain, Some(bpeTrainSql), buildState = true),
+    Op("tokenizer_wordpiece_train", wpTrain, Some(wpTrainSql), buildState = true),
+    Op("tokenizer_wordpiece_apply", wpApply, Some(wpApplySql), buildState = true),
     Op("tokenizer_unigram_train", unigramTrain, Some(unigramTrainSql), buildState = true),
     Op("tokenizer_unigram_apply", unigramApply, Some(unigramApplySql), buildState = true),
     Op("tokenizer_unigram_prune", unigramPrune, Some(unigramPruneSql), buildState = true),

@@ -2151,6 +2151,42 @@ object StreamingJobs {
       }
       .start()
 
+  /** Streaming WordPiece segmentation (tokenizer_wordpiece_apply's
+    * twin — the third tokenizer family's serve over a live ingest):
+    * the two vocab tables (word-initial + continuation pieces) are
+    * BUILD state carried as frozen driver values between retrains;
+    * each micro-batch builds its own vocab-scale jump table and runs
+    * the SAME greedy longest-match chase as the batch op, with
+    * persist+reroot memoization (the unigram lesson: the chase rounds
+    * chain 20 deep, so each memo must CUT the logical plan, not just
+    * cache blocks). Per-batch dynamic partition overwrite keeps
+    * replays exact. Unlike the batch run, a streamed document may
+    * carry characters the frozen vocab never saw — those words map to
+    * [UNK] exactly like production WordPiece, and n_unk_words reports
+    * them per doc. */
+  def wordpieceSegmentStream(docs: DataFrame,
+      ivoc: Seq[String], cvoc: Seq[String], outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val persisted =
+            scala.collection.mutable.ListBuffer[DataFrame]()
+          try {
+            graft.operators.TextAnalysis.wpApplyWith(batch, ivoc, cvoc,
+                df => { val p = df.persist(); persisted += p
+                        graft.functions.reroot(p) })
+              .withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(outDir)
+          } finally persisted.foreach(_.unpersist(false))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming corpus curation: the Gopher-style quality gate applied
     * to a live document feed. The gate is stateless and narrow
     * (identical expressions to the batch text_quality_gopher), so it

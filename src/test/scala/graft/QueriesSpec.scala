@@ -152,6 +152,51 @@ class QueriesSpec extends AnyFunSuite {
       (3, "aa", "a", "aaa", 2L)), m.toSeq.toString)
   }
 
+  test("wordpiece trainer: likelihood selection beats raw frequency; vocab splits by position") {
+    import spark.implicits._
+    // wf: aa → 10, bc → 9. Pair counts: (a,a)=10 > (b,c)=9, so BPE
+    // would merge (a,a) first — but WordPiece scores cnt/(cnt_l·cnt_r):
+    // (b,c) = 9/(9·9) beats (a,a) = 10/(20·20). Exact ppt keys:
+    // 9·10¹²//81 = 111111111111, 10·10¹²//400 = 25000000000.
+    val docs = Seq(
+      (Seq.fill(10)("aa") ++ Seq.fill(9)("bc")).mkString(" ")
+    ).map(Tuple1(_)).toDF("text")
+    val (rules, ivoc, cvoc) = operators.TextAnalysis.wpTrainOf(docs)
+    assert(rules == Seq(
+      (1, "b", "c", 9L, 9L, 9L, 111111111111L),
+      (2, "a", "a", 10L, 20L, 20L, 25000000000L)), rules.toString)
+    // final state: aa → [aa@0], bc → [bc@0]; vocab = positional
+    // symbols + the char floor, word-initial vs continuation
+    assert(ivoc == Seq("a", "aa", "b", "bc", "c"), ivoc.toString)
+    assert(cvoc == Seq("a", "b", "c"), cvoc.toString)
+  }
+
+  test("wordpiece apply: greedy longest-match commits to UNK where a lattice would segment") {
+    import spark.implicits._
+    // ivoc {a, ab}, cvoc {b, bc}: word "abc" — greedy takes the
+    // LONGEST initial piece "ab", then "c" has no continuation match,
+    // so the whole word is one [UNK] — even though "a"+"bc" segments.
+    // "abb" = ab + b (continuation table), "ab" = one initial piece.
+    val docs = Seq((1L, "abc"), (2L, "abb ab")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis
+      .wpApplyWith(docs, Seq("a", "ab"), Seq("b", "bc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 1L, 1.0),
+      (2L, 2L, 3L, 0L, 1.5)), out.toSeq.toString)
+  }
+
+  test("wordpiece apply on the lake: UNK-free rows have fertility >= 1") {
+    val rows = Registry.queries("tokenizer_wordpiece_apply")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getLong(3) == 0L)
+        assert(r.getLong(2) >= r.getLong(1), s"fertility < 1: $r")
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
   test("unigram trainer: full pipeline replays independently; frequent chunk becomes a piece") {
     import spark.implicits._
     // 'abab' is frequent enough that p(abab) beats p(ab)^2 (one piece

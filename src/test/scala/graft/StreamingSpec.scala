@@ -1646,6 +1646,40 @@ class StreamingSpec extends AnyFunSuite {
       s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming wordpiece segmentation equals the batch apply under the frozen vocab") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/wpstream"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docsDf = Tables.documents(spark, sf).select("doc_id", "text")
+    // frozen build state: the two greedy-match vocab tables
+    val (_, ivoc, cvoc, _) = operators.TextAnalysis.wpBuild(spark, sf)
+    assert(ivoc.nonEmpty && cvoc.nonEmpty)
+    val feed = docsDf.as[(Long, String)].collect()
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.wordpieceSegmentStream(
+      source.toDF().toDF("doc_id", "text"), ivoc, cvoc, s"$root/seg", s"$root/ckpt")
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens_ws", "n_wp_pieces", "n_unk_words", "pieces_per_word")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val streamed = canon(spark.read.parquet(s"$root/seg"))
+    // per-doc rollups are independent across docs, so the two-batch
+    // stream must equal the registry op's whole-lake pass cell-for-cell
+    val batch = canon(Registry.queries("tokenizer_wordpiece_apply")(spark, sf))
+    assert(streamed == batch,
+      s"only-stream=${(streamed -- batch).take(3)} only-batch=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming datacard ledger serves the exact batch card below sketch capacity") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
