@@ -817,6 +817,12 @@ object TextAnalysis {
   private val UniMaxWord = 20
   private val UniMaxPiece = 4
   private val UniTopV = 48
+  // path separator: out-of-band \u0001 (SQL chr(1)), NOT '|' - a
+  // corpus containing '|' would otherwise make the separator a
+  // legitimate vocabulary piece and silently miscount the EM recount
+  // and every n_pieces split, consistently in BOTH engines (so the
+  // oracle could never catch it).
+  private val UniSep = "\u0001"
 
   /** Memoized (voc, seg) build per (application, lake) — ONE training
     * pass serves both the train table and the apply rollup (the
@@ -887,7 +893,7 @@ object TextAnalysis {
           .select(col("w"), col("wf"), col("p"), col("plen"),
             (col("score") * col("p0")).as("score"),
             when(col("path") === "", col("piece"))
-              .otherwise(concat(col("path"), lit("|"), col("piece"))).as("path"))
+              .otherwise(concat(col("path"), lit(UniSep), col("piece"))).as("path"))
       }
       dps = dps :+ memo(branches.reduce(_.union(_))
         .withColumn("rn", row_number().over(wWin))
@@ -900,7 +906,7 @@ object TextAnalysis {
   /** The vocabulary table from the build artifacts (the train op's
     * output shape). */
   private def unigramTableOf(voc: DataFrame, seg: DataFrame): DataFrame = {
-    val em = seg.select(col("wf"), explode(split(col("path"), "\\|")).as("piece"))
+    val em = seg.select(col("wf"), explode(split(col("path"), UniSep)).as("piece"))
       .groupBy("piece").agg(sum("wf").as("em_count"))
     val totE = em.agg(sum("em_count").as("te"))
     voc.join(em, Seq("piece"), "left")
@@ -935,7 +941,7 @@ object TextAnalysis {
     * the batch apply op and the streaming segmenter. */
   private[graft] def uniApplyRollup(docs: DataFrame, seg: DataFrame): DataFrame = {
     val npieces = seg.select(col("w").as("word"),
-      size(split(col("path"), "\\|")).as("n_pieces"))
+      size(split(col("path"), UniSep)).as("n_pieces"))
     val occ = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
@@ -993,7 +999,7 @@ object TextAnalysis {
     val trainChain = unigramTrainSql
     val upToSeg = trainChain.substring(0, trainChain.indexOf(",\nem AS ("))
     s"""$upToSeg,
-       |npieces AS (SELECT w AS word, CAST(len(string_split(path, '|')) AS INTEGER) AS n_pieces
+       |npieces AS (SELECT w AS word, CAST(len(string_split(path, chr(1))) AS INTEGER) AS n_pieces
        |            FROM seg),
        |occ AS (
        |  SELECT doc_id, word, count(*) AS n_occ
@@ -1015,7 +1021,7 @@ object TextAnalysis {
       val branches = (1 to math.min(UniMaxPiece, j)).map { k =>
         s"""      SELECT d.w, d.wf, d.p, d.plen, d.score * v.p0 AS score,
            |             CASE WHEN d.path = '' THEN v.piece
-           |                  ELSE d.path || '|' || v.piece END AS path
+           |                  ELSE d.path || chr(1) || v.piece END AS path
            |      FROM dp$sfx${j - k} d JOIN $voc v
            |        ON d.plen >= $j AND v.piece = substr(d.p, ${j - k + 1}, $k)""".stripMargin
       }.mkString("\n      UNION ALL\n")
@@ -1065,7 +1071,7 @@ object TextAnalysis {
        |${uniDpChainSql("voc", "")},
        |em AS (
        |  SELECT piece, CAST(sum(wf) AS BIGINT) AS em_count
-       |  FROM (SELECT wf, unnest(string_split(path, '|')) AS piece FROM seg)
+       |  FROM (SELECT wf, unnest(string_split(path, chr(1))) AS piece FROM seg)
        |  GROUP BY 1)
        |SELECT v.piece, v.cnt AS seed_count,
        |       coalesce(em.em_count, 0) AS em_count,
@@ -1106,7 +1112,7 @@ object TextAnalysis {
       : (DataFrame, DataFrame, DataFrame) =
     uniPruneCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
       val (words, voc, seg) = uniBuild(s, dir)
-      val em = seg.select(col("wf"), explode(split(col("path"), "\\|")).as("piece"))
+      val em = seg.select(col("wf"), explode(split(col("path"), UniSep)).as("piece"))
         .groupBy("piece").agg(sum("wf").as("em_before"))
       val emv = voc.join(em, Seq("piece"), "left")
         .withColumn("em_before", coalesce(col("em_before"), lit(0L)))
@@ -1127,7 +1133,7 @@ object TextAnalysis {
 
   private def unigramPrune(s: SparkSession, dir: String): DataFrame = {
     val (emv, pruned, seg2) = uniPruneBuild(s, dir)
-    val em2 = seg2.select(col("wf"), explode(split(col("path"), "\\|")).as("piece"))
+    val em2 = seg2.select(col("wf"), explode(split(col("path"), UniSep)).as("piece"))
       .groupBy("piece").agg(sum("wf").as("em_after"))
       .transform(graft.functions.memoize) // output join + the ppm total
     val totE2 = em2.agg(sum("em_after").as("te2"))
@@ -1150,7 +1156,7 @@ object TextAnalysis {
     s"""$upToSeg,
        |emb AS (
        |  SELECT piece, CAST(sum(wf) AS BIGINT) AS em_before
-       |  FROM (SELECT wf, unnest(string_split(path, '|')) AS piece FROM seg)
+       |  FROM (SELECT wf, unnest(string_split(path, chr(1))) AS piece FROM seg)
        |  GROUP BY 1),
        |emv AS MATERIALIZED (
        |  SELECT v.piece, v.cnt, coalesce(emb.em_before, 0) AS em_before
@@ -1168,7 +1174,7 @@ object TextAnalysis {
        |${uniDpChainSql("voc2", "b")},
        |em2 AS (
        |  SELECT piece, CAST(sum(wf) AS BIGINT) AS em_after
-       |  FROM (SELECT wf, unnest(string_split(path, '|')) AS piece FROM segb)
+       |  FROM (SELECT wf, unnest(string_split(path, chr(1))) AS piece FROM segb)
        |  GROUP BY 1)
        |SELECT e.piece, e.piece IN (SELECT piece FROM prn) AS pruned,
        |       e.em_before, coalesce(em2.em_after, 0) AS em_after,

@@ -231,11 +231,11 @@ class QueriesSpec extends AnyFunSuite {
           k <- 1 to math.min(4, j); prev <- dp(j - k).toSeq
           piece = p.substring(j - k, j) if p0.contains(piece)
         } yield (prev._1 * p0(piece),
-          if (prev._2.isEmpty) piece else prev._2 + "|" + piece)
+          if (prev._2.isEmpty) piece else prev._2 + "\u0001" + piece)
         if (cands.nonEmpty)
           dp(j) = Some(cands.minBy { case (s, path) => (-s, path) })
       }
-      dp(p.length).get._2.split("\\|").toSeq
+      dp(p.length).get._2.split("\u0001").toSeq
     }
     val em = wf.toSeq.flatMap { case (w, f) => viterbi(w).map(_ -> f) }
       .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
