@@ -50,7 +50,7 @@ object Dedup {
     * by the re-ANALYZE hook. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => shinglesOf(Tables.documents(s, dir)).localCheckpoint())
+      _ => shinglesOf(Tables.documents(s, dir)).transform(graft.functions.memoize))
 
   /** Same shingling over an arbitrary (doc_id, source, text) frame.
     *
@@ -708,7 +708,7 @@ object Dedup {
     * per-document, so any doc-subset consumer is a filter over it. */
   private[graft] def corpusSigs(s: SparkSession, dir: String): DataFrame =
     sigCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => signaturesOf(Tables.documents(s, dir)).localCheckpoint())
+      _ => signaturesOf(Tables.documents(s, dir)).transform(graft.functions.memoize))
 
   /** Banded view of [[corpusSigs]] — the narrow projection re-derived
     * per consumer over the memoized signatures. */
@@ -870,7 +870,7 @@ object Dedup {
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct().localCheckpoint()
+      .distinct().transform(graft.functions.memoize)
     val matches = perms.indices.map(i =>
       when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -1245,7 +1245,7 @@ object Dedup {
   private def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame = {
     // one materialization for the two consumers — AQE does not
     // collapse the twin derivation branches (the shingleCache finding)
-    val win = spanGrams(s, dir).localCheckpoint()
+    val win = spanGrams(s, dir).transform(graft.functions.memoize)
     val freq = win.groupBy("gh").agg(count(lit(1)).as("n")).filter(col("n") > 1)
     val dup = win.join(freq, "gh").select("doc_id", "pos")
     val iw = org.apache.spark.sql.expressions.Window
@@ -1395,7 +1395,7 @@ object Dedup {
       val pairs = jaccardPairs(s, dir, EdgeThreshold)
       pairs.unionByName(
           pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
     })
 
   /** Drops memoized cluster labels, the similarity edge set, the

@@ -467,7 +467,7 @@ object Multimodal {
       .select(col("doc_id"), posexplode(
           graft.plans.FrameEnergies.frame_energies(payload, FrameBytes))
         .as(Seq("frame_idx", "num")))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     val dm = frames.groupBy("doc_id").agg(
       count(lit(1)).as("n_frames"), sum(col("num")).as("tot"))
     frames.join(broadcast(dm), "doc_id")
