@@ -64,7 +64,7 @@ object BenchX16 {
         val txt = try src.mkString finally src.close()
         val qs = txt.substring(txt.indexOf("\"queries\":"))
         // \s* : tolerate pretty-printed refs (see Bench.refMap)
-        """"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qs)
+        """"([A-Za-z0-9_@]+)":\s*(-?[0-9][0-9.eE+-]*)""".r.findAllMatchIn(qs)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     }
@@ -76,8 +76,20 @@ object BenchX16 {
     // of a phantom regression.
     def inflated(n: String, t: Double): Boolean =
       t > 0 && refMap.get(n).exists(r => r > 0 && t > 2 * r && t - r > 0.5)
-    val results = Top20.map(n => n -> math.min(timed(n), timed(n)))
+    val results0 = Top20.map(n => n -> math.min(timed(n), timed(n)))
       .map { case (n, t) => if (inflated(n, t)) n -> math.min(t, timed(n)) else n -> t }
+    // tokenizer_unigram_train@cold: the COLD build path (vocab joins ×
+    // 20 DP rounds) is the saturation-prone leg the warm-serve row
+    // can't see — invalidate the build caches before EACH rep so
+    // min-of-two stays a cold measurement (r15 verdict task 6).
+    val coldName = "tokenizer_unigram_train@cold"
+    def coldRep(): Double = {
+      graft.operators.TextAnalysis.invalidateUnigram(dst)
+      timed("tokenizer_unigram_train")
+    }
+    val coldT = { val t = math.min(coldRep(), coldRep())
+      if (inflated(coldName, t)) math.min(t, coldRep()) else t }
+    val results = results0 :+ (coldName -> coldT)
     val contended = results.collect { case (n, t) if inflated(n, t) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     // same floor/ratio conventions as Bench: -1 marks a sub-floor row

@@ -1108,6 +1108,18 @@ object TextAnalysis {
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       (DataFrame, DataFrame, DataFrame)]()
 
+  /** Flush both unigram build caches for a lake prefix — wired into
+    * the re-ANALYZE invalidation like the BPE/WordPiece caches (a
+    * regenerated lake must not serve a stale piece table), and called
+    * directly by the ×16 gate's @cold row to time the build path. */
+  private[graft] def invalidateUnigram(dirPrefix: String): Unit =
+    Seq[java.util.concurrent.ConcurrentHashMap[(String, String), _]](
+      uniCache, uniPruneCache).foreach { c =>
+      val it = c.keySet().iterator()
+      while (it.hasNext) if (it.next()._2.startsWith(dirPrefix)) it.remove()
+    }
+  graft.etl.TableStats.registerInvalidationHook(invalidateUnigram)
+
   private def uniPruneBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
     uniPruneCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
