@@ -1524,8 +1524,68 @@ object TextAnalysis {
        |GROUP BY 1 ORDER BY o.doc_id""".stripMargin
   }
 
+  // --- tokenizer_fertility_report: the family-level audit ------------
+  // The ann_recall_report analog for tokenizers: ONE table a
+  // vocabulary decision actually reads — per corpus source, the
+  // fertility (pieces per whitespace word) of all three trained
+  // families (BPE merges, unigram-LM Viterbi, WordPiece greedy
+  // longest-match) side by side, plus WordPiece's UNK-word rate (the
+  // only family that can reject a word outright). Every column serves
+  // off the SAME memoized builds as the per-family ops (one training
+  // pass each — the report adds zero training cost), and the per-doc
+  // rollups it aggregates ARE the three apply ops' outputs, so the
+  // report can never drift from the ops it summarizes. Scale shape:
+  // three vocab-scale joins + one source-keyed agg over per-doc rows;
+  // the corpus text is never touched beyond the builds' own passes.
+  // Oracle: the three apply oracles verbatim as derived tables (nested
+  // WITH), joined on doc_id and aggregated per source — drift-proof by
+  // construction.
+
+  private def tokenizerFertilityReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val b = bpeApply(s, dir).select(col("doc_id"),
+      col("n_tokens_ws").as("ws_b"), col("n_bpe_tokens").as("np_b"))
+    val u = unigramApply(s, dir).select(col("doc_id"),
+      col("n_tokens_ws").as("ws_u"), col("n_uni_pieces").as("np_u"))
+    val w = wpApply(s, dir).select(col("doc_id"),
+      col("n_tokens_ws").as("ws_w"), col("n_wp_pieces").as("np_w"),
+      col("n_unk_words").as("unk_w"))
+    docs.select(col("doc_id"), col("source"))
+      .join(b, "doc_id").join(u, "doc_id").join(w, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_b").as("sws_b"), sum("np_b").as("snp_b"),
+        sum("ws_u").as("sws_u"), sum("np_u").as("snp_u"),
+        sum("ws_w").as("sws_w"), sum("np_w").as("snp_w"),
+        sum("unk_w").as("sunk_w"))
+      .select(col("source"), col("n_docs"),
+        ratio(col("snp_b").cast(DoubleType), col("sws_b").cast(DoubleType))
+          .as("bpe_syms_per_word"),
+        ratio(col("snp_u").cast(DoubleType), col("sws_u").cast(DoubleType))
+          .as("uni_pieces_per_word"),
+        ratio(col("snp_w").cast(DoubleType), col("sws_w").cast(DoubleType))
+          .as("wp_pieces_per_word"),
+        ratio(col("sunk_w").cast(DoubleType), col("sws_w").cast(DoubleType))
+          .as("wp_unk_rate"))
+      .orderBy("source")
+  }
+
+  private def tokenizerFertilityReportSql: String =
+    s"""SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |       ${ratioSql("CAST(sum(b.n_bpe_tokens) AS DOUBLE)", "CAST(sum(b.n_tokens_ws) AS DOUBLE)")} AS bpe_syms_per_word,
+       |       ${ratioSql("CAST(sum(u.n_uni_pieces) AS DOUBLE)", "CAST(sum(u.n_tokens_ws) AS DOUBLE)")} AS uni_pieces_per_word,
+       |       ${ratioSql("CAST(sum(w.n_wp_pieces) AS DOUBLE)", "CAST(sum(w.n_tokens_ws) AS DOUBLE)")} AS wp_pieces_per_word,
+       |       ${ratioSql("CAST(sum(w.n_unk_words) AS DOUBLE)", "CAST(sum(w.n_tokens_ws) AS DOUBLE)")} AS wp_unk_rate
+       |FROM documents d
+       |JOIN ($bpeApplySql) b USING (doc_id)
+       |JOIN ($unigramApplySql) u USING (doc_id)
+       |JOIN ($wpApplySql) w USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val ops: Seq[Op] = Seq(
     Op("tokenizer_bpe_train", bpeTrain, Some(bpeTrainSql), buildState = true),
+    Op("tokenizer_fertility_report", tokenizerFertilityReport,
+      Some(tokenizerFertilityReportSql), buildState = true),
     Op("tokenizer_wordpiece_train", wpTrain, Some(wpTrainSql), buildState = true),
     Op("tokenizer_wordpiece_apply", wpApply, Some(wpApplySql), buildState = true),
     Op("tokenizer_unigram_train", unigramTrain, Some(unigramTrainSql), buildState = true),

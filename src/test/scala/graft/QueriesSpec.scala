@@ -197,6 +197,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("fertility report replays from the three apply ops per source") {
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def perDoc(op: String, cols: Int) =
+      Registry.queries(op)(spark, sf).collect()
+        .map(r => r.getLong(0) -> (1 to cols).map(r.getLong(_)))
+    val b = perDoc("tokenizer_bpe_apply", 2).toMap
+    val u = perDoc("tokenizer_unigram_apply", 2).toMap
+    val w = perDoc("tokenizer_wordpiece_apply", 3).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = Registry.queries("tokenizer_fertility_report")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val bySrc = src.keys.toSeq.groupBy(src)
+    assert(got.keySet == bySrc.keySet)
+    for ((s0, ids) <- bySrc) {
+      def agg(m: Map[Long, Seq[Long]], i: Int) = ids.map(m(_)(i)).sum.toDouble
+      val want = (ids.size.toLong,
+        r6(agg(b, 1) / agg(b, 0)), r6(agg(u, 1) / agg(u, 0)),
+        r6(agg(w, 1) / agg(w, 0)), r6(agg(w, 2) / agg(w, 0)))
+      assert(got(s0) == want, s"$s0: ${got(s0)} != $want")
+    }
+  }
+
   test("unigram trainer: full pipeline replays independently; frequent chunk becomes a piece") {
     import spark.implicits._
     // 'abab' is frequent enough that p(abab) beats p(ab)^2 (one piece
