@@ -152,7 +152,9 @@ object ScaleProbe {
       "dedup_allpairs", "corpus_doremi_mix", "retrieval_mmr_rerank",
       "ann_scann_topk", "embedding_whitening", "dedup_gate_exact",
       "tokenizer_unigram_train", "tokenizer_unigram_apply",
-      "tokenizer_unigram_prune")
+      "tokenizer_unigram_prune",
+      "tokenizer_wordpiece_train", "tokenizer_wordpiece_apply",
+      "tokenizer_fertility_report")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)
