@@ -421,13 +421,19 @@ object TextAnalysis {
   private val BpeMerges = 6
   private val BpeVocabWords = 256
 
-  private def bpeState0(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(explode(toks).as("word"))
-      // pre-tokenizer: lowercase alphanumeric words of length >= 2 (the
-      // normalization a real BPE trainer applies before counting)
+  private def bpeState0(docs: DataFrame): DataFrame =
+    bpeState0Counts(wordCountsOf(docs))
+
+  /** The BPE/WordPiece trainer seed from a prepared (w, wf) count
+    * frame (the maintained tokenizer-stats lake's retrain path):
+    * pre-tokenizer normalization — lowercase alphanumeric words of
+    * length >= 2, the cut a real trainer applies before counting —
+    * then the TakeOrdered(V) vocabulary cut and the per-char symbol
+    * explode. Counting commutes with the per-word filter, so this is
+    * bit-identical to counting the filtered corpus directly. */
+  private[graft] def bpeState0Counts(wc: DataFrame): DataFrame = {
+    val words = wc.select(col("w").as("word"), col("wf").as("wc"))
       .filter(length(col("word")) >= 2 && col("word").rlike("^[a-z0-9]+$"))
-      .groupBy("word").agg(count(lit(1)).as("wc"))
       .orderBy(col("wc").desc, col("word"))
       .limit(BpeVocabWords)
     words
@@ -525,10 +531,17 @@ object TextAnalysis {
     * DuckDB oracle's path. */
   private[graft] def bpeTrainMergesRounds(docs: DataFrame,
       merges: Int = BpeMerges, batch: Int = 1)
+      : (Seq[(Int, String, String, Long)], Int) =
+    bpeTrainMergesRoundsFrom(bpeState0(docs), merges, batch)
+
+  /** The merge loop over a prepared seed state — shared by the docs
+    * path and the count-lake retrain path. */
+  private[graft] def bpeTrainMergesRoundsFrom(state0: DataFrame,
+      merges: Int, batch: Int)
       : (Seq[(Int, String, String, Long)], Int) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("word").orderBy("pos")
-    var state = bpeState0(docs)
+    var state = state0
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rounds = 0
     var exhausted = false
@@ -841,12 +854,30 @@ object TextAnalysis {
     unigramTableOf(voc, seg)
   }
 
-  /** (voc, seg): the scored piece table and the per-word Viterbi
-    * segmentation — the build artifacts. */
-  private[graft] def unigramBuildOf(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+  /** The corpus word-frequency table (w, wf) — THE additive sufficient
+    * statistic every tokenizer trainer consumes (unigram seeds +
+    * Viterbi weights; BPE/WordPiece derive their normalized top-V cut
+    * from it). Additivity is what makes the maintained tokenizer-stats
+    * lake ([[graft.streaming.StreamingJobs.vocabStatsAppendStream]]) a
+    * pure count journal: append lands each batch's counts, serve sums,
+    * and a retrain NEVER re-scans the corpus — this one
+    * map-side-combinable pass is the only corpus-touching stage any
+    * trainer has. */
+  private[graft] def wordCountsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wf"))
+
+  /** (voc, seg): the scored piece table and the per-word Viterbi
+    * segmentation — the build artifacts. */
+  private[graft] def unigramBuildOf(docs: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    unigramBuildOfWords(wordCountsOf(docs))
+
+  /** The build over a prepared (w, wf) count frame — the retrain path
+    * of the maintained tokenizer-stats lake; identical arithmetic to
+    * the docs path by construction (one definition). */
+  private[graft] def unigramBuildOfWords(wc: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val words = wc
       .withColumn("p", substring(col("w"), 1, UniMaxWord))
       .withColumn("plen", length(col("p")))
       .transform(graft.functions.memoize)
@@ -963,6 +994,58 @@ object TextAnalysis {
         ratio(col("n_uni_pieces").cast(DoubleType),
           col("n_tokens_ws").cast(DoubleType)).as("pieces_per_word"))
       .orderBy("doc_id")
+  }
+
+  /** Trainer tables from a prepared (w, wf) count frame — the
+    * maintained tokenizer-stats lake's retrain legs
+    * ([[graft.streaming.StreamingJobs]] vocab lake). One definition
+    * with the docs-path trainers (both route through the same build
+    * functions), so retrain-from-journal is bit-identical to
+    * train-from-corpus whenever the journal's summed counts equal the
+    * corpus counts — which additivity guarantees. */
+  private[graft] def unigramTrainOfWords(wc: DataFrame): DataFrame = {
+    val (_, voc, seg) = unigramBuildOfWords(wc)
+    unigramTableOf(voc, seg)
+  }
+
+  private[graft] def bpeTrainOfWords(wc: DataFrame): DataFrame = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    bpeTrainMergesRoundsFrom(bpeState0Counts(wc), BpeMerges, 1)._1
+      .map { case (r, l, rr, c) => (r, l, rr, l + rr, c) }
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  private[graft] def wpTrainOfWords(wc: DataFrame)
+      : (Seq[(Int, String, String, Long, Long, Long, Long)], Seq[String], Seq[String]) =
+    wpTrainFromState(bpeState0Counts(wc))
+
+  /** Corpus fertility (unigram pieces per whitespace word, in ppm) of
+    * a (w, wf) count frame under a FROZEN piece table — the maintained
+    * tokenizer-stats lake's drift statistic. Fertility is a pure
+    * function of the word-count table (Σ wf·pieces(w) / Σ wf), so the
+    * drift leg reads the JOURNAL, never the corpus. Same left-join
+    * char-per-piece fallback as the apply rollup: vocabulary-shifted
+    * ingest (words with characters the frozen vocab never saw) prices
+    * as character segmentation — which is exactly the fertility
+    * blow-up a retrain trigger exists to catch. */
+  private[graft] def unigramFertilityPpmOfWords(wc: DataFrame,
+      pieces: Seq[(String, Double)],
+      memo: DataFrame => DataFrame = graft.functions.memoize): DataFrame = {
+    val s = wc.sparkSession
+    import s.implicits._
+    val words = memo(wc
+      .withColumn("p", substring(col("w"), 1, UniMaxWord))
+      .withColumn("plen", length(col("p"))))
+    val np = uniViterbi(words, pieces.toDF("piece", "p0"), memo)
+      .select(col("w"), size(split(col("path"), UniSep)).as("n_pieces"))
+    wc.join(np, Seq("w"), "left")
+      .agg(sum(col("wf")).as("n_words"),
+        sum(col("wf") * coalesce(col("n_pieces"),
+          least(length(col("w")), lit(UniMaxWord)))).as("n_pieces"))
+      .select(col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000L div n_words").as("fertility_ppm"))
   }
 
   /** The trained piece table as driver values — bounded at
@@ -1224,10 +1307,16 @@ object TextAnalysis {
     * of a production WordPiece), each floored by the train corpus's
     * single characters for coverage. */
   private[graft] def wpTrainOf(docs: DataFrame)
+      : (Seq[(Int, String, String, Long, Long, Long, Long)], Seq[String], Seq[String]) =
+    wpTrainFromState(bpeState0(docs))
+
+  /** The WordPiece train loop over a prepared seed state — shared by
+    * the docs path and the count-lake retrain path. */
+  private[graft] def wpTrainFromState(state0: DataFrame)
       : (Seq[(Int, String, String, Long, Long, Long, Long)], Seq[String], Seq[String]) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("word").orderBy("pos")
-    var state = bpeState0(docs)
+    var state = state0
     val out = scala.collection.mutable
       .ArrayBuffer.empty[(Int, String, String, Long, Long, Long, Long)]
     val scale = BigInt(1000000000000L)

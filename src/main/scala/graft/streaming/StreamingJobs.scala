@@ -2072,6 +2072,104 @@ object StreamingJobs {
     compactIngestPartitions(spark, s"$indexPath/stats", Seq("source"),
       merge = df => df.groupBy("source", "b").agg(sum("c").as("c")))
 
+  /** Bootstrap the maintained TOKENIZER-STATS lake — the SEVENTH
+    * maintained artifact, giving the tokenizer family the same
+    * lake treatment as the five index families and the mixture-stats
+    * journal: the (w, wf) word-frequency table is the ADDITIVE
+    * sufficient statistic every tokenizer trainer consumes
+    * ([[graft.operators.TextAnalysis.wordCountsOf]] — the ONE
+    * definition the batch trainers also derive from), so the lake is a
+    * pure count journal. Append lands each micro-batch's own counts in
+    * its own partition (replay-exact dynamic overwrite), serve sums
+    * the journal, compaction is a row-minimal groupBy-SUM, and all
+    * THREE retrain legs (BPE / unigram / WordPiece) train from the
+    * summed journal without ever re-scanning the corpus — the
+    * trainers' only corpus-touching pass IS the journaled statistic.
+    * The drift leg prices the appended ingest's fertility under the
+    * FROZEN unigram piece table against the bootstrap corpus's, again
+    * from the journal alone — the retrain-cadence signal a production
+    * tokenizer pipeline watches. */
+  def vocabStatsInit(spark: SparkSession, lakeDir: String,
+      indexPath: String): Unit =
+    graft.operators.TextAnalysis.wordCountsOf(
+        graft.Tables.documents(spark, lakeDir))
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch")
+      .parquet(s"$indexPath/wordcounts")
+
+  /** Per micro-batch of (text) docs: land the batch's OWN word counts
+    * in its ingest_batch partition. */
+  def vocabStatsAppendStream(docs: DataFrame, indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.operators.TextAnalysis.wordCountsOf(batch)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$indexPath/wordcounts")
+          indexAppendCommit(s, s"$indexPath/wordcounts", batchId)
+          ()
+        }
+      }
+      .start()
+
+  /** The summed journal — the (w, wf) table of the corpus-so-far. */
+  def vocabStatsServe(spark: SparkSession, indexPath: String): DataFrame =
+    indexRead(spark, s"$indexPath/wordcounts")
+      .groupBy("w").agg(sum("wf").as("wf"))
+
+  /** Fold appended count partitions into the bootstrap — groupBy-SUM
+    * (additivity), so the compacted lake is row-minimal. */
+  def vocabStatsCompact(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, s"$indexPath/wordcounts", Seq("w"),
+      merge = df => df.groupBy("w").agg(sum("wf").as("wf")))
+
+  /** The three retrain legs: train each family from the summed
+    * journal. Bit-identical to training over the union corpus
+    * (StreamingSpec pins all three) because the trainers' docs paths
+    * route through the same count-frame builds. */
+  def unigramRetrainFromLake(spark: SparkSession, indexPath: String): DataFrame =
+    graft.operators.TextAnalysis.unigramTrainOfWords(
+      vocabStatsServe(spark, indexPath))
+
+  def bpeRetrainFromLake(spark: SparkSession, indexPath: String): DataFrame =
+    graft.operators.TextAnalysis.bpeTrainOfWords(
+      vocabStatsServe(spark, indexPath))
+
+  def wordpieceRetrainFromLake(spark: SparkSession, indexPath: String)
+      : (Seq[(Int, String, String, Long, Long, Long, Long)], Seq[String], Seq[String]) =
+    graft.operators.TextAnalysis.wpTrainOfWords(
+      vocabStatsServe(spark, indexPath))
+
+  /** Drift verdict from the journal alone: fertility (unigram pieces
+    * per word, ppm) of the APPENDED ingest under the frozen `pieces`
+    * table vs the BOOTSTRAP corpus's — one row with the retrain flag
+    * at `tauPpm` relative drift. Out-of-vocabulary ingest prices as
+    * character segmentation (the rollup's fallback), which is exactly
+    * the fertility blow-up the trigger exists to catch; no corpus
+    * re-scan at any point. */
+  def vocabDriftServe(spark: SparkSession, indexPath: String,
+      pieces: Seq[(String, Double)],
+      tauPpm: Long = 100000L): DataFrame = {
+    val journal = indexRead(spark, s"$indexPath/wordcounts")
+      .transform(graft.functions.memoize)
+    def fert(df: DataFrame, as: String) =
+      graft.operators.TextAnalysis
+        .unigramFertilityPpmOfWords(df.groupBy("w").agg(sum("wf").as("wf")), pieces)
+        .select(col("fertility_ppm").as(as))
+    fert(journal.filter(col("ingest_batch") === -1L), "base_fertility_ppm")
+      .crossJoin(fert(journal.filter(col("ingest_batch") =!= -1L),
+        "new_fertility_ppm"))
+      .select(col("base_fertility_ppm"), col("new_fertility_ppm"),
+        (col("new_fertility_ppm") - col("base_fertility_ppm")).as("drift_ppm"),
+        (abs(col("new_fertility_ppm") - col("base_fertility_ppm")) * 1000000L >
+          lit(tauPpm) * col("base_fertility_ppm")).as("retrain"))
+  }
+
   /** Streaming BPE segmentation (tokenizer_bpe_apply's twin): the
     * tokenizer's serve path over a live ingest. The merge-rule table
     * is BUILD state — trained once on the reference corpus

@@ -1763,6 +1763,115 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0)
   }
 
+  test("maintained tokenizer-stats lake: retrains from the journal equal the trainers over the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/vocablake"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.vocabStatsInit(spark, sf, root)
+    // appended ingest: growth of existing vocabulary plus brand-new words
+    val extra = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "the five boxing wizards jump quickly")
+    val source = MemoryStream[String]
+    val q = StreamingJobs.vocabStatsAppendStream(
+      source.toDF().toDF("text"), root, s"$root/ckpt")
+    try {
+      source.addData(extra.take(1)); q.processAllAvailable()
+      source.addData(extra.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val union = Tables.documents(spark, sf).select("text")
+      .union(extra.toDF("text"))
+    // the summed journal IS the union corpus's word-count table
+    def wcCanon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val unionWc = wcCanon(operators.TextAnalysis.wordCountsOf(union))
+    assert(wcCanon(StreamingJobs.vocabStatsServe(spark, root)) == unionWc)
+    // all THREE retrain legs == the docs-path trainers over the union
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(StreamingJobs.unigramRetrainFromLake(spark, root)) ==
+      rows(operators.TextAnalysis.unigramTrainOf(union)))
+    assert(rows(StreamingJobs.bpeRetrainFromLake(spark, root)) ==
+      rows(operators.TextAnalysis.bpeTrainOf(union)))
+    val (wr, wi, wcv) = StreamingJobs.wordpieceRetrainFromLake(spark, root)
+    val (br, bi, bcv) = operators.TextAnalysis.wpTrainOf(union)
+    assert(wr == br && wi == bi && wcv == bcv)
+    // compaction folds both appended partitions; serve unchanged and
+    // the merged journal is row-minimal
+    assert(StreamingJobs.vocabStatsCompact(spark, root) == 2)
+    assert(wcCanon(StreamingJobs.vocabStatsServe(spark, root)) == unionWc)
+    val journal = spark.read.parquet(s"$root/wordcounts")
+    assert(journal.groupBy("w").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("tokenizer-stats drift leg: in-distribution ingest sits flat, shifted ingest trips retrain") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/vocabdrift"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.vocabStatsInit(spark, sf, root)
+    val pieces = operators.TextAnalysis.unigramPieces(spark, sf)
+    // batch 1: a replay of lake documents — same distribution, so the
+    // appended fertility equals the base fertility (same word table
+    // shape) and the flag stays down
+    val replay = Tables.documents(spark, sf).select("text")
+      .as[String].take(20).toSeq
+    // batch 2: vocabulary-shifted ingest — words built from characters
+    // the frozen vocab never saw price as char-per-piece fallback,
+    // blowing fertility past the 10% trigger
+    // mass matters: the drift statistic is occurrence-weighted, so the
+    // shifted batch must carry comparable word mass to the replay for
+    // the mixture fertility to move past the trigger
+    val shifted = Seq.fill(300)("ZQXJVW KKWWZZ QQXXJJ VVWWKK").mkString(" ")
+    val source = MemoryStream[String]
+    val q = StreamingJobs.vocabStatsAppendStream(
+      source.toDF().toDF("text"), root, s"$root/ckpt")
+    try {
+      source.addData(replay); q.processAllAvailable()
+      val flat = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()(0)
+      assert(!flat.getBoolean(3),
+        s"in-distribution replay tripped retrain: $flat")
+      source.addData(Seq(shifted)); q.processAllAvailable()
+    } finally q.stop()
+    val verdict = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()(0)
+    assert(verdict.getLong(2) > 0, s"shifted ingest did not raise fertility: $verdict")
+    assert(verdict.getBoolean(3), s"shifted ingest did not trip retrain: $verdict")
+  }
+
+  test("streaming wordpiece marks unseen-vocabulary words [UNK], matching the batch serve") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/wpunk"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val (_, ivoc, cvoc, _) = operators.TextAnalysis.wpBuild(spark, sf)
+    // doc 1 = real lake words (fully segmentable: the vocab's char
+    // floor covers every corpus character); doc 2 swaps in a word with
+    // a character the frozen vocab never saw → one [UNK] token
+    val lakeWords = Tables.documents(spark, sf).select("text")
+      .as[String].head.split(" ").filter(_.nonEmpty).take(3)
+    val feed = Seq((1L, lakeWords.mkString(" ")),
+      (2L, (lakeWords.take(2) :+ "ZZZ").mkString(" ")))
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.wordpieceSegmentStream(
+      source.toDF().toDF("doc_id", "text"), ivoc, cvoc, s"$root/seg", s"$root/ckpt")
+    try { source.addData(feed); q.processAllAvailable() } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens_ws", "n_wp_pieces", "n_unk_words")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = canon(spark.read.parquet(s"$root/seg"))
+    val batch = canon(operators.TextAnalysis.wpApplyWith(
+      feed.toDF("doc_id", "text"), ivoc, cvoc))
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // the UNK path actually fired, and only on the shifted doc
+    val byDoc = streamed.map(t => t._1 -> t._4).toMap
+    assert(byDoc(1L) == 0L && byDoc(2L) == 1L, byDoc.toString)
+  }
+
   test("learned quality gate: stream verdicts equal the batch classifier's") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
