@@ -330,7 +330,8 @@ object ScaleProbe {
     // retrain legs scale with the lake itself (bounded by ~N·linear).
     // No leg may be superlinear in N.
     // -----------------------------------------------------------------
-    if (wanted("lakes@maintenance")) {
+    if (wanted("lakes@maintenance") || wanted("vocab_lake@maintenance")) {
+      val fullLakes = wanted("lakes@maintenance")
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import org.apache.spark.sql.{DataFrame => DF}
       import graft.streaming.StreamingJobs
@@ -372,7 +373,7 @@ object ScaleProbe {
         }
         val ivf = s"$root/ivf"; val pq = s"$root/ivfpq"
         val gr = s"$root/graph"; val bq = s"$root/bq"; val inv = s"$root/inv"
-        Seq(
+        (if (!fullLakes) Seq.empty else Seq(
           "ivf_lake@init" -> leg(StreamingJobs.ivfIndexInit(spark, dir, vBase, ivf)),
           "ivf_lake@append" -> appendVecs(StreamingJobs.ivfAppendStream, ivf),
           "ivf_lake@serve" -> leg(noop(StreamingJobs.ivfIndexSearch(spark, ivf, qn))),
@@ -407,7 +408,29 @@ object ScaleProbe {
           },
           "inv_lake@serve" -> leg(noop(StreamingJobs.bm25IndexSearch(spark, inv))),
           "inv_lake@drift" -> leg(noop(StreamingJobs.corpusIndexDriftReport(spark, inv))),
-          "inv_lake@compact" -> leg(StreamingJobs.corpusIndexCompact(spark, inv)))
+          "inv_lake@compact" -> leg(StreamingJobs.corpusIndexCompact(spark, inv)))) ++ {
+          // the round-16 tokenizer-stats lake: count journal + the
+          // three trainer retrains + the journal-only drift verdict
+          val vl = s"$root/vocab"
+          val pieces = operators.TextAnalysis.unigramPieces(spark, dir)
+          Seq(
+            "vocab_lake@init" -> leg(StreamingJobs.vocabStatsInit(spark, dir, vl)),
+            "vocab_lake@append" -> leg {
+              val ms = MemoryStream[(Long, String)]
+              val q = StreamingJobs.vocabStatsAppendStream(
+                ms.toDF().toDF("doc_id", "text"), vl, s"$vl-ckpt")
+              try { ms.addData(docsIn); q.processAllAvailable() } finally q.stop()
+            },
+            "vocab_lake@serve" -> leg(noop(StreamingJobs.vocabStatsServe(spark, vl))),
+            "vocab_lake@drift" -> leg(noop(StreamingJobs.vocabDriftServe(spark, vl, pieces))),
+            "vocab_lake@compact" -> leg(StreamingJobs.vocabStatsCompact(spark, vl)),
+            "vocab_lake@retrain_uni" ->
+              leg(noop(StreamingJobs.unigramRetrainFromLake(spark, vl))),
+            "vocab_lake@retrain_bpe" ->
+              leg(noop(StreamingJobs.bpeRetrainFromLake(spark, vl))),
+            "vocab_lake@retrain_wp" ->
+              leg(StreamingJobs.wordpieceRetrainFromLake(spark, vl)))
+        }
       }
       val a = cycle(src, "target/tmp/probe-lakes-base")
       val b = cycle(dst, "target/tmp/probe-lakes-xn")

@@ -1032,19 +1032,33 @@ object TextAnalysis {
     * blow-up a retrain trigger exists to catch. */
   private[graft] def unigramFertilityPpmOfWords(wc: DataFrame,
       pieces: Seq[(String, Double)],
+      memo: DataFrame => DataFrame = graft.functions.memoize): DataFrame =
+    unigramFertilityPpmByGroup(wc.withColumn("grp", lit("all")), "grp",
+      pieces, memo).drop("grp")
+
+  /** Grouped form over a (groupCol, w, wf) frame: segmentation is a
+    * pure function of the WORD, so the Viterbi chain runs ONCE over
+    * the distinct-word union and every group's fertility is a rollup
+    * against it — the drift leg prices base and appended ingest from
+    * one DP pass instead of two (measured 30 s → half at sf0.1; the
+    * unrolled rounds dominate, not the data). */
+  private[graft] def unigramFertilityPpmByGroup(wc: DataFrame, groupCol: String,
+      pieces: Seq[(String, Double)],
       memo: DataFrame => DataFrame = graft.functions.memoize): DataFrame = {
     val s = wc.sparkSession
     import s.implicits._
-    val words = memo(wc
+    val words = memo(wc.select(col("w")).distinct()
+      .withColumn("wf", lit(1L))
       .withColumn("p", substring(col("w"), 1, UniMaxWord))
       .withColumn("plen", length(col("p"))))
     val np = uniViterbi(words, pieces.toDF("piece", "p0"), memo)
       .select(col("w"), size(split(col("path"), UniSep)).as("n_pieces"))
     wc.join(np, Seq("w"), "left")
+      .groupBy(groupCol)
       .agg(sum(col("wf")).as("n_words"),
         sum(col("wf") * coalesce(col("n_pieces"),
           least(length(col("w")), lit(UniMaxWord)))).as("n_pieces"))
-      .select(col("n_words"), col("n_pieces"),
+      .select(col(groupCol), col("n_words"), col("n_pieces"),
         expr("n_pieces * 1000000L div n_words").as("fertility_ppm"))
   }
 

@@ -2155,15 +2155,19 @@ object StreamingJobs {
   def vocabDriftServe(spark: SparkSession, indexPath: String,
       pieces: Seq[(String, Double)],
       tauPpm: Long = 100000L): DataFrame = {
-    val journal = indexRead(spark, s"$indexPath/wordcounts")
+    // one Viterbi pass over the distinct-word UNION prices both sides
+    // (segmentation is a function of the word, not its count)
+    val sides = indexRead(spark, s"$indexPath/wordcounts")
+      .withColumn("side",
+        when(col("ingest_batch") === -1L, "base").otherwise("new"))
+      .groupBy("side", "w").agg(sum("wf").as("wf"))
+    val fert = graft.operators.TextAnalysis
+      .unigramFertilityPpmByGroup(sides, "side", pieces)
       .transform(graft.functions.memoize)
-    def fert(df: DataFrame, as: String) =
-      graft.operators.TextAnalysis
-        .unigramFertilityPpmOfWords(df.groupBy("w").agg(sum("wf").as("wf")), pieces)
-        .select(col("fertility_ppm").as(as))
-    fert(journal.filter(col("ingest_batch") === -1L), "base_fertility_ppm")
-      .crossJoin(fert(journal.filter(col("ingest_batch") =!= -1L),
-        "new_fertility_ppm"))
+    def side(v: String, as: String) =
+      fert.filter(col("side") === v).select(col("fertility_ppm").as(as))
+    side("base", "base_fertility_ppm")
+      .crossJoin(side("new", "new_fertility_ppm"))
       .select(col("base_fertility_ppm"), col("new_fertility_ppm"),
         (col("new_fertility_ppm") - col("base_fertility_ppm")).as("drift_ppm"),
         (abs(col("new_fertility_ppm") - col("base_fertility_ppm")) * 1000000L >
