@@ -700,4 +700,49 @@ class QueriesSpec extends AnyFunSuite {
         assert(rows((r, s))._2 == v, s"round $r $s: ${rows((r, s))._2} != $v") }
     }
   }
+
+  test("doremi token-mass arithmetic survives counts past the int64 wrap point") {
+    import spark.implicits._
+    // 100 TB regime, compressed into the sufficient statistics: feed
+    // doremiFromCounts counts of ~5e12 per bucket so sum(c·fpg)
+    // crosses 9.2e18 — an int64 accumulation would wrap negative (and
+    // diverge from DuckDB's native HUGEINT sums); the DECIMAL(38,0)
+    // path must keep every weight a sane ppb distribution.
+    val big = 5000000000000L // 5e12 tokens per (source, bucket)
+    val cd = Seq(
+      ("a", 0L, big), ("a", 1L, big),
+      ("b", 0L, big), ("b", 2L, 1000L)
+    ).toDF("source", "b", "c")
+    val rows = graft.operators.Curation.doremiFromCounts(cd).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.size == 12)
+    rows.foreach { case (k, (excess, ppb)) =>
+      assert(excess >= 0L && excess <= 1000000L, s"$k excess $excess")
+      assert(ppb > 0L && ppb <= 1000000000L, s"$k weight $ppb wrapped")
+    }
+    // per-round ppb mass stays a distribution (renormalized + ε-mix;
+    // floor-division renorm can overshoot 1e9 by a few ppb — the pin
+    // is NO WRAP, so the bound is ±K·rounding, not exactness)
+    (0 to 5).foreach { r =>
+      val mass = Seq("a", "b").map(s => rows((r, s))._2).sum
+      assert(mass > 900000000L && mass <= 1000001000L, s"round $r mass $mass")
+    }
+  }
+
+  test("unigram apply under a frozen piece table counts unseen-vocab words via the char fallback") {
+    import spark.implicits._
+    // frozen pieces cover only {a, b, ab}: "cc" has no Viterbi path —
+    // the LEFT join + char-per-piece fallback must keep it in BOTH
+    // token counts (an inner join silently dropped it, skewing
+    // pieces_per_word — the r15 ADVICE hole)
+    val docs = Seq((1L, "ab cc"), (2L, "ab ab")).toDF("doc_id", "text")
+    val pieces = Seq(("a", 0.3), ("ab", 0.4), ("b", 0.3))
+    val out = operators.TextAnalysis
+      .unigramApplyWith(docs, pieces, graft.functions.memoize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 1: 2 ws tokens; "ab" = 1 piece, "cc" = 2 chars fallback
+    // doc 2: 2 ws tokens; 2 x "ab" = 2 pieces
+    assert(out == Seq((1L, 2L, 3L), (2L, 2L, 2L)), out.toString)
+  }
 }
