@@ -345,8 +345,11 @@ object ScaleProbe {
         }
         def noop(df: DF): Unit =
           df.write.mode("overwrite").format("noop").save()
-        // rep-0 held-out slices: identical rows at both scales
-        val vecsIn = Tables.table(spark, dir, "embeddings")
+        // rep-0 held-out slices: identical rows at both scales.
+        // vecsIn/panel/qn are LAZY: the vocab_lake-only mode must not
+        // pay the ~200k-vector driver collect + panel checkpoints the
+        // full-lake branch alone consumes
+        lazy val vecsIn = Tables.table(spark, dir, "embeddings")
           .filter(col("vec_id") % 5 === 4 && col("vec_id") < 1000000L)
           .select("vec_id", "embedding")
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
@@ -360,8 +363,8 @@ object ScaleProbe {
           .filter(vBase || (col("vec_id") % 5 === 4 && col("vec_id") < 1000000L))
           .select("vec_id", "embedding")
         graft.plans.VecDotProduct.register(spark)
-        val panel = operators.Similarity.annPanelQueries(spark, dir).localCheckpoint()
-        val qn = operators.Similarity.withNorm2(panel)
+        lazy val panel = operators.Similarity.annPanelQueries(spark, dir).localCheckpoint()
+        lazy val qn = operators.Similarity.withNorm2(panel)
           .select(col("query_id"), col("embedding").as("q_emb"), col("n2").as("qn2"))
           .localCheckpoint()
         def appendVecs(start: (DF, String, String) =>
@@ -414,7 +417,7 @@ object ScaleProbe {
           val vl = s"$root/vocab"
           val pieces = operators.TextAnalysis.unigramPieces(spark, dir)
           Seq(
-            "vocab_lake@init" -> leg(StreamingJobs.vocabStatsInit(spark, dir, vl)),
+            "vocab_lake@init" -> leg(StreamingJobs.vocabStatsInit(spark, dir, vl, dBase)),
             "vocab_lake@append" -> leg {
               val ms = MemoryStream[(Long, String)]
               val q = StreamingJobs.vocabStatsAppendStream(

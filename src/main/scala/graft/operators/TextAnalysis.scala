@@ -944,7 +944,11 @@ object TextAnalysis {
       .crossJoin(broadcast(totE))
       .select(col("piece"), col("cnt").as("seed_count"),
         coalesce(col("em_count"), lit(0L)).as("em_count"),
-        expr("coalesce(em_count, 0L) * 1000000L div te").as("score_ppm"))
+        // DECIMAL widening: em_count*1e6 wraps int64 past ~9.2e12
+        // pieces while the DuckDB twin (HUGEINT) keeps going - the
+        // doremi lesson applied to the tokenizer family
+        expr("CAST(coalesce(em_count, 0L) AS DECIMAL(38,0)) * 1000000L div te")
+          .as("score_ppm"))
       .transform(graft.functions.checkpointBeforeSort)
       .orderBy("piece")
   }
@@ -1059,7 +1063,12 @@ object TextAnalysis {
         sum(col("wf") * coalesce(col("n_pieces"),
           least(length(col("w")), lit(UniMaxWord)))).as("n_pieces"))
       .select(col(groupCol), col("n_words"), col("n_pieces"),
-        expr("n_pieces * 1000000L div n_words").as("fertility_ppm"))
+        // widen the ppm multiply: n_pieces reaches ~20x the token
+        // count, so n_pieces*1e6 wraps int64 past ~9.2e12 pieces (a
+        // 100 TB corpus is ~2e13 tokens); the DECIMAL(38,0) product
+        // divides back to a <=2e7 long at any scale
+        expr("CAST(n_pieces AS DECIMAL(38,0)) * 1000000L div n_words")
+          .as("fertility_ppm"))
   }
 
   /** The trained piece table as driver values — bounded at
@@ -1172,7 +1181,7 @@ object TextAnalysis {
        |  GROUP BY 1)
        |SELECT v.piece, v.cnt AS seed_count,
        |       coalesce(em.em_count, 0) AS em_count,
-       |       CAST(coalesce(em.em_count, 0) * 1000000 //
+       |       CAST(CAST(coalesce(em.em_count, 0) AS HUGEINT) * 1000000 //
        |            (SELECT sum(em_count) FROM em) AS BIGINT) AS score_ppm
        |FROM voc v LEFT JOIN em USING (piece)
        |ORDER BY piece""".stripMargin
@@ -1253,7 +1262,8 @@ object TextAnalysis {
         coalesce(col("isp"), lit(false)).as("pruned"),
         col("em_before"),
         coalesce(col("em_after"), lit(0L)).as("em_after"),
-        expr("coalesce(em_after, 0L) * 1000000L div te2").as("score_ppm_after"))
+        expr("CAST(coalesce(em_after, 0L) AS DECIMAL(38,0)) * 1000000L div te2")
+          .as("score_ppm_after"))
       .transform(graft.functions.checkpointBeforeSort)
       .orderBy("piece")
   }
@@ -1287,7 +1297,7 @@ object TextAnalysis {
        |  GROUP BY 1)
        |SELECT e.piece, e.piece IN (SELECT piece FROM prn) AS pruned,
        |       e.em_before, coalesce(em2.em_after, 0) AS em_after,
-       |       CAST(coalesce(em2.em_after, 0) * 1000000 //
+       |       CAST(CAST(coalesce(em2.em_after, 0) AS HUGEINT) * 1000000 //
        |            (SELECT sum(em_after) FROM em2) AS BIGINT) AS score_ppm_after
        |FROM emv e LEFT JOIN em2 USING (piece)
        |ORDER BY piece""".stripMargin

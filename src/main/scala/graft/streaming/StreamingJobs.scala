@@ -2090,9 +2090,10 @@ object StreamingJobs {
     * from the journal alone — the retrain-cadence signal a production
     * tokenizer pipeline watches. */
   def vocabStatsInit(spark: SparkSession, lakeDir: String,
-      indexPath: String): Unit =
+      indexPath: String,
+      base: Column = lit(true)): Unit =
     graft.operators.TextAnalysis.wordCountsOf(
-        graft.Tables.documents(spark, lakeDir))
+        graft.Tables.documents(spark, lakeDir).filter(base))
       .withColumn("ingest_batch", lit(-1L))
       .write.mode("overwrite").partitionBy("ingest_batch")
       .parquet(s"$indexPath/wordcounts")
@@ -2161,17 +2162,23 @@ object StreamingJobs {
       .withColumn("side",
         when(col("ingest_batch") === -1L, "base").otherwise("new"))
       .groupBy("side", "w").agg(sum("wf").as("wf"))
-    val fert = graft.operators.TextAnalysis
+    // single-row conditional aggregate (the corpusIndexDriftReport
+    // convention): an absent side - fresh bootstrap with no appends,
+    // or everything folded to -1 by compaction - yields a null
+    // fertility and retrain=false instead of dropping the report row
+    graft.operators.TextAnalysis
       .unigramFertilityPpmByGroup(sides, "side", pieces)
-      .transform(graft.functions.memoize)
-    def side(v: String, as: String) =
-      fert.filter(col("side") === v).select(col("fertility_ppm").as(as))
-    side("base", "base_fertility_ppm")
-      .crossJoin(side("new", "new_fertility_ppm"))
+      .agg(
+        max(when(col("side") === "base", col("fertility_ppm")))
+          .as("base_fertility_ppm"),
+        max(when(col("side") === "new", col("fertility_ppm")))
+          .as("new_fertility_ppm"))
       .select(col("base_fertility_ppm"), col("new_fertility_ppm"),
         (col("new_fertility_ppm") - col("base_fertility_ppm")).as("drift_ppm"),
-        (abs(col("new_fertility_ppm") - col("base_fertility_ppm")) * 1000000L >
-          lit(tauPpm) * col("base_fertility_ppm")).as("retrain"))
+        coalesce(
+          abs(col("new_fertility_ppm") - col("base_fertility_ppm")) * 1000000L >
+            lit(tauPpm) * col("base_fertility_ppm"),
+          lit(false)).as("retrain"))
   }
 
   /** Streaming BPE segmentation (tokenizer_bpe_apply's twin): the

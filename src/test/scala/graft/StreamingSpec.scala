@@ -1815,6 +1815,12 @@ class StreamingSpec extends AnyFunSuite {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     StreamingJobs.vocabStatsInit(spark, sf, root)
     val pieces = operators.TextAnalysis.unigramPieces(spark, sf)
+    // degenerate shape: fresh bootstrap, nothing appended yet - the
+    // verdict row survives with a null new-side fertility and the
+    // flag down (the corpusIndexDriftReport convention)
+    val fresh = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()
+    assert(fresh.length == 1 && fresh(0).isNullAt(1) && !fresh(0).getBoolean(3),
+      fresh.mkString(","))
     // batch 1: a replay of lake documents — same distribution, so the
     // appended fertility equals the base fertility (same word table
     // shape) and the flag stays down
@@ -1840,6 +1846,13 @@ class StreamingSpec extends AnyFunSuite {
     val verdict = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()(0)
     assert(verdict.getLong(2) > 0, s"shifted ingest did not raise fertility: $verdict")
     assert(verdict.getBoolean(3), s"shifted ingest did not trip retrain: $verdict")
+    // compaction folds everything into the bootstrap: the appended
+    // side empties and the drift verdict RESETS (one row, flag down)
+    // instead of dropping the report
+    StreamingJobs.vocabStatsCompact(spark, root)
+    val reset = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()
+    assert(reset.length == 1 && reset(0).isNullAt(1) && !reset(0).getBoolean(3),
+      reset.mkString(","))
   }
 
   test("streaming wordpiece marks unseen-vocabulary words [UNK], matching the batch serve") {
