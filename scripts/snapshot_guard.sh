@@ -18,8 +18,12 @@ cd "$(dirname "$0")/.."
 # test because nothing tied the green evidence to the committed tree
 # (VERDICT r15 "what's wrong" #2). A test (or source) edit after the
 # last full run changes this hash and `check` fails the snapshot.
+# scripts/ is in the hashed set (r16 ADVICE): the guard's own logic is
+# part of what "green" means. BENCH_REF/BENCH_X16_REF stay out — they
+# are measurement references the guard only echoes for counts, and a
+# quiet re-reference must not invalidate a suite run it didn't touch.
 suite_tree_hash() {
-  find src build.sbt project -type f \( -name '*.scala' -o -name '*.sbt' -o -name '*.properties' \) -print0 \
+  find src build.sbt project scripts -type f \( -name '*.scala' -o -name '*.sbt' -o -name '*.properties' -o -name '*.sh' \) -print0 \
     | sort -z | xargs -0 sha256sum | sha256sum | cut -d' ' -f1
 }
 
@@ -40,6 +44,12 @@ if [[ "${1:-}" == "check" ]]; then
   echo "[guard] OK — SUITE_GREEN.json matches the current tree ($HAVE)"
   exit 0
 fi
+
+# Capture the tree hash BEFORE launching sbt (r16 ADVICE): a source or
+# test edit made WHILE the suite is running must not get stamped into
+# SUITE_GREEN.json as green. The stamp below re-hashes and refuses to
+# stamp if the tree moved during the run.
+PRE_TREE=$(suite_tree_hash)
 
 echo "[guard] sbt compile + Test/compile ..."
 sbt -batch "compile" "Test/compile"
@@ -74,6 +84,13 @@ echo "[guard] generated counts: registry_ops=$N_OPS suite_tests=$N_SUITE bench_r
 # full run only: stamp the suite-green marker the snapshot must carry
 if [[ "${1:-}" != "compile-only" ]]; then
   TREE=$(suite_tree_hash)
+  if [[ "$TREE" != "$PRE_TREE" ]]; then
+    echo "[guard] FAIL: tree changed WHILE the suite was running — green evidence is stale"
+    echo "[guard]   pre-run:  $PRE_TREE"
+    echo "[guard]   post-run: $TREE"
+    echo "[guard] re-run scripts/snapshot_guard.sh on the settled tree"
+    exit 1
+  fi
   python3 - "$TREE" "$N_SUITE" "$N_OPS" <<'PY'
 import json, sys, subprocess
 tree, n_suite, n_ops = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])

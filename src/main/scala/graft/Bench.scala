@@ -142,8 +142,17 @@ object Bench {
     // already suppressing sub-second noise, 2x is the tighter honest
     // line, and the per-query ref_ratio map below makes any residual
     // drift self-documenting either way.
+    // `r >= 0.25` closes the sub-floor blind spot (r16 verdict:
+    // r12_pivot printed a 2.65x ref_ratio yet skipped the re-measure
+    // because its absolute delta was under 0.5 s): any >2x row whose
+    // reference is at least a quarter second gets the extra run
+    // regardless of delta — one run costs milliseconds and prevents
+    // phantom-regression verdict noise. Truly tiny references
+    // (r < 0.25 s) stay delta-gated: their ratios are pure
+    // Spark-overhead jitter and the ratio map already prints -1.
     def inflated(name: String, t: Double): Boolean =
-      refMap.get(name).exists(r => r > 0 && t > 2 * r && t - r > 0.5)
+      refMap.get(name).exists(r =>
+        r > 0 && t > 2 * r && (t - r > 0.5 || r >= 0.25))
     val firstPass = SparkEntry.queries.filter(q => isWanted(q._1)).map {
       case (name, fn) => name -> math.min(timed(fn), timed(fn))
     }

@@ -1547,12 +1547,14 @@ object Curation {
     val nd = cd.groupBy("source").agg(sum("c").as("n"))
     // global-model µ-likelihood per bucket (Laplace fixed point).
     // Token-mass intermediates (cb·10⁶, Σ c·fpg) widen to
-    // DECIMAL(38,0): DuckDB sums BIGINT into HUGEINT natively, so
-    // past ~9.2e12 tokens (the int64 ceiling of count·10⁶ — a 100 TB
-    // corpus is ~2e13) Spark's long would wrap exactly where the
-    // oracle keeps going. IntegralDivide on decimals returns the same
-    // exact longs at every scale, and the µ-scale quotients
-    // (fpg, fpbar, sfp div n ≤ 10⁶) always fit int64.
+    // DECIMAL(38,0), and the ORACLE's dom CTE widens its per-term
+    // product to HUGEINT (`CAST(c AS HUGEINT) * fpg`) to match — a
+    // bare BIGINT product would RAISE in DuckDB past ~9.2e12 tokens
+    // (the int64 ceiling of count·10⁶; a 100 TB corpus is ~2e13), not
+    // keep going, so both engines now carry 128-bit token mass.
+    // IntegralDivide on decimals returns the same exact longs at
+    // every scale, and the µ-scale quotients (fpg, fpbar, sfp div n
+    // ≤ 10⁶) always fit int64.
     val fp = cd.groupBy("b").agg(sum("c").as("cb"))
       .withColumn("ntot", sum("cb").over(wAll))
       .select(col("b"),
@@ -1617,7 +1619,7 @@ object Curation {
        |         CAST((sum(c) + 1) * 1000000 //
        |              (sum(sum(c)) OVER () + $DoremiBuckets) AS BIGINT) AS fpg
        |       FROM cd GROUP BY b),
-       |dom AS (SELECT cd.source, CAST(sum(cd.c * fp.fpg) AS BIGINT) AS sfp, nd.n
+       |dom AS (SELECT cd.source, sum(CAST(cd.c AS HUGEINT) * fp.fpg) AS sfp, nd.n
        |        FROM cd JOIN fp USING (b) JOIN nd USING (source)
        |        GROUP BY cd.source, nd.n),
        |lam AS (SELECT source,

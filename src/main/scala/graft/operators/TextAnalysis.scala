@@ -1451,8 +1451,13 @@ object TextAnalysis {
     import s.implicits._
     // the longest piece bounds the candidate explode (driver-known:
     // the vocab is the frozen artifact); the oracle's static 1..20
-    // range is equivalent because longer candidates match nothing
-    val maxK = math.min(WpMaxWord, (ivoc ++ cvoc).map(_.length).max)
+    // range is equivalent because longer candidates match nothing.
+    // `:+ 1` guards the degenerate EMPTY vocab (a journal/corpus where
+    // no word survives the >=2 lowercase-alnum pre-tokenizer cut):
+    // with both tables empty the jump join matches nothing and every
+    // word rolls up as [UNK], which is the correct WordPiece verdict —
+    // the reduction must not throw before that happens
+    val maxK = math.min(WpMaxWord, ((ivoc ++ cvoc).map(_.length) :+ 1).max)
     val words = memo(docs.select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0).distinct()
       .withColumn("p", substring(col("word"), 1, WpMaxWord))

@@ -187,6 +187,18 @@ class QueriesSpec extends AnyFunSuite {
       (2L, 2L, 3L, 0L, 1.5)), out.toSeq.toString)
   }
 
+  test("wordpiece apply under an EMPTY vocab rolls every word up as [UNK]") {
+    import spark.implicits._
+    // r16 ADVICE: a degenerate journal/corpus where no word passes the
+    // >=2 lowercase-alnum pre-tokenizer cut trains EMPTY vocab tables;
+    // the apply path must not throw on the maxK reduction — the
+    // correct WordPiece verdict is all-UNK.
+    val docs = Seq((1L, "ab cd"), (2L, "x")).toDF("doc_id", "text")
+    val out = operators.TextAnalysis.wpApplyWith(docs, Seq.empty, Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (2L, 1L, 1L)), out.toSeq.toString)
+  }
+
   test("wordpiece apply on the lake: UNK-free rows have fertility >= 1") {
     val rows = Registry.queries("tokenizer_wordpiece_apply")(spark, sf).collect()
     assert(rows.nonEmpty)
