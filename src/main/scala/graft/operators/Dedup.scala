@@ -1226,9 +1226,15 @@ object Dedup {
     * generator derivation, clustered on the hash key. Split out so
     * PlanSpec can pin the derivation's plan (the op itself
     * localCheckpoints it, which truncates the visible plan). */
-  private[graft] def spanGrams(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def spanGrams(s: SparkSession, dir: String): DataFrame =
+    spanGramsOf(s, Tables.documents(s, dir))
+
+  /** The same window stream over an ARBITRARY (doc_id, text) frame —
+    * the rewrite op's spec surface (DedupSpec feeds crafted corpora
+    * and the REWRITTEN output back through it to prove excision). */
+  private[graft] def spanGramsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.plans.NgramArray.register(s)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"),
         posexplode(graft.plans.NgramArray.ngrams(split(col("text"), " "), SpanGram))
           .as(Seq("pos0", "gram")))
@@ -1279,6 +1285,113 @@ object Dedup {
        |       COUNT(*) AS n_windows
        |FROM isl GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  // --- dedup_substring_rewrite: the cleaned-corpus half ----------------
+  // Lee et al. 2022 ships the corpus with duplicated substrings CUT,
+  // not just the span list — the paragraph family's report/rewrite
+  // split, at 8-gram granularity. Canonical-occurrence rule is the
+  // family's first-occurrence-wins: per duplicated gram, the minimal
+  // (doc_id, pos) occurrence survives; every OTHER occurrence is a
+  // duplicated position, merged into maximal spans (islands trick) and
+  // excised — a span [s, e] of window positions cuts tokens s..e+7,
+  // which covers all 8 tokens of every non-canonical window in it.
+  // Docs re-assemble from surviving tokens in position order; a doc
+  // that was one big duplicate collapses to empty (kept as a row — the
+  // n_tokens_kept=0 audit trail; corpus_filter_pipeline-style empty-doc
+  // removal is the consumer's one extra filter).
+  //
+  // Scale shape: canonical selection is a min-STRUCT aggregate on the
+  // SAME h60-keyed groupBy that counts occurrences — map-side partials
+  // absorb boilerplate grams, and a mega-gram's million occurrences
+  // never funnel through a per-gram row_number. The rewrite moves text
+  // exactly once (the paragraph-rewrite rule): spans collapse to one
+  // array per doc, join the corpus at doc granularity, and the token
+  // excision is a row-local codegen'd higher-order filter — no
+  // token-level shuffle, no per-token join. The min-struct canonical
+  // key (not doc_id*K+pos) survives million-token documents unchanged.
+
+  /** The canonical-exempt maximal span frame (doc_id, span_start,
+    * span_end) over an arbitrary (doc_id, text) frame. */
+  private[graft] def substringSpansCanonicalOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val win = spanGramsOf(s, docs).transform(graft.functions.memoize)
+    val freq = win.groupBy("gh").agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("n") > 1)
+    val dup = win.join(freq, "gh")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("canon"))
+      .select("doc_id", "pos")
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    dup
+      .withColumn("grp", col("pos") - row_number().over(iw))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"), max("pos").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** The full rewrite over an arbitrary (doc_id, text) frame — shared
+    * by the registry op and DedupSpec's crafted-corpus pins. */
+  private[graft] def substringRewriteOf(s: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val perDoc = substringSpansCanonicalOf(s, docs)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"),
+        (col("span_end") + lit(SpanGram - 1)).as("e"))).as("sps"))
+    docs.select("doc_id", "text")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("ts", split(col("text"), " "))
+      // 1-based token position i+1 against the covered ranges; a doc
+      // with no spans (sps null) keeps every token
+      .withColumn("kept", expr("filter(ts, (t, i) -> sps IS NULL OR " +
+        "NOT exists(sps, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(col("kept")).as("n_tokens_kept"),
+        coalesce(size(col("sps")), lit(0)).as("n_spans_cut"),
+        concat_ws(" ", col("kept")).as("text_rewritten"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupSubstringRewrite(s: SparkSession, dir: String): DataFrame =
+    substringRewriteOf(s, Tables.documents(s, dir))
+
+  private val dedupSubstringRewriteSql = {
+    val gram = (0 until SpanGram).map(j => s"ts[CAST(i AS INTEGER)+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |win AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, ${h60Sql(s"$gram")} AS gh
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(1, len(ts) - ${SpanGram - 1})) AS i FROM toks)),
+       |freq AS (SELECT gh, count(*) AS n, min(row(doc_id, pos)) AS canon
+       |         FROM win GROUP BY 1 HAVING count(*) > 1),
+       |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN freq f ON w.gh = f.gh
+       |        WHERE row(w.doc_id, w.pos) <> f.canon),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup),
+       |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${SpanGram - 1} AS e
+       |          FROM isl GROUP BY doc_id, grp),
+       |cov AS (SELECT DISTINCT doc_id, CAST(unnest(generate_series(s, e)) AS INTEGER) AS pos
+       |        FROM spans),
+       |posi AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ts))) AS INTEGER) AS pos
+       |         FROM toks),
+       |kept AS (SELECT p.doc_id, p.pos FROM posi p
+       |         ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos),
+       |rw AS (SELECT k.doc_id, count(*) AS n_kept,
+       |              string_agg(t.ts[k.pos], ' ' ORDER BY k.pos) AS txt
+       |       FROM kept k JOIN toks t ON t.doc_id = k.doc_id GROUP BY k.doc_id),
+       |nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CAST(len(t.ts) AS INTEGER) AS n_tokens,
+       |       CAST(coalesce(rw.n_kept, 0) AS INTEGER) AS n_tokens_kept,
+       |       CAST(coalesce(nsp.n_spans, 0) AS INTEGER) AS n_spans_cut,
+       |       coalesce(rw.txt, '') AS text_rewritten
+       |FROM toks t LEFT JOIN rw ON rw.doc_id = t.doc_id
+       |LEFT JOIN nsp ON nsp.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   // --- dedup_semantic: SemDeDup (cluster-blocked embedding dedup) ------
@@ -1826,6 +1939,7 @@ object Dedup {
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql), buildState = true),
     Op("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql), buildState = true),
+    Op("dedup_substring_rewrite", dedupSubstringRewrite, Some(dedupSubstringRewriteSql), buildState = true),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql), buildState = true),
     Op("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql), buildState = true),
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql), buildState = true),

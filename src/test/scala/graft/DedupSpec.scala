@@ -1050,6 +1050,68 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substring rewrite: canonical occurrence survives, every other copy is excised") {
+    import spark.implicits._
+    val G = "g1 g2 g3 g4 g5 g6 g7 g8"
+    // distinct filler words guarantee the ONLY corpus-repeated 8-gram
+    // is G (3 occurrences: doc1 pos3 = canonical, doc2 pos4, doc3
+    // pos2 + pos17 — a cross-doc copy AND a within-doc repeat)
+    val docs = Seq(
+      (1L, s"a1 a2 $G a3 a4"),
+      (2L, s"b1 b2 b3 $G b4"),
+      (3L, s"c1 $G c2 c3 c4 c5 c6 c7 c8 $G")).toDF("doc_id", "text")
+    val out = operators.Dedup.substringRewriteOf(spark, docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L) == ((12, 12, 0, s"a1 a2 $G a3 a4")), out(1L).toString)
+    assert(out(2L) == ((12, 4, 1, "b1 b2 b3 b4")), out(2L).toString)
+    assert(out(3L) == ((24, 8, 2, "c1 c2 c3 c4 c5 c6 c7 c8")), out(3L).toString)
+    // the Lee-et-al property, mechanically: re-derive the 8-gram
+    // window stream of the REWRITTEN corpus — no gram hash may recur
+    val rewritten = operators.Dedup.substringRewriteOf(spark, docs)
+      .select(col("doc_id"), col("text_rewritten").as("text"))
+    val recurring = operators.Dedup.spanGramsOf(spark, rewritten)
+      .groupBy("gh").count().filter(col("count") > 1).count()
+    assert(recurring == 0L, s"$recurring gram hashes still recur after rewrite")
+  }
+
+  test("substring rewrite: overlapping token coverage of adjacent spans; all-dup doc collapses to empty") {
+    import spark.implicits._
+    val G = "g1 g2 g3 g4 g5 g6 g7 g8"
+    val H = "h1 h2 h3 h4 h5 h6 h7 h8"
+    // doc2 carries copies of BOTH grams with a 1-token gap: spans
+    // [1,1] and [10,10] cover tokens 1..8 and 10..17 — only q1 (pos 9)
+    // survives. doc3 IS one duplicated gram: collapses to the empty
+    // row (n_tokens_kept = 0), the audit trail a filter step consumes.
+    val docs = Seq(
+      (1L, s"x1 x2 $G y1 y2 $H z1"),
+      (2L, s"$G q1 $H"),
+      (3L, G)).toDF("doc_id", "text")
+    val out = operators.Dedup.substringRewriteOf(spark, docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._3 == 0 && out(1L)._2 == out(1L)._1, out(1L).toString)
+    assert(out(2L) == ((17, 1, 2, "q1")), out(2L).toString)
+    assert(out(3L) == ((8, 0, 1, "")), out(3L).toString)
+  }
+
+  test("substring rewrite on the lake: cut docs agree with the span report; untouched docs keep full text") {
+    val reportDocs = Registry.queries("dedup_substring_spans")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rw = Registry.queries("dedup_substring_rewrite")(spark, sf).collect()
+    assert(rw.nonEmpty)
+    rw.foreach { r =>
+      val (doc, n, kept, spans) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      if (spans > 0) {
+        // every cut doc carries duplicated positions in the report op
+        // (the rewrite's spans are the report's minus canonical runs)
+        assert(reportDocs.contains(doc), s"doc $doc cut but not in span report")
+        assert(kept < n, s"doc $doc: $spans spans cut but no tokens removed")
+      } else assert(kept == n, s"doc $doc: tokens lost without a span")
+    }
+  }
+
   test("contamination spans: exact span boundaries per (doc, benchmark), noise dropped") {
     import spark.implicits._
     import graft.operators.Curation
