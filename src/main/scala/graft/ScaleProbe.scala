@@ -416,6 +416,7 @@ object ScaleProbe {
           // three trainer retrains + the journal-only drift verdict
           val vl = s"$root/vocab"
           val pieces = operators.TextAnalysis.unigramPieces(spark, dir)
+          val (_, wIvoc, wCvoc, _) = operators.TextAnalysis.wpBuild(spark, dir)
           Seq(
             "vocab_lake@init" -> leg(StreamingJobs.vocabStatsInit(spark, dir, vl, dBase)),
             "vocab_lake@append" -> leg {
@@ -425,7 +426,8 @@ object ScaleProbe {
               try { ms.addData(docsIn); q.processAllAvailable() } finally q.stop()
             },
             "vocab_lake@serve" -> leg(noop(StreamingJobs.vocabStatsServe(spark, vl))),
-            "vocab_lake@drift" -> leg(noop(StreamingJobs.vocabDriftServe(spark, vl, pieces))),
+            "vocab_lake@drift" -> leg(noop(
+              StreamingJobs.vocabDriftServe(spark, vl, pieces, wIvoc, wCvoc))),
             "vocab_lake@compact" -> leg(StreamingJobs.vocabStatsCompact(spark, vl)),
             "vocab_lake@retrain_uni" ->
               leg(noop(StreamingJobs.unigramRetrainFromLake(spark, vl))),

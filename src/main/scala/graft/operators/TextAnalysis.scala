@@ -1071,6 +1071,35 @@ object TextAnalysis {
           .as("fertility_ppm"))
   }
 
+  /** WordPiece UNK-word rate (ppm, occurrence-weighted) of a
+    * (groupCol, w, wf) count frame under FROZEN vocab tables — the
+    * drift verdict's second statistic (the r16 verdict's blind spot:
+    * a vocabulary shift that blows up WP's whole-word rejections
+    * while unigram fertility stays flat — new scripts, new charsets —
+    * must trip the retrain flag too). Same one-chase-per-distinct-word
+    * shape as the fertility leg: segmentation is a pure function of
+    * the WORD, so the greedy chase runs once over the distinct-word
+    * union and every group's rate is a rollup against it. The left
+    * join's UNK fallback is unreachable by construction (the chase
+    * covers every journal word) but keeps a missing word priced as
+    * the conservative verdict. */
+  private[graft] def wpUnkPpmByGroup(wc: DataFrame, groupCol: String,
+      ivoc: Seq[String], cvoc: Seq[String],
+      memo: DataFrame => DataFrame = graft.functions.memoize): DataFrame = {
+    val seg = wpSegmentsOfWords(wc.select(col("w").as("word")), ivoc, cvoc, memo)
+      .withColumnRenamed("word", "w")
+    wc.join(seg.select(col("w"), col("unk")), Seq("w"), "left")
+      .groupBy(groupCol)
+      .agg(sum(col("wf")).as("n_words"),
+        sum(when(coalesce(col("unk"), lit(true)), col("wf"))
+          .otherwise(lit(0L))).as("n_unk"))
+      // same DECIMAL(38,0) widening as the fertility ppm: the product
+      // must survive 100 TB word mass, the quotient is always ≤ 10⁶
+      .select(col(groupCol),
+        expr("CAST(n_unk AS DECIMAL(38,0)) * 1000000L div n_words")
+          .as("wp_unk_ppm"))
+  }
+
   /** The trained piece table as driver values — bounded at
     * chars + [[UniTopV]] rows by construction (the BPE-rules
     * convention: the streaming segmenter carries the artifact as plain
@@ -1446,8 +1475,20 @@ object TextAnalysis {
     * word table. */
   private[graft] def wpSegmentsWith(docs: DataFrame,
       ivoc: Seq[String], cvoc: Seq[String],
+      memo: DataFrame => DataFrame = graft.functions.memoize): DataFrame =
+    wpSegmentsOfWords(
+      docs.select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0),
+      ivoc, cvoc, memo)
+
+  /** The greedy chase over an ARBITRARY word frame (col `word`, not
+    * necessarily distinct) — the docs path above and the maintained
+    * vocab lake's journal-only WP UNK-rate drift leg both route here
+    * (drift prices the journal's word table, never the corpus). */
+  private[graft] def wpSegmentsOfWords(words0: DataFrame,
+      ivoc: Seq[String], cvoc: Seq[String],
       memo: DataFrame => DataFrame = graft.functions.memoize): DataFrame = {
-    val s = docs.sparkSession
+    val s = words0.sparkSession
     import s.implicits._
     // the longest piece bounds the candidate explode (driver-known:
     // the vocab is the frozen artifact); the oracle's static 1..20
@@ -1458,8 +1499,7 @@ object TextAnalysis {
     // word rolls up as [UNK], which is the correct WordPiece verdict —
     // the reduction must not throw before that happens
     val maxK = math.min(WpMaxWord, ((ivoc ++ cvoc).map(_.length) :+ 1).max)
-    val words = memo(docs.select(explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0).distinct()
+    val words = memo(words0.select(col("word")).distinct()
       .withColumn("p", substring(col("word"), 1, WpMaxWord))
       .withColumn("plen", length(col("p"))))
     val cand = words

@@ -2148,37 +2148,62 @@ object StreamingJobs {
 
   /** Drift verdict from the journal alone: fertility (unigram pieces
     * per word, ppm) of the APPENDED ingest under the frozen `pieces`
-    * table vs the BOOTSTRAP corpus's — one row with the retrain flag
-    * at `tauPpm` relative drift. Out-of-vocabulary ingest prices as
-    * character segmentation (the rollup's fallback), which is exactly
-    * the fertility blow-up the trigger exists to catch; no corpus
-    * re-scan at any point. */
+    * table vs the BOOTSTRAP corpus's, PLUS WordPiece's UNK-word rate
+    * under the frozen `ivoc`/`cvoc` tables — one row with the retrain
+    * flag. Fertility trips at `tauPpm` RELATIVE drift;
+    * out-of-vocabulary ingest prices as character segmentation (the
+    * rollup's fallback), which is exactly the fertility blow-up that
+    * trigger exists to catch. The UNK leg trips at `tauUnkPpm`
+    * ABSOLUTE INCREASE in whole-word rejections (one-sided: UNK rate
+    * falling means the vocab covers more, not a retrain need; and the
+    * base rate can be 0, so a relative form would divide by zero) —
+    * the r16 verdict's blind spot: a script shift that WordPiece
+    * rejects outright while unigram fertility stays flat (short
+    * unseen-charset words price near the corpus mean) must still
+    * retrain. No corpus re-scan at any point: both statistics are
+    * rollups over ONE chase each on the journal's distinct-word
+    * union (segmentation is a function of the word, not its count). */
   def vocabDriftServe(spark: SparkSession, indexPath: String,
       pieces: Seq[(String, Double)],
-      tauPpm: Long = 100000L): DataFrame = {
-    // one Viterbi pass over the distinct-word UNION prices both sides
-    // (segmentation is a function of the word, not its count)
+      ivoc: Seq[String], cvoc: Seq[String],
+      tauPpm: Long = 100000L,
+      tauUnkPpm: Long = 10000L): DataFrame = {
+    // one pass over the distinct-word UNION prices both sides
     val sides = indexRead(spark, s"$indexPath/wordcounts")
       .withColumn("side",
         when(col("ingest_batch") === -1L, "base").otherwise("new"))
       .groupBy("side", "w").agg(sum("wf").as("wf"))
+      .transform(graft.functions.memoize) // two leg consumers
     // single-row conditional aggregate (the corpusIndexDriftReport
     // convention): an absent side - fresh bootstrap with no appends,
     // or everything folded to -1 by compaction - yields a null
     // fertility and retrain=false instead of dropping the report row
-    graft.operators.TextAnalysis
+    val fert = graft.operators.TextAnalysis
       .unigramFertilityPpmByGroup(sides, "side", pieces)
       .agg(
         max(when(col("side") === "base", col("fertility_ppm")))
           .as("base_fertility_ppm"),
         max(when(col("side") === "new", col("fertility_ppm")))
           .as("new_fertility_ppm"))
+    val unk = graft.operators.TextAnalysis
+      .wpUnkPpmByGroup(sides, "side", ivoc, cvoc)
+      .agg(
+        max(when(col("side") === "base", col("wp_unk_ppm")))
+          .as("base_wp_unk_ppm"),
+        max(when(col("side") === "new", col("wp_unk_ppm")))
+          .as("new_wp_unk_ppm"))
+    fert.crossJoin(unk) // both single-row by construction
       .select(col("base_fertility_ppm"), col("new_fertility_ppm"),
         (col("new_fertility_ppm") - col("base_fertility_ppm")).as("drift_ppm"),
-        coalesce(
+        col("base_wp_unk_ppm"), col("new_wp_unk_ppm"),
+        (col("new_wp_unk_ppm") - col("base_wp_unk_ppm")).as("unk_drift_ppm"),
+        (coalesce(
           abs(col("new_fertility_ppm") - col("base_fertility_ppm")) * 1000000L >
             lit(tauPpm) * col("base_fertility_ppm"),
-          lit(false)).as("retrain"))
+          lit(false)) ||
+        coalesce(
+          col("new_wp_unk_ppm") - col("base_wp_unk_ppm") > lit(tauUnkPpm),
+          lit(false))).as("retrain"))
   }
 
   /** Streaming BPE segmentation (tokenizer_bpe_apply's twin): the

@@ -1815,11 +1815,15 @@ class StreamingSpec extends AnyFunSuite {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     StreamingJobs.vocabStatsInit(spark, sf, root)
     val pieces = operators.TextAnalysis.unigramPieces(spark, sf)
+    val (_, wIvoc, wCvoc, _) = operators.TextAnalysis.wpBuild(spark, sf)
+    def drift() =
+      StreamingJobs.vocabDriftServe(spark, root, pieces, wIvoc, wCvoc)
     // degenerate shape: fresh bootstrap, nothing appended yet - the
-    // verdict row survives with a null new-side fertility and the
+    // verdict row survives with null new-side statistics and the
     // flag down (the corpusIndexDriftReport convention)
-    val fresh = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()
-    assert(fresh.length == 1 && fresh(0).isNullAt(1) && !fresh(0).getBoolean(3),
+    val fresh = StreamingJobs.vocabDriftServe(spark, root, pieces, wIvoc, wCvoc).collect()
+    assert(fresh.length == 1 && fresh(0).isNullAt(1) &&
+      fresh(0).isNullAt(4) && !fresh(0).getAs[Boolean]("retrain"),
       fresh.mkString(","))
     // batch 1: a replay of lake documents — same distribution, so the
     // appended fertility equals the base fertility (same word table
@@ -1838,21 +1842,63 @@ class StreamingSpec extends AnyFunSuite {
       source.toDF().toDF("text"), root, s"$root/ckpt")
     try {
       source.addData(replay); q.processAllAvailable()
-      val flat = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()(0)
-      assert(!flat.getBoolean(3),
+      val flat = drift().collect()(0)
+      assert(!flat.getAs[Boolean]("retrain"),
         s"in-distribution replay tripped retrain: $flat")
       source.addData(Seq(shifted)); q.processAllAvailable()
     } finally q.stop()
-    val verdict = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()(0)
-    assert(verdict.getLong(2) > 0, s"shifted ingest did not raise fertility: $verdict")
-    assert(verdict.getBoolean(3), s"shifted ingest did not trip retrain: $verdict")
+    val verdict = drift().collect()(0)
+    assert(verdict.getAs[Long]("drift_ppm") > 0,
+      s"shifted ingest did not raise fertility: $verdict")
+    assert(verdict.getAs[Boolean]("retrain"),
+      s"shifted ingest did not trip retrain: $verdict")
     // compaction folds everything into the bootstrap: the appended
     // side empties and the drift verdict RESETS (one row, flag down)
     // instead of dropping the report
     StreamingJobs.vocabStatsCompact(spark, root)
-    val reset = StreamingJobs.vocabDriftServe(spark, root, pieces).collect()
-    assert(reset.length == 1 && reset(0).isNullAt(1) && !reset(0).getBoolean(3),
-      reset.mkString(","))
+    val reset = drift().collect()
+    assert(reset.length == 1 && reset(0).isNullAt(1) &&
+      !reset(0).getAs[Boolean]("retrain"), reset.mkString(","))
+  }
+
+  test("tokenizer-stats drift leg: a WP UNK-rate blow-up trips retrain even with flat unigram fertility") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/vocabdrift-unk"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    StreamingJobs.vocabStatsInit(spark, sf, root)
+    val pieces = operators.TextAnalysis.unigramPieces(spark, sf)
+    val (_, wIvoc, wCvoc, _) = operators.TextAnalysis.wpBuild(spark, sf)
+    def drift() =
+      StreamingJobs.vocabDriftServe(spark, root, pieces, wIvoc, wCvoc)
+    // construct an ingest whose unigram fertility barely moves but
+    // whose words WordPiece rejects outright (the new-script shape):
+    // unseen-charset words of length ≈ the base fertility price as
+    // char-per-piece ≈ the corpus mean under the unigram fallback,
+    // while the greedy chase UNKs every one of them whole-word
+    val fb = drift().collect()(0).getAs[Long]("base_fertility_ppm")
+    val L = math.max(1, math.min(8, math.round(fb / 1e6).toInt))
+    val replay = Tables.documents(spark, sf).select("text")
+      .as[String].take(20).toSeq
+    val oov = Seq.fill(80)("Z" * L).mkString(" ")
+    val source = MemoryStream[String]
+    val q = StreamingJobs.vocabStatsAppendStream(
+      source.toDF().toDF("text"), root, s"$root/ckpt")
+    try {
+      source.addData(replay :+ oov); q.processAllAvailable()
+    } finally q.stop()
+    val v = drift().collect()(0)
+    // the fertility trigger must NOT be what fires (that's the old
+    // leg): relative fertility drift stays under tauPpm = 10%
+    assert(math.abs(v.getAs[Long]("drift_ppm")) * 1000000L <=
+      100000L * v.getAs[Long]("base_fertility_ppm"),
+      s"fertility moved past the trigger, test corpus mis-sized: $v")
+    // the UNK leg fires alone: whole-word rejections jumped > 1%
+    assert(v.getAs[Long]("unk_drift_ppm") > 10000L,
+      s"UNK rate did not jump: $v")
+    assert(v.getAs[Boolean]("retrain"),
+      s"UNK blow-up did not trip retrain: $v")
   }
 
   test("streaming wordpiece marks unseen-vocabulary words [UNK], matching the batch serve") {
