@@ -137,9 +137,15 @@ package object functions {
     * unigram OOM). The re-rooted frame still reads the cache: its RDD
     * executes the persisted frame's physical plan, which the cache
     * manager serves as an InMemoryTableScan. Callers keep the ORIGINAL
-    * frame for deterministic per-batch `unpersist` bookkeeping. */
+    * frame for deterministic per-batch `unpersist` bookkeeping.
+    * Re-rooted at the InternalRow layer (LogicalRDD over
+    * `queryExecution.toRdd`, the localCheckpoint plan shape): the
+    * earlier `createDataFrame(p.rdd, p.schema)` form deserialized
+    * every cached InternalRow to an external Row and re-encoded it on
+    * each downstream execution — per-micro-batch serde on every
+    * memoized frame of the three streaming segmenters. */
   def reroot(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    p.sparkSession.createDataFrame(p.rdd, p.schema)
+    org.apache.spark.sql.GraftInternalRows.reroot(p)
 
   /** Calendar validity incl. leap years — the reference's DQ predicate
     * (glue_spark_trades_etl.py:135-171) as one codegen'd boolean. */
