@@ -74,8 +74,12 @@ object BenchX16 {
     // otherwise-quiet runs); if even the best of three stays past 2x
     // it is listed in "contended" — a self-documenting marker instead
     // of a phantom regression.
+    // same sub-floor close as Bench (r16 verdict task 4): any >2x row
+    // whose reference is at least a quarter second re-measures
+    // regardless of absolute delta
     def inflated(n: String, t: Double): Boolean =
-      t > 0 && refMap.get(n).exists(r => r > 0 && t > 2 * r && t - r > 0.5)
+      t > 0 && refMap.get(n).exists(r =>
+        r > 0 && t > 2 * r && (t - r > 0.5 || r >= 0.25))
     val results0 = Top20.map(n => n -> math.min(timed(n), timed(n)))
       .map { case (n, t) => if (inflated(n, t)) n -> math.min(t, timed(n)) else n -> t }
     // tokenizer_unigram_train@cold: the COLD build path (vocab joins ×

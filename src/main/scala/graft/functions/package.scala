@@ -127,6 +127,22 @@ package object functions {
     if (df.sparkSession.conf.getOption("spark.graft.explainFull").contains("true")) df
     else df.localCheckpoint()
 
+  /** Conf-aware build-cache population (r16 verdict #5): the memoized
+    * build artifacts (signature/shingle tables, ANN index frames,
+    * tokenizer builds) live in per-(application, lake)
+    * ConcurrentHashMaps whose entries embed the materialized plan
+    * they were built WITH. Under `spark.graft.explainFull` the cache
+    * is bypassed in BOTH directions — a full-tree rebuild is returned
+    * without being stored (so a PlanDump pass never poisons the
+    * production cache with un-checkpointed DP trees), and a stored
+    * checkpointed entry is never served (so regenerated plans show
+    * real roots instead of `Scan ExistingRDD`). Production behavior
+    * is byte-identical to a plain computeIfAbsent. */
+  def buildCached[K, V](s: org.apache.spark.sql.SparkSession,
+      cache: java.util.concurrent.ConcurrentHashMap[K, V], key: K)(build: => V): V =
+    if (s.conf.getOption("spark.graft.explainFull").contains("true")) build
+    else cache.computeIfAbsent(key, _ => build)
+
   /** Logical-plan re-root over an already-persisted frame: wraps the
     * frame's RDD in a fresh `LogicalRDD` leaf so downstream plans
     * embed ONE node instead of the full upstream tree. `persist()`

@@ -71,7 +71,7 @@ object CorpusIndex {
 
   private def built(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) =
-    cache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+    graft.functions.buildCached(s, cache, (s.sparkContext.applicationId, dir)) {
       val docs = Tables.documents(s, dir)
       // postings: one row per (doc, distinct word) with its term count
       // — THE corpus-sized index table. One explode + one map-side-
@@ -80,23 +80,23 @@ object CorpusIndex {
       val postings = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       // per-doc length: a narrow projection of the scan (no explode)
       val dl = docs
         .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("dl"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       // document frequency: vocabulary-sized, derived from postings
       val dfreq = postings.groupBy("word").agg(count(lit(1)).as("df"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       // one-row corpus stats (N, avgdl): exact long sum → double
       val stats = dl
         .agg(count(lit(1)).as("n_docs"),
           sum(col("dl")).cast(DoubleType).as("sum_dl"))
         .withColumn("avgdl", col("sum_dl") / col("n_docs"))
         .select("n_docs", "avgdl")
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       (postings, dl, dfreq, stats)
-    })
+    }
 
   /** (doc_id, word, tf) — the posting table. */
   private[graft] def postings(s: SparkSession, dir: String): DataFrame =

@@ -839,7 +839,7 @@ object Curation {
     // NgramArray derivation is scan-partitioned, and the per-doc sum
     // below still plans its own Exchange — that shuffle carries only
     // (doc, bucket) pairs and is the op's one unavoidable exchange.)
-    val g = bigramBuckets(docs).localCheckpoint()
+    val g = bigramBuckets(docs).transform(graft.functions.memoize)
     val rb = g.groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
     val tb = g.filter(col("is_target")).groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
     val imp = rb.join(tb, Seq("bucket"), "left")
@@ -948,16 +948,16 @@ object Curation {
     * bucket, x, y) for the train slice only. */
   private[graft] def qcTrainModel(trainFeat0: DataFrame,
       withLoss: Boolean): (DataFrame, Seq[(Int, Double)]) = {
-    val trainFeat = trainFeat0.localCheckpoint()
+    val trainFeat = trainFeat0.transform(graft.functions.memoize)
     val nRow = trainFeat.select("doc_id").distinct()
       .agg(count(lit(1)).cast(DoubleType).as("n_train"))
     // per-doc labels once (loss needs (s_d, y_d) pairs, not features)
     val docY = if (withLoss)
-      trainFeat.select("doc_id", "y").distinct().localCheckpoint()
+      trainFeat.select("doc_id", "y").distinct().transform(graft.functions.memoize)
     else null
     val losses = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var w = trainFeat.select("bucket").distinct()
-      .withColumn("w", lit(0.0)).localCheckpoint()
+      .withColumn("w", lit(0.0)).transform(graft.functions.memoize)
     for (r <- 1 to QcRounds) {
       // s_d = w·x_d (exact decimal reduction), then
       // grad_j = Σ_d (s_d − y_d)·x_dj, then w_j ← w_j − lr·grad_j/n.
@@ -974,7 +974,7 @@ object Curation {
         // s feeds two consumers (loss + gradient) — materialize (the
         // AQE non-reuse convention); the 1-row collect per round is
         // the BPE trainer's metadata-scale driver traffic
-        s = s.localCheckpoint()
+        s = s.transform(graft.functions.memoize)
         // the MSE stays DECIMAL: one term per doc (~feature-count×
         // fewer than s/g), and the exact sum keeps the descent-lemma
         // monotonicity pin free of quantization ties
@@ -992,7 +992,7 @@ object Curation {
         .select(col("bucket"),
           (col("w") - lit(QcLr) * coalesce(col("g"), lit(0.0)) / col("n_train"))
             .as("w"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
     }
     (w, losses.toSeq)
   }
@@ -1017,13 +1017,13 @@ object Curation {
     val labeled = docs.select(col("doc_id"),
       col("label").cast(DoubleType).as("y"),
       (pmod(col("doc_id"), lit(4)) =!= 3).as("is_train"))
-    val feat = qcFeatures(docs).localCheckpoint()
+    val feat = qcFeatures(docs).transform(graft.functions.memoize)
     val w = qcTrain(feat.join(labeled.filter(col("is_train")), "doc_id")
       .select("doc_id", "bucket", "x", "y"))
     val all = labeled.join(qcScore(feat, w), Seq("doc_id"), "left")
       .select(col("doc_id"), col("is_train"), col("y"),
         coalesce(col("s"), lit(0.0)).as("s"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     val mu = all.filter(col("is_train"))
       .groupBy("y")
       .agg((graft.functions.fsum12(col("s")) / count(lit(1))).as("mu"))
@@ -1078,7 +1078,7 @@ object Curation {
       s"$classes label class(es) in the train sample — need both " +
       "(the class-mean midpoint threshold is undefined otherwise); " +
       "lower sampleMod or label more documents")
-    val feat = qcFeatures(docs).localCheckpoint()
+    val feat = qcFeatures(docs).transform(graft.functions.memoize)
     val (w, losses) = qcTrainModel(
       feat.join(labeled.filter(col("in_sample")), "doc_id")
         .select("doc_id", "bucket", "x", "y"), withLoss = true)
@@ -1300,9 +1300,9 @@ object Curation {
   private[graft] def pplModel(refDocs: DataFrame): (DataFrame, DataFrame) = {
     val g = pplBigrams(refDocs
       .select(col("doc_id"), col("text"), lit(true).as("is_target")))
-      .localCheckpoint() // one reference pass feeds both model tables
-    (g.groupBy("cb").agg(count(lit(1)).as("c_ctx")).localCheckpoint(),
-      g.groupBy("bb").agg(count(lit(1)).as("c_bi")).localCheckpoint())
+      .transform(graft.functions.memoize) // one reference pass feeds both model tables
+    (g.groupBy("cb").agg(count(lit(1)).as("c_ctx")).transform(graft.functions.memoize),
+      g.groupBy("bb").agg(count(lit(1)).as("c_bi")).transform(graft.functions.memoize))
   }
 
   /** Score any (doc_id, text) frame against a FIXED model — the same
@@ -1334,7 +1334,7 @@ object Curation {
   private[graft] def perplexityOf(docs: DataFrame): DataFrame = {
     // three consumers (ctx counts, bigram counts, scoring) — one
     // materialized bigram pass, same rationale as dsirWeightsOf
-    val g = pplBigrams(docs).localCheckpoint()
+    val g = pplBigrams(docs).transform(graft.functions.memoize)
     val ctx = g.filter(col("is_target")).groupBy("cb").agg(count(lit(1)).as("c_ctx"))
     val bi = g.filter(col("is_target")).groupBy("bb").agg(count(lit(1)).as("c_bi"))
     val scored = g

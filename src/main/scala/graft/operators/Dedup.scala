@@ -49,8 +49,8 @@ object Dedup {
     * keep as a table. Invalidated with the signature/edge/label caches
     * by the re-ANALYZE hook. */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => shinglesOf(Tables.documents(s, dir)).transform(graft.functions.memoize))
+    graft.functions.buildCached(s, shingleCache, (s.sparkContext.applicationId, dir))(
+      shinglesOf(Tables.documents(s, dir)).transform(graft.functions.memoize))
 
   /** Same shingling over an arbitrary (doc_id, source, text) frame.
     *
@@ -707,8 +707,8 @@ object Dedup {
     * this one localCheckpoint'd materialization; signatures are
     * per-document, so any doc-subset consumer is a filter over it. */
   private[graft] def corpusSigs(s: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => signaturesOf(Tables.documents(s, dir)).transform(graft.functions.memoize))
+    graft.functions.buildCached(s, sigCache, (s.sparkContext.applicationId, dir))(
+      signaturesOf(Tables.documents(s, dir)).transform(graft.functions.memoize))
 
   /** Banded view of [[corpusSigs]] — the narrow projection re-derived
     * per consumer over the memoized signatures. */
@@ -1504,12 +1504,12 @@ object Dedup {
     * localCheckpoint'd materialization instead of re-running the
     * self-join per query. */
   private[graft] def similarityEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+    graft.functions.buildCached(s, edgeCache, (s.sparkContext.applicationId, dir)) {
       val pairs = jaccardPairs(s, dir, EdgeThreshold)
       pairs.unionByName(
           pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .transform(graft.functions.memoize)
-    })
+    }
 
   /** Drops memoized cluster labels, the similarity edge set, the
     * MinHash signature table AND the corpus shingle set for lakes
@@ -1535,13 +1535,13 @@ object Dedup {
     * propagation loop. The returned frame is localCheckpoint'd, so
     * reuse is a scan, not a recompute. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => buildClusterLabels(s, dir))
+    graft.functions.buildCached(s, clusterCache, (s.sparkContext.applicationId, dir))(
+      buildClusterLabels(s, dir))
 
   private def buildClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val edges = similarityEdges(s, dir)
     var labels = edges.select(col("id_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+      .withColumn("label", col("doc_id")).transform(graft.functions.memoize)
     // labels decrease monotonically per element, so the label sum is a
     // convergence certificate — one aggregate per round instead of a
     // change-detection join.
@@ -1562,7 +1562,7 @@ object Dedup {
       labels = merged.join(jump, merged("label") === col("jd"), "left")
         .select(merged("doc_id"),
           least(merged("label"), coalesce(col("jl"), merged("label"))).as("label"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       prevSum = curSum
       curSum = labels.agg(sum("label")).head().getLong(0)
       iter += 1
@@ -1684,7 +1684,7 @@ object Dedup {
     val nRow = nodes.agg(count(lit(1)).cast(DoubleType).as("n"))
     var ranks = nodes.crossJoin(broadcast(nRow))
       .select(col("doc_id"), col("deg"), col("n"), (lit(1.0) / col("n")).as("rank"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     for (_ <- 1 to PrIters) {
       val contrib = edges.join(ranks, edges("id_a") === ranks("doc_id"))
         .select(col("id_b").as("dst"),
@@ -1694,7 +1694,7 @@ object Dedup {
         .select(ranks("doc_id"), ranks("deg"), ranks("n"),
           (lit(1.0 - PrDamp) / col("n")
             + lit(PrDamp) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
     }
     ranks.select(col("doc_id"), round6(col("rank") * 1000.0).as("rank_x1000"))
       .orderBy("doc_id")

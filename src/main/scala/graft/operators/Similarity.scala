@@ -989,11 +989,11 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   def knnEdgesCapped(s: SparkSession, dir: String): DataFrame =
-    knnEdgeCache.computeIfAbsent((s.sparkContext.applicationId, dir), { _ =>
+    graft.functions.buildCached(s, knnEdgeCache, (s.sparkContext.applicationId, dir)) {
       graft.plans.VecDotProduct.register(s)
       knnEdgesCappedOver(s, withNorm2(Tables.embeddings(s, dir)),
-        derivedPlanes(s, dir)).localCheckpoint()
-    })
+        derivedPlanes(s, dir)).transform(graft.functions.memoize)
+    }
 
   /** Symmetrized PLAIN-multiprobe kNN edges over any withNorm2'd
     * frame — the deliberately-UNCAPPED baseline edge build (skew-
@@ -1090,7 +1090,7 @@ object Similarity {
       beam = cand.withColumn("r", row_number().over(bw))
         .filter(col("r") <= SearchBeam)
         .select("query_id", "node", "cos_raw")
-      if (h % 2 == 0 && h < SearchHops) beam = beam.localCheckpoint()
+      if (h % 2 == 0 && h < SearchHops) beam = beam.transform(graft.functions.memoize)
     }
     beam.withColumn("rank", row_number().over(bw))
       .filter(col("rank") <= k)
@@ -1265,10 +1265,10 @@ object Similarity {
     // the parquet scan + norm computation behind it
     val sample = v.select(col("vec_id"), col("embedding"))
       .filter(pmod(h32s(col("vec_id").cast(StringType)), lit(4)) === 0 || col("vec_id") < k)
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     var cents = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cent"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     val tw = Window.partitionBy("vec_id")
     for (_ <- 1 to LloydIters) {
       // argmax carries the vector along, so no re-join with the sample;
@@ -1290,7 +1290,7 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           e => e.getField("m").cast("float")).as("cent"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
     }
     cents
   }
@@ -1337,8 +1337,8 @@ object Similarity {
     * specs). */
   def buildIvfIndex(s: SparkSession, dir: String, k0: Int = 0): (DataFrame, DataFrame) = {
     val k = if (k0 <= 0) derivedIvfK(s, dir) else k0
-    ivfCache.computeIfAbsent((s.sparkContext.applicationId, dir, k),
-      _ => buildIvfIndexOver(s, withNorm2(Tables.embeddings(s, dir)), k))
+    graft.functions.buildCached(s, ivfCache, (s.sparkContext.applicationId, dir, k))(
+      buildIvfIndexOver(s, withNorm2(Tables.embeddings(s, dir)), k))
   }
 
   /** The index build over an arbitrary norm'd corpus frame — the
@@ -1350,16 +1350,16 @@ object Similarity {
       k0: Int = 0): (DataFrame, DataFrame) = {
     graft.plans.VecDotProduct.register(s)
     graft.plans.TopKPerGroup.install(s)
-    val v = v0.localCheckpoint()
+    val v = v0.transform(graft.functions.memoize)
     val k = if (k0 <= 0) ivfKFor(v.count()) else k0
-    val cents = withCentNorm(trainCentroids(v, k)).localCheckpoint()
+    val cents = withCentNorm(trainCentroids(v, k)).transform(graft.functions.memoize)
     // one row per vector: posting-list id + centroid geometry columns
     // folded in (cid/cent/cn2 repeated per member keeps the index
     // self-contained for probing)
     val index = v.join(broadcast(assign(v, cents.drop("cn2"))), "vec_id")
       .join(broadcast(cents
         .select(col("cid").as("list_id"), col("cent"), col("cn2"))), "list_id")
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     (cents, index)
   }
 
@@ -1530,14 +1530,14 @@ object Similarity {
       .agg(graft.functions.fsum12(col("p")).as("sx"))
     val means = dims.groupBy("i")
       .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) / lit(n)).as("m"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     // covariance hub: multi-consumer (8 matvec rounds + λ + trace) —
     // localCheckpoint per the repo's AQE non-reuse convention
     val cov = sxx
       .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
       .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
       .select(col("i"), col("j"), (col("sx") / lit(n) - col("mi") * col("mj")).as("c"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     (means, cov)
   }
 
@@ -1549,6 +1549,13 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
       .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
     val (means, cov) = covFrameOver(v, dims, n)
+    // the power-iteration rounds keep REAL localCheckpoints even under
+    // explainFull (unlike the one-shot hub frames): round j's tree
+    // embeds round j-1's twice (norm + iterate), so an un-cut chain
+    // explodes the ANALYZER exponentially before any print budget can
+    // intervene — the d-row iterate is a plan-dump-justified
+    // ExistingRDD survivor, and the scan/cov evidence stays visible in
+    // the op's root tree either way
     var w = means.select(col("i"), lit(1.0).as("w")).localCheckpoint()
     for (_ <- 1 to iters) {
       val u = cov
@@ -1683,6 +1690,12 @@ object Similarity {
     // dominates
     var cov = cov0
     var comps: Seq[DataFrame] = Nil
+    // deflation rounds keep REAL localCheckpoints under explainFull
+    // (the pcaOver rationale, compounded: component c's deflated cov
+    // embeds component c-1's whole iteration tree, so an un-cut chain
+    // is (PcaIters+1)^WhitenK-exponential in the ANALYZER — the
+    // measured r17 PlanDump hang); the d-row/d**2-row iterates are
+    // plan-dump-justified ExistingRDD survivors
     for (c <- 1 to WhitenK) {
       var w = means.select(col("i"), lit(1.0).as("w")).localCheckpoint()
       for (_ <- 1 to PcaIters) {
@@ -2027,7 +2040,7 @@ object Similarity {
     // predicate prunes before any vector leaves the scan; three
     // consumers (histogram, query panel, pair stream) ⇒ memoize per
     // the AQE non-reuse convention (§5)
-    val idxMeta = index.drop("cent", "cn2").join(meta, "vec_id").localCheckpoint()
+    val idxMeta = index.drop("cent", "cn2").join(meta, "vec_id").transform(graft.functions.memoize)
     val queries = idxMeta.filter(col("vec_id") < AnnPanel)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("qn2"), col("source").as("q_source"))
@@ -2143,10 +2156,10 @@ object Similarity {
   private def trainPqCodebooks(subs: DataFrame): DataFrame = {
     val samp = subs
       .filter(pmod(h32s(col("vec_id").cast(StringType)), lit(4)) === 0 || col("vec_id") < PqK)
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     var cents = subs.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("cid"), col("sub").as("cent"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     for (_ <- 1 to PqLloyd) {
       val assigned = pqAssign(samp, cents, keepSub = true)
       cents = assigned
@@ -2157,7 +2170,7 @@ object Similarity {
         .groupBy("m", "cid")
         .agg(transform(array_sort(collect_list(struct(col("d0"), col("mn")))),
           e => e.getField("mn").cast("float")).as("cent"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
     }
     cents
   }
@@ -2193,14 +2206,14 @@ object Similarity {
 
   private def buildPqIndexOver(s: SparkSession, key: String,
       base: => DataFrame): (DataFrame, DataFrame) =
-    pqCache.computeIfAbsent((s.sparkContext.applicationId, key), _ => {
+    graft.functions.buildCached(s, pqCache, (s.sparkContext.applicationId, key)) {
       graft.plans.VecDotProduct.register(s)
       graft.plans.TopKPerGroup.install(s)
       val subs = pqSubs(base)
       val cents = trainPqCodebooks(subs)
-      val codes = collectCodes(pqAssign(subs, cents)).localCheckpoint()
+      val codes = collectCodes(pqAssign(subs, cents)).transform(graft.functions.memoize)
       (cents, codes)
-    })
+    }
 
   def buildPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     buildPqIndexOver(s, dir, Tables.embeddings(s, dir))
@@ -2420,13 +2433,13 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   private[graft] def buildScannCodes(s: SparkSession, dir: String): DataFrame =
-    scannCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+    graft.functions.buildCached(s, scannCache, (s.sparkContext.applicationId, dir)) {
       graft.plans.VecDotProduct.register(s)
       graft.plans.TopKPerGroup.install(s)
       val (cents, _) = buildPqIndex(s, dir)
       collectCodes(scannAssign(pqSubs(Tables.embeddings(s, dir)), cents))
-        .localCheckpoint()
-    })
+        .transform(graft.functions.memoize)
+    }
 
   private def annScann(s: SparkSession, dir: String): DataFrame = {
     val (cents, _) = buildPqIndex(s, dir)
@@ -2590,19 +2603,19 @@ object Similarity {
     graft.plans.VecDotProduct.register(s)
     graft.plans.TopKPerGroup.install(s)
     val idxSrc = rotation match {
-      case Some(r) => rotated(corpus, r).localCheckpoint()
+      case Some(r) => rotated(corpus, r).transform(graft.functions.memoize)
       case None => corpus
     }
     val subs = pqSubs(idxSrc)
     val cents = trainPqCodebooks(subs)
-    val codes = collectCodes(pqAssign(subs, cents)).localCheckpoint()
+    val codes = collectCodes(pqAssign(subs, cents)).transform(graft.functions.memoize)
     pqServe(s, corpus, cents, codes,
       lutSrc = rotation.map(r => rotated(corpus.filter(col("vec_id") < AnnPanel), r)))
   }
 
   private def annOpq(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
-    def rot = rotated(Tables.embeddings(s, dir)).localCheckpoint()
+    def rot = rotated(Tables.embeddings(s, dir)).transform(graft.functions.memoize)
     val (cents, codes) = buildPqIndexOver(s, s"$dir#opq", rot)
     // query path: original corpus for the scan + exact rescore; only
     // the 10 query vectors get rotated (for the codebook LUT)
@@ -2646,19 +2659,19 @@ object Similarity {
   /** (residual-indexed corpus, residual codebooks, residual codes) —
     * built on top of [[buildIvfIndex]], memoized like it. */
   def buildIvfPqIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    ivfPqCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+    graft.functions.buildCached(s, ivfPqCache, (s.sparkContext.applicationId, dir)) {
       graft.plans.VecDotProduct.register(s)
       graft.plans.TopKPerGroup.install(s)
       val index = buildIvfIndex(s, dir)._2
       val resid = index
         .withColumn("res", vsub(col("embedding"), col("cent")))
         .select("vec_id", "list_id", "embedding", "n2", "res")
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       val rsubs = pqSubs(resid, "res")
       val rcents = trainPqCodebooks(rsubs)
-      val rcodes = collectCodes(pqAssign(rsubs, rcents)).localCheckpoint()
+      val rcodes = collectCodes(pqAssign(rsubs, rcents)).transform(graft.functions.memoize)
       (resid, rcents, rcodes)
-    })
+    }
 
   private def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     graft.plans.VecDotProduct.register(s)
@@ -3011,9 +3024,9 @@ object Similarity {
     val (cents, index) = buildIvfIndexOver(s, v0)
     val resid = index
       .withColumn("res", vsub(col("embedding"), col("cent")))
-      .select("vec_id", "list_id", "n2", "res").localCheckpoint()
-    val rcents = trainPqCodebooks(pqSubs(resid, "res")).localCheckpoint()
-    val postings = encodeResiduals(resid, rcents).localCheckpoint()
+      .select("vec_id", "list_id", "n2", "res").transform(graft.functions.memoize)
+    val rcents = trainPqCodebooks(pqSubs(resid, "res")).transform(graft.functions.memoize)
+    val postings = encodeResiduals(resid, rcents).transform(graft.functions.memoize)
     (cents, rcents, postings)
   }
 
@@ -3105,11 +3118,11 @@ object Similarity {
   private[graft] def recallReportOver(s: SparkSession, dir: String,
       methods: Seq[(String, DataFrame, Int)]): DataFrame = {
     val exact = annBruteforce(s, dir)
-      .select("query_id", "neighbor_id").localCheckpoint()
+      .select("query_id", "neighbor_id").transform(graft.functions.memoize)
     methods.map { case (name, approx0, k) =>
       val approx = approx0
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       exact
         .join(approx, Seq("query_id", "neighbor_id"), "left")
         .groupBy("query_id")
@@ -3268,7 +3281,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= RrfTerms)
       .select("query_id", "word", "df")
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     val idf = (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5))
     val contrib = idf * (col("tf") * lit(RrfK1 + 1.0)) /
@@ -3556,7 +3569,7 @@ object Similarity {
     def distTo(cEmb: Column, cN2: Column): Column =
       lit(1.0) - cosine(vec_dot_exact(col("embedding"), cEmb), col("n2"), cN2)
     // round 1: the minimum vec_id (the conventional arbitrary start)
-    val c1 = v.orderBy("vec_id").limit(1).localCheckpoint()
+    val c1 = v.orderBy("vec_id").limit(1).transform(graft.functions.memoize)
     var selected = List(c1.select(col("vec_id"),
       lit(1).as("sel_round"), lit(null).cast(DoubleType).as("radius")))
     var lastCenter = c1
@@ -3569,9 +3582,9 @@ object Similarity {
         .withColumn("mind",
           if (r == 2) d else least(col("mind"), d))
         .drop("c_emb", "cn2")
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       val next = cur
-        .orderBy(col("mind").desc, col("vec_id")).limit(1).localCheckpoint()
+        .orderBy(col("mind").desc, col("vec_id")).limit(1).transform(graft.functions.memoize)
       selected ::= next.select(col("vec_id"),
         lit(r).as("sel_round"), round6(col("mind")).as("radius"))
       lastCenter = next
@@ -3676,11 +3689,11 @@ object Similarity {
   }
 
   def buildBinaryIndex(s: SparkSession, dir: String): DataFrame =
-    bqCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+    graft.functions.buildCached(s, bqCache, (s.sparkContext.applicationId, dir)) {
       graft.plans.VecDotProduct.register(s)
       val v = withNorm2(Tables.embeddings(s, dir))
-      bqPackWith(v, bqMeans(v)).localCheckpoint()
-    })
+      bqPackWith(v, bqMeans(v)).transform(graft.functions.memoize)
+    }
 
   /** Corpus-derived exact-rerank budget: a 64-bit signature's hamming
     * shells crowd linearly with n, so a FIXED candidate count decays
@@ -3833,7 +3846,7 @@ object Similarity {
     * outlier. */
   private[graft] def outlierScreen(index: DataFrame): DataFrame = {
     // multi-consumer derived stream (moments + join-back) → materialize
-    val d = centroidDists(index).localCheckpoint()
+    val d = centroidDists(index).transform(graft.functions.memoize)
     d.join(broadcast(clusterMoments(d)), "list_id")
       .select(col("vec_id"), col("list_id"), round6(col("dist")).as("dist"),
         round6(when(col("sigma") > 0, (col("dist") - col("mu")) / col("sigma"))

@@ -844,8 +844,8 @@ object TextAnalysis {
     new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame, DataFrame)]()
 
   private def uniBuild(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    uniCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => unigramBuildOf(Tables.documents(s, dir)))
+    graft.functions.buildCached(s, uniCache, (s.sparkContext.applicationId, dir))(
+      unigramBuildOf(Tables.documents(s, dir)))
 
   /** The trainer over any (text) frame — split out so the spec can
     * replay the whole pipeline independently on a crafted corpus. */
@@ -899,7 +899,7 @@ object TextAnalysis {
     val voc = vocab0.crossJoin(broadcast(tot0))
       .select(col("piece"), col("cnt"),
         (col("cnt").cast(DoubleType) / col("t0").cast(DoubleType)).as("p0"))
-      .localCheckpoint()
+      .transform(graft.functions.memoize)
     (words, voc, uniViterbi(words, voc))
   }
 
@@ -1257,26 +1257,26 @@ object TextAnalysis {
 
   private def uniPruneBuild(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
-    uniPruneCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+    graft.functions.buildCached(s, uniPruneCache, (s.sparkContext.applicationId, dir)) {
       val (words, voc, seg) = uniBuild(s, dir)
       val em = seg.select(col("wf"), explode(split(col("path"), UniSep)).as("piece"))
         .groupBy("piece").agg(sum("wf").as("em_before"))
       val emv = voc.join(em, Seq("piece"), "left")
         .withColumn("em_before", coalesce(col("em_before"), lit(0L)))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       val pruned = emv.filter(length(col("piece")) >= 2)
         .orderBy(col("em_before"), col("piece")).limit(UniPruneK)
         .select(col("piece"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       val voc2base = emv.join(pruned, Seq("piece"), "left_anti")
         .select(col("piece"), col("cnt"))
       val tot2 = voc2base.agg(sum("cnt").as("t2"))
       val voc2 = voc2base.crossJoin(broadcast(tot2))
         .select(col("piece"), col("cnt"),
           (col("cnt").cast(DoubleType) / col("t2").cast(DoubleType)).as("p0"))
-        .localCheckpoint()
+        .transform(graft.functions.memoize)
       (emv, pruned, uniViterbi(words, voc2))
-    })
+    }
 
   private def unigramPrune(s: SparkSession, dir: String): DataFrame = {
     val (emv, pruned, seg2) = uniPruneBuild(s, dir)
@@ -1421,11 +1421,11 @@ object TextAnalysis {
   private[graft] def wpBuild(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long, Long, Long, Long)], Seq[String], Seq[String],
         DataFrame) =
-    wpCache.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
+    graft.functions.buildCached(s, wpCache, (s.sparkContext.applicationId, dir)) {
       val docs = Tables.documents(s, dir)
       val (rules, ivoc, cvoc) = wpTrainOf(docs)
       (rules, ivoc, cvoc, wpSegmentsWith(docs, ivoc, cvoc))
-    })
+    }
 
   private[graft] def invalidateWp(dirPrefix: String): Unit = {
     val it = wpCache.keySet().iterator()
