@@ -124,7 +124,7 @@ object ScaleProbe {
       "text_bm25_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_opq_topk",
       "q18_pattern_scan", "etl_constraint_check",
       "q19_funnel", "q20_retention", "q21_anomaly",
-      "dedup_semantic", "dedup_substring_spans",
+      "dedup_semantic", "dedup_substring_spans", "dedup_substring_rewrite",
       "text_keyword_extract", "mm_phash_neardup", "corpus_temperature_mix",
       // ann_knn_multiprobe is intentionally absent: it shares
       // ann_knn_graph's bucket structure at ≤2× the pair volume by
