@@ -313,6 +313,130 @@ object Curation {
        |FROM best WHERE rn = 1 AND span_tokens >= $SpanMinTokens
        |ORDER BY doc_id, bench_id""".stripMargin
 
+  // --- text_decontaminate_rewrite: the scrubbed-corpus half ------------
+  // text_contamination_spans reports WHERE the eval overlap sits; the
+  // artifact a decontamination pipeline actually ships is the corpus
+  // with those passages CUT and the doc otherwise kept — dropping
+  // whole docs over one leaked paragraph wastes the rest of the
+  // document (the substring family's report/rewrite split, applied to
+  // eval hygiene). Qualifying spans are the SAME per-(doc, benchmark)
+  // islands the report uses — a run of shared positional 3-grams
+  // covering ≥ SpanMinTokens tokens against a SINGLE benchmark doc
+  // (cross-bench pseudo-runs stitched from unrelated single grams are
+  // not contamination and must not cut) — but ALL qualifying spans
+  // per pair, not just the report's longest. Token intervals
+  // [s, s+k-1] from different benchmarks can overlap on one doc, so
+  // they merge before excision (running-max interval merge — ROWS
+  // frame, replayed exactly by the oracle); the cut itself is the
+  // substring rewrite's row-local HOF filter. Scale shape: corpus
+  // touched by one narrow positional-hash pass + one doc-granularity
+  // span join; everything between is bounded by HIT volume; the merge
+  // windows partition per doc (millions of small groups, no global
+  // sort until the audit ORDER BY).
+
+  private[graft] def decontaminateRewriteOf(s: SparkSession, docs: DataFrame,
+      benchIndex: DataFrame, statKey: String): DataFrame = {
+    val hits = graft.plans.CostModel.statsJoinUsing(s,
+      posShingles(docs), benchIndex, statKey, Seq("shingle"))(
+      benchIndex.count())
+    val wIsl = Window.partitionBy("doc_id", "bench_id").orderBy("pos")
+    val spans = hits
+      .select(col("doc_id"), col("bench_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .groupBy("doc_id", "bench_id", "grp")
+      .agg(min("pos").as("s"), (count(lit(1)) + 2).as("k"))
+      .filter(col("k") >= SpanMinTokens)
+      .select(col("doc_id"), col("s"), (col("s") + col("k") - 1).as("e"))
+    val wm = Window.partitionBy("doc_id").orderBy("s", "e")
+    val merged = spans
+      .withColumn("pmax", max(col("e")).over(
+        wm.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ng", when(col("pmax").isNull || col("s") > col("pmax"), 1)
+        .otherwise(0))
+      .withColumn("mg", sum(col("ng")).over(
+        wm.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "mg")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val perDoc = merged.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("sps"))
+    docs.select("doc_id", "text")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("ts", toks)
+      .withColumn("kept", expr("filter(ts, (t, i) -> sps IS NULL OR " +
+        "NOT exists(sps, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"))
+      .select(col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(col("kept")).as("n_tokens_kept"),
+        coalesce(size(col("sps")), lit(0)).as("n_spans_cut"),
+        concat_ws(" ", col("kept")).as("text_rewritten"))
+      .orderBy("doc_id")
+  }
+
+  private def textDecontaminateRewrite(s: SparkSession, dir: String): DataFrame = {
+    val benchIndex = posShingles(
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(50)) === 0))
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+    decontaminateRewriteOf(s,
+      Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        .select("doc_id", "text"),
+      benchIndex, s"$dir#contamination_benchindex")
+  }
+
+  private val textDecontaminateRewriteSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |              WHERE doc_id % 50 <> 0),
+       |btoks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+       |          WHERE doc_id % 50 = 0),
+       |g AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |         ${h60Sql("ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2]")} AS shingle
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM toks)),
+       |ev AS (
+       |  SELECT DISTINCT doc_id AS bench_id,
+       |         ${h60Sql("ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1] || ' ' || ts[CAST(i AS INTEGER)+2]")} AS shingle
+       |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i FROM btoks)),
+       |hits AS (
+       |  SELECT t.doc_id, e.bench_id, t.pos
+       |  FROM g t JOIN ev e ON t.shingle = e.shingle),
+       |isl AS (
+       |  SELECT doc_id, bench_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id, bench_id ORDER BY pos) AS grp
+       |  FROM hits),
+       |sp AS (
+       |  SELECT doc_id, min(pos) AS s, min(pos) + count(*) + 1 AS e
+       |  FROM isl GROUP BY doc_id, bench_id, grp
+       |  HAVING count(*) + 2 >= $SpanMinTokens),
+       |mrg AS (
+       |  SELECT doc_id, s, e,
+       |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |              THEN 1 ELSE 0 END AS ng
+       |  FROM sp),
+       |grps AS (
+       |  SELECT doc_id, s, e,
+       |         sum(ng) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mg
+       |  FROM mrg),
+       |msp AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grps GROUP BY doc_id, mg),
+       |cov AS (SELECT DISTINCT doc_id, CAST(unnest(generate_series(s, e)) AS INTEGER) AS pos
+       |        FROM msp),
+       |posi AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ts))) AS INTEGER) AS pos
+       |         FROM toks),
+       |kept AS (SELECT p.doc_id, p.pos FROM posi p
+       |         ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos),
+       |rw AS (SELECT k.doc_id, count(*) AS n_kept,
+       |              string_agg(t.ts[k.pos], ' ' ORDER BY k.pos) AS txt
+       |       FROM kept k JOIN toks t ON t.doc_id = k.doc_id GROUP BY k.doc_id),
+       |nsp AS (SELECT doc_id, count(*) AS n_spans FROM msp GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CAST(len(t.ts) AS INTEGER) AS n_tokens,
+       |       CAST(coalesce(rw.n_kept, 0) AS INTEGER) AS n_tokens_kept,
+       |       CAST(coalesce(nsp.n_spans, 0) AS INTEGER) AS n_spans_cut,
+       |       coalesce(rw.txt, '') AS text_rewritten
+       |FROM toks t LEFT JOIN rw ON rw.doc_id = t.doc_id
+       |LEFT JOIN nsp ON nsp.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // --- corpus_mix_sample: weighted source mixing -----------------------
   // Dataset mixing with per-source sampling rates (here derived
   // deterministically from the source name; in production a weights
@@ -1644,6 +1768,8 @@ object Curation {
     Op("text_contamination", textContamination, Some(textContaminationSql)),
     Op("text_contamination_spans", textContaminationSpans,
       Some(textContaminationSpansSql)),
+    Op("text_decontaminate_rewrite", textDecontaminateRewrite,
+      Some(textDecontaminateRewriteSql)),
     Op("corpus_mix_sample", corpusMixSample, Some(corpusMixSampleSql)),
     Op("corpus_dsir_weights", corpusDsirWeights, Some(corpusDsirWeightsSql)),
     Op("corpus_quality_classifier", corpusQualityClassifier,

@@ -1314,14 +1314,35 @@ object Dedup {
   /** The canonical-exempt maximal span frame (doc_id, span_start,
     * span_end) over an arbitrary (doc_id, text) frame. */
   private[graft] def substringSpansCanonicalOf(s: SparkSession,
-      docs: DataFrame): DataFrame = {
-    val win = spanGramsOf(s, docs).transform(graft.functions.memoize)
+      docs: DataFrame): DataFrame =
+    substringSpansWithSeen(s, docs, None)
+
+  /** Canonical-exempt spans with an optional SEEN-gram frame (one
+    * `gh` column — the streaming gate's maintained lake): a window is
+    * duplicated iff it is a non-canonical occurrence within `docs`
+    * (the batch rule) OR its gram was already admitted in an earlier
+    * ingest (then even the in-frame canonical is a later copy). The
+    * seen probe is one hash-keyed semi-join; everything else is the
+    * batch shape unchanged. */
+  private[graft] def substringSpansWithSeen(s: SparkSession,
+      docs: DataFrame, seen: Option[DataFrame],
+      win0: Option[DataFrame] = None): DataFrame = {
+    // win0: a pre-materialized window frame — the streaming gate
+    // derives grams ONCE and feeds both the rewrite and its lake append
+    val win = win0.getOrElse(spanGramsOf(s, docs).transform(graft.functions.memoize))
     val freq = win.groupBy("gh").agg(count(lit(1)).as("n"),
         min(struct(col("doc_id"), col("pos"))).as("canon"))
       .filter(col("n") > 1)
-    val dup = win.join(freq, "gh")
+    val dupIn = win.join(freq, "gh")
       .filter(struct(col("doc_id"), col("pos")) =!= col("canon"))
       .select("doc_id", "pos")
+    val dup = seen match {
+      case None => dupIn
+      case Some(sn) => dupIn
+        .unionByName(win.join(sn.select("gh").distinct(), Seq("gh"), "left_semi")
+          .select("doc_id", "pos"))
+        .distinct() // a position can trip both rules
+    }
     val iw = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     dup
@@ -1334,8 +1355,16 @@ object Dedup {
   /** The full rewrite over an arbitrary (doc_id, text) frame — shared
     * by the registry op and DedupSpec's crafted-corpus pins. */
   private[graft] def substringRewriteOf(s: SparkSession,
-      docs: DataFrame): DataFrame = {
-    val perDoc = substringSpansCanonicalOf(s, docs)
+      docs: DataFrame): DataFrame =
+    substringRewriteWithSeen(s, docs, None)
+
+  /** The rewrite under an optional seen-gram lake — the streaming
+    * substring gate's batch core (one definition with the registry
+    * op, so stream and batch can never drift). */
+  private[graft] def substringRewriteWithSeen(s: SparkSession,
+      docs: DataFrame, seen: Option[DataFrame],
+      win0: Option[DataFrame] = None): DataFrame = {
+    val perDoc = substringSpansWithSeen(s, docs, seen, win0)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
         (col("span_end") + lit(SpanGram - 1)).as("e"))).as("sps"))
@@ -1368,6 +1397,77 @@ object Dedup {
        |         FROM win GROUP BY 1 HAVING count(*) > 1),
        |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN freq f ON w.gh = f.gh
        |        WHERE row(w.doc_id, w.pos) <> f.canon),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dup),
+       |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${SpanGram - 1} AS e
+       |          FROM isl GROUP BY doc_id, grp),
+       |cov AS (SELECT DISTINCT doc_id, CAST(unnest(generate_series(s, e)) AS INTEGER) AS pos
+       |        FROM spans),
+       |posi AS (SELECT doc_id, CAST(unnest(generate_series(1, len(ts))) AS INTEGER) AS pos
+       |         FROM toks),
+       |kept AS (SELECT p.doc_id, p.pos FROM posi p
+       |         ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.pos = c.pos),
+       |rw AS (SELECT k.doc_id, count(*) AS n_kept,
+       |              string_agg(t.ts[k.pos], ' ' ORDER BY k.pos) AS txt
+       |       FROM kept k JOIN toks t ON t.doc_id = k.doc_id GROUP BY k.doc_id),
+       |nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |       CAST(len(t.ts) AS INTEGER) AS n_tokens,
+       |       CAST(coalesce(rw.n_kept, 0) AS INTEGER) AS n_tokens_kept,
+       |       CAST(coalesce(nsp.n_spans, 0) AS INTEGER) AS n_spans_cut,
+       |       coalesce(rw.txt, '') AS text_rewritten
+       |FROM toks t LEFT JOIN rw ON rw.doc_id = t.doc_id
+       |LEFT JOIN nsp ON nsp.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  // --- dedup_gate_substring: substring-dedup admission gate ------------
+  // The ingestion form of dedup_substring_rewrite, completing the
+  // report/rewrite/gate symmetry the paragraph and MinHash families
+  // already have (dedup_paragraph_rewrite → paragraphGateStream,
+  // dedup_minhash → dedup_gate): incoming docs (doc_id % 5 = 4
+  // stand-in, the gate family's convention) are rewritten against the
+  // ADMITTED corpus's seen-gram set — a window is cut iff its 8-gram
+  // already exists anywhere in the admitted corpus OR it is a
+  // non-canonical occurrence within the incoming batch itself (the
+  // batch rewrite's first-occurrence rule folded over ingest order).
+  // Scale shape: the seen set is 8-byte h60 hashes only (text never
+  // enters the admission join), probed by ONE hash-keyed semi-join;
+  // everything downstream is the rewrite op's shape unchanged —
+  // min-struct canonical on the counting groupBy, islands-trick span
+  // merge, row-local token excision. The streaming twin
+  // (StreamingJobs.substringGateStream) maintains the seen set as an
+  // ingest_batch-partitioned lake and calls the SAME core
+  // (substringRewriteWithSeen), so batch and stream cannot drift.
+  private def dedupGateSubstring(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val inc = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val adm = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+    substringRewriteWithSeen(s, inc, Some(spanGramsOf(s, adm)))
+  }
+
+  private val dedupGateSubstringSql = {
+    val gram = (0 until SpanGram).map(j => s"ts[CAST(i AS INTEGER)+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |              FROM documents WHERE doc_id % 5 = 4),
+       |atoks AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |          FROM documents WHERE doc_id % 5 <> 4),
+       |win AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos, ${h60Sql(s"$gram")} AS gh
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(1, len(ts) - ${SpanGram - 1})) AS i FROM toks)),
+       |seen AS (
+       |  SELECT DISTINCT ${h60Sql(s"$gram")} AS gh
+       |  FROM (SELECT doc_id, ts,
+       |          unnest(generate_series(1, len(ts) - ${SpanGram - 1})) AS i FROM atoks)),
+       |freq AS (SELECT gh, count(*) AS n, min(row(doc_id, pos)) AS canon
+       |         FROM win GROUP BY 1 HAVING count(*) > 1),
+       |dup AS (SELECT w.doc_id, w.pos FROM win w JOIN freq f ON w.gh = f.gh
+       |        WHERE row(w.doc_id, w.pos) <> f.canon
+       |        UNION
+       |        SELECT w.doc_id, w.pos FROM win w JOIN seen s ON w.gh = s.gh),
        |isl AS (
        |  SELECT doc_id, pos,
        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
@@ -1940,6 +2040,7 @@ object Dedup {
     Op("dedup_semantic", dedupSemantic, Some(dedupSemanticSql), buildState = true),
     Op("dedup_substring_spans", dedupSubstringSpans, Some(dedupSubstringSpansSql), buildState = true),
     Op("dedup_substring_rewrite", dedupSubstringRewrite, Some(dedupSubstringRewriteSql), buildState = true),
+    Op("dedup_gate_substring", dedupGateSubstring, Some(dedupGateSubstringSql), buildState = true),
     Op("dedup_clusters", dedupClusters, Some(dedupClustersSql), buildState = true),
     Op("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestSql), buildState = true),
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql), buildState = true),

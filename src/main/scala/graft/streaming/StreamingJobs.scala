@@ -528,6 +528,74 @@ object StreamingJobs {
       }
       .start()
 
+  /** Bootstrap the streaming substring gate's seen-gram lake: one `gh`
+    * row per DISTINCT 8-gram window of the already-admitted corpus
+    * (partition -1). Like the paragraph lake it carries only 8-byte
+    * h60 hashes — text never enters the admission state, so the lake
+    * is O(distinct grams), not O(corpus bytes). */
+  def substringIndexInit(corpus: DataFrame, indexPath: String): Unit =
+    writeIndexBootstrap(
+      graft.operators.Dedup.spanGramsOf(corpus.sparkSession, corpus)
+        .select("gh").distinct(), indexPath)
+
+  /** Streaming substring-dedup admission gate
+    * (dedup_substring_rewrite's twin and dedup_gate_substring's
+    * streaming form — the NINTH admission control), SELF-ADMITTING at
+    * 8-gram granularity: each micro-batch's documents derive their
+    * window stream through the SAME shared derivation as the batch ops
+    * ([[graft.operators.Dedup.spanGramsOf]] — tokenization and hash
+    * cannot drift), computed ONCE per batch (localCheckpoint) and fed
+    * to both consumers; docs are rewritten by the SAME core as the
+    * registry op ([[graft.operators.Dedup.substringRewriteWithSeen]])
+    * with seen = the maintained gram lake at `ingest_batch < N`
+    * (a crash-replayed batch's own partition is invisible, so no gram
+    * collides with itself on replay) — a window is excised iff its
+    * gram was admitted in an earlier ingest OR it repeats within the
+    * batch (non-canonical occurrence), merged to maximal spans and
+    * cut; cleaned rows (with the n_tokens_kept=0 audit rows the batch
+    * rewrite keeps) append to `cleanPath`, and the batch's DISTINCT
+    * grams land in the lake's own `ingest_batch=<N>` partition via
+    * dynamic overwrite + manifest commit. ALL of the batch's grams
+    * become seen — not just uncut ones — because every duplicated
+    * gram's canonical occurrence was admitted at ingest ≤ N (the
+    * family's boilerplate-forward rule; Lee et al.'s excision can
+    * clip even the canonical copy when adjacent spans overlap it, in
+    * the batch op and here identically). Cross-batch, a passage
+    * admitted in batch N arriving again in batch N+1 is cut there —
+    * the batch rewrite's first-occurrence semantics folded over
+    * arrival order (StreamingSpec pins the stream output equal to the
+    * sequential fold of the batch core). Cleaned-doc appends inherit
+    * foreachBatch's at-least-once-on-crash-retry caveat; content is
+    * deterministic given the exactly-once lake, so replay converges. */
+  def substringGateStream(docs: DataFrame, indexPath: String,
+      cleanPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.localCheckpoint()
+          // win is localCheckpoint'd: one gram derivation feeds the
+          // rewrite AND the lake append, and the rewrite's lineage
+          // reads the lake this batch then overwrites
+          val win = graft.operators.Dedup.spanGramsOf(s, b).localCheckpoint()
+          val seen = indexRead(s, indexPath)
+            .filter(col("ingest_batch") < batchId).select("gh")
+          graft.operators.Dedup
+            .substringRewriteWithSeen(s, b, Some(seen), Some(win))
+            .write.mode("append").parquet(cleanPath)
+          win.select("gh").distinct()
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(indexPath)
+          indexAppendCommit(s, indexPath, batchId)
+          ()
+        }
+      }
+      .start()
+
   /** Bootstrap the streaming ANN index lake: train the IVF coarse
     * quantizer on the base corpus (the one-time BUILD of the FAISS
     * build/serve split — retraining stays a maintenance job) and land
@@ -663,6 +731,15 @@ object StreamingJobs {
     * stream-generation protocol. Returns partitions folded. */
   def paragraphIndexCompact(spark: SparkSession, indexPath: String): Int =
     compactIngestPartitions(spark, indexPath, Seq("ph"))
+
+  /** Seen-gram-lake compaction — the same maintenance leg for the
+    * substring gate's lake: folds every appended `ingest_batch`
+    * partition into bootstrap (-1), clustering by `gh` (the gate's
+    * semi-join key). Verdicts unchanged (`ingest_batch < batchId`,
+    * -1 below every batch id); same staged-rename swap and
+    * stream-generation protocol. Returns partitions folded. */
+  def substringIndexCompact(spark: SparkSession, indexPath: String): Int =
+    compactIngestPartitions(spark, indexPath, Seq("gh"))
 
   /** Manifest-aware index-table read. On a snapshot-enabled table (the
     * OBJECT-STORE model — enabled by committing a first snapshot after

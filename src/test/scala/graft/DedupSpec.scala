@@ -1112,6 +1112,48 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substring gate: admitted-corpus grams cut even when unique within incoming") {
+    import spark.implicits._
+    val G = "g1 g2 g3 g4 g5 g6 g7 g8"
+    // the case that separates the GATE from the plain rewrite: G
+    // occurs ONCE in the incoming frame (the rewrite would keep it —
+    // no in-frame repeat) but the admitted corpus owns it, so the
+    // seen-gram rule cuts it; the unseen doc passes intact
+    val admitted = Seq((1L, s"m1 m2 $G m3")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, s"a1 $G a2 a3"),
+      (11L, "n1 n2 n3 n4 n5 n6 n7 n8 n9")).toDF("doc_id", "text")
+    val seen = operators.Dedup.spanGramsOf(spark, admitted)
+    val out = operators.Dedup
+      .substringRewriteWithSeen(spark, incoming, Some(seen)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(10L) == ((11, 3, 1, "a1 a2 a3")), out(10L).toString)
+    assert(out(11L) == ((9, 9, 0, "n1 n2 n3 n4 n5 n6 n7 n8 n9")), out(11L).toString)
+    // and WITHOUT the seen set the same frame passes untouched — the
+    // cut above is attributable to admission state alone
+    val plain = operators.Dedup.substringRewriteOf(spark, incoming).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(plain == Map(10L -> 0, 11L -> 0), plain.toString)
+  }
+
+  test("substring gate on the lake: verdicts cover exactly the incoming slice") {
+    val rw = Registry.queries("dedup_gate_substring")(spark, sf).collect()
+    assert(rw.nonEmpty)
+    val ids = rw.map(_.getLong(0)).toSet
+    assert(ids.forall(_ % 5 == 4), "gate must judge the incoming slice only")
+    val expected = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(rw.length.toLong == expected,
+      s"every incoming doc needs a verdict row: ${rw.length} vs $expected")
+    rw.foreach { r =>
+      val (doc, n, kept, spans) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      if (spans > 0) assert(kept < n, s"doc $doc: $spans spans cut, no tokens removed")
+      else assert(kept == n, s"doc $doc: tokens lost without a span")
+    }
+  }
+
   test("contamination spans: exact span boundaries per (doc, benchmark), noise dropped") {
     import spark.implicits._
     import graft.operators.Curation
@@ -1149,6 +1191,59 @@ class DedupSpec extends AnyFunSuite {
     val reg = Registry.queries("text_contamination_spans")(spark, sf).collect()
     assert(reg.nonEmpty)
     assert(reg.forall(_.getLong(4) >= 4))
+  }
+
+  test("decontaminate rewrite: qualifying spans cut, noise kept, cross-bench overlaps merged") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val b1 = (1 to 12).map(i => s"b$i")
+    val b2 = (1 to 8).map(i => s"c$i")
+    // bench 300 shares b3..b6 with bench 100 — the cross-bench overlap
+    val bench = Seq((100L, b1.mkString(" ")), (200L, b2.mkString(" ")),
+      (300L, (b1.slice(2, 6) ++ Seq("w1", "w2")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // spans report's fixture: bench-100 tokens at 4..10 cut; the
+      // single bench-200 3-gram at 13..15 is noise — KEPT by the scrub
+      (1L, (Seq("x1", "x2", "x3") ++ b1.slice(2, 9) ++ Seq("y1", "y2") ++
+        b2.slice(1, 4) ++ Seq("z1", "z2")).mkString(" ")),
+      (2L, (b2.take(6) ++ Seq("q1", "q2", "q3")).mkString(" ")),
+      // overlapping intervals from benches 100 ([2,7]) and 300 ([2,5])
+      // merge to ONE span [2,7]
+      (3L, (Seq("z9") ++ b1.slice(2, 8) ++ Seq("z8")).mkString(" ")),
+      // a doc that IS a benchmark: collapses to the empty audit row
+      (4L, b1.mkString(" ")),
+      (5L, "n1 n2 n3 n4 n5 n6 n7")).toDF("doc_id", "text")
+    val benchIndex = Curation.posShingles(bench)
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+    val out = Curation.decontaminateRewriteOf(spark, train, benchIndex,
+        "spec#decon_bench")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L) == ((17, 10, 1,
+      "x1 x2 x3 y1 y2 c2 c3 c4 z1 z2")), out(1L).toString)
+    assert(out(2L) == ((9, 3, 1, "q1 q2 q3")), out(2L).toString)
+    assert(out(3L) == ((8, 2, 1, "z9 z8")), out(3L).toString)
+    assert(out(4L) == ((12, 0, 1, "")), out(4L).toString)
+    assert(out(5L) == ((7, 7, 0, "n1 n2 n3 n4 n5 n6 n7")), out(5L).toString)
+  }
+
+  test("decontaminate rewrite on the lake: cut docs are exactly the span report's docs") {
+    val reportDocs = Registry.queries("text_contamination_spans")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val rw = Registry.queries("text_decontaminate_rewrite")(spark, sf).collect()
+    assert(rw.nonEmpty)
+    // both qualify spans identically (≥ SpanMinTokens vs a single
+    // bench), so a doc is cut iff the report names it
+    val cut = rw.filter(_.getInt(3) > 0).map(_.getLong(0)).toSet
+    assert(cut == reportDocs, s"cut-but-unreported: ${cut -- reportDocs}; " +
+      s"reported-but-uncut: ${reportDocs -- cut}")
+    rw.foreach { r =>
+      val (doc, n, kept, spans) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      if (spans > 0) assert(kept < n, s"doc $doc: $spans spans, no tokens cut")
+      else assert(kept == n, s"doc $doc: tokens lost without a span")
+    }
   }
 
   test("whitening: comp-1 equals PCA's pc1; unit variance, decorrelation, monotone spectrum") {

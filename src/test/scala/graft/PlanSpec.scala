@@ -14,6 +14,34 @@ class PlanSpec extends AnyFunSuite {
     Registry.queries(name)(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("buildCached: explainFull bypasses the build cache in BOTH directions") {
+    // r17: a PlanDump pass must neither serve a checkpointed cached
+    // entry (real roots in the dump) nor store its un-checkpointed
+    // rebuild (no poisoning the production cache)
+    val cache = new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.DataFrame]()
+    val hadConf = spark.conf.getOption("spark.graft.explainFull")
+    try {
+      spark.conf.unset("spark.graft.explainFull")
+      val a = graft.functions.buildCached(spark, cache, "k")(spark.range(1).toDF())
+      val b = graft.functions.buildCached(spark, cache, "k")(
+        sys.error("cache hit must not rebuild"): org.apache.spark.sql.DataFrame)
+      assert(a eq b, "production path must serve the cached instance")
+      spark.conf.set("spark.graft.explainFull", "true")
+      graft.functions.buildCached(spark, cache, "k2")(spark.range(2).toDF())
+      assert(!cache.containsKey("k2"), "explainFull build must not be stored")
+      val d = graft.functions.buildCached(spark, cache, "k")(spark.range(3).toDF())
+      assert(!(d eq a), "explainFull must not serve the stored entry")
+      spark.conf.unset("spark.graft.explainFull")
+      assert(graft.functions.buildCached(spark, cache, "k")(
+        sys.error("unreachable"): org.apache.spark.sql.DataFrame) eq a,
+        "cached entry must survive the bypass untouched")
+    } finally hadConf match {
+      case Some(v) => spark.conf.set("spark.graft.explainFull", v)
+      case None => spark.conf.unset("spark.graft.explainFull")
+    }
+  }
+
   test("q8 pushes its time-range predicate into the parquet scan") {
     // the pushed literal's form follows the lake's on-disk ts encoding
     // (nanos-as-long vs µs timestamp) — adapt exactly as Tables.events

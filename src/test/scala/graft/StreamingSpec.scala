@@ -810,6 +810,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2(30L) == blk("f"), s"doc 30 post-compaction: ${out2.get(30L)}")
   }
 
+  test("streaming substring gate: self-admitting fold of the batch rewrite core") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/subgate"
+    val idx = s"$root/index"; val clean = s"$root/clean"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    def blk(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    val P = blk("p"); val A = blk("a"); val E = blk("e")
+    val boot = Seq((1L, P + " " + blk("u"))).toDF("doc_id", "text")
+    StreamingJobs.substringIndexInit(boot, idx)
+    val b1 = Seq(
+      (10L, P + " " + A),                 // P excised (bootstrap owns its grams), A kept
+      (11L, blk("c") + " " + blk("d")),   // no seen/repeated gram -> intact
+      (12L, P))                           // all-cut -> n_tokens_kept=0 audit row
+    val b2 = Seq(
+      (20L, A + " " + E))                 // A caught by batch-1's ADMISSION
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.substringGateStream(
+      source.toDF().toDF("doc_id", "text"), idx, clean, ckpt)
+    try {
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(clean).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_tokens_kept"),
+          r.getAs[Int]("n_spans_cut"), r.getAs[String]("text_rewritten")))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 20L), s"docs: ${out.keySet}")
+    assert(out(10L) == ((40, 20, 1, A)))
+    assert(out(11L) == ((40, 40, 0, blk("c") + " " + blk("d"))))
+    assert(out(12L) == ((20, 0, 1, "")))
+    // only a SELF-admitting gate cuts batch 2's A-block — a static
+    // seen-set would wave it through
+    assert(out(20L) == ((40, 20, 1, E)))
+    // stream == the sequential fold of the shared batch core with the
+    // seen set accumulating batch grams (ALL grams, kept or cut)
+    val seen0 = operators.Dedup.spanGramsOf(spark, boot).select("gh")
+    val b1df = b1.toDF("doc_id", "text"); val b2df = b2.toDF("doc_id", "text")
+    val seen1 = seen0.union(operators.Dedup.spanGramsOf(spark, b1df).select("gh"))
+    val exp = operators.Dedup.substringRewriteWithSeen(spark, b1df, Some(seen0))
+      .unionByName(operators.Dedup.substringRewriteWithSeen(spark, b2df, Some(seen1)))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_tokens_kept"),
+          r.getAs[Int]("n_spans_cut"), r.getAs[String]("text_rewritten")))).toMap
+    assert(out == exp, s"stream=$out vs fold=$exp")
+    // the lake holds bootstrap + each batch's distinct grams, exactly-once
+    val idxBatches = spark.read.parquet(idx)
+      .select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(idxBatches == Set(-1L, 0L, 1L), s"index partitions: $idxBatches")
+    // maintenance: compaction folds the appended partitions without
+    // changing verdicts — a new stream generation still cuts content
+    // batch 1 admitted, and admits fresh content
+    assert(StreamingJobs.substringIndexCompact(spark, idx) == 2)
+    val folded = spark.read.parquet(idx).select(col("ingest_batch").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(folded == Set(-1L), s"post-compaction partitions: $folded")
+    val source2 = MemoryStream[(Long, String)]
+    val q2 = StreamingJobs.substringGateStream(
+      source2.toDF().toDF("doc_id", "text"), idx, clean, s"$root/ckpt2")
+    try {
+      source2.addData(Seq((30L, E + " " + blk("f"))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out2 = spark.read.parquet(clean).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_rewritten")).toMap
+    assert(out2(30L) == blk("f"), s"doc 30 post-compaction: ${out2.get(30L)}")
+  }
+
   test("streaming near-dup gate is self-admitting: sequential fold of the batch verdict") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
