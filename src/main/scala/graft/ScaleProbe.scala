@@ -154,7 +154,8 @@ object ScaleProbe {
       "tokenizer_unigram_train", "tokenizer_unigram_apply",
       "tokenizer_unigram_prune",
       "tokenizer_wordpiece_train", "tokenizer_wordpiece_apply",
-      "tokenizer_fertility_report")
+      "tokenizer_fertility_report",
+      "dedup_gate_substring", "text_decontaminate_rewrite")
     // uniform noop sink, same as Bench: materializes every output
     // column so no query shape can under-measure under count()'s
     // work elimination (the round-5-8 special-case list is gone)

@@ -170,6 +170,60 @@ object StreamingJobs {
       }
       .start()
 
+  /** Per-benchmark positional shingle index for the streaming
+    * decontamination SCRUB: distinct (bench_id, shingle) pairs of the
+    * held-out eval suite, materialized once (eval-suite-bounded —
+    * MBs vs the TB-scale feed). Unlike [[contaminationIndex]] the
+    * benchmark identity survives: the scrub qualifies islands per
+    * (doc, benchmark) — cross-bench pseudo-runs stitched from
+    * unrelated single grams are noise and must not cut. */
+  def decontaminationScrubIndex(benchDocs: DataFrame): DataFrame =
+    graft.operators.Curation.posShingles(benchDocs)
+      .select(col("doc_id").as("bench_id"), col("shingle")).distinct()
+      .localCheckpoint()
+
+  /** Streaming decontamination SCRUB (text_decontaminate_rewrite's
+    * twin — the salvaging form of eval hygiene next to the
+    * quarantining [[contaminationGateStream]]): where the gate drops a
+    * whole doc over one leaked paragraph, the scrub excises the
+    * qualifying contamination islands via the SAME batch core
+    * ([[graft.operators.Curation.decontaminateRewriteOf]] — one
+    * definition, so stream and batch can never drift) and admits the
+    * remainder. Stream-static against the fixed per-benchmark shingle
+    * index; stateless across batches — islands, interval merges and
+    * the excision are all per-doc computations against the fixed eval
+    * suite, so the union of per-batch outputs equals the batch op over
+    * the whole feed (StreamingSpec pins cell equality). Every feed row
+    * yields exactly one output row (the core LEFT-joins the span
+    * frame): untouched docs pass with n_spans_cut=0 and a fully-leaked
+    * doc survives as the n_tokens_kept=0 audit row — an admission
+    * stage that silently drops feed rows is data loss. Same
+    * at-least-once parquet-append caveat as every foreachBatch file
+    * sink; content is deterministic, replay converges. */
+  def decontaminateScrubStream(docs: DataFrame, benchIndex: DataFrame,
+      cleanPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // persist, not localCheckpoint: nothing downstream reads a
+          // path this batch writes, and the deterministic unpersist
+          // keeps a long-lived stream from accumulating blocks
+          val b = batch.persist()
+          try {
+            // the ledger key carries the scrub's checkpoint identity:
+            // two scrubs with different eval suites in one application
+            // must not share a memoized bench-index count
+            graft.operators.Curation.decontaminateRewriteOf(
+              s, b, benchIndex, s"$checkpointDir#decon_benchindex")
+              .write.mode("append").parquet(cleanPath)
+          } finally { b.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Streaming perplexity admission gate (text_perplexity's twin — the
     * FIFTH admission control next to the quality gate, redaction, the
     * near-dup gate and the decontamination gate): the bigram LM is

@@ -1487,6 +1487,49 @@ class StreamingSpec extends AnyFunSuite {
     assert((cleanRows ++ quarRows).map(_._1) == feed.map(_._1).toSet + 9000000L)
   }
 
+  test("streaming decontamination scrub equals the batch rewrite over the union feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = "target/tmp/deconscrub"
+    val clean = s"$root/clean"; val ckpt = s"$root/ckpt"
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val docs = Tables.documents(spark, sf)
+    // the registry op's split: every 50th doc plays the eval suite,
+    // the rest are the live feed
+    val bench = StreamingJobs.decontaminationScrubIndex(
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0).select("doc_id", "text"))
+    val feed = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingJobs.decontaminateScrubStream(
+      source.toDF().toDF("doc_id", "text"), bench, clean, ckpt)
+    try {
+      val (b1, b2) = feed.splitAt(feed.length / 2)
+      source.addData(b1.toSeq); q.processAllAvailable()
+      source.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "n_tokens_kept", "n_spans_cut",
+        "text_rewritten")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getString(4))).toSet
+    val streamed = rows(spark.read.parquet(clean))
+    // stateless + per-doc semantics ⇒ union of micro-batch scrubs ==
+    // the registry op over the whole lake, cell for cell
+    val batch = rows(Registry.queries("text_decontaminate_rewrite")(spark, sf))
+    assert(streamed == batch,
+      s"stream != batch: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+    // total coverage: every feed row has exactly one scrub verdict
+    assert(streamed.map(_._1) == feed.map(_._1).toSet)
+    // the scrub salvaged something the quarantining gate would drop:
+    // at least one doc was cut AND kept non-empty content
+    assert(streamed.exists(r => r._4 > 0 && r._3 > 0),
+      "no partially-scrubbed doc in the feed — fixture lost its teeth")
+  }
+
   test("streaming perplexity gate quarantines gibberish, admits the fluent feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
