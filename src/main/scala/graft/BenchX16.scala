@@ -32,7 +32,10 @@ object BenchX16 {
     "r7_rollup", "corpus_filter_pipeline",
     // round-15 late additions that rank inside the top-20 by quiet
     // sf0.1 cost (mmr ~3.1 s would be #5, allpairs ~1.6 s ~#15)
-    "retrieval_mmr_rerank", "dedup_allpairs")
+    "retrieval_mmr_rerank", "dedup_allpairs",
+    // round-17 additions, same rule (~1.6-1.7 s at sf0.1, ~#15); no
+    // BENCH_X16_REF rows yet -> stable -1 ref_ratio until re-reference
+    "dedup_gate_substring", "text_decontaminate_rewrite")
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

@@ -317,6 +317,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("lead("), plan.take(2000))
   }
 
+  test("substring gate probes the seen set by semi join; islands stay the only Window") {
+    val plan = formatted("dedup_gate_substring")
+    // the admission probe must stay a LeftSemi on the 8-byte gram hash
+    // — admitted-corpus text must never travel into the gate's join
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+    // same rewrite shape as dedup_substring_spans: exactly ONE Window
+    // (the islands merge over duplicated positions); the token stream
+    // is never windowed
+    assert(plan.linesIterator.count(_.matches("""\(\d+\) Window.*""")) == 1,
+      plan.take(2000))
+    assert(!plan.contains("lead("), plan.take(2000))
+  }
+
+  test("decontaminate rewrite: broadcast hit join, windows only span-granularity streams") {
+    val plan = formatted("text_decontaminate_rewrite")
+    // the bench shingle index rides the ledger-gated broadcast — the
+    // corpus-side positional shingle stream must not shuffle to meet it
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // positional shingles are generator-based: no lead()-over-tokens
+    // Window anywhere in the tree
+    assert(!plan.contains("lead("), plan.take(2000))
+    // windows exist only on HIT-bounded streams: the per-(doc,bench)
+    // islands merge and the per-doc interval merge — never the token
+    // stream (which would add a corpus-wide Exchange+Sort)
+    val windows = plan.linesIterator.count(_.matches("""\(\d+\) Window.*"""))
+    assert(windows >= 1 && windows <= 3, s"unexpected Window count $windows:\n${plan.take(2000)}")
+  }
+
   test("r32 catalog stats is Expand-free: per-column branches, no row multiplication") {
     // N>1 exact distincts in one aggregate plan through Expand (rows
     // ×N+1 through the first hash aggregate, Σ-NDV values into one
