@@ -163,6 +163,25 @@ package object functions {
   def reroot(p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.GraftInternalRows.reroot(p)
 
+  /** Construct independent DataFrame subtrees CONCURRENTLY (r17,
+    * guide §2.6 "overlap independent jobs"): an op composed of
+    * several independent serve/apply paths pays each path's eager
+    * work (build-cache population, localCheckpoint materializations)
+    * strictly sequentially when constructed inline, while most cores
+    * idle in each path's job tails. Results are unchanged — each
+    * thunk builds the same plan it would inline; only wall-clock
+    * overlaps. Exceptions propagate to the caller. */
+  def inParallel[T](thunks: (() => T)*): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thunks.size, 6))
+    try {
+      val fs = thunks.map(t => pool.submit(new java.util.concurrent.Callable[T] {
+        def call(): T = t()
+      }))
+      fs.map(_.get())
+    } finally pool.shutdown()
+  }
+
   /** Calendar validity incl. leap years — the reference's DQ predicate
     * (glue_spark_trades_etl.py:135-171) as one codegen'd boolean. */
   def validCalendar(y: Column, m: Column, d: Column): Column = {

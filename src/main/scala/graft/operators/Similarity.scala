@@ -1531,14 +1531,73 @@ object Similarity {
     val means = dims.groupBy("i")
       .agg((sum(col("x").cast(DecimalType(38, 12))).cast(DoubleType) / lit(n)).as("m"))
       .transform(graft.functions.memoize)
-    // covariance hub: multi-consumer (8 matvec rounds + λ + trace) —
-    // localCheckpoint per the repo's AQE non-reuse convention
+    // single-consumer since the r17 driver-side eigen rounds: both
+    // remaining consumers ([[pcaOver]]/[[whiteningOver]] and the OPQ
+    // rotation) collect the d² cells exactly once, so the former
+    // multi-consumer memoize here would only add a materialization
     val cov = sxx
       .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
       .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
       .select(col("i"), col("j"), (col("sx") / lit(n) - col("mi") * col("mj")).as("c"))
-      .transform(graft.functions.memoize)
     (means, cov)
+  }
+
+  /** Driver-side replica of the engine's decimal-sum matvec algebra
+    * (r17 optimization): the power-iteration/deflation rounds operate
+    * on the d²-cell covariance — metadata-scale, the OPQ-Jacobi
+    * collect precedent — yet as in-engine rounds they cost
+    * K·PcaIters·(matvec + norm + checkpoint) SEQUENTIAL Spark jobs of
+    * d-row frames: pure job-scheduling overhead at every scale (the
+    * corpus passes are unaffected — one moment pass in, one projection
+    * pass out). These helpers replay the EXACT arithmetic of the
+    * former in-engine rounds so the oracle CTEs still match
+    * bit-for-bit: each IEEE-double term is cast to DECIMAL(38,12)
+    * exactly as Spark's `Cast(double, DecimalType(38,12))` does
+    * (`Double.toString`-based BigDecimal, HALF_UP at scale 12), the
+    * sum is exact decimal (order-free, like the engine's decimal Sum),
+    * and the result surfaces via `BigDecimal.doubleValue` — the same
+    * one-step conversion as `Cast(decimal, double)`. */
+  private def dec12(x: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  private def sumDec12(terms: Iterable[Double]): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    val it = terms.iterator
+    while (it.hasNext) acc = acc.add(dec12(it.next()))
+    acc.doubleValue
+  }
+
+  /** u = C·w with the engine's per-term decimal rounding. */
+  private def matvecExact(c: Array[Array[Double]], w: Array[Double]): Array[Double] =
+    Array.tabulate(c.length)(i => sumDec12(
+      (0 until c.length).map(j => c(i)(j) * w(j))))
+
+  /** One power-iteration eigenpair over the collected covariance —
+    * the exact driver-side replay of the former in-engine rounds
+    * (all-ones init, `iters` matvec+normalize rounds, λ = wᵀCw with
+    * per-term decimal rounding). Returns (w, λ). */
+  private def powerIterExact(c: Array[Array[Double]], iters: Int)
+      : (Array[Double], Double) = {
+    var w = Array.fill(c.length)(1.0)
+    for (_ <- 1 to iters) {
+      val u = matvecExact(c, w)
+      val nrm = math.sqrt(sumDec12(u.map(x => x * x)))
+      w = u.map(_ / nrm)
+    }
+    val uf = matvecExact(c, w)
+    ((w, sumDec12((0 until c.length).map(i => uf(i) * w(i)))))
+  }
+
+  /** Collect the d²-cell covariance frame into a dense driver-side
+    * matrix (metadata-scale by construction: d = embedding width). */
+  private def collectCov(cov: DataFrame): Array[Array[Double]] = {
+    val cells = cov.select("i", "j", "c").collect()
+    if (cells.isEmpty) return Array.empty
+    val d = cells.iterator.map(_.getInt(0)).max + 1
+    val a = Array.fill(d)(new Array[Double](d))
+    cells.foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    a
   }
 
   /** PCA over any (vec_id, embedding) frame — `iters` parameterized
@@ -1549,41 +1608,29 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
       .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
     val (means, cov) = covFrameOver(v, dims, n)
-    // the power-iteration rounds keep REAL localCheckpoints even under
-    // explainFull (unlike the one-shot hub frames): round j's tree
-    // embeds round j-1's twice (norm + iterate), so an un-cut chain
-    // explodes the ANALYZER exponentially before any print budget can
-    // intervene — the d-row iterate is a plan-dump-justified
-    // ExistingRDD survivor, and the scan/cov evidence stays visible in
-    // the op's root tree either way
-    var w = means.select(col("i"), lit(1.0).as("w")).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val u = cov
-        .join(broadcast(w.select(col("i").as("j"), col("w").as("wj"))), "j")
-        .groupBy("i")
-        .agg(sum((col("c") * col("wj")).cast(DecimalType(38, 12))).cast(DoubleType).as("u"))
-      val nrm = u.agg(
-        sqrt(sum((col("u") * col("u")).cast(DecimalType(38, 12))).cast(DoubleType)).as("nrm"))
-      w = u.crossJoin(broadcast(nrm))
-        .select(col("i"), (col("u") / col("nrm")).as("w")).localCheckpoint()
-    }
-    val uf = cov
-      .join(broadcast(w.select(col("i").as("j"), col("w").as("wj"))), "j")
-      .groupBy("i")
-      .agg(sum((col("c") * col("wj")).cast(DecimalType(38, 12))).cast(DoubleType).as("u"))
-    val lam = uf.join(broadcast(w), "i")
-      .agg(sum((col("u") * col("w")).cast(DecimalType(38, 12))).cast(DoubleType).as("lam"))
-    val tr = cov.filter(col("i") === col("j"))
-      .agg(sum(col("c").cast(DecimalType(38, 12))).cast(DoubleType).as("tr"))
+    // r17: the 8 power-iteration rounds run DRIVER-SIDE on the
+    // collected d²-cell covariance (see [[powerIterExact]] — exact
+    // replay of the former in-engine decimal rounds, oracle CTEs
+    // unchanged and still bit-for-bit). The in-engine form cost
+    // iters·(matvec + norm + checkpoint) sequential d-row Spark jobs
+    // — measured ~2.5 s of pure scheduling at sf0.1 and the same
+    // constant at any corpus scale; the corpus itself is still
+    // touched by exactly two passes (moment matrix in covFrameOver,
+    // projection below).
+    val c = collectCov(cov)
+    val (wArr, lam) = powerIterExact(c, iters)
+    val tr = sumDec12((0 until c.length).map(i => c(i)(i)))
+    val ss = v.sparkSession
+    val wDf = ss.createDataFrame((0 until c.length).map(i => (i, wArr(i))))
+      .toDF("i", "w")
     dims
       .join(broadcast(means), "i")
-      .join(broadcast(w), "i")
+      .join(broadcast(wDf), "i")
       .groupBy("vec_id")
       .agg(sum(((col("x") - col("m")) * col("w")).cast(DecimalType(38, 12)))
         .cast(DoubleType).as("p"))
-      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
       .select(col("vec_id"), round6(col("p")).as("pc1"),
-        round6(col("lam") / col("tr")).as("evr"))
+        round6(lit(lam) / lit(tr)).as("evr"))
       // checkpoint-before-sort (round-12 convention): the global
       // orderBy's range sampling would otherwise re-execute the
       // projection pass
@@ -1674,55 +1721,39 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
       .select(col("vec_id"), col("i"), col("xf").cast(DoubleType).as("x"))
     val (means, cov0) = covFrameOver(v, dims, n)
-    def matvec(cov: DataFrame, w: DataFrame): DataFrame = cov
-      .join(broadcast(w.select(col("i").as("j"), col("w").as("wj"))), "j")
-      .groupBy("i")
-      .agg(sum((col("c") * col("wj")).cast(DecimalType(38, 12)))
-        .cast(DoubleType).as("u"))
-    // per-round checkpoints, pcaOver's own convention: sparser
-    // checkpointing measured WORSE (14.2 vs 10.8 s — u feeds both the
-    // norm and the next iterate, so an un-checkpointed round
-    // re-derives its whole prefix per consumer, the MMR lesson), and
-    // so did repartition(1)-before-checkpoint (12.6 s — the shuffle
-    // stage costs more than 32 empty tasks that schedule in parallel);
-    // the K·8 round jobs ARE the op's irreducible driver overhead at
-    // tiny scale, amortized at corpus scale where the one moment pass
-    // dominates
-    var cov = cov0
-    var comps: Seq[DataFrame] = Nil
-    // deflation rounds keep REAL localCheckpoints under explainFull
-    // (the pcaOver rationale, compounded: component c's deflated cov
-    // embeds component c-1's whole iteration tree, so an un-cut chain
-    // is (PcaIters+1)^WhitenK-exponential in the ANALYZER — the
-    // measured r17 PlanDump hang); the d-row/d**2-row iterates are
-    // plan-dump-justified ExistingRDD survivors
-    for (c <- 1 to WhitenK) {
-      var w = means.select(col("i"), lit(1.0).as("w")).localCheckpoint()
-      for (_ <- 1 to PcaIters) {
-        val u = matvec(cov, w)
-        val nrm = u.agg(sqrt(sum((col("u") * col("u"))
-          .cast(DecimalType(38, 12))).cast(DoubleType)).as("nrm"))
-        w = u.crossJoin(broadcast(nrm))
-          .select(col("i"), (col("u") / col("nrm")).as("w")).localCheckpoint()
+    // r17: the K·8 deflated power-iteration rounds run DRIVER-SIDE on
+    // the collected d²-cell covariance ([[powerIterExact]] — exact
+    // replay of the former in-engine decimal rounds; the rank-1
+    // deflation C ← C − λ·w·wᵀ is the same left-associated IEEE
+    // arithmetic the former `c - lam * wi * wj` column computed, so
+    // the oracle CTEs still match bit-for-bit). The in-engine form
+    // cost K·(PcaIters·(matvec + norm + checkpoint) + deflation)
+    // ≈ 140 sequential d-row/d²-row Spark jobs — measured ~7 s of
+    // pure scheduling at sf0.1, the same constant at any corpus
+    // scale. Corpus passes are unchanged: ONE moment pass in
+    // (covFrameOver), ONE projection pass out (below).
+    val c0 = collectCov(cov0)
+    val d = c0.length
+    val comps = (1 to WhitenK).map { comp =>
+      val (w, lam) = powerIterExact(c0, PcaIters)
+      if (comp < WhitenK) {
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { c0(i)(j) = c0(i)(j) - lam * w(i) * w(j); j += 1 }
+          i += 1
+        }
       }
-      val lam = matvec(cov, w).join(broadcast(w), "i")
-        .agg(sum((col("u") * col("w")).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("lam"))
-      val wl = w.crossJoin(broadcast(lam))
-        .select(lit(c).as("comp"), col("i"), col("w"), col("lam"))
-        .localCheckpoint()
-      comps = comps :+ wl
-      if (c < WhitenK)
-        cov = cov
-          .join(broadcast(wl.select(col("i"), col("w").as("wi"), col("lam"))), "i")
-          .join(broadcast(wl.select(col("i").as("j"), col("w").as("wj"))), "j")
-          .select(col("i"), col("j"),
-            (col("c") - col("lam") * col("wi") * col("wj")).as("c"))
-          .localCheckpoint()
+      (comp, w, lam)
     }
+    val ss = v.sparkSession
+    val compsDf = ss.createDataFrame(
+      comps.flatMap { case (comp, w, lam) =>
+        (0 until d).map(i => (comp, i, w(i), lam)) })
+      .toDF("comp", "i", "w", "lam")
     dims
       .join(broadcast(means), "i")
-      .join(broadcast(comps.reduce(_.union(_))), "i")
+      .join(broadcast(compsDf), "i")
       .groupBy("vec_id", "comp")
       .agg(sum(((col("x") - col("m")) * col("w")).cast(DecimalType(38, 12)))
         .cast(DoubleType).as("p"),
@@ -3116,19 +3147,48 @@ object Similarity {
     * serves after appends/compactions). One exact baseline, one row
     * shape, so the two reports union into one QA board. */
   private[graft] def recallReportOver(s: SparkSession, dir: String,
-      methods: Seq[(String, DataFrame, Int)]): DataFrame = {
-    val exact = annBruteforce(s, dir)
-      .select("query_id", "neighbor_id").transform(graft.functions.memoize)
-    methods.map { case (name, approx0, k) =>
-      val approx = approx0
-        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-        .transform(graft.functions.memoize)
-      exact
-        .join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("hits"))
-        .select(lit(name).as("method"), lit(k).as("k"), col("query_id"), col("hits"))
-    }.reduce(_.union(_))
+      methods: Seq[(String, DataFrame, Int)]): DataFrame =
+    recallReportOverLazy(s, dir,
+      methods.map { case (n, df, k) => (n, () => df, k) })
+
+  /** The audit core with BY-NAME serve paths — r17 optimization
+    * (guide §2.6, overlap independent jobs): the exact baseline and
+    * every serve path are independent jobs over memoized builds, and
+    * the former eager shape constructed + materialized them strictly
+    * sequentially, paying the SUM of ~10 small job chains' wall time
+    * while most executor cores idled in each chain's tail. A bounded
+    * pool overlaps construction (which populates the shared
+    * `buildCached` maps — concurrent `computeIfAbsent` builds each
+    * key once) and materialization. Results are byte-identical: each
+    * method's frame is the same plan as before, `memoize` is
+    * per-frame, and the union keeps the declared method order. */
+  private[graft] def recallReportOverLazy(s: SparkSession, dir: String,
+      methods: Seq[(String, () => DataFrame, Int)]): DataFrame = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(methods.size + 1, 6))
+    val joined =
+      try {
+        val exactF = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = annBruteforce(s, dir)
+            .select("query_id", "neighbor_id").transform(graft.functions.memoize)
+        })
+        val approxFs = methods.map { case (name, mk, k) =>
+          (name, k, pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = mk()
+              .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+              .transform(graft.functions.memoize)
+          }))
+        }
+        val exact = exactF.get()
+        approxFs.map { case (name, k, f) =>
+          exact
+            .join(f.get(), Seq("query_id", "neighbor_id"), "left")
+            .groupBy("query_id")
+            .agg(sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("hits"))
+            .select(lit(name).as("method"), lit(k).as("k"), col("query_id"), col("hits"))
+        }
+      } finally pool.shutdown()
+    joined.reduce(_.union(_))
       .withColumn("recall_permil",
         expr(s"(CAST(hits AS BIGINT) * 1000) div least($RecallK, k)"))
       .orderBy("method", "query_id")
@@ -3150,20 +3210,20 @@ object Similarity {
     // served list's hit rate against the exact top-RecallK — the
     // comparable per-method number. The k column makes the depth
     // explicit in the report itself.
-    recallReportOver(s, dir, Seq(
-      ("adaptive", annAdaptive(s, dir), RecallK),
-      ("graph", annGraphSearch(s, dir), KnnK),
+    recallReportOverLazy(s, dir, Seq(
+      ("adaptive", () => annAdaptive(s, dir), RecallK),
+      ("graph", () => annGraphSearch(s, dir), KnnK),
       // hotprobe serves the whole corpus as queries (it IS the kNN
       // builder); the audit reads its panel slice of the same output
-      ("hotprobe", annKnnHotprobe(s, dir).filter(col("query_id") < AnnPanel), KnnK),
-      ("ivf", annIvf(s, dir), RecallK),
-      ("ivfpq", annIvfPq(s, dir), RecallK),
-      ("lsh", annLsh(s, dir), RecallK),
-      ("pq", annPq(s, dir), RecallK),
+      ("hotprobe", () => annKnnHotprobe(s, dir).filter(col("query_id") < AnnPanel), KnnK),
+      ("ivf", () => annIvf(s, dir), RecallK),
+      ("ivfpq", () => annIvfPq(s, dir), RecallK),
+      ("lsh", () => annLsh(s, dir), RecallK),
+      ("pq", () => annPq(s, dir), RecallK),
       // scann next to pq: same codebooks, anisotropic codes — the two
       // rows price the assignment change directly on the QA board
-      ("scann", annScann(s, dir), RecallK),
-      ("binary", annBinary(s, dir), RecallK)))
+      ("scann", () => annScann(s, dir), RecallK),
+      ("binary", () => annBinary(s, dir), RecallK)))
   }
 
   private def annRecallReportSql: String =
@@ -3441,41 +3501,59 @@ object Similarity {
           graft.plans.VecDotProduct.vec_dot_exact(
             col("a.embedding"), col("b.embedding")),
           col("a.n2"), col("b.n2"))).as("sim"))
-      .transform(graft.functions.memoize)
-    val w1 = Window.partitionBy("query_id")
-      .orderBy(col("rel").desc, col("neighbor_id"))
-    // each round's pick is memoized (the k-center per-round convention):
-    // round r's candidate set unions every earlier pick, so without the
-    // checkpoint sel1's plan re-derives inside sel2..sel5 AND the final
-    // union — ~2^K sel evaluations of pure stage overhead (measured
-    // 5.3 s -> the checkpointed loop's stages are linear in K)
-    val sel1 = pool.withColumn("rn", row_number().over(w1))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id"), lit(1).as("mmr_rank"),
-        col("rel"), (lit(MmrLambda) * col("rel")).as("mmr_raw"))
-      .transform(graft.functions.memoize)
-    val rounds = (2 to MmrK).foldLeft(Seq(sel1)) { (sels, r) =>
-      val selAll = sels.map(_.select("query_id", "neighbor_id"))
-        .reduce(_.unionByName(_))
-      val ms = sim
-        .join(selAll.withColumnRenamed("neighbor_id", "id_b"),
-          Seq("query_id", "id_b"))
-        .groupBy("query_id", "id_a").agg(max("sim").as("maxsim"))
-        .withColumnRenamed("id_a", "neighbor_id")
-      val wr = Window.partitionBy("query_id")
-        .orderBy(col("mmr_raw").desc, col("neighbor_id"))
-      val selr = pool.join(selAll, Seq("query_id", "neighbor_id"), "left_anti")
-        .join(ms, Seq("query_id", "neighbor_id"))
-        .withColumn("mmr_raw",
-          lit(MmrLambda) * col("rel") - lit(MmrDiv) * col("maxsim"))
-        .withColumn("rn", row_number().over(wr))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"), lit(r).as("mmr_rank"),
-          col("rel"), col("mmr_raw"))
-        .transform(graft.functions.memoize)
-      sels :+ selr
+      // single-consumer since the r17 driver-side greedy (one collect)
+      // — no memoize: a localCheckpoint would only add a second
+      // materialization of the same pool²-bounded frame
+    // r17: the K greedy rounds run DRIVER-SIDE on the collected pool
+    // and pairwise-sim tables — both PANEL-BOUNDED by construction
+    // (panel × MmrPool and panel × MmrPool² rows, independent of
+    // corpus size; the corpus-scale work — the exact top-MmrPool pool
+    // and the pairwise sims above — stays distributed). The former
+    // in-engine rounds cost K·(anti-join + join + window + checkpoint)
+    // sequential Spark jobs of ≤pool-size frames: pure scheduling
+    // overhead at every scale (and the pre-r17 comment's 2^K
+    // un-checkpointed blow-up class disappears outright). The greedy
+    // arithmetic is the oracle CTEs' own, replayed exactly: mmr_raw =
+    // λ·rel − δ·maxsim on IEEE doubles (rel/sim enter already
+    // round6'd), max over the selected set, argmax by (mmr_raw DESC,
+    // neighbor_id ASC), candidates lacking a sim row to any selected
+    // id excluded (the former inner join) — oracle re-verified
+    // hash-exact at sf0.001/0.01/0.1.
+    val poolRows = pool.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap = sim.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Double, Double)]
+    poolRows.groupBy(_._1).foreach { case (q, cands) =>
+      // (neighbor_id, score) argmax with the engines' tie rule
+      def best(xs: Iterable[(Long, Double)]): Option[(Long, Double)] =
+        xs.reduceOption { (a, b) =>
+          val c = java.lang.Double.compare(a._2, b._2)
+          if (c > 0 || (c == 0 && a._1 < b._1)) a else b
+        }
+      val rel = cands.map(c => c._2 -> c._3).toMap
+      var selected = List.empty[Long]
+      for (r <- 1 to MmrK) {
+        val scored: Seq[(Long, Double)] =
+          if (r == 1) cands.toSeq.map(c => (c._2, c._3))
+          else cands.iterator
+            .filter(c => !selected.contains(c._2))
+            .flatMap { c =>
+              val sims = selected.flatMap(b => simMap.get((q, c._2, b)))
+              if (sims.isEmpty) None
+              else Some((c._2, MmrLambda * c._3 - MmrDiv * sims.max))
+            }.toSeq
+        best(scored).foreach { case (n, raw) =>
+          out += ((q, n, r,
+            rel(n), if (r == 1) MmrLambda * raw else raw))
+          selected = n :: selected
+        }
+      }
     }
-    rounds.reduce(_.unionByName(_))
+    s.createDataFrame(out.toSeq)
+      .toDF("query_id", "neighbor_id", "mmr_rank", "rel", "mmr_raw")
       .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
         col("rel").as("relevance"), round6(col("mmr_raw")).as("mmr_score"))
       .orderBy("query_id", "mmr_rank")
@@ -3921,8 +3999,8 @@ object Similarity {
   }
 
   private def embeddingMatryoshka(s: SparkSession, dir: String): DataFrame =
-    recallReportOver(s, dir,
-      MatryoshkaDims.map(t => (s"d$t", truncTopK(s, dir, t), RecallK)))
+    recallReportOverLazy(s, dir,
+      MatryoshkaDims.map(t => (s"d$t", () => truncTopK(s, dir, t), RecallK)))
 
   private val embeddingMatryoshkaSql: String = {
     def truncBrute(t: Int) =

@@ -1701,13 +1701,19 @@ object TextAnalysis {
 
   private def tokenizerFertilityReport(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val b = bpeApply(s, dir).select(col("doc_id"),
-      col("n_tokens_ws").as("ws_b"), col("n_bpe_tokens").as("np_b"))
-    val u = unigramApply(s, dir).select(col("doc_id"),
-      col("n_tokens_ws").as("ws_u"), col("n_uni_pieces").as("np_u"))
-    val w = wpApply(s, dir).select(col("doc_id"),
-      col("n_tokens_ws").as("ws_w"), col("n_wp_pieces").as("np_w"),
-      col("n_unk_words").as("unk_w"))
+    // r17 (guide §2.6): the three per-family apply subtrees are
+    // independent — constructing them concurrently overlaps the three
+    // families' build-cache population (BPE/unigram/WordPiece training
+    // chains) instead of paying them back-to-back; plans and results
+    // are unchanged
+    val Seq(b, u, w) = graft.functions.inParallel(
+      () => bpeApply(s, dir).select(col("doc_id"),
+        col("n_tokens_ws").as("ws_b"), col("n_bpe_tokens").as("np_b")),
+      () => unigramApply(s, dir).select(col("doc_id"),
+        col("n_tokens_ws").as("ws_u"), col("n_uni_pieces").as("np_u")),
+      () => wpApply(s, dir).select(col("doc_id"),
+        col("n_tokens_ws").as("ws_w"), col("n_wp_pieces").as("np_w"),
+        col("n_unk_words").as("unk_w")))
     docs.select(col("doc_id"), col("source"))
       .join(b, "doc_id").join(u, "doc_id").join(w, "doc_id")
       .groupBy("source")

@@ -27,10 +27,39 @@ object ImageDecode {
   final case class Decoded(format: String, width: Int, height: Int,
       luma: Array[Byte])
 
+  /** Magic-byte prefilter over the JDK's bundled reader set: every
+    * registered `ImageReaderSpi.canDecodeInput` (PNG, JPEG, GIF, BMP,
+    * TIFF, WBMP — the full JDK-default registry) rejects any stream
+    * whose leading bytes fail this test, so returning false here is
+    * EXACTLY the "no reader claims it" outcome of the full probe —
+    * without paying `ImageIO.createImageInputStream`'s per-payload
+    * stream setup (temp-file-backed by default: a disk round-trip per
+    * row) and the six-provider probe loop for the overwhelmingly
+    * common non-image payload. WBMP is the one header-less format:
+    * its SPI demands type byte 0 and fix-header byte 0 before its
+    * deeper length checks, so `00 00` prefixes fall through to the
+    * full probe rather than being decided here. Measured: mm_resize's
+    * per-row cost is dominated by the stream setup this skips. */
+  private def mightBeImage(p: Array[Byte]): Boolean = {
+    val b0 = p(0) & 0xff; val b1 = p(1) & 0xff; val b2 = p(2) & 0xff
+    (b0 == 0x89 && b1 == 0x50 && b2 == 0x4e) || // PNG \x89PN
+    (b0 == 0xff && b1 == 0xd8 && b2 == 0xff) || // JPEG SOI
+    (b0 == 'G'  && b1 == 'I'  && b2 == 'F')  || // GIF8xa
+    (b0 == 'B'  && b1 == 'M')                 || // BMP
+    (b0 == 'I'  && b1 == 'I'  && b2 == 0x2a) || // TIFF LE
+    (b0 == 'M'  && b1 == 'M'  && b2 == 0x00) || // TIFF BE
+    (b0 == 0x00 && b1 == 0x00)                  // WBMP candidate
+  }
+
   def decode(payload: Array[Byte]): Option[Decoded] = {
     if (payload == null || payload.length < 8) return None
+    if (!mightBeImage(payload)) return None
     try {
-      val in = javax.imageio.ImageIO.createImageInputStream(
+      // memory-backed stream: ImageIO.createImageInputStream defaults
+      // to a FileCacheImageInputStream (temp file + delete per call);
+      // the cache is pointless for an in-memory payload and the same
+      // ImageInputStream contract is served from the heap
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
         new ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(in)

@@ -72,7 +72,10 @@ object TopKPerGroup {
     * switching the session-wide gate on. Idempotent. Only plans using
     * the [[MarkerPrefix]] alias are rewritten until [[EnabledKey]] is
     * set. */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+  // synchronized: serve paths are constructed concurrently since the
+  // r17 recall-report overlap — the check-then-act append below must
+  // not double-install under that race
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ TopKRewriteRule
