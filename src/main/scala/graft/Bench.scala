@@ -38,6 +38,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Wall budget (round 18): the driver gives the whole bench run a
+    // ~60-minute envelope; round 17 blew it at BOTH core counts
+    // (rc 124, parsed: null — the run produced no usable line at all).
+    // Two defenses, both measurement-envelope fixes, not methodology
+    // changes: (a) once total elapsed exceeds the budget, each
+    // remaining query gets ONE timed run instead of two (listed in
+    // "single_run" so the rows are self-documenting); (b) a query
+    // whose FIRST run already exceeds singleRunCap seconds skips its
+    // second run — min-of-two on an 80 s op costs 3+ minutes and the
+    // second reading never changes what the row means at that
+    // magnitude. Queries measured before the budget trips keep the
+    // exact min-of-two methodology, so quiet runs are unchanged.
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val wallBudgetSec =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC").map(_.toDouble).getOrElse(1800.0)
+    val singleRunCapSec =
+      sys.env.get("SPARK_GRAFT_BENCH_SINGLE_CAP_SEC").map(_.toDouble).getOrElse(45.0)
+    val singleRun = scala.collection.mutable.ArrayBuffer[String]()
     // Targeted quiet re-measure (the contention protocol's tool):
     // SPARK_GRAFT_BENCH_ONLY=name1,name2 times only those queries
     // under the EXACT bench methodology (local[N], min-of-two, noop
@@ -153,29 +172,15 @@ object Bench {
     def inflated(name: String, t: Double): Boolean =
       refMap.get(name).exists(r =>
         r > 0 && t > 2 * r && (t - r > 0.5 || r >= 0.25))
-    val firstPass = SparkEntry.queries.filter(q => isWanted(q._1)).map {
-      case (name, fn) => name -> math.min(timed(fn), timed(fn))
-    }
-    val remeasured = firstPass.map { case (name, t) =>
-      if (inflated(name, t))
-        name -> math.min(t, timed(SparkEntry.queries(name)))
-      else name -> t
-    }
-    val results =
-      if (!isWanted("etl_pipeline")) remeasured
-      else {
-        val etl0 = benchEtl(spark, sfDir)
-        val etl =
-          if (inflated("etl_pipeline", etl0)) math.min(etl0, benchEtl(spark, sfDir))
-          else etl0
-        remeasured ++ Map("etl_pipeline" -> etl)
-      }
-    val contended = results.collect {
-      case (n, t) if inflated(n, t) => n
-    }.toSeq.sorted
-    val contendedJson =
-      contended.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Per-query results accumulate HERE, in run order, as each op is
+    // measured — round 17 lost its entire perf measurement because the
+    // driver's 3600 s timeout killed the process ~0.8 s before the
+    // single final println. The shutdown hook below turns a SIGTERM
+    // into a parseable, "partial":true-marked line instead of nothing.
+    val acc = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def snapshot: Seq[(String, Double)] = acc.synchronized(acc.toSeq)
+    @volatile var finalPrinted = false
+
     // The FULL per-query map goes to a committed file: the driver's
     // stdout tail capture is ~2 KB, and a 114-entry single line
     // overflows it (rounds 3-4: "parsed": null — the line's head,
@@ -183,29 +188,93 @@ object Bench {
     // stays compact so it always fits the tail.
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    // per-query ratio vs the quiet-VM reference (BENCH_REF.json, same
-    // scale only): >1 = slower than reference this run. Committed so
-    // drift is self-documenting — no threshold has to catch it for the
-    // number to be visible. Sub-floor rows (reading AND reference both
-    // under the 0.5 s floor) print as -1, not a number and not
-    // omitted: the ratio there is Spark-overhead noise (a 0.15 s query
-    // printing "2.66" reads as a regression that isn't there), but
-    // omitting the row made the committed key set churn with timing
-    // jitter around the floor (a query at 0.49 s vs 0.51 s appearing/
-    // disappearing run-to-run). -1 keeps the key set stable while
-    // staying visibly non-comparable; `inflated` applies the same
-    // floor to the contended flag.
-    val ratios = results.toSeq.collect {
-      case (n, t) if t > 0 && refMap.get(n).exists(_ > 0) =>
-        n -> (if (math.max(t, refMap(n)) >= 0.5)
-          math.rint(t / refMap(n) * 100) / 100 else -1.0)
-    }.sortBy(_._1)
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":2,"sink":"noop","contended":$contendedJson,"ref_ratio":${jmap(ratios)},"queries":${jmap(results)},"sf":"$sfDir"}"""
-    if (onlyFilter.isEmpty) try {
-      val w = new java.io.PrintWriter(new java.io.File("BENCH_LOCAL.json"), "UTF-8")
-      try w.println(fullJson) finally w.close()
-    } catch { case _: Throwable => /* bench still reports via stdout */ }
+    // renderLines builds (full BENCH_LOCAL line, compact stdout line)
+    // from a results snapshot. per-query ratio vs the quiet-VM
+    // reference (BENCH_REF.json, same scale only): >1 = slower than
+    // reference this run. Committed so drift is self-documenting — no
+    // threshold has to catch it for the number to be visible.
+    // Sub-floor rows (reading AND reference both under the 0.5 s
+    // floor) print as -1, not a number and not omitted: the ratio
+    // there is Spark-overhead noise, but omitting the row made the
+    // committed key set churn with timing jitter around the floor.
+    // -1 keeps the key set stable while staying visibly
+    // non-comparable; `inflated` applies the same floor to the
+    // contended flag.
+    def renderLines(results: Seq[(String, Double)], partial: Boolean): (String, String) = {
+      val contended = results.collect { case (n, t) if inflated(n, t) => n }.sorted
+      val contendedJson = contended.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val singleJson = singleRun.synchronized(
+        singleRun.toSeq).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.map(_._2).sum
+      val ratios = results.collect {
+        case (n, t) if t > 0 && refMap.get(n).exists(_ > 0) =>
+          n -> (if (math.max(t, refMap(n)) >= 0.5)
+            math.rint(t / refMap(n) * 100) / 100 else -1.0)
+      }.sortBy(_._1)
+      val tailFields =
+        s""""single_run":$singleJson${if (partial) ",\"partial\":true" else ""},"sf":"$sfDir""""
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","n":2,"sink":"noop","contended":$contendedJson,"ref_ratio":${jmap(ratios)},"queries":${jmap(results)},$tailFields}"""
+      val slowest = results.sortBy(-_._2).take(10)
+      val compact =
+        s"""{"metric":"total","value":$total,"unit":"sec","n":2,"sink":"noop","nqueries":${results.size},"contended":$contendedJson,"queries":${jmap(slowest)},"full":"BENCH_HISTORY.jsonl",$tailFields}"""
+      (full, compact)
+    }
+    def writeLocal(fullLine: String): Unit =
+      if (onlyFilter.isEmpty) try {
+        // A filtered run never touches BENCH_LOCAL.json (a partial
+        // table must not clobber the committed full one).
+        val w = new java.io.PrintWriter(new java.io.File("BENCH_LOCAL.json"), "UTF-8")
+        try w.println(fullLine) finally w.close()
+      } catch { case _: Throwable => /* bench still reports via stdout */ }
+    val hook = new Thread(() => {
+      if (!finalPrinted) {
+        val (fullLine, compact) = renderLines(snapshot, partial = true)
+        writeLocal(fullLine)
+        // The leading newline terminates any unterminated partial line
+        // a logger may have left behind (log level is ERROR, so under
+        // SIGTERM nothing else should be writing).
+        print("\n" + compact + "\n")
+        System.out.flush()
+      }
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    SparkEntry.queries.filter(q => isWanted(q._1)).foreach { case (name, fn) =>
+      val t1 = timed(fn)
+      val overBudget = elapsedSec > wallBudgetSec
+      val t =
+        if (overBudget || t1 >= singleRunCapSec) {
+          singleRun.synchronized(singleRun += name)
+          t1
+        } else {
+          // -1.0 (a failed run) must never clobber a valid reading:
+          // round 17's post-SIGTERM re-runs manufactured 14 bogus
+          // -1.0 rows via math.min(valid, -1.0).
+          val t2 = timed(fn)
+          if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2)
+        }
+      val tFinal =
+        if (!overBudget && inflated(name, t)) {
+          val t3 = timed(fn)
+          if (t3 > 0 && (t < 0 || t3 < t)) t3 else t
+        } else t
+      acc.synchronized(acc += (name -> tFinal))
+      // incremental flush: a "partial":true table on disk after every
+      // op beats losing the run to a timeout.
+      writeLocal(renderLines(snapshot, partial = true)._1)
+    }
+    if (isWanted("etl_pipeline")) {
+      val etl0 = benchEtl(spark, sfDir)
+      val etl =
+        if (elapsedSec <= wallBudgetSec && inflated("etl_pipeline", etl0)) {
+          val e2 = benchEtl(spark, sfDir)
+          if (e2 > 0 && (etl0 < 0 || e2 < etl0)) e2 else etl0
+        } else etl0
+      acc.synchronized(acc += ("etl_pipeline" -> etl))
+    }
+    val (fullJson, compactJson) = renderLines(snapshot, partial = false)
+    writeLocal(fullJson)
     // Round-over-round per-query history: BENCH_LOCAL.json is
     // overwritten each run, so each full line is ALSO appended to a
     // committed journal — the driver's BENCH_rN snapshot only stores
@@ -216,17 +285,19 @@ object Bench {
       val h = new java.io.FileWriter("BENCH_HISTORY.jsonl", true)
       try h.write(fullJson + "\n") finally h.close()
     } catch { case _: Throwable => () }
-    val slowest = results.toSeq.sortBy(-_._2).take(10)
     // Stop Spark BEFORE printing: once the context is down nothing else
     // writes to the merged stdout/stderr stream, so the JSON line cannot
     // be split by a concurrent log flush. The leading newline terminates
     // any unterminated partial line a logger may have left behind.
     spark.stop()
     // n:2 documents the min-of-two runs per query (see `timed` above);
-    // "queries" carries only the 10 slowest entries (full map in
-    // BENCH_LOCAL.json, committed) so this line never exceeds the
-    // driver's tail capture.
-    print(s"""\n{"metric":"total","value":$total,"unit":"sec","n":2,"sink":"noop","nqueries":${results.size},"contended":$contendedJson,"queries":${jmap(slowest)},"full":"BENCH_HISTORY.jsonl","sf":"$sfDir"}\n""")
+    // rows in "single_run" got one timed run (wall budget tripped, or
+    // the first run exceeded the single-run cap). "queries" carries
+    // only the 10 slowest entries (full map in BENCH_LOCAL.json,
+    // committed) so this line never exceeds the driver's tail capture.
+    print("\n" + compactJson + "\n")
     System.out.flush()
+    finalPrinted = true
+    try Runtime.getRuntime.removeShutdownHook(hook) catch { case _: Throwable => () }
   }
 }
