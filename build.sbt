@@ -33,3 +33,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The 241-test suite outgrew the driver's wall window when run
+// sequentially in one forked JVM (round 17: killed mid-EtlSpec).
+// Suites are independent (each writes its own target/tmp/* paths and
+// builds its own local[4] session), so run each in its own forked JVM,
+// several at a time: wall clock drops to roughly the slowest suite.
+// 6 groups x local[4] fits the 32-core box; -Xmx stays per-JVM.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value.map { t =>
+    Tests.Group(t.name, Seq(t),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 6),
+  Tags.limitAll(16),
+)

@@ -10,11 +10,16 @@ import org.apache.spark.sql.execution.ExplainMode
 object PlanOne {
   def main(args: Array[String]): Unit = {
     val (outDir, suffix, names) = (args(0), args(1), args(2).split(",").toSeq)
+    // optional 4th arg "exec": dump the plan AS EXECUTED (memoized
+    // subtrees appear as their materialized Scan ExistingRDD roots) —
+    // the evidence shape for single-materialization claims, where the
+    // full tree would just re-print the identical derivation twice.
+    val asExec = args.length > 3 && args(3) == "exec"
     val spark = GraftSession.local()
     val dir = "/root/testdata/sf0.001"
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
-      spark.conf.set("spark.graft.explainFull", "true")
+      spark.conf.set("spark.graft.explainFull", (!asExec).toString)
       var plan = Registry.queries(n)(spark, dir)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
       var note = ""

@@ -178,7 +178,13 @@ package object functions {
       val fs = thunks.map(t => pool.submit(new java.util.concurrent.Callable[T] {
         def call(): T = t()
       }))
-      fs.map(_.get())
+      // unwrap ExecutionException so callers see the thunk's own
+      // exception type, exactly as the former sequential code threw it
+      fs.map(f => try f.get() catch {
+        case ee: java.util.concurrent.ExecutionException =>
+          fs.foreach(_.cancel(true))
+          throw ee.getCause
+      })
     } finally pool.shutdown()
   }
 

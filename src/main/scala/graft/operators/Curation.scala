@@ -359,8 +359,21 @@ object Curation {
       .agg(min("s").as("s"), max("e").as("e"))
     val perDoc = merged.groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("sps"))
+      .transform(graft.functions.memoize)
+    // Contaminated-doc span table vs the corpus text stream: the
+    // planner's size estimate for this aggregate descends from the
+    // exploded shingle stream, so it always picked SortMergeJoin —
+    // shuffling and sorting EVERY document's text to meet a
+    // hit-bounded handful of rows. Gate a broadcast on the
+    // materialized count instead (CostModel.broadcastable); the text
+    // then crosses exactly one exchange (the audit ORDER BY), the
+    // plan's floor. Falls back to the shuffle join when the span
+    // table genuinely outgrows a broadcast.
+    val perDocB =
+      if (graft.plans.CostModel.broadcastable(perDoc.count())) broadcast(perDoc)
+      else perDoc
     docs.select("doc_id", "text")
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(perDocB, Seq("doc_id"), "left")
       .withColumn("ts", toks)
       .withColumn("kept", expr("filter(ts, (t, i) -> sps IS NULL OR " +
         "NOT exists(sps, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"))
@@ -1054,10 +1067,13 @@ object Curation {
         explode(graft.plans.NgramArray.ngrams(toks, 2)).as("bigram"))
       .select(col("doc_id"), pmod(h32(col("bigram")), lit(QcBuckets)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-    val tot = cnt.groupBy("doc_id").agg(sum("cnt").as("tot"))
-    cnt.join(tot, "doc_id")
-      .select(col("doc_id"), col("bucket"),
-        (col("cnt").cast(DoubleType) / col("tot")).as("x"))
+    // ℓ1 totals as a window over the count frame instead of a
+    // re-aggregate + self-join: one exchange (doc_id) replaces the
+    // former exchange + SortMergeJoin pair; the divisor values are
+    // identical (sum of the same longs over the same group)
+    cnt.select(col("doc_id"), col("bucket"),
+      (col("cnt").cast(DoubleType) /
+        sum("cnt").over(Window.partitionBy("doc_id"))).as("x"))
   }
 
   /** K rounds of full-batch squared-loss GD over the train-slice
@@ -1072,53 +1088,71 @@ object Curation {
     * bucket, x, y) for the train slice only. */
   private[graft] def qcTrainModel(trainFeat0: DataFrame,
       withLoss: Boolean): (DataFrame, Seq[(Int, Double)]) = {
+    val spark = trainFeat0.sparkSession
     val trainFeat = trainFeat0.transform(graft.functions.memoize)
-    val nRow = trainFeat.select("doc_id").distinct()
-      .agg(count(lit(1)).cast(DoubleType).as("n_train"))
+    // r18: the K GD rounds iterate DRIVER-SIDE state — w is ≤ QcBuckets
+    // rows by construction, so holding it as a local array (the r17
+    // eigen/MMR convention) deletes the per-round w-checkpoint jobs,
+    // the per-round broadcast builds, and the round-nested plan growth.
+    // The corpus-scale work per round is unchanged and distributed:
+    // one s-aggregate over the train features and one g-aggregate,
+    // both fixed-point long reductions (round-13 §5 convention — the
+    // decimal form's ~30x BigDecimal tax was the op's dominant cost).
+    // Replays the former in-engine algebra bit-for-bit: identical
+    // per-round operand values into identical order-free reductions,
+    // and the update w_j ← w_j − (lr·g_j)/n in the same IEEE order.
+    val nTrain = trainFeat.select("doc_id").distinct().count().toDouble
     // per-doc labels once (loss needs (s_d, y_d) pairs, not features)
     val docY = if (withLoss)
       trainFeat.select("doc_id", "y").distinct().transform(graft.functions.memoize)
     else null
     val losses = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    var w = trainFeat.select("bucket").distinct()
-      .withColumn("w", lit(0.0)).transform(graft.functions.memoize)
+    // w's domain: the train slice's distinct buckets (collected once).
+    // The in-round lookup uses a dense QcBuckets-slot array literal —
+    // slots outside the domain stay 0.0 and are never read in
+    // training (trainFeat's buckets ARE the domain), so the element_at
+    // lookup is value-identical to the former inner join on w.
+    val domain = trainFeat.select("bucket").distinct().collect()
+      .map(_.getAs[Number]("bucket").intValue()).sorted
+    val w = new Array[Double](QcBuckets)
     for (r <- 1 to QcRounds) {
-      // s_d = w·x_d (exact decimal reduction), then
+      // s_d = w·x_d (exact fixed-point reduction), then
       // grad_j = Σ_d (s_d − y_d)·x_dj, then w_j ← w_j − lr·grad_j/n.
-      // Per-round localCheckpoint: w is ≤ QcBuckets rows (free) and
-      // un-truncated the K rounds nest into one exponentially
-      // re-derived plan (the Lloyd/pagerank convention).
-      // fixed-point long reduction (round-13 §5 convention): these
-      // per-round sums touch corpus-scale term counts — the decimal
-      // form's ~30x BigDecimal tax was the op's dominant cost
-      var s = trainFeat.join(broadcast(w), "bucket")
+      val wLook = element_at(typedLit(w.toSeq), col("bucket").cast(IntegerType) + 1)
+      val s0 = trainFeat
         .groupBy("doc_id")
-        .agg(graft.functions.fsum12(col("x") * col("w")).as("s"))
+        .agg(graft.functions.fsum12(col("x") * wLook).as("s"))
+      // s is train-doc-bounded: broadcast it back onto the feature
+      // stream when it fits (the g join otherwise SortMergeJoins —
+      // shuffling the whole feature table by doc_id EVERY round)
+      val s1 = if (withLoss) s0.transform(graft.functions.memoize) else s0
+      val s = if (graft.plans.CostModel.broadcastable(nTrain.toLong)) broadcast(s1)
+        else s1
       if (withLoss) {
-        // s feeds two consumers (loss + gradient) — materialize (the
-        // AQE non-reuse convention); the 1-row collect per round is
-        // the BPE trainer's metadata-scale driver traffic
-        s = s.transform(graft.functions.memoize)
         // the MSE stays DECIMAL: one term per doc (~feature-count×
         // fewer than s/g), and the exact sum keeps the descent-lemma
         // monotonicity pin free of quantization ties
-        val loss = s.join(docY, "doc_id").crossJoin(broadcast(nRow))
+        val loss = s1.join(docY, "doc_id")
           .agg((sum(((col("s") - col("y")) * (col("s") - col("y")))
             .cast(DecimalType(38, 12))).cast(DoubleType) /
-            first("n_train")).as("mse"))
+            lit(nTrain)).as("mse"))
           .collect()(0).getDouble(0)
         losses += ((r, loss))
       }
       val g = trainFeat.join(s, "doc_id")
         .groupBy("bucket")
         .agg(graft.functions.fsum12((col("s") - col("y")) * col("x")).as("g"))
-      w = w.join(g, Seq("bucket"), "left").crossJoin(broadcast(nRow))
-        .select(col("bucket"),
-          (col("w") - lit(QcLr) * coalesce(col("g"), lit(0.0)) / col("n_train"))
-            .as("w"))
-        .transform(graft.functions.memoize)
+        .collect()
+      g.foreach { row =>
+        val b = row.getAs[Number]("bucket").intValue()
+        w(b) = w(b) - QcLr * row.getDouble(1) / nTrain
+      }
     }
-    (w, losses.toSeq)
+    // the servable weight table, exactly the former shape: the train
+    // bucket domain with its final weights, as a local relation
+    import spark.implicits._
+    val wDf = domain.map(b => (b.toLong, w(b))).toSeq.toDF("bucket", "w")
+    (wDf, losses.toSeq)
   }
 
   /** Loss-free trainer — the registry op's path (bit-identical weights

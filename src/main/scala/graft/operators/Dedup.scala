@@ -1252,8 +1252,14 @@ object Dedup {
     // one materialization for the two consumers — AQE does not
     // collapse the twin derivation branches (the shingleCache finding)
     val win = spanGrams(s, dir).transform(graft.functions.memoize)
+    // duplicated-gram build side, broadcast-gated on its materialized
+    // count (see substringSpansWithSeen): the win stream then never
+    // shuffles to meet it
     val freq = win.groupBy("gh").agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    val dup = win.join(freq, "gh").select("doc_id", "pos")
+      .transform(graft.functions.memoize)
+    val freqB =
+      if (graft.plans.CostModel.broadcastable(freq.count())) broadcast(freq) else freq
+    val dup = win.join(freqB, "gh").select("doc_id", "pos")
     val iw = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     dup
@@ -1330,18 +1336,42 @@ object Dedup {
     // win0: a pre-materialized window frame — the streaming gate
     // derives grams ONCE and feeds both the rewrite and its lake append
     val win = win0.getOrElse(spanGramsOf(s, docs).transform(graft.functions.memoize))
+    // freq is hit-bounded (duplicated grams only) — materialize it so
+    // its real cardinality can gate a broadcast: when it fits, the win
+    // stream never shuffles to meet it (plan-time CBO, same pattern as
+    // CostModel.statsJoin but on a query-derived intermediate whose
+    // count only exists after materialization). The count runs on the
+    // checkpointed frame, so it costs one cheap local pass, not a
+    // recompute of the counting groupBy.
     val freq = win.groupBy("gh").agg(count(lit(1)).as("n"),
         min(struct(col("doc_id"), col("pos"))).as("canon"))
       .filter(col("n") > 1)
-    val dupIn = win.join(freq, "gh")
+      .transform(graft.functions.memoize)
+    val freqB =
+      if (graft.plans.CostModel.broadcastable(freq.count())) broadcast(freq) else freq
+    val dupIn = win.join(freqB, "gh")
       .filter(struct(col("doc_id"), col("pos")) =!= col("canon"))
       .select("doc_id", "pos")
     val dup = seen match {
       case None => dupIn
-      case Some(sn) => dupIn
-        .unionByName(win.join(sn.select("gh").distinct(), Seq("gh"), "left_semi")
-          .select("doc_id", "pos"))
-        .distinct() // a position can trip both rules
+      case Some(sn) =>
+        // The seen stream is corpus-scale (every admitted gram) while
+        // only grams also present in the incoming batch can matter.
+        // Build a Bloom filter over the (memoized) incoming gram hashes
+        // and prune the seen stream BEFORE its exchange + distinct —
+        // false positives only cost shuffle bytes, the semi join stays
+        // the correctness gate, and the admitted corpus's non-matching
+        // grams (the overwhelming majority) never shuffle at all.
+        val nWin = math.max(win.count(), 1L)
+        val bf = win.stat.bloomFilter("gh", nWin, 0.01)
+        val bfB = s.sparkContext.broadcast(bf)
+        val mightMatch = udf((g: Long) => bfB.value.mightContainLong(g))
+        dupIn
+          .unionByName(win.join(
+            sn.select("gh").where(mightMatch(col("gh"))).distinct(),
+            Seq("gh"), "left_semi")
+            .select("doc_id", "pos"))
+          .distinct() // a position can trip both rules
     }
     val iw = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -1368,8 +1398,19 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("s"),
         (col("span_end") + lit(SpanGram - 1)).as("e"))).as("sps"))
+      .transform(graft.functions.memoize)
+    // Span-granularity build side vs the corpus text stream: Spark's
+    // size estimate for this aggregate descends from the exploded gram
+    // stream, so the planner always picked SortMergeJoin — shuffling
+    // and sorting EVERY document's text to meet a few spans' worth of
+    // rows. Gate a broadcast on the materialized count instead: text
+    // then crosses exactly one exchange (the audit ORDER BY), the
+    // plan's floor.
+    val perDocB =
+      if (graft.plans.CostModel.broadcastable(perDoc.count())) broadcast(perDoc)
+      else perDoc
     docs.select("doc_id", "text")
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(perDocB, Seq("doc_id"), "left")
       .withColumn("ts", split(col("text"), " "))
       // 1-based token position i+1 against the covered ranges; a doc
       // with no spans (sps null) keeps every token

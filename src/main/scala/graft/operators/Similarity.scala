@@ -299,8 +299,12 @@ object Similarity {
     * contrast. */
   def knnGraphAt(s: SparkSession, dir: String, nPlanes: Int): DataFrame = {
     graft.plans.VecDotProduct.register(s)
+    // memoize: v feeds BOTH self-join sides, and AQE does not collapse
+    // twin derivation branches — without it every per-vector plane dot
+    // (incl. the exact-decimal n2) computes twice
     val v = withNorm2(Tables.embeddings(s, dir))
       .withColumn("bucket", bucketColFor(col("embedding"), gaussianPlanes(nPlanes)))
+      .transform(graft.functions.memoize)
     val q = v.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       col("n2").as("qn2"), col("bucket").as("q_bucket"))
     val pairs = v.join(q,
@@ -422,7 +426,11 @@ object Similarity {
 
   private[graft] def knnMultiprobeOver(s: SparkSession, vn: DataFrame): DataFrame = {
     graft.plans.VecDotProduct.register(s)
-    val v = withBucketJstar(vn)
+    // memoize: the bucket/jstar frame feeds BOTH self-join sides (AQE
+    // does not collapse twin branches) — the two-phase plane-dot pass
+    // (6 fast dots + conditional exact recomputes per vector) must run
+    // once, not once per side
+    val v = withBucketJstar(vn).transform(graft.functions.memoize)
     val q = v.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("n2").as("qn2"),
         explode(array(col("bucket"),
@@ -628,8 +636,12 @@ object Similarity {
     val maxSub = if (maxSub0 <= 0) maxSubFor(nPlanes) else maxSub0
     val primary = gaussianPlanes(nPlanes)
     val secondary = gaussianPlanesSec(maxSub)
+    // memoize: v0 feeds the population count AND the join frame below
+    // (AQE does not collapse twin branches) — the primary plane dots
+    // must run once, not once per consumer
     val v0 = withNorm2(Tables.embeddings(s, dir))
       .withColumn("bucket", bucketColFor(col("embedding"), primary))
+      .transform(graft.functions.memoize)
     // bucket populations: ≤ 2^nPlanes rows — broadcast back to the scan
     val pops = v0.groupBy("bucket").agg(count(lit(1)).as("pop"))
     // split depth d = ceil(log2(pop/cap)) via integer thresholds
@@ -646,10 +658,13 @@ object Similarity {
         .otherwise(fast)
       when(col("d") > i && sd > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+    // memoize again: v (with the maxSub secondary plane dots) feeds
+    // BOTH self-join sides — without it the secondary dots run twice
     val v = v0.join(broadcast(pops), "bucket")
       .withColumn("d", dCol)
       .withColumn("sub", subKey)
       .select("vec_id", "embedding", "n2", "bucket", "sub", "d")
+      .transform(graft.functions.memoize)
     // probes: home sub-bucket + every single-bit flip of the d active
     // planes (an array literal per possible depth — d ≤ maxSub)
     val probeArr = (1 to maxSub).foldLeft(
@@ -801,9 +816,14 @@ object Similarity {
         .otherwise(fast)
       when(sd > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+    // memoize: vAll (primary dots + jstar argmin + secondary ssig — all
+    // the heavy per-vector work) feeds THREE consumers: the population
+    // count, the corpus join side, and the query side. AQE does not
+    // collapse twin branches, so without this the dot pass runs 3x.
     val vAll = v0.withColumn("bucket", bucket).withColumn("jstar", jstar)
       .withColumn("ssig", ssig)
       .select("vec_id", "embedding", "n2", "bucket", "jstar", "ssig")
+      .transform(graft.functions.memoize)
     // bucket populations → split depths: ≤ 2^nPlanes rows, broadcast
     val pops = vAll.groupBy("bucket").agg(count(lit(1)).as("pop"))
     val dCol = (0 until maxSub)
@@ -1594,7 +1614,11 @@ object Similarity {
   private def collectCov(cov: DataFrame): Array[Array[Double]] = {
     val cells = cov.select("i", "j", "c").collect()
     if (cells.isEmpty) return Array.empty
-    val d = cells.iterator.map(_.getInt(0)).max + 1
+    // density assumption pinned to covFrameOver's construction: cov is
+    // built from posexplode'd dims, so every (i, j) pair is present;
+    // size from max over BOTH indices so a sparsified producer fails
+    // into zero-filled cells instead of an ArrayIndexOutOfBounds.
+    val d = cells.iterator.map(r => math.max(r.getInt(0), r.getInt(1))).max + 1
     val a = Array.fill(d)(new Array[Double](d))
     cells.foreach(r => a(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
     a

@@ -10,9 +10,22 @@ class PlanSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  /** The plan as executed: memoized/buildCached subtrees appear as
+    * their materialized roots (Scan ExistingRDD) — the right surface
+    * for serve-path pins. */
   private def formatted(name: String): String =
     Registry.queries(name)(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** The full derivation tree: explainFull bypasses memoize/buildCached
+    * (identity, no cache) so pins can see INSIDE materialized subtrees
+    * — same convention as the PlanDump/PlanOne evidence tools. */
+  private def formattedFull(name: String): String = {
+    spark.conf.set("spark.graft.explainFull", "true")
+    try Registry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    finally spark.conf.unset("spark.graft.explainFull")
+  }
 
   test("buildCached: explainFull bypasses the build cache in BOTH directions") {
     // r17: a PlanDump pass must neither serve a checkpointed cached
@@ -318,10 +331,17 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("substring gate probes the seen set by semi join; islands stay the only Window") {
-    val plan = formatted("dedup_gate_substring")
+    // r18: the span derivation is memoized (its count gates the final
+    // join's broadcast), so the pins need the full derivation tree
+    val plan = formattedFull("dedup_gate_substring")
     // the admission probe must stay a LeftSemi on the 8-byte gram hash
     // — admitted-corpus text must never travel into the gate's join
     assert(plan.contains("LeftSemi"), plan.take(2000))
+    // r18: the seen stream is Bloom-pruned against the incoming grams
+    // BEFORE its exchange + distinct (§3.2) — the filter must sit on
+    // the admitted-corpus scan side, upstream of the semi join
+    assert(plan.contains("mightContainLong") || plan.contains("UDF"),
+      "seen-side bloom prune missing:\n" + plan.take(2000))
     // same rewrite shape as dedup_substring_spans: exactly ONE Window
     // (the islands merge over duplicated positions); the token stream
     // is never windowed
@@ -331,7 +351,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("decontaminate rewrite: broadcast hit join, windows only span-granularity streams") {
-    val plan = formatted("text_decontaminate_rewrite")
+    // r18: full tree — the span table is memoized for its count-gated
+    // broadcast back onto the corpus text (SortMergeJoin eliminated)
+    val plan = formattedFull("text_decontaminate_rewrite")
+    assert(plan.contains("BroadcastHashJoin LeftOuter"),
+      "span table should broadcast onto the text stream:\n" + plan.take(2000))
     // the bench shingle index rides the ledger-gated broadcast — the
     // corpus-side positional shingle stream must not shuffle to meet it
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
